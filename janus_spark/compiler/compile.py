@@ -1,0 +1,256 @@
+"""SPARQL algebra → DataFrame plan lowering.
+
+This is the replacement for the reference's use of Oxigraph
+(src/querying/oxigraph_adapter.rs:104-148): instead of materializing each
+window into an in-memory store and evaluating SPARQL there, the algebra is
+lowered to a lazy DataFrame plan that Catalyst optimizes (filter pushdown
+into the Parquet scan, column pruning, join reordering via AQE, broadcast
+selection) and Spark executes distributed.
+
+Scale-critical design point — ``partition_cols``: any list of extra
+columns present on the quads frame (e.g. ``__window_id`` after assigning
+events to sliding windows) is threaded through every scan, join and
+aggregation as an implicit key.  That turns "evaluate this query once per
+window" (the reference's per-window loop, historical_executor.rs:424-460)
+into ONE shuffle-efficient distributed plan over all windows at once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from janus_spark.compiler.ast import (
+    Bind,
+    EBin,
+    ECall,
+    EUn,
+    EVar,
+    Expr,
+    Filter,
+    GraphGroup,
+    Group,
+    InlineValues,
+    Iri,
+    Literal,
+    MinusGroup,
+    OptionalGroup,
+    SelectQuery,
+    Term,
+    TriplePattern,
+    UnionGroup,
+    Var,
+)
+from janus_spark.compiler.expressions import compile_aggregate, compile_expr
+from janus_spark.functions.registry import FUNCTION_REGISTRY
+
+
+@dataclass
+class SparqlCompiler:
+    quads: DataFrame
+    partition_cols: list[str] = field(default_factory=list)
+    registry: dict = field(default_factory=lambda: dict(FUNCTION_REGISTRY))
+    static_quads: DataFrame | None = None  # baseline/background triples (broadcast side)
+
+    # ------------------------------------------------------------ entry
+    def compile(self, q: SelectQuery) -> DataFrame:
+        df = self.compile_group(q.where, graph_term=None)
+        if q.has_aggregates():
+            df = self._lower_aggregates(q, df)
+        else:
+            if q.having is not None:
+                df = df.filter(compile_expr(q.having, "bool", self.registry))
+            df = self._project(q, df)
+        if q.distinct:
+            df = df.distinct()
+        if q.order_by:
+            keys = [
+                (compile_expr(e, None, self.registry)) if asc else compile_expr(e, None, self.registry).desc()
+                for e, asc in q.order_by
+            ]
+            df = df.orderBy(*keys)
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    # ------------------------------------------------------------ group
+    def compile_group(self, g: Group, graph_term: Term | None) -> DataFrame:
+        df: DataFrame | None = None
+        filters: list[Expr] = []
+        for el in g.elements:
+            if isinstance(el, TriplePattern):
+                df = self._merge(df, self._scan(el, graph_term), "inner")
+            elif isinstance(el, Filter):
+                filters.append(el.expr)
+            elif isinstance(el, Bind):
+                if df is None:
+                    raise ValueError("BIND before any pattern is unsupported")
+                df = df.withColumn(el.var, compile_expr(el.expr, None, self.registry))
+            elif isinstance(el, OptionalGroup):
+                right = self.compile_group(el.group, graph_term)
+                df = self._merge(df, right, "left")
+            elif isinstance(el, UnionGroup):
+                branches = [self.compile_group(b, graph_term) for b in el.branches]
+                u = branches[0]
+                for b in branches[1:]:
+                    u = u.unionByName(b, allowMissingColumns=True)
+                df = self._merge(df, u, "inner")
+            elif isinstance(el, MinusGroup):
+                right = self.compile_group(el.group, graph_term)
+                if df is None:
+                    raise ValueError("MINUS before any pattern is unsupported")
+                shared = [c for c in df.columns if c in set(right.columns)]
+                key_only = [c for c in shared if c not in self.partition_cols]
+                if key_only:
+                    df = df.join(right.select(*shared).distinct(), on=shared, how="left_anti")
+            elif isinstance(el, GraphGroup):
+                sub = self.compile_group(el.group, el.term)
+                df = self._merge(df, sub, "inner")
+            elif isinstance(el, Group):
+                df = self._merge(df, self.compile_group(el, graph_term), "inner")
+            elif isinstance(el, InlineValues):
+                df = self._merge(df, self._values_frame(el), "inner")
+            else:
+                raise ValueError(f"unsupported group element {type(el).__name__}")
+        if df is None:
+            raise ValueError("empty group pattern")
+        for fexpr in filters:
+            df = df.filter(compile_expr(fexpr, "bool", self.registry))
+        return df
+
+    # ------------------------------------------------------------ scans
+    def _scan(self, tp: TriplePattern, graph_term: Term | None) -> DataFrame:
+        src = self.quads
+        if self.static_quads is not None:
+            # static/baseline triples are visible alongside window quads
+            # (reference inserts them into the evaluation store,
+            # live_stream_processing.rs:509-530); static side is tiny.
+            static = self.static_quads
+            for pc in self.partition_cols:
+                if pc not in static.columns:
+                    static = None
+                    break
+            if static is not None:
+                src = src.unionByName(static, allowMissingColumns=False)
+            else:
+                src = self.quads
+        conds: list[Column] = []
+        proj: dict[str, str] = {}  # var name -> source column
+        for pos, term in (("subject", tp.s), ("predicate", tp.p), ("object", tp.o)):
+            if isinstance(term, Iri):
+                conds.append(F.col(pos) == term.value)
+            elif isinstance(term, Literal):
+                conds.append(F.col(pos) == term.lexical)
+            else:
+                if term.name in proj:
+                    conds.append(F.col(pos) == F.col(proj[term.name]))
+                else:
+                    proj[term.name] = pos
+        if graph_term is not None:
+            if isinstance(graph_term, Iri):
+                conds.append(F.col("graph") == graph_term.value)
+            elif isinstance(graph_term, Var) and graph_term.name not in proj:
+                proj[graph_term.name] = "graph"
+        out = src
+        for c in conds:
+            out = out.filter(c)
+        cols = [F.col(srccol).alias(var) for var, srccol in proj.items()]
+        cols += [F.col(pc) for pc in self.partition_cols]
+        return out.select(*cols)
+
+    def _values_frame(self, v: InlineValues) -> DataFrame:
+        spark = self.quads.sparkSession
+        rows = [tuple(str(x) if x is not None else None for x in row) for row in v.rows]
+        return spark.createDataFrame(rows, schema=v.var_names)
+
+    # ------------------------------------------------------------ joins
+    def _merge(self, left: DataFrame | None, right: DataFrame, how: str) -> DataFrame:
+        if left is None:
+            return right
+        shared = [c for c in left.columns if c in set(right.columns)]
+        if shared:
+            return left.join(right, on=shared, how=how)
+        if how == "inner":
+            return left.crossJoin(right)
+        lk = left.withColumn("__one", F.lit(1))
+        rk = right.withColumn("__one", F.lit(1))
+        return lk.join(rk, on="__one", how="left").drop("__one")
+
+    # ------------------------------------------------------- aggregates
+    def _lower_aggregates(self, q: SelectQuery, df: DataFrame) -> DataFrame:
+        agg_calls: dict[ECall, str] = {}
+
+        def collect(e: Expr) -> None:
+            if isinstance(e, ECall):
+                if e.is_aggregate():
+                    if e not in agg_calls:
+                        agg_calls[e] = f"__agg{len(agg_calls)}"
+                else:
+                    for x in e.args:
+                        collect(x)
+            elif isinstance(e, EBin):
+                collect(e.left)
+                collect(e.right)
+            elif isinstance(e, EUn):
+                collect(e.operand)
+
+        for e, _ in q.projection or []:
+            collect(e)
+        if q.having is not None:
+            collect(q.having)
+        for e, _ in q.order_by:
+            collect(e)
+
+        group_cols: list[str] = []
+        for e, alias in q.group_by:
+            if isinstance(e, EVar) and alias is None:
+                group_cols.append(e.name)
+            else:
+                name = alias or f"__grp{len(group_cols)}"
+                df = df.withColumn(name, compile_expr(e, None, self.registry))
+                group_cols.append(name)
+        all_group = group_cols + [c for c in self.partition_cols if c not in group_cols]
+
+        aggs = [compile_aggregate(call, self.registry).alias(name) for call, name in agg_calls.items()]
+        if not aggs:
+            aggs = [F.count(F.lit(1)).alias("__agg_dummy")]
+        df = df.groupBy(*all_group).agg(*aggs) if all_group else df.agg(*aggs)
+
+        if q.having is not None:
+            df = df.filter(compile_expr(q.having, "bool", self.registry, agg_map=agg_calls))
+
+        if q.projection is None:
+            return df.drop("__agg_dummy")
+        cols = [
+            compile_expr(e, None, self.registry, agg_map=agg_calls).alias(name)
+            for e, name in q.projection
+        ]
+        cols += [F.col(pc) for pc in self.partition_cols if pc not in [n for _, n in q.projection]]
+        return df.select(*cols)
+
+    # ------------------------------------------------------- projection
+    def _project(self, q: SelectQuery, df: DataFrame) -> DataFrame:
+        if q.projection is None:  # SELECT *
+            return df
+        cols = [compile_expr(e, None, self.registry).alias(name) for e, name in q.projection]
+        cols += [F.col(pc) for pc in self.partition_cols if pc not in [n for _, n in q.projection]]
+        return df.select(*cols)
+
+
+def compile_sparql(
+    q: SelectQuery,
+    quads: DataFrame,
+    partition_cols: list[str] | None = None,
+    registry: dict | None = None,
+    static_quads: DataFrame | None = None,
+) -> DataFrame:
+    return SparqlCompiler(
+        quads,
+        partition_cols or [],
+        registry if registry is not None else dict(FUNCTION_REGISTRY),
+        static_quads,
+    ).compile(q)

@@ -1,0 +1,13 @@
+from janus_spark.sources.melt import melt_table, melt_events, load_tables
+from janus_spark.sources.nquads import parse_nquads_lines, read_nquads, format_nquads
+from janus_spark.sources.quadstore import QuadStore
+
+__all__ = [
+    "melt_table",
+    "melt_events",
+    "load_tables",
+    "parse_nquads_lines",
+    "read_nquads",
+    "format_nquads",
+    "QuadStore",
+]

@@ -1,0 +1,140 @@
+"""Relational → RDF quad melt.
+
+The reference consumes RDF quads; the driver's testdata is relational
+(TPC-H-ish).  FIXTURES.md §3-4 defines the deterministic melt: each row of
+table ``T`` with key ``k`` becomes one quad per non-key column::
+
+    (<urn:T:k> <urn:T:col> str(value) <urn:table:T>)   ts = k*1000
+
+and for ``events``: subject ``urn:event:{id}``, predicates
+``urn:col:{name}``, ts = epoch-millis of the event timestamp, graph
+``urn:stream:events``.
+
+Implementation note (scale): the melt is a single projection + ``stack``
+(no shuffle, no UDF); at 100 TB it is a map-only job that Parquet scan
+pipelining handles row-group by row-group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": None,  # composite; handled specially
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in (names or TABLE_NAMES)}
+
+
+def _value_str(df: DataFrame, col: str) -> F.Column:
+    """Deterministic lexical form for a melted value.
+
+    Timestamps melt to epoch millis (the engine's ts unit); everything else
+    via CAST AS STRING.  Keep lexical forms oracle-reproducible: integral
+    types print as integers, doubles in Spark's shortest form.
+    """
+    dt = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dt.startswith("timestamp"):
+        # parquet may load as TIMESTAMP_NTZ; session tz is pinned UTC so
+        # the cast to TIMESTAMP is deterministic
+        return F.unix_millis(c.cast("timestamp")).cast("string")
+    return c.cast("string")
+
+
+def melt_table(
+    df: DataFrame,
+    table: str,
+    key_col: str | None = None,
+    value_cols: list[str] | None = None,
+    ts_col: F.Column | None = None,
+) -> DataFrame:
+    """Melt a relational table into the 5-column quads frame."""
+    if key_col is None:
+        key_col = TABLE_KEYS.get(table)
+    if key_col is None:
+        raise ValueError(f"melt_table needs key_col for {table}")
+    if value_cols is None:
+        value_cols = [c for c in df.columns if c != key_col]
+    subject = F.concat(F.lit(f"urn:{table}:"), F.col(key_col).cast("string"))
+    ts = ts_col if ts_col is not None else (F.col(key_col).cast("long") * F.lit(1000))
+    melted = df.select(
+        ts.alias("ts"),
+        subject.alias("subject"),
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(f"urn:{table}:{c}") for c in value_cols]).alias("p"),
+                F.array(*[_value_str(df, c) for c in value_cols]).alias("o"),
+            )
+        ).alias("po"),
+    ).select(
+        "ts",
+        "subject",
+        F.col("po.p").alias("predicate"),
+        F.col("po.o").alias("object"),
+        F.lit(f"urn:table:{table}").alias("graph"),
+    )
+    return melted.where(F.col("object").isNotNull())
+
+
+def melt_events(df: DataFrame) -> DataFrame:
+    """Melt the driver's ``events`` stream table (FIXTURES.md §3)."""
+    value_cols = [c for c in df.columns if c not in ("event_id", "ts")]
+    pairs_p = F.array(*[F.lit(f"urn:col:{c}") for c in value_cols])
+    pairs_o = F.array(*[_value_str(df, c) for c in value_cols])
+    return (
+        df.select(
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+            F.concat(F.lit("urn:event:"), F.col("event_id").cast("string")).alias("subject"),
+            F.explode(F.arrays_zip(pairs_p.alias("p"), pairs_o.alias("o"))).alias("po"),
+        )
+        .select(
+            "ts",
+            "subject",
+            F.col("po.p").alias("predicate"),
+            F.col("po.o").alias("object"),
+            F.lit("urn:stream:events").alias("graph"),
+        )
+        .where(F.col("object").isNotNull())
+    )
+
+
+def melt_sensor_fixture(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Reference-shaped deterministic sensor fixture (FIXTURES.md §1):
+    ts=i*100, subject=sensor{i%5}, predicate=temperature, object=20+(i%10).
+
+    Mirrors tests/janus_api_integration_test.rs:38-47 (cited for parity,
+    not copied).  Generated distributed via ``spark.range`` — no driver loop.
+    """
+    return spark.range(1, n + 1).select(
+        (F.col("id") * 100).alias("ts"),
+        F.concat(F.lit("http://example.org/sensor"), (F.col("id") % 5).cast("string")).alias("subject"),
+        F.lit("http://example.org/temperature").alias("predicate"),
+        (F.lit(20) + (F.col("id") % 10)).cast("string").alias("object"),
+        F.lit("http://example.org/graph1").alias("graph"),
+    )

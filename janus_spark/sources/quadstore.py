@@ -1,0 +1,69 @@
+"""Time-partitioned Parquet quad store — operators S2-S6.
+
+The reference's segmented log + two-level timestamp index + dictionary
+(``src/storage/segmented_storage.rs``, ``src/storage/indexing/*``) exists
+to make time-range scans cheap on a single node.  On Spark the same
+properties come from the storage layout, not custom code:
+
+- segment pruning      ⇒ Hive-style partition pruning on ``ts_bucket``
+- two-level index      ⇒ Parquet row-group min/max stats on ``ts``
+  (effective because we sort by ts within partitions at write time)
+- dictionary encoding  ⇒ Parquet dictionary pages (automatic)
+- batch buffer + flush ⇒ micro-batch / append writes
+
+Scale design: ``ts_bucket = floor(ts / bucket_ms)`` keeps each partition a
+bounded time slice; at 100 TB pick bucket_ms ≈ 1 hour so a typical window
+query touches O(windows) partitions, while ``repartitionByRange`` bounds
+file count per bucket and keeps files sorted for row-group skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKET_MS = 3_600_000  # 1 hour
+
+
+class QuadStore:
+    """Append-only time-partitioned quad log (reference: SegmentedStorage)."""
+
+    def __init__(self, spark: SparkSession, path: str, bucket_ms: int = DEFAULT_BUCKET_MS):
+        self.spark = spark
+        self.path = path
+        self.bucket_ms = bucket_ms
+
+    def write(self, quads: DataFrame, mode: str = "append", target_partitions: int | None = None) -> None:
+        """write_rdf / flush equivalent (segmented_storage.rs:117-163,521-630).
+
+        Sort by ts within files so Parquet row-group stats give the
+        two-level-index pruning behavior on read.
+        """
+        bucketed = quads.withColumn("ts_bucket", (F.col("ts") / self.bucket_ms).cast("long"))
+        if target_partitions:
+            bucketed = bucketed.repartitionByRange(target_partitions, "ts_bucket", "ts")
+        (
+            bucketed.sortWithinPartitions("ts")
+            .write.mode(mode)
+            .partitionBy("ts_bucket")
+            .parquet(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).drop("ts_bucket")
+
+    def query(self, start_ts: int, end_ts: int) -> DataFrame:
+        """Time-range scan with INCLUSIVE bounds — operator S3.
+
+        Bounds inclusivity pinned to the reference's storage behavior
+        (segmented_storage.rs:318,451-459).  The ts_bucket predicate is
+        derivable from ts but Spark cannot infer it, so we add it
+        explicitly: that is what turns the filter into partition pruning.
+        """
+        lo_b, hi_b = start_ts // self.bucket_ms, end_ts // self.bucket_ms
+        return (
+            self.spark.read.parquet(self.path)
+            .where(F.col("ts_bucket").between(lo_b, hi_b))
+            .where(F.col("ts").between(start_ts, end_ts))
+            .drop("ts_bucket")
+        )

