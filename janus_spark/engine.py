@@ -1,0 +1,162 @@
+"""Query lifecycle orchestration — operators C3 (registry) and C4.
+
+Reference: src/registry/query_registry.rs (register/get/unregister/list,
+status machine) and src/api/janus_api.rs:197-515 (start_query spawning one
+thread per historical window, a live processor, and an async baseline
+warm-up).  Spark mapping: each historical window is a lazy batch
+DataFrame plan (Catalyst schedules it distributed — no hand threading);
+the live side is a streaming runner (janus_spark.streaming); baseline
+warm-up is a small batch job whose result is broadcast into the live plan.
+
+Status machine (janus_api.rs:110-118): Registered → [WarmingBaseline →]
+Running → Stopped/Completed/Failed.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from janus_spark.operators.baseline import baseline_to_quads, build_baseline
+from janus_spark.operators.historical import (
+    run_historical_fixed,
+    run_historical_sliding,
+    tag_results,
+)
+from janus_spark.parsing.janusql import (
+    HIST_FIXED,
+    HIST_SLIDING,
+    JanusQuery,
+    WindowDef,
+    parse_janusql,
+)
+
+REGISTERED = "Registered"
+WARMING_BASELINE = "WarmingBaseline"
+RUNNING = "Running"
+STOPPED = "Stopped"
+COMPLETED = "Completed"
+FAILED = "Failed"
+
+
+@dataclass
+class RegisteredQuery:
+    query_id: str
+    text: str
+    parsed: JanusQuery
+    baseline_mode: str | None
+    status: str = REGISTERED
+    registered_at: float = field(default_factory=time.time)
+    execution_count: int = 0
+
+
+class JanusEngine:
+    """Library entry point (reference JanusApi, janus_api.rs:131-138)."""
+
+    def __init__(self, spark: SparkSession, quads: DataFrame | None = None, max_queries: int = 100):
+        self.spark = spark
+        self.quads = quads
+        self.registry: dict[str, RegisteredQuery] = {}
+        self.max_queries = max_queries
+
+    # ------------------------------------------------------------- C3
+    def register_query(self, text: str, baseline_mode: str | None = None, query_id: str | None = None) -> str:
+        if len(self.registry) >= self.max_queries:
+            raise RuntimeError(f"query registry full (max {self.max_queries})")
+        parsed = parse_janusql(text)
+        if baseline_mode is not None:
+            parsed.baseline_mode = baseline_mode.upper()
+        qid = query_id or str(uuid.uuid4())
+        self.registry[qid] = RegisteredQuery(qid, text, parsed, parsed.baseline_mode)
+        return qid
+
+    def get_query(self, query_id: str) -> RegisteredQuery:
+        return self.registry[query_id]
+
+    def list_queries(self) -> list[RegisteredQuery]:
+        return list(self.registry.values())
+
+    def unregister_query(self, query_id: str) -> None:
+        self.registry.pop(query_id, None)
+
+    def stop_query(self, query_id: str) -> None:
+        rq = self.registry.get(query_id)
+        if rq:
+            rq.status = STOPPED
+
+    # ------------------------------------------------------------- C4
+    def run_historical_window(
+        self,
+        parsed: JanusQuery,
+        window: WindowDef,
+        quads: DataFrame,
+        now: int | None = None,
+        static_quads: DataFrame | None = None,
+    ) -> DataFrame:
+        sq = parsed.historical_query(window)
+        if window.kind == HIST_FIXED:
+            return run_historical_fixed(sq, quads, window.start_ts, window.end_ts, static_quads=static_quads)
+        if window.kind == HIST_SLIDING:
+            if now is None:
+                now = int(time.time() * 1000)
+            return run_historical_sliding(
+                sq, quads, now, window.offset_ms, window.range_ms, window.step_ms,
+                static_quads=static_quads,
+            )
+        raise ValueError(f"not a historical window: {window.kind}")
+
+    def start_historical(
+        self, query_id: str, quads: DataFrame | None = None, now: int | None = None
+    ) -> dict[str, DataFrame]:
+        """Run all historical windows of a registered query; returns one
+        tagged result frame per window (reference emits one Historical
+        batch per window, janus_api.rs:260-273)."""
+        rq = self.registry[query_id]
+        quads = quads if quads is not None else self.quads
+        out: dict[str, DataFrame] = {}
+        for w in rq.parsed.historical_windows:
+            df = self.run_historical_window(rq.parsed, w, quads, now)
+            ts = w.end_ts if w.kind == HIST_FIXED else None
+            out[w.name] = tag_results(df, query_id, "historical", ts)
+        rq.status = RUNNING
+        rq.execution_count += 1
+        return out
+
+    def warm_baseline(
+        self, query_id: str, quads: DataFrame | None = None, now: int | None = None
+    ) -> DataFrame:
+        """W8 warm-up: run the baseline historical window, compact to
+        (anchor, var, value), return static quads for the live side.
+        Status flips WarmingBaseline → Running (janus_api.rs:352-407)."""
+        rq = self.registry[query_id]
+        parsed = rq.parsed
+        if parsed.baseline_window is None:
+            raise ValueError("query has no USING BASELINE clause")
+        rq.status = WARMING_BASELINE
+        quads = quads if quads is not None else self.quads
+        w = next(x for x in parsed.historical_windows if x.name == parsed.baseline_window)
+        hist = self.run_historical_window(parsed, w, quads, now)
+        ord_col = "window_end" if "window_end" in hist.columns else None
+        bl = build_baseline(hist, parsed.baseline_mode or "LAST", window_ord_col=ord_col)
+        static = baseline_to_quads(bl)
+        rq.status = RUNNING
+        return static
+
+    def run_live_batch(
+        self,
+        query_id: str,
+        window_quads: DataFrame,
+        static_quads: DataFrame | None = None,
+    ) -> DataFrame:
+        """Evaluate the live query over one window's content (the unit the
+        streaming runtime calls per window close)."""
+        rq = self.registry[query_id]
+        from janus_spark.compiler.compile import compile_sparql
+
+        sq = rq.parsed.live_query()
+        df = compile_sparql(sq, window_quads, static_quads=static_quads)
+        return tag_results(df, query_id, "live")

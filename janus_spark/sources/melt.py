@@ -51,6 +51,17 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in (names or TABLE_NAMES)}
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, tolerating parquet TIMESTAMP(NANOS) columns
+    (Spark 4 rejects them unless nanosAsLong is set; the long nanos are
+    then converted to a microsecond timestamp, ms-exact)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
 def _value_str(df: DataFrame, col: str) -> F.Column:
     """Deterministic lexical form for a melted value.
 

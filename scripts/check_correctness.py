@@ -1,0 +1,127 @@
+"""Local mirror of the driver's correctness gate: run each queries() entry
+and its oracle_sql() on the same sf dir, compare row count, column names,
+and order-insensitive values.  Reports exact and tolerant comparison.
+
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from janus_spark.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    return sorted(out, key=repr)
+
+
+def approx_equal(a, b):
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for x, y in zip(ra, rb):
+            if isinstance(x, float) and isinstance(y, float):
+                if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                    return False
+            elif x != y:
+                return False
+    return True
+
+
+def main():
+    spark = get_spark("correctness")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    results = {}
+    for name, fn in queries.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            results[name] = f"SPARK ERROR: {e}"
+            continue
+        if name not in oracles:
+            results[name] = f"rows-only ({len(srows)} rows)"
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE ERROR: {e}"
+            continue
+        if sorted(scols) != sorted(ocols):
+            results[name] = f"SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
+            continue
+        if len(srows) != len(orows):
+            results[name] = f"ROWCOUNT MISMATCH spark={len(srows)} oracle={len(orows)}"
+            continue
+        a = canon(srows, scols)
+        b = canon(orows, ocols)
+        if a == b:
+            results[name] = f"EXACT ({len(srows)} rows)"
+        elif approx_equal(a, b):
+            diffs = [(x, y) for x, y in zip(a, b) if x != y][:2]
+            results[name] = f"APPROX ({len(srows)} rows) e.g. {diffs}"
+        else:
+            diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            results[name] = f"VALUE MISMATCH ({len(srows)} rows) e.g. {diffs}"
+
+    width = max(len(n) for n in results)
+    fails = 0
+    for name, res in results.items():
+        status = "OK " if res.startswith("EXACT") else ("~  " if res.startswith("APPROX") else "FAIL")
+        if status == "FAIL" and not res.startswith("rows-only"):
+            fails += 1
+        if res.startswith("rows-only"):
+            status = "R/O"
+        print(f"{status} {name:<{width}} {res[:300]}")
+    print(f"\n{len(results)} queries, {fails} failures")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
