@@ -146,6 +146,28 @@ class JanusEngine:
         rq.status = RUNNING
         return static
 
+    def start_live(
+        self,
+        query_id: str,
+        buffer_path: str,
+        quads: DataFrame | None = None,
+        sink=None,
+        now: int | None = None,
+    ):
+        """Start the live side of a registered query (hybrid queries warm
+        the baseline first — reference's WarmingBaseline phase)."""
+        from janus_spark.streaming.live import LiveQueryRunner
+
+        rq = self.registry[query_id]
+        static = None
+        if rq.parsed.baseline_window is not None:
+            static = self.warm_baseline(query_id, quads, now)
+        runner = LiveQueryRunner(
+            self.spark, rq.parsed, buffer_path, static_quads=static, sink=sink
+        )
+        rq.status = RUNNING
+        return runner
+
     def run_live_batch(
         self,
         query_id: str,

@@ -1,0 +1,188 @@
+"""Live window runtime (W3-W6) — semantics mirrored from the reference's
+live-stream integration tests (tests/live_stream_integration_test.rs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from janus_spark.parsing import parse_janusql
+from janus_spark.sources.melt import melt_sensor_fixture
+from janus_spark.streaming import LiveQueryRunner, ListSink, replay_quads
+
+EX = "http://example.org/"
+
+LIVE_QUERY = f"""
+PREFIX ex: <{EX}>
+REGISTER RStream <out> AS
+SELECT ?sensor ?temp
+FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 1000]
+WHERE {{ WINDOW ex:w {{ ?sensor ex:temperature ?temp . }} }}
+"""
+
+
+def make_runner(spark, tmp_path, text=LIVE_QUERY, static=None):
+    sink = ListSink()
+    runner = LiveQueryRunner(
+        spark, parse_janusql(text), str(tmp_path / "buf"), static_quads=static, sink=sink
+    )
+    return runner, sink
+
+
+def test_window_fires_on_event_time_advance(spark, tmp_path):
+    quads = melt_sensor_fixture(spark, 50)  # ts 100..5000
+    runner, sink = make_runner(spark, tmp_path)
+    # feed ts <= 1900: no window closed yet ([0,2000) needs ts >= 2000)
+    runner.on_batch(quads.where("ts < 1900"))
+    assert sink.batches == []
+    # event at 2100 closes [0,2000)
+    runner.on_batch(quads.where("ts >= 1900 and ts <= 2100"))
+    assert len(sink.batches) == 1
+    b = sink.batches[0]
+    assert (b["window_start"], b["window_end"]) == (0, 2000)
+    # [0,2000) contains ts 100..1900 -> 19 quads
+    assert len(b["rows"]) == 19
+
+
+def test_rstream_full_reemission(spark, tmp_path):
+    """RStream: each close emits the full window content, not deltas (W6)."""
+    quads = melt_sensor_fixture(spark, 50)
+    runner, sink = make_runner(spark, tmp_path)
+    runner.on_batch(quads.where("ts <= 3100"))
+    ends = [b["window_end"] for b in sink.batches]
+    assert ends == [2000, 3000]
+    # [1000,3000) holds ts 1000..2900 -> 20 rows, all re-emitted
+    assert len(sink.batches[1]["rows"]) == 20
+
+
+def test_close_stream_sentinel_flushes(spark, tmp_path):
+    quads = melt_sensor_fixture(spark, 30)  # ts 100..3000
+    runner, sink = make_runner(spark, tmp_path)
+    runner.on_batch(quads)
+    fired = len(sink.batches)
+    runner.close(6000)
+    assert len(sink.batches) > fired  # remaining windows flushed
+    ends = [b["window_end"] for b in sink.batches]
+    assert ends == sorted(ends)
+
+
+def test_empty_window_emits_empty_batch(spark, tmp_path):
+    quads = melt_sensor_fixture(spark, 10)  # ts 100..1000
+    sparse = quads.union(
+        spark.createDataFrame(
+            [(9100, f"{EX}sensorX", f"{EX}temperature", "42", "g")],
+            ["ts", "subject", "predicate", "object", "graph"],
+        )
+    )
+    runner, sink = make_runner(spark, tmp_path)
+    runner.on_batch(sparse)
+    # windows like [4000,6000) contain nothing -> emitted with 0 rows
+    empty = [b for b in sink.batches if len(b["rows"]) == 0]
+    assert empty, "empty windows must still emit (reference behavior)"
+
+
+def test_static_quads_join_live(spark, tmp_path):
+    text = f"""
+    PREFIX ex: <{EX}>
+    REGISTER RStream <out> AS
+    SELECT ?sensor ?temp ?mean
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 2000]
+    WHERE {{
+      WINDOW ex:w {{ ?sensor ex:temperature ?temp . }}
+      ?sensor <https://janus.rs/baseline#mean> ?mean .
+    }}
+    """
+    static = spark.createDataFrame(
+        [(0, f"{EX}sensor1", "https://janus.rs/baseline#mean", "23.5", "")],
+        ["ts", "subject", "predicate", "object", "graph"],
+    )
+    quads = melt_sensor_fixture(spark, 50)
+    runner, sink = make_runner(spark, tmp_path, text, static)
+    runner.on_batch(quads.where("ts <= 2100"))
+    rows = sink.batches[0]["rows"]
+    assert rows and all(r["mean"] == "23.5" and r["sensor"] == f"{EX}sensor1" for r in rows)
+
+
+def test_multi_window_cross_merge(spark, tmp_path):
+    """W4: when window A fires, other windows' content joins in."""
+    text = f"""
+    PREFIX ex: <{EX}>
+    REGISTER RStream <out> AS
+    SELECT ?sensor ?temp ?hum
+    FROM NAMED WINDOW ex:a ON STREAM ex:s1 [RANGE 2000 STEP 2000]
+    FROM NAMED WINDOW ex:b ON STREAM ex:s2 [RANGE 4000 STEP 4000]
+    WHERE {{
+      WINDOW ex:a {{ ?sensor ex:temperature ?temp . }}
+      WINDOW ex:b {{ ?sensor ex:humidity ?hum . }}
+    }}
+    """
+    temps = melt_sensor_fixture(spark, 30)
+    hums = temps.select(
+        (F.col("ts") - 50).alias("ts"),
+        "subject",
+        F.lit(f"{EX}humidity").alias("predicate"),
+        F.concat(F.lit("h"), F.col("object")).alias("object"),
+        "graph",
+    )
+    runner, sink = make_runner(spark, tmp_path, text)
+    runner.on_batch(temps.unionByName(hums))
+    runner.close(8000)
+    joined = [b for b in sink.batches if b["rows"]]
+    assert joined, "cross-window merge should produce joined rows"
+    r = joined[0]["rows"][0]
+    assert r["temp"] is not None and r["hum"] is not None
+
+
+def test_replay_with_dual_write(spark, tmp_path):
+    from janus_spark.sources.quadstore import QuadStore
+
+    quads = melt_sensor_fixture(spark, 30)
+    runner, sink = make_runner(spark, tmp_path)
+    store = QuadStore(spark, str(tmp_path / "store"), bucket_ms=1000)
+    n = replay_quads(quads, runner, batch_ms=1000, store=store)
+    assert n >= 3
+    assert store.read().count() == 30  # dual-write (S8)
+    assert sink.batches  # live side fired
+
+
+def test_attach_structured_streaming(spark, tmp_path):
+    """S7: real readStream file source -> foreachBatch -> window fires."""
+    from janus_spark.model import QUAD_SCHEMA
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    quads = melt_sensor_fixture(spark, 50)
+    quads.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    stream = spark.readStream.schema(QUAD_SCHEMA).parquet(str(src / "f1"))
+    runner, sink = make_runner(spark, tmp_path)
+    q = runner.attach(stream, once=True)
+    q.awaitTermination(120)
+    assert sink.batches
+    assert sink.batches[0]["window_end"] % 1000 == 0
+
+
+def test_engine_start_live_hybrid(spark, tmp_path):
+    """Full hybrid lifecycle: register -> warm baseline -> live runner."""
+    from janus_spark.engine import JanusEngine
+
+    text = f"""
+    PREFIX ex: <{EX}>
+    REGISTER RStream <out> AS
+    SELECT ?sensor ?temp ?mean
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 2000]
+    FROM NAMED WINDOW ex:hist ON LOG ex:sensors [START 100 END 3000]
+    USING BASELINE ex:hist AGGREGATE
+    WHERE {{
+      WINDOW ex:w {{ ?sensor ex:temperature ?temp . }}
+      WINDOW ex:hist {{ ?sensor ex:temperature ?mean . }}
+      ?sensor <https://janus.rs/baseline#mean> ?mean .
+    }}
+    """
+    quads = melt_sensor_fixture(spark, 50)
+    eng = JanusEngine(spark, quads)
+    qid = eng.register_query(text)
+    runner = eng.start_live(qid, str(tmp_path / "livebuf"))
+    assert eng.get_query(qid).status == "Running"
+    runner.on_batch(quads.where("ts <= 2100"))
+    rows = runner.sink.batches[0]["rows"]
+    assert rows, "hybrid live join with baseline should match"
+    # every row's mean equals the historical per-sensor average
+    assert all(r["mean"] is not None for r in rows)
