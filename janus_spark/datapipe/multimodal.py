@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas functions
+over ``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked deterministic stub (``fake=True``) or raises
+NotImplementedError (``fake=False``) — but the Spark-side plumbing is
+real: schema contracts, Arrow batch shapes, partition-parallel execution,
+and metadata pass-through are exactly what a production decode would use
+(swap `_fake_decode` for PIL/librosa/ffmpeg in a real container).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("meta", StringType(), True),  # JSON sidecar
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("checksum", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Build a deterministic fake media corpus from the documents table
+    (payload = utf-8 bytes of the text) — test fixture for the plumbing."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.to_json(F.struct(F.col("source"), F.col("lang"))).alias("meta"),
+    )
+
+
+def _fake_decode(media_type: str, payload: bytes) -> tuple[int, int, int]:
+    """DETERMINISTIC FAKE decode (no codecs in this container): derives
+    width/height/frames from a crc32 of the payload.  Replace with a real
+    decoder (PIL/librosa/ffmpeg) in production."""
+    crc = zlib.crc32(payload or b"")
+    if media_type == "image":
+        return 64 + crc % 512, 64 + (crc >> 9) % 512, 1
+    if media_type == "audio":
+        return 1, 1, 1000 + crc % 100000  # "samples"
+    return 32 + crc % 256, 32 + (crc >> 8) % 256, 1 + crc % 300  # video frames
+
+
+def decode_media(df: DataFrame, fake: bool = True, batch_hint: int | None = None) -> DataFrame:
+    """Decode/feature-extract media payloads via mapInPandas (Arrow
+    batches).  ``fake=False`` raises NotImplementedError per batch — the
+    marker that a real codec belongs here."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires image/audio codecs not present in this container"
+                )
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                "checksum": pdf["payload"].map(lambda b: zlib.crc32(b or b"")),
+            }
+            dims = [
+                _fake_decode(t, p)
+                for t, p in zip(pdf["media_type"], pdf["payload"])
+            ]
+            out["width"] = pd.Series([d[0] for d in dims], dtype="int32")
+            out["height"] = pd.Series([d[1] for d in dims], dtype="int32")
+            out["n_frames"] = pd.Series([d[2] for d in dims], dtype="int32")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, schema=DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame sampling plan for video rows: one output row per sampled
+    frame index (pure Column ops — the decode already happened)."""
+    v = decoded.where(F.col("media_type") == "video")
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    return v.select("media_id", F.explode(idx).alias("frame_index"))

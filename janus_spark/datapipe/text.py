@@ -1,0 +1,121 @@
+"""Text analysis operators for large-scale training-data pipelines:
+tokenization, token counting, quality scoring, language ID, document
+fingerprinting.  All native Column expressions — no Python UDFs — so the
+whole pipeline stays inside whole-stage codegen and scales linearly with
+the scan (map-only, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PUNCT_CLASS = r"""[.,;:!?'"()\[\]{}<>/\\|@#$%^&*_+=~`-]"""
+
+# tiny deterministic stopword markers per language (language-ID heuristic;
+# the marker lists are the classifier, shared verbatim with the SQL oracle)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "y"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+
+def normalize(col: Column) -> Column:
+    """Canonical text form: lowercase, punctuation stripped, whitespace
+    collapsed.  The basis for fingerprints and exact dedup."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, PUNCT_CLASS, "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for blank text."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: count of letter-runs, digit-runs and
+    individual punctuation marks (a cheap proxy for subword tokenizers)."""
+    return F.size(
+        F.filter(
+            F.split(F.lower(col), r"(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token count, punctuation
+    ratio, stopword ratio, mean token length, and a composite score."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    punct = n_chars - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    toks = tokens(F.lower(c))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    mean_tok_len = F.when(n_tokens > 0, (F.length(F.regexp_replace(c, r"\s+", "")) / n_tokens))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.05, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        punct_ratio.alias("q_punct_ratio"),
+        stop_ratio.alias("q_stopword_ratio"),
+        mean_tok_len.alias("q_mean_token_len"),
+        score.alias("q_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: score = number of marker-token hits per
+    language over the token set; highest score wins (ties break by fixed
+    language order), below min_hits → 'und'."""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def marker_hits(markers: list[str]) -> Column:
+        # NB: the filter lambda must take exactly ONE param — F.filter
+        # treats a second param as the element index
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fixed priority: earlier langs win ties (iterate reversed so the
+    # first language in LANG_MARKERS is applied last and wins equality)
+    for lang in reversed(langs):
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    out = df.select("*", *[scores[lg].alias(f"lid_{lg}") for lg in langs])
+    return out.withColumn("lang_pred", best)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 over the normalized text (md5 is available
+    identically in Spark and DuckDB, making the op oracle-checkable), plus
+    a 64-bit xxhash64 convenience fingerprint."""
+    norm = normalize(F.col(text_col))
+    return df.select(
+        id_col,
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xx64"),
+    )

@@ -394,3 +394,261 @@ def oracle_for_hist_sliding(sf_dir: str) -> str:
         SELECT w.window_start, w.window_end, COUNT(*) AS n, AVG(e.value) AS avg_v
         FROM w JOIN events e ON {_TSM.replace('ts', 'e.ts')} BETWEEN w.window_start AND w.window_end
         GROUP BY w.window_start, w.window_end"""
+
+
+# ----------------------------------------------------- datapipe queries
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace token counting over documents."""
+    from janus_spark.datapipe.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: quality features + composite score."""
+    from janus_spark.datapipe.text import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("q_n_tokens").cast("long").alias("n_tokens"),
+        F.col("q_punct_ratio").alias("punct_ratio"),
+        F.col("q_stopword_ratio").alias("stopword_ratio"),
+        F.col("q_score").alias("score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: marker-based language identification."""
+    from janus_spark.datapipe.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lang_id(docs)
+    return out.select(
+        "doc_id",
+        F.col("lid_en").cast("long").alias("s_en"),
+        F.col("lid_de").cast("long").alias("s_de"),
+        "lang_pred",
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: md5-of-normalized-text document fingerprint."""
+    from janus_spark.datapipe.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs).select("doc_id", "fp_md5")
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted copy — deterministic corpus with known dups."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copy = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    return docs.unionByName(copy)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row per distinct normalized text with keeper id."""
+    from janus_spark.datapipe.dedup import exact_dedup
+
+    return exact_dedup(_dup_corpus(spark, sf_dir)).select("key", "keep_id", "dup_count")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only check: not SQL-expressible)."""
+    from janus_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return minhash_lsh_pairs(docs.unionByName(mutated), jaccard_threshold=0.5).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only)."""
+    from janus_spark.datapipe.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return simhash_pairs(docs.unionByName(mutated), max_hamming=4)
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (exact baseline)."""
+    from janus_spark.datapipe.similarity import cosine_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.where("vec_id < 5")
+    out = cosine_topk(embs, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 6).alias("sim")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only)."""
+    from janus_spark.datapipe.similarity import lsh_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.where("vec_id < 5")
+    out = lsh_topk(embs, queries, k=10, bands=8, bits_per_band=4)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 6).alias("sim"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via self-LSH (rows-only)."""
+    from janus_spark.datapipe.similarity import embedding_near_dup_pairs
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = embs.where("vec_id < 10").select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
+    return embedding_near_dup_pairs(embs.unionByName(dup), sim_threshold=0.99).select(
+        "a", "b", F.round("sim", 6).alias("sim")
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads through mapInPandas decode
+    (deterministic fake codec; rows-only)."""
+    from janus_spark.datapipe.multimodal import decode_media, documents_as_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_media(documents_as_media(docs), fake=True)
+
+
+def q_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: melt events → format N-Quads lines → parse back → project."""
+    from janus_spark.sources.nquads import format_nquads, parse_nquads_lines
+
+    quads = _events_quads(spark, sf_dir)
+    lines = format_nquads(quads)
+    back = parse_nquads_lines(lines)
+    return back.select("ts", "subject", "predicate", "object", "graph")
+
+
+QUERIES.update(
+    {
+        "q_token_count": q_token_count,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_ann_bruteforce": q_ann_bruteforce,
+        "q_ann_lsh": q_ann_lsh,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_multimodal_decode": q_multimodal_decode,
+        "q_nquads_roundtrip": q_nquads_roundtrip,
+    }
+)
+
+# DuckDB equivalents of the text pipeline (same normalization regexes,
+# same marker lists — the heuristics ARE the spec, shared verbatim)
+_PUNCT_SQL = r"""[.,;:!?'"()\[\]{}<>/\\|@#$%^&*_+=~`-]"""
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '"
+    + _PUNCT_SQL.replace("'", "''")
+    + "', '', 'g'), '\\s+', ' ', 'g'))"
+)
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+_EN_STOP_SQL = "('the','a','and','of','to','in','is','it','that','for')"
+_MARKER_SQL_STR = _MARKER_SQL = {
+    "en": "('the','and','of','to','in')",
+    "de": "('der','die','und','das','ist')",
+    "fr": "('le','la','les','et','est')",
+    "es": "('el','los','las','es','y')",
+    "zh": "('de','shi','le','bu','wo')",
+}
+
+ORACLES.update(
+    {
+        "q_token_count": f"""SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len({_TOKS_SQL}) END AS BIGINT) AS n_tokens FROM documents""",
+        "q_text_quality": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text)='' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
+                     length(text) - length(regexp_replace(text, '{_PUNCT_SQL.replace("'", "''")}', '', 'g')) AS punct,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t IN {_EN_STOP_SQL})) AS stop_hits,
+                     length(regexp_replace(text, '\\s+', '', 'g')) AS chars_nospace
+              FROM documents)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+                   (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN n_tokens > 0 AND chars_nospace / CAST(n_tokens AS DOUBLE) >= 3
+                           AND chars_nospace / CAST(n_tokens AS DOUBLE) <= 12 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN (CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END) < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                    + CASE WHEN (CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) > 0.05 THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                   ) AS score
+            FROM f""",
+        "q_lang_id": """
+            WITH s AS (
+              SELECT doc_id,
+                     """ + ", ".join(
+                         "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t IN " + _MARKER_SQL_STR[lg] + ")) AS s_" + lg
+                         for lg in ("en", "de", "fr", "es", "zh")
+                     ) + """
+              FROM documents)
+            SELECT doc_id, CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+                   CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                        WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                        WHEN s_de = GREATEST(s_de, s_fr, s_es, s_zh) THEN 'de'
+                        WHEN s_fr = GREATEST(s_fr, s_es, s_zh) THEN 'fr'
+                        WHEN s_es = GREATEST(s_es, s_zh) THEN 'es'
+                        ELSE 'zh' END AS lang_pred
+            FROM s""",
+        "q_fingerprint": f"SELECT doc_id, md5({_NORM_SQL}) AS fp_md5 FROM documents",
+        "q_dedup_exact": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents)
+            SELECT md5({_NORM_SQL}) AS key, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS dup_count
+            FROM corpus GROUP BY 1""",
+        "q_ann_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+                 sims AS (
+                   SELECT q.query_id, e.vec_id,
+                          list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+                   FROM embeddings e CROSS JOIN q
+                   WHERE e.vec_id <> q.query_id),
+                 ranked AS (
+                   SELECT query_id, vec_id, sim,
+                          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+                   FROM sims)
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+            FROM ranked WHERE rank <= 10""",
+        "q_nquads_roundtrip": f"""
+            WITH cols(predicate, object) AS (
+              SELECT 'urn:col:user_id', CAST(user_id AS VARCHAR) FROM events
+              UNION ALL SELECT 'urn:col:event_type', event_type FROM events
+              UNION ALL SELECT 'urn:col:value', CAST(value AS VARCHAR) FROM events
+              UNION ALL SELECT 'urn:col:props', props FROM events
+            ) SELECT 1 AS never_used""",
+    }
+)
+
+# the q_nquads_roundtrip oracle needs per-row alignment; build it properly:
+ORACLES["q_nquads_roundtrip"] = f"""
+    SELECT {_TSM} AS ts, {_EV} AS subject, p.predicate,
+           p.object, 'urn:stream:events' AS graph
+    FROM events,
+    LATERAL (VALUES ('urn:col:user_id', CAST(user_id AS VARCHAR)),
+                    ('urn:col:event_type', event_type),
+                    ('urn:col:value', CAST(value AS VARCHAR)),
+                    ('urn:col:props', props)) AS p(predicate, object)
+    WHERE p.object IS NOT NULL"""

@@ -1,0 +1,160 @@
+"""Dedup / similarity / text-analysis / multimodal operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from janus_spark.datapipe import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------ text
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  x ",)], ["text"])
+    rows = df.select(text.token_count(F.col("text")).alias("n")).collect()
+    assert [r["n"] for r in rows] == [3, 0, 1]
+
+
+def test_quality_features(docs):
+    out = text.quality_features(docs).select("doc_id", "q_n_tokens", "q_score", "q_punct_ratio")
+    rows = out.collect()
+    assert all(0 <= r["q_score"] <= 1.0 for r in rows)
+    assert all(r["q_n_tokens"] > 0 for r in rows)
+
+
+def test_lang_id_deterministic(docs):
+    a = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    b = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert a == b
+    assert set(a.values()) <= set(list(text.LANG_MARKERS) + ["und"])
+
+
+def test_fingerprint_stable_under_formatting(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fp_md5"] for r in text.fingerprint(df).collect()}
+    assert fp[1] == fp[2]  # normalization collapses case/punct/space
+    assert fp[1] != fp[3]
+
+
+# ----------------------------------------------------------------- dedup
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "Same  Text here!"), (3, "unique")],
+        ["doc_id", "text"],
+    )
+    out = dedup.exact_dedup(df).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep == {1: 2, 3: 1}
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    # plant a near-duplicate: doc 0's text with one word changed
+    base = docs.limit(20)
+    mutated = base.where("doc_id = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(mutated)
+    pairs = dedup.minhash_lsh_pairs(corpus, jaccard_threshold=0.5).collect()
+    assert any((p["a"], p["b"]) == (0, 100000) for p in pairs)
+    assert all(p["jaccard"] >= 0.5 for p in pairs)
+
+
+def test_simhash_near_dups(spark, docs):
+    base = docs.limit(20)
+    mutated = base.where("doc_id = 1").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(mutated)
+    pairs = dedup.simhash_pairs(corpus, max_hamming=4).collect()
+    assert any((p["a"], p["b"]) == (1, 100001) for p in pairs)
+
+
+def test_ngram_jaccard_verification(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+        ["doc_id", "text"],
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["a", "b"])
+    out = {(r["a"], r["b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(df, cand).collect()}
+    # shingles(1)={abc,bcd,cde,def}, shingles(2)={abc,bcd,cde,deg} -> 3/5
+    assert abs(out[(1, 2)] - 3 / 5) < 1e-9
+    assert out[(1, 3)] == 0.0
+
+
+# ------------------------------------------------------------ similarity
+def test_cosine_topk_exact(spark, embs):
+    queries = embs.where("vec_id < 3")
+    out = similarity.cosine_topk(embs, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] != q for r in rs)
+
+
+def test_lsh_topk_recall(spark, embs):
+    queries = embs.where("vec_id < 10")
+    exact = similarity.cosine_topk(embs, queries, k=5).collect()
+    approx = similarity.lsh_topk(embs, queries, k=5, bands=8, bits_per_band=4).collect()
+    exact_top1 = {r["query_id"]: r["vec_id"] for r in exact if r["rank"] == 1}
+    approx_hits = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = sum(1 for q, v in exact_top1.items() if (q, v) in approx_hits) / len(exact_top1)
+    assert recall >= 0.5, f"top-1 recall too low: {recall}"
+
+
+def test_embedding_near_dup_self(spark, embs):
+    # plant an exact duplicate vector
+    dup = embs.where("vec_id = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = similarity.embedding_near_dup_pairs(embs.unionByName(dup), sim_threshold=0.999)
+    rows = pairs.collect()
+    assert any((r["a"], r["b"]) == (0, 100000) and r["sim"] > 0.999 for r in rows)
+
+
+# ------------------------------------------------------------ multimodal
+def test_multimodal_decode_plumbing(docs):
+    media = multimodal.documents_as_media(docs.limit(30))
+    decoded = multimodal.decode_media(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 30
+    assert all(r["n_bytes"] > 0 and r["checksum"] is not None for r in rows)
+    videos = [r for r in rows if r["media_type"] == "video"]
+    assert videos and all(r["n_frames"] >= 1 for r in videos)
+    # deterministic: second run identical
+    rows2 = multimodal.decode_media(media, fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_multimodal_decode_stub_raises(docs):
+    media = multimodal.documents_as_media(docs.limit(5))
+    with pytest.raises(Exception):
+        multimodal.decode_media(media, fake=False).collect()
+
+
+def test_frame_sampling(docs):
+    media = multimodal.documents_as_media(docs.limit(30))
+    decoded = multimodal.decode_media(media, fake=True)
+    frames = multimodal.frame_sample(decoded, every_n=50).collect()
+    assert frames
+    assert all(r["frame_index"] % 50 == 0 for r in frames)
