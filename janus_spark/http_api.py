@@ -1,0 +1,260 @@
+"""HTTP control-plane API — operator C6.
+
+Mirrors the reference's route surface (src/http/server.rs:273-289):
+
+    POST   /api/queries               register (body: {"query": "...", "baseline_mode": "..."})
+    GET    /api/queries               list
+    GET    /api/queries/<id>          metadata + status
+    DELETE /api/queries/<id>          unregister
+    POST   /api/queries/<id>/start    run historical windows (+ baseline warm-up)
+    POST   /api/queries/<id>/stop     stop
+    GET    /api/queries/<id>/results  result stream (NDJSON; the reference
+                                      uses a WebSocket — this container has
+                                      no WS library, and chunked NDJSON is
+                                      the HTTP-native equivalent)
+    POST   /api/replay/start          replay a quads source into live queries
+    GET    /api/replay/status
+    GET    /ops/status
+    GET    /health
+
+Result payload shape matches the reference's WS JSON
+(server.rs:526-541): {query_id, timestamp, type, source, bindings}.
+Flask is used because it is the HTTP library available in this
+environment; the app is a thin layer over JanusEngine (engine.py), same
+as the reference's axum layer over JanusApi.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+
+try:
+    from flask import Flask, Response, jsonify, request
+
+    HAVE_FLASK = True
+except ImportError:  # pragma: no cover
+    HAVE_FLASK = False
+
+from janus_spark.engine import COMPLETED, FAILED, RUNNING, JanusEngine
+
+RESULT_QUEUE_CAP = 1024  # reference broadcast channel capacity (server.rs:34)
+
+
+class QueryResultHub:
+    """Per-query bounded result queues (reference: tokio broadcast with
+    lag-drop, server.rs:506-545 — a full queue drops oldest, and the
+    consumer is told how many it missed)."""
+
+    def __init__(self) -> None:
+        self.queues: dict[str, queue.Queue] = {}
+        self.dropped: dict[str, int] = {}
+        self.lock = threading.Lock()
+
+    def get(self, query_id: str) -> queue.Queue:
+        with self.lock:
+            if query_id not in self.queues:
+                self.queues[query_id] = queue.Queue(maxsize=RESULT_QUEUE_CAP)
+                self.dropped[query_id] = 0
+            return self.queues[query_id]
+
+    def publish(self, query_id: str, payload: dict) -> None:
+        q = self.get(query_id)
+        while True:
+            try:
+                q.put_nowait(payload)
+                return
+            except queue.Full:
+                try:
+                    q.get_nowait()
+                    with self.lock:
+                        self.dropped[query_id] += 1
+                except queue.Empty:
+                    pass
+
+
+def make_result(query_id: str, source: str, timestamp: int, bindings: list[dict]) -> dict:
+    return {
+        "query_id": query_id,
+        "timestamp": timestamp,
+        "type": "result",
+        "source": source,
+        "bindings": bindings,
+    }
+
+
+def create_app(engine: JanusEngine, buffer_root: str = "/tmp/janus_spark_live") -> "Flask":
+    if not HAVE_FLASK:
+        raise ImportError("flask is required for the HTTP API layer")
+    app = Flask("janus_spark")
+    hub = QueryResultHub()
+    runners: dict[str, object] = {}
+    replay_state = {"running": False, "batches": 0, "events": 0}
+    app.extensions["janus"] = {"engine": engine, "hub": hub, "runners": runners}
+
+    # ------------------------------------------------------------ queries
+    @app.post("/api/queries")
+    def register():
+        body = request.get_json(force=True, silent=True) or {}
+        text = body.get("query")
+        if not text:
+            return jsonify({"error": "missing 'query'"}), 400
+        try:
+            qid = engine.register_query(text, body.get("baseline_mode"))
+        except SyntaxError as e:
+            return jsonify({"error": f"parse error: {e}"}), 400
+        return jsonify({"query_id": qid, "status": engine.get_query(qid).status}), 201
+
+    @app.get("/api/queries")
+    def list_queries():
+        return jsonify(
+            [
+                {
+                    "query_id": rq.query_id,
+                    "status": rq.status,
+                    "registered_at": rq.registered_at,
+                    "execution_count": rq.execution_count,
+                }
+                for rq in engine.list_queries()
+            ]
+        )
+
+    @app.get("/api/queries/<qid>")
+    def get_query(qid):
+        try:
+            rq = engine.get_query(qid)
+        except KeyError:
+            return jsonify({"error": "not found"}), 404
+        return jsonify(
+            {
+                "query_id": rq.query_id,
+                "query": rq.text,
+                "status": rq.status,
+                "baseline_mode": rq.baseline_mode,
+                "live_windows": len(rq.parsed.live_windows),
+                "historical_windows": len(rq.parsed.historical_windows),
+            }
+        )
+
+    @app.delete("/api/queries/<qid>")
+    def delete_query(qid):
+        engine.unregister_query(qid)
+        runners.pop(qid, None)
+        return jsonify({"ok": True})
+
+    @app.post("/api/queries/<qid>/start")
+    def start_query(qid):
+        try:
+            rq = engine.get_query(qid)
+        except KeyError:
+            return jsonify({"error": "not found"}), 404
+
+        def run():
+            try:
+                results = engine.start_historical(qid)
+                for wname, df in results.items():
+                    rows = df.drop("query_id", "source").collect()
+                    ts = int(time.time() * 1000)
+                    if rows and "timestamp" in rows[0].asDict():
+                        ts = rows[0]["timestamp"]
+                    bindings = [
+                        {k: v for k, v in r.asDict().items() if k != "timestamp"} for r in rows
+                    ]
+                    hub.publish(qid, make_result(qid, "historical", ts, bindings))
+                if rq.parsed.live_windows:
+                    def sink(window_name, ws, we, rows):
+                        hub.publish(
+                            qid,
+                            make_result(
+                                qid, "live", we,
+                                [{k: v for k, v in r.asDict().items()} for r in rows],
+                            ),
+                        )
+
+                    runners[qid] = engine.start_live(qid, f"{buffer_root}/{qid}", sink=sink)
+            except Exception as e:  # surface execution errors via status
+                rq.status = FAILED
+                hub.publish(qid, {"query_id": qid, "type": "error", "error": str(e)})
+
+        threading.Thread(target=run, daemon=True).start()
+        return jsonify({"query_id": qid, "status": "starting"})
+
+    @app.post("/api/queries/<qid>/stop")
+    def stop_query(qid):
+        engine.stop_query(qid)
+        runners.pop(qid, None)
+        return jsonify({"query_id": qid, "status": engine.get_query(qid).status})
+
+    @app.get("/api/queries/<qid>/results")
+    def results(qid):
+        timeout = float(request.args.get("timeout", "5"))
+        max_results = int(request.args.get("max", "1000"))
+
+        def gen():
+            q = hub.get(qid)
+            n = 0
+            deadline = time.time() + timeout
+            while n < max_results and time.time() < deadline:
+                try:
+                    item = q.get(timeout=max(0.05, min(0.5, deadline - time.time())))
+                except queue.Empty:
+                    continue
+                if hub.dropped.get(qid):
+                    yield json.dumps({"type": "lag", "dropped": hub.dropped[qid]}) + "\n"
+                    hub.dropped[qid] = 0
+                yield json.dumps(item, default=str) + "\n"
+                n += 1
+
+        return Response(gen(), mimetype="application/x-ndjson")
+
+    # ------------------------------------------------------------- replay
+    @app.post("/api/replay/start")
+    def replay_start():
+        body = request.get_json(force=True, silent=True) or {}
+        qid = body.get("query_id")
+        path = body.get("source")  # parquet quads path or nquads file
+        batch_ms = int(body.get("batch_ms", 1000))
+        if not qid or qid not in {r.query_id for r in engine.list_queries()}:
+            return jsonify({"error": "unknown query_id"}), 400
+        if qid not in runners:
+            return jsonify({"error": "query has no running live side (call start first)"}), 400
+
+        def run():
+            from janus_spark.sources.nquads import read_nquads
+            from janus_spark.streaming.replay import replay_quads
+
+            replay_state.update(running=True, batches=0)
+            if path and path.endswith((".nq", ".nt", ".txt")):
+                quads = read_nquads(engine.spark, path)
+            elif path:
+                quads = engine.spark.read.parquet(path)
+            else:
+                quads = engine.quads
+            n = replay_quads(quads, runners[qid], batch_ms=batch_ms)
+            replay_state.update(running=False, batches=n)
+
+        threading.Thread(target=run, daemon=True).start()
+        return jsonify({"ok": True})
+
+    @app.get("/api/replay/status")
+    def replay_status():
+        return jsonify(replay_state)
+
+    # ---------------------------------------------------------------- ops
+    @app.get("/ops/status")
+    def ops_status():
+        return jsonify(
+            {
+                "queries": len(engine.list_queries()),
+                "running": sum(1 for r in engine.list_queries() if r.status == RUNNING),
+                "spark": engine.spark.sparkContext.applicationId,
+            }
+        )
+
+    @app.get("/health")
+    def health():
+        return jsonify({"status": "ok"})
+
+    return app
