@@ -31,7 +31,55 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_storage(spark, tmp_root: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Ingest + time-range-scan benches mirroring the reference's storage
+    microbenchmarks (BASELINE.md: write quads/s, range scan quads/s)."""
+    import shutil
+
+    from janus_spark.sources.melt import melt_sensor_fixture
+    from janus_spark.sources.quadstore import QuadStore
+
+    n = 1_000_000
+    quads = melt_sensor_fixture(spark, n).cache()
+    quads.count()  # materialize so the write bench measures the write
+    path = f"{tmp_root}/bench_store"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(f"{tmp_root}/bench_store_warm", ignore_errors=True)
+    store = QuadStore(spark, path, bucket_ms=3_600_000)
+
+    # warm the parquet writer/committer path so the measurement reflects
+    # steady-state throughput, not first-write JVM initialization
+    QuadStore(spark, f"{tmp_root}/bench_store_warm", bucket_ms=3_600_000).write(
+        melt_sensor_fixture(spark, 10_000), mode="overwrite"
+    )
+
+    t0 = time.perf_counter()
+    store.write(quads, mode="overwrite")
+    w = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    scanned = store.query(0, n * 100).count()  # 100% range
+    s_full = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    store.query(0, n * 10).count()  # 10% range
+    s_10 = time.perf_counter() - t0
+    quads.unpersist()
+
+    timings = {
+        "ingest_1m_quads": round(w, 3),
+        "range_scan_100pct_1m": round(s_full, 3),
+        "range_scan_10pct_1m": round(s_10, 3),
+    }
+    extra = {
+        "write_quads_per_sec": round(n / w),
+        "scan_quads_per_sec": round(scanned / s_full),
+    }
+    return timings, extra
+
+
 def main() -> None:
+    import tempfile
+
     from janus_spark.session import get_spark
     from janus_spark.queries import QUERIES
 
@@ -39,8 +87,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/session warm-up on a trivial job so the first query isn't charged
-    # for executor spin-up
+    # for executor spin-up; also warm file-listing/schema metadata for the
+    # bench inputs (not part of query execution)
     spark.range(1000).count()
+    from janus_spark.sources.melt import read_events
+
+    read_events(spark, SF_DIR).count()
+    for t in ("orders", "customer"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -51,6 +105,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    storage_timings, extra = bench_storage(spark, tempfile.gettempdir())
+    timings.update(storage_timings)
+    for k, v in {**storage_timings, **extra}.items():
+        print(f"# {k}: {v}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_total",
@@ -58,6 +117,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        "throughput": extra,
     }
     print(json.dumps(out))
 

@@ -166,6 +166,15 @@ class SelectQuery:
         return any(_contains_aggregate(e) for e, _ in self.projection)
 
 
+@dataclass
+class ConstructQuery:
+    """CONSTRUCT { template } WHERE { pattern } — Q8."""
+
+    template: list[TriplePattern]
+    where: Group
+    limit: int | None = None
+
+
 def _contains_aggregate(e: Expr) -> bool:
     if isinstance(e, ECall):
         return e.is_aggregate() or any(_contains_aggregate(a) for a in e.args)

@@ -55,8 +55,15 @@ class SparqlCompiler:
     static_quads: DataFrame | None = None  # baseline/background triples (broadcast side)
 
     # ------------------------------------------------------------ entry
-    def compile(self, q: SelectQuery) -> DataFrame:
+    def compile(self, q) -> DataFrame:
+        from janus_spark.compiler.ast import ConstructQuery
+
+        if isinstance(q, ConstructQuery):
+            return self.compile_construct(q)
         df = self.compile_group(q.where, graph_term=None)
+        if q.ask:
+            # ASK: any solution exists (Q8, oxigraph_adapter.rs:183-195)
+            return df.limit(1).select(F.lit(True).alias("__exists"))
         if q.has_aggregates():
             df = self._lower_aggregates(q, df)
         else:
@@ -76,6 +83,35 @@ class SparqlCompiler:
         if q.limit is not None:
             df = df.limit(q.limit)
         return df
+
+    def compile_construct(self, q) -> DataFrame:
+        """CONSTRUCT: template instantiation over the solution frame —
+        one select per template triple, unioned, set semantics (Q8)."""
+        sol = self.compile_group(q.where, graph_term=None)
+
+        def term_col(t, pos: str) -> Column:
+            if isinstance(t, Var):
+                return F.col(t.name).cast("string")
+            if isinstance(t, Iri):
+                return F.lit(t.value)
+            return F.lit(t.lexical)
+
+        parts = []
+        for tp in q.template:
+            parts.append(
+                sol.select(
+                    term_col(tp.s, "subject").alias("subject"),
+                    term_col(tp.p, "predicate").alias("predicate"),
+                    term_col(tp.o, "object").alias("object"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.dropDuplicates(["subject", "predicate", "object"])
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
 
     # ------------------------------------------------------------ group
     def compile_group(self, g: Group, graph_term: Term | None) -> DataFrame:

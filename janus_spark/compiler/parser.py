@@ -69,12 +69,31 @@ class SparqlParser:
         self.parse_prologue()
         if self.ts.at_kw("ASK"):
             self.ts.advance()
+            if self.ts.at_kw("WHERE"):
+                self.ts.advance()
             where = self.parse_group()
             return SelectQuery(projection=[], where=where, ask=True)
+        if self.ts.at_kw("CONSTRUCT"):
+            return self.parse_construct()
         q = self.parse_select()
         if self.ts.cur.kind != "EOF":
             raise SyntaxError(f"trailing tokens at offset {self.ts.cur.pos}: {self.ts.cur.text!r}")
         return q
+
+    def parse_construct(self):
+        from janus_spark.compiler.ast import ConstructQuery
+
+        self.ts.eat_kw("CONSTRUCT")
+        template_group = self.parse_group()
+        template = [el for el in template_group.elements if isinstance(el, TriplePattern)]
+        if self.ts.at_kw("WHERE"):
+            self.ts.advance()
+        where = self.parse_group()
+        limit = None
+        if self.ts.at_kw("LIMIT"):
+            self.ts.advance()
+            limit = int(self.ts.advance().text)
+        return ConstructQuery(template=template, where=where, limit=limit)
 
     def parse_prologue(self) -> None:
         while self.ts.at_kw("PREFIX", "BASE"):

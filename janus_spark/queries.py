@@ -652,3 +652,33 @@ ORACLES["q_nquads_roundtrip"] = f"""
                     ('urn:col:value', CAST(value AS VARCHAR)),
                     ('urn:col:props', props)) AS p(predicate, object)
     WHERE p.object IS NOT NULL"""
+
+
+def q_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 ASK: existence check (1 row when true, 0 rows when false)."""
+    q = 'ASK { ?e <urn:col:value> ?v . FILTER(?v > 99) }'
+    return _run(_events_quads(spark, sf_dir), q)
+
+
+def q_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 CONSTRUCT: template instantiation with set semantics."""
+    q = """CONSTRUCT { ?e <urn:derived:high_value> ?v . ?e a <urn:class:Event> . }
+           WHERE { ?e <urn:col:value> ?v . FILTER(?v > 95) }"""
+    return _run(_events_quads(spark, sf_dir), q)
+
+
+QUERIES.update({"q_ask": q_ask, "q_construct": q_construct})
+
+ORACLES.update(
+    {
+        "q_ask": "SELECT TRUE AS __exists WHERE EXISTS (SELECT 1 FROM events WHERE value > 99)",
+        "q_construct": f"""
+            SELECT {_EV} AS subject, 'urn:derived:high_value' AS predicate,
+                   CAST(value AS VARCHAR) AS object
+            FROM events WHERE value > 95
+            UNION
+            SELECT DISTINCT {_EV}, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'urn:class:Event'
+            FROM events WHERE value > 95""",
+    }
+)

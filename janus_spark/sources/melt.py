@@ -94,45 +94,50 @@ def melt_table(
         value_cols = [c for c in df.columns if c != key_col]
     subject = F.concat(F.lit(f"urn:{table}:"), F.col(key_col).cast("string"))
     ts = ts_col if ts_col is not None else (F.col(key_col).cast("long") * F.lit(1000))
-    melted = df.select(
-        ts.alias("ts"),
-        subject.alias("subject"),
-        F.explode(
-            F.arrays_zip(
-                F.array(*[F.lit(f"urn:{table}:{c}") for c in value_cols]).alias("p"),
-                F.array(*[_value_str(df, c) for c in value_cols]).alias("o"),
-            )
-        ).alias("po"),
-    ).select(
-        "ts",
-        "subject",
-        F.col("po.p").alias("predicate"),
-        F.col("po.o").alias("object"),
-        F.lit(f"urn:table:{table}").alias("graph"),
-    )
-    return melted.where(F.col("object").isNotNull())
+    # one UNION branch per melted column (NOT explode): Catalyst constant-
+    # folds a pattern's predicate filter against each branch's literal,
+    # prunes the non-matching branches entirely, and column-prunes each
+    # surviving scan to (key, value) — a constant-predicate triple scan
+    # reads exactly two parquet columns instead of exploding all of them
+    parts = []
+    for c in value_cols:
+        parts.append(
+            df.select(
+                ts.alias("ts"),
+                subject.alias("subject"),
+                F.lit(f"urn:{table}:{c}").alias("predicate"),
+                _value_str(df, c).alias("object"),
+                F.lit(f"urn:table:{table}").alias("graph"),
+            ).where(F.col("object").isNotNull())
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def melt_events(df: DataFrame) -> DataFrame:
-    """Melt the driver's ``events`` stream table (FIXTURES.md §3)."""
+    """Melt the driver's ``events`` stream table (FIXTURES.md §3).
+
+    Union-of-projections form (see melt_table): pattern scans with a
+    constant predicate collapse to a single pruned parquet scan.
+    """
     value_cols = [c for c in df.columns if c not in ("event_id", "ts")]
-    pairs_p = F.array(*[F.lit(f"urn:col:{c}") for c in value_cols])
-    pairs_o = F.array(*[_value_str(df, c) for c in value_cols])
-    return (
-        df.select(
-            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
-            F.concat(F.lit("urn:event:"), F.col("event_id").cast("string")).alias("subject"),
-            F.explode(F.arrays_zip(pairs_p.alias("p"), pairs_o.alias("o"))).alias("po"),
+    parts = []
+    for c in value_cols:
+        parts.append(
+            df.select(
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+                F.concat(F.lit("urn:event:"), F.col("event_id").cast("string")).alias("subject"),
+                F.lit(f"urn:col:{c}").alias("predicate"),
+                _value_str(df, c).alias("object"),
+                F.lit("urn:stream:events").alias("graph"),
+            ).where(F.col("object").isNotNull())
         )
-        .select(
-            "ts",
-            "subject",
-            F.col("po.p").alias("predicate"),
-            F.col("po.o").alias("object"),
-            F.lit("urn:stream:events").alias("graph"),
-        )
-        .where(F.col("object").isNotNull())
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def melt_sensor_fixture(spark: SparkSession, n: int = 100) -> DataFrame:

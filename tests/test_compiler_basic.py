@@ -189,3 +189,25 @@ def test_partition_cols_threading(quads):
     ).collect()
     assert sorted(r["__window_id"] for r in rows) == [0, 1, 2, 3, 4, 5]
     assert sum(r["n"] for r in rows) == 100
+
+
+def test_ask_query(quads):
+    yes = run(quads, f'ASK {{ ?s <{EX}temperature> "25" . }}')
+    no = run(quads, f'ASK {{ ?s <{EX}temperature> "999" . }}')
+    assert yes.count() == 1
+    assert no.count() == 0
+
+
+def test_construct_query(quads):
+    df = run(
+        quads,
+        f"""CONSTRUCT {{ ?s <{EX}hot> ?t . ?s a <{EX}Sensor> . }}
+            WHERE {{ ?s <{EX}temperature> ?t . FILTER(?t > 28) }}""",
+    )
+    rows = df.collect()
+    assert set(df.columns) == {"subject", "predicate", "object"}
+    preds = {r["predicate"] for r in rows}
+    assert preds == {f"{EX}hot", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"}
+    # temp 29 occurs for sensors i%5 where i%10==9 -> only sensor4; set semantics
+    typed = [r for r in rows if r["predicate"].endswith("#type")]
+    assert len(typed) == 1
