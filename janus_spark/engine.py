@@ -35,6 +35,20 @@ from janus_spark.parsing.janusql import (
     parse_janusql,
 )
 
+def parse_mqtt_uri(uri: str) -> tuple[str, int, str]:
+    """C7: ``mqtt://host:port/topic`` → (host, port, topic); any other URI
+    falls back to localhost:1883 with the last path segment as topic
+    (janus_api.rs:849-884).  Used to map stream URIs onto broker topics
+    (or, in this engine, Kafka topics / file channels)."""
+    if uri.startswith("mqtt://"):
+        rest = uri[len("mqtt://"):]
+        hostport, _, topic = rest.partition("/")
+        host, _, port = hostport.partition(":")
+        return host or "localhost", int(port) if port else 1883, topic or "janus"
+    topic = uri.rstrip("/").rsplit("/", 1)[-1] or "janus"
+    return "localhost", 1883, topic
+
+
 REGISTERED = "Registered"
 WARMING_BASELINE = "WarmingBaseline"
 RUNNING = "Running"

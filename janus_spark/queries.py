@@ -277,15 +277,39 @@ def q_baseline_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_ts_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
-    r = (
-        read_events(spark, sf_dir)
-        .agg(
-            F.unix_millis(F.min("ts").cast("timestamp")).alias("lo"),
-            F.unix_millis(F.max("ts").cast("timestamp")).alias("hi"),
+    """Min/max event time in ms — read from parquet footer statistics
+    (no scan job; the same trick the reference's segment index plays)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+        idx = md.schema.names.index("ts")
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("no ts stats")
+            mn, mx = st.min, st.max
+            if hasattr(mn, "timestamp"):
+                import calendar
+
+                mn = calendar.timegm(mn.timetuple()) * 1000 + mn.microsecond // 1000
+                mx = calendar.timegm(mx.timetuple()) * 1000 + mx.microsecond // 1000
+            else:  # raw int64 nanos
+                mn, mx = int(mn) // 1_000_000, int(mx) // 1_000_000
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        return int(lo), int(hi)
+    except Exception:
+        r = (
+            read_events(spark, sf_dir)
+            .agg(
+                F.unix_millis(F.min("ts").cast("timestamp")).alias("lo"),
+                F.unix_millis(F.max("ts").cast("timestamp")).alias("hi"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    return r["lo"], r["hi"]
+        return r["lo"], r["hi"]
 
 
 # ---------------------------------------------------------------- oracle
