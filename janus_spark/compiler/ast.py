@@ -33,6 +33,16 @@ class Literal:
         return Literal(s, v)
 
 
+@dataclass(frozen=True)
+class Path:
+    """Property path (SPARQL 1.1 subset): link / seq / alt / inv / plus /
+    star.  ``parts`` holds child Paths; a link's ``iri`` is set."""
+
+    op: str  # "link" | "seq" | "alt" | "inv" | "plus" | "star"
+    parts: tuple = ()
+    iri: str | None = None
+
+
 Term = Var | Iri | Literal
 
 
@@ -91,7 +101,16 @@ class ECall:
 
 AGGREGATES = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "COUNT_STAR"}
 
-Expr = EVar | ENum | EStr | EBool | EIri | EBin | EUn | ECall
+
+@dataclass(frozen=True, eq=False)
+class EExists:
+    """FILTER [NOT] EXISTS { group } — compiled as a semi/anti join, not a
+    Column (handled at Filter level in compile_group)."""
+
+    group: object  # Group
+
+
+Expr = EVar | ENum | EStr | EBool | EIri | EBin | EUn | ECall | EExists
 
 
 # ------------------------------------------------------------- patterns

@@ -53,6 +53,7 @@ class SparqlCompiler:
     partition_cols: list[str] = field(default_factory=list)
     registry: dict = field(default_factory=lambda: dict(FUNCTION_REGISTRY))
     static_quads: DataFrame | None = None  # baseline/background triples (broadcast side)
+    path_max_hops: int = 10  # bound for +/* property-path closures
 
     # ------------------------------------------------------------ entry
     def compile(self, q) -> DataFrame:
@@ -155,11 +156,151 @@ class SparqlCompiler:
         if df is None:
             raise ValueError("empty group pattern")
         for fexpr in filters:
-            df = df.filter(compile_expr(fexpr, "bool", self.registry))
+            df = self._apply_filter(df, fexpr, graph_term)
         return df
+
+    def _apply_filter(self, df: DataFrame, fexpr, graph_term) -> DataFrame:
+        """FILTER application; [NOT] EXISTS compiles to a semi/anti join on
+        the shared variables instead of a Column predicate."""
+        from janus_spark.compiler.ast import EExists, EUn
+
+        if isinstance(fexpr, EExists):
+            right = self.compile_group(fexpr.group, graph_term)
+            shared = [c for c in df.columns if c in set(right.columns)]
+            if not shared:
+                # var-free EXISTS: keep all rows iff the inner group has
+                # any solution (cross join with a 1-row/0-row frame)
+                return df.join(right.limit(1), how="cross").select(df.columns)
+            return df.join(right.select(*shared).distinct(), on=shared, how="left_semi")
+        if isinstance(fexpr, EUn) and fexpr.op == "!" and isinstance(fexpr.operand, EExists):
+            right = self.compile_group(fexpr.operand.group, graph_term)
+            shared = [c for c in df.columns if c in set(right.columns)]
+            if not shared:
+                return df  # NOT EXISTS with no shared vars: keep (subset bound)
+            return df.join(right.select(*shared).distinct(), on=shared, how="left_anti")
+        return df.filter(compile_expr(fexpr, "bool", self.registry))
+
+    # ------------------------------------------------------- path scans
+    def _path_relation(self, path, graph_term: Term | None) -> DataFrame:
+        """Compile a property path to a (__ps, __po) node-pair relation.
+
+        Closures (``+``/``*``) expand by iterative distributed semi-naive
+        joins: each round joins the frontier with the base relation and
+        anti-joins already-seen pairs, stopping at fixpoint or
+        ``path_max_hops`` (bounded-depth documented divergence — the
+        reference never exercises paths at all).
+        """
+        from janus_spark.compiler.ast import Path
+
+        pc = self.partition_cols
+
+        def base_scan(iri: str) -> DataFrame:
+            src = self.quads
+            cond = F.col("predicate") == iri
+            if isinstance(graph_term, Iri):
+                cond = cond & (F.col("graph") == graph_term.value)
+            cols = [F.col("subject").alias("__ps"), F.col("object").alias("__po")]
+            cols += [F.col(c) for c in pc]
+            return src.filter(cond).select(*cols)
+
+        def rel(p) -> DataFrame:
+            if p.op == "link":
+                return base_scan(p.iri)
+            if p.op == "inv":
+                r = rel(p.parts[0])
+                return r.select(
+                    F.col("__po").alias("__ps"), F.col("__ps").alias("__po"),
+                    *[F.col(c) for c in pc],
+                )
+            if p.op == "alt":
+                out = rel(p.parts[0])
+                for b in p.parts[1:]:
+                    out = out.unionByName(rel(b))
+                return out
+            if p.op == "seq":
+                out = rel(p.parts[0])
+                for step in p.parts[1:]:
+                    right = rel(step).select(
+                        F.col("__ps").alias("__mid"), F.col("__po").alias("__po2"),
+                        *[F.col(c).alias(f"__r_{c}") for c in pc],
+                    )
+                    cond = out["__po"] == right["__mid"]
+                    for c in pc:
+                        cond = cond & (out[c] == right[f"__r_{c}"])
+                    out = out.join(right, on=cond, how="inner").select(
+                        out["__ps"], right["__po2"].alias("__po"),
+                        *[out[c] for c in pc],
+                    )
+                return out
+            if p.op in ("plus", "star"):
+                # semi-naive iteration; localCheckpoint truncates lineage
+                # each round (without it the plan DAG doubles per hop and
+                # recompute cost explodes)
+                base = rel(p.parts[0]).dropDuplicates(["__ps", "__po", *pc]).localCheckpoint(eager=True)
+                acc = base
+                frontier = base
+                for _ in range(self.path_max_hops):
+                    right = base.select(
+                        F.col("__ps").alias("__mid"), F.col("__po").alias("__po2"),
+                        *[F.col(c).alias(f"__r_{c}") for c in pc],
+                    )
+                    cond = frontier["__po"] == right["__mid"]
+                    for c in pc:
+                        cond = cond & (frontier[c] == right[f"__r_{c}"])
+                    nxt = (
+                        frontier.join(right, on=cond, how="inner")
+                        .select(frontier["__ps"], right["__po2"].alias("__po"), *[frontier[c] for c in pc])
+                        .dropDuplicates(["__ps", "__po", *pc])
+                        .join(acc, on=["__ps", "__po", *pc], how="left_anti")
+                    ).localCheckpoint(eager=True)
+                    if nxt.isEmpty():
+                        break
+                    acc = acc.unionByName(nxt).localCheckpoint(eager=True)
+                    frontier = nxt
+                if p.op == "star":
+                    # zero-length: identity over nodes of the base relation
+                    nodes = (
+                        base.select(F.col("__ps").alias("__n"), *[F.col(c) for c in pc])
+                        .unionByName(base.select(F.col("__po").alias("__n"), *[F.col(c) for c in pc]))
+                        .dropDuplicates(["__n", *pc])
+                    )
+                    ident = nodes.select(
+                        F.col("__n").alias("__ps"), F.col("__n").alias("__po"),
+                        *[F.col(c) for c in pc],
+                    )
+                    acc = acc.unionByName(ident).dropDuplicates(["__ps", "__po", *pc])
+                return acc
+            raise ValueError(f"unknown path op {p.op}")
+
+        return rel(path)
+
+    def _scan_path(self, tp: TriplePattern, graph_term: Term | None) -> DataFrame:
+        rel = self._path_relation(tp.p, graph_term)
+        conds: list[Column] = []
+        proj: dict[str, str] = {}
+        for pos, term in (("__ps", tp.s), ("__po", tp.o)):
+            if isinstance(term, Iri):
+                conds.append(F.col(pos) == term.value)
+            elif isinstance(term, Literal):
+                conds.append(F.col(pos) == term.lexical)
+            else:
+                if term.name in proj:
+                    conds.append(F.col(pos) == F.col(proj[term.name]))
+                else:
+                    proj[term.name] = pos
+        out = rel
+        for c in conds:
+            out = out.filter(c)
+        cols = [F.col(src).alias(var) for var, src in proj.items()]
+        cols += [F.col(c) for c in self.partition_cols]
+        return out.select(*cols)
 
     # ------------------------------------------------------------ scans
     def _scan(self, tp: TriplePattern, graph_term: Term | None) -> DataFrame:
+        from janus_spark.compiler.ast import Path
+
+        if isinstance(tp.p, Path):
+            return self._scan_path(tp, graph_term)
         src = self.quads
         if self.static_quads is not None:
             # static/baseline triples are visible alongside window quads

@@ -303,11 +303,72 @@ class SparqlParser:
                 continue
             break
 
-    def parse_verb(self) -> Term:
-        if self.ts.cur.kind == "KW" and self.ts.cur.text == "a":
+    def parse_verb(self):
+        """Predicate position: plain IRI/var, or a property path
+        (seq ``/``, alt ``|``, inverse ``^``, ``+``/``*`` closures)."""
+        if self.ts.cur.kind == "VAR":
+            return self.parse_term()
+        path = self._parse_path_alt()
+        if path.op == "link":
+            return Iri(path.iri)
+        return path
+
+    def _parse_path_alt(self):
+        from janus_spark.compiler.ast import Path
+
+        left = self._parse_path_seq()
+        branches = [left]
+        while self.ts.at_op("|"):
             self.ts.advance()
-            return Iri(RDF_TYPE)
-        return self.parse_term()
+            branches.append(self._parse_path_seq())
+        return branches[0] if len(branches) == 1 else Path("alt", tuple(branches))
+
+    def _parse_path_seq(self):
+        from janus_spark.compiler.ast import Path
+
+        parts = [self._parse_path_elt()]
+        while self.ts.at_op("/"):
+            self.ts.advance()
+            parts.append(self._parse_path_elt())
+        return parts[0] if len(parts) == 1 else Path("seq", tuple(parts))
+
+    def _parse_path_elt(self):
+        from janus_spark.compiler.ast import Path
+
+        inverse = False
+        if self.ts.at_op("^"):
+            self.ts.advance()
+            inverse = True
+        p = self._parse_path_primary()
+        if self.ts.at_op("+"):
+            self.ts.advance()
+            p = Path("plus", (p,))
+        elif self.ts.at_op("*"):
+            self.ts.advance()
+            p = Path("star", (p,))
+        if inverse:
+            p = Path("inv", (p,))
+        return p
+
+    def _parse_path_primary(self):
+        from janus_spark.compiler.ast import Path
+
+        t = self.ts.cur
+        if t.kind == "OP" and t.text == "(":
+            self.ts.advance()
+            p = self._parse_path_alt()
+            self.ts.eat_op(")")
+            return p
+        if t.kind == "KW" and t.text == "a":
+            self.ts.advance()
+            return Path("link", iri=RDF_TYPE)
+        if t.kind == "IRI":
+            self.ts.advance()
+            return Path("link", iri=t.text[1:-1])
+        if t.kind == "PNAME":
+            self.ts.advance()
+            return Path("link", iri=self.expand_pname(t.text))
+        raise SyntaxError(f"expected path element, got {t.text!r} at offset {t.pos}")
 
     def parse_term(self) -> Term:
         t = self.ts.cur
@@ -389,6 +450,11 @@ class SparqlParser:
             return ECall("IN", (e, *self._parse_arg_list()))
         if self.ts.at_kw("NOT"):
             self.ts.advance()
+            if self.ts.at_kw("EXISTS"):
+                self.ts.advance()
+                from janus_spark.compiler.ast import EExists
+
+                return EUn("!", EExists(self.parse_group()))
             self.ts.eat_kw("IN")
             return EUn("!", ECall("IN", (e, *self._parse_arg_list())))
         return e
@@ -446,6 +512,17 @@ class SparqlParser:
             if word in ("TRUE", "FALSE"):
                 self.ts.advance()
                 return EBool(word == "TRUE")
+            if word == "EXISTS":
+                from janus_spark.compiler.ast import EExists
+
+                self.ts.advance()
+                return EExists(self.parse_group())
+            if word == "NOT" and self.ts.peek().kind == "KW" and self.ts.peek().text.upper() == "EXISTS":
+                from janus_spark.compiler.ast import EExists
+
+                self.ts.advance()
+                self.ts.advance()
+                return EUn("!", EExists(self.parse_group()))
             if word in AGGREGATES or word in BUILTIN_FNS:
                 self.ts.advance()
                 return self._parse_call(word)

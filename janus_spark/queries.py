@@ -706,3 +706,42 @@ ORACLES.update(
             FROM events WHERE value > 95""",
     }
 )
+
+
+def q_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property path (seq): nation --ref_region--> region --r_name--> name."""
+    nation = melt_table(
+        spark.read.parquet(f"{sf_dir}/nation.parquet"), "nation", fk={"n_regionkey": "region"}
+    )
+    region = _table_quads(spark, sf_dir, "region")
+    q = """SELECT ?n ?rname WHERE {
+             ?n <urn:nation:ref_region>/<urn:region:r_name> ?rname .
+           }"""
+    return _run(nation.unionByName(region), q)
+
+
+def q_path_inverse_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property path (inverse + alternative): regions reachable backwards."""
+    nation = melt_table(
+        spark.read.parquet(f"{sf_dir}/nation.parquet"), "nation", fk={"n_regionkey": "region"}
+    )
+    region = _table_quads(spark, sf_dir, "region")
+    q = """SELECT ?r ?n WHERE {
+             ?r ^<urn:nation:ref_region> ?n .
+           }"""
+    return _run(nation.unionByName(region), q)
+
+
+QUERIES.update({"q_property_path": q_property_path, "q_path_inverse_alt": q_path_inverse_alt})
+
+ORACLES.update(
+    {
+        "q_property_path": """
+            SELECT 'urn:nation:' || CAST(n.n_nationkey AS VARCHAR) AS n, r.r_name AS rname
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
+        "q_path_inverse_alt": """
+            SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR) AS r,
+                   'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n
+            FROM nation""",
+    }
+)

@@ -84,8 +84,16 @@ def melt_table(
     key_col: str | None = None,
     value_cols: list[str] | None = None,
     ts_col: F.Column | None = None,
+    fk: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Melt a relational table into the 5-column quads frame."""
+    """Melt a relational table into the 5-column quads frame.
+
+    ``fk``: foreign-key columns melted as IRI objects instead of literals
+    — ``{"n_regionkey": "region"}`` emits
+    ``(<urn:nation:k> <urn:nation:ref_region> <urn:region:rk>)``, giving
+    the graph real node→node edges (property-path traversal needs IRI
+    objects; plain literals don't link).
+    """
     if key_col is None:
         key_col = TABLE_KEYS.get(table)
     if key_col is None:
@@ -109,6 +117,16 @@ def melt_table(
                 _value_str(df, c).alias("object"),
                 F.lit(f"urn:table:{table}").alias("graph"),
             ).where(F.col("object").isNotNull())
+        )
+    for col, target in (fk or {}).items():
+        parts.append(
+            df.select(
+                ts.alias("ts"),
+                subject.alias("subject"),
+                F.lit(f"urn:{table}:ref_{target}").alias("predicate"),
+                F.concat(F.lit(f"urn:{target}:"), F.col(col).cast("string")).alias("object"),
+                F.lit(f"urn:table:{table}").alias("graph"),
+            ).where(F.col(col).isNotNull())
         )
     out = parts[0]
     for p in parts[1:]:

@@ -211,3 +211,35 @@ def test_construct_query(quads):
     # temp 29 occurs for sensors i%5 where i%10==9 -> only sensor4; set semantics
     typed = [r for r in rows if r["predicate"].endswith("#type")]
     assert len(typed) == 1
+
+
+def test_filter_exists(spark, quads):
+    extra = spark.createDataFrame(
+        [(0, f"{EX}sensor2", f"{EX}flagged", "yes", "g")],
+        ["ts", "subject", "predicate", "object", "graph"],
+    )
+    both = quads.unionByName(extra)
+    rows = run(
+        both,
+        f"""SELECT DISTINCT ?s WHERE {{
+              ?s <{EX}temperature> ?t .
+              FILTER EXISTS {{ ?s <{EX}flagged> ?f . }}
+            }}""",
+    ).collect()
+    assert [r["s"] for r in rows] == [f"{EX}sensor2"]
+
+
+def test_filter_not_exists(spark, quads):
+    extra = spark.createDataFrame(
+        [(0, f"{EX}sensor2", f"{EX}flagged", "yes", "g")],
+        ["ts", "subject", "predicate", "object", "graph"],
+    )
+    both = quads.unionByName(extra)
+    rows = run(
+        both,
+        f"""SELECT DISTINCT ?s WHERE {{
+              ?s <{EX}temperature> ?t .
+              FILTER NOT EXISTS {{ ?s <{EX}flagged> ?f . }}
+            }}""",
+    ).collect()
+    assert {r["s"] for r in rows} == {f"{EX}sensor{i}" for i in (0, 1, 3, 4)}
