@@ -186,6 +186,13 @@ class SelectQuery:
 
 
 @dataclass
+class SubSelect:
+    """Nested ``{ SELECT ... }`` inside a group — joined on shared vars."""
+
+    query: "SelectQuery"
+
+
+@dataclass
 class ConstructQuery:
     """CONSTRUCT { template } WHERE { pattern } — Q8."""
 

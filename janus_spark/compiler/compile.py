@@ -149,6 +149,8 @@ class SparqlCompiler:
                 df = self._merge(df, sub, "inner")
             elif isinstance(el, Group):
                 df = self._merge(df, self.compile_group(el, graph_term), "inner")
+            elif type(el).__name__ == "SubSelect":
+                df = self._merge(df, self.compile(el.query), "inner")
             elif isinstance(el, InlineValues):
                 df = self._merge(df, self._values_frame(el), "inner")
             else:

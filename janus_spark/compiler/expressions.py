@@ -237,8 +237,10 @@ def compile_aggregate(e: ECall, registry=None) -> Column:
     if name == "SAMPLE":
         return F.first(rec(e.args[0]), ignorenulls=True)
     if name == "GROUP_CONCAT":
+        # sorted for determinism (SPARQL leaves the order undefined;
+        # a stable order makes results reproducible and oracle-checkable)
         sep = e.extra if e.extra is not None else " "
-        return F.concat_ws(sep, F.collect_list(rec(e.args[0], "str")))
+        return F.concat_ws(sep, F.sort_array(F.collect_list(rec(e.args[0], "str"))))
     raise ValueError(f"unknown aggregate {name}")
 
 

@@ -233,12 +233,20 @@ class SparqlParser:
                 self.ts.advance()
                 g.elements.append(self.parse_values())
             elif self.ts.at_op("{"):
-                first = self.parse_group()
-                branches = [first]
-                while self.ts.at_kw("UNION"):
+                if self.ts.peek().kind == "KW" and self.ts.peek().text.upper() == "SELECT":
+                    from janus_spark.compiler.ast import SubSelect
+
                     self.ts.advance()
-                    branches.append(self.parse_group())
-                g.elements.append(UnionGroup(branches) if len(branches) > 1 else first)
+                    sub = self.parse_select()
+                    self.ts.eat_op("}")
+                    g.elements.append(SubSelect(sub))
+                else:
+                    first = self.parse_group()
+                    branches = [first]
+                    while self.ts.at_kw("UNION"):
+                        self.ts.advance()
+                        branches.append(self.parse_group())
+                    g.elements.append(UnionGroup(branches) if len(branches) > 1 else first)
             else:
                 self.parse_triples_block(g)
             if self.ts.at_op("."):

@@ -75,6 +75,26 @@ def assign_sliding_windows(quads: DataFrame, bounds: list[tuple[int, int, int]])
     )
 
 
+def assign_sliding_windows_regular(
+    quads: DataFrame, now: int, offset_ms: int, range_ms: int, step_ms: int
+) -> DataFrame:
+    """Arithmetic window-id assignment for regular hops — NO join at all.
+
+    A quad at ts belongs to window k iff
+    ``base + k*step <= ts <= base + k*step + range`` with
+    ``base = now - offset``; the valid k interval is computed per row and
+    exploded map-side.  At 100 TB this replaces a broadcast nested-loop
+    range join with a pure narrow transformation.
+    """
+    base = now - offset_ms
+    k_max = offset_ms // step_ms
+    pruned = quads.where(F.col("ts").between(F.lit(base), F.lit(now)))
+    k_hi = F.floor((F.col("ts") - F.lit(base)) / F.lit(step_ms)).cast("long")
+    k_lo = F.ceil((F.col("ts") - F.lit(base) - F.lit(range_ms)) / F.lit(step_ms)).cast("long")
+    seq = F.sequence(F.greatest(k_lo, F.lit(0)), F.least(k_hi, F.lit(k_max)))
+    return pruned.withColumn(WINDOW_ID, F.explode(seq))
+
+
 def run_historical_sliding(
     query: SelectQuery,
     quads: DataFrame,
@@ -92,10 +112,10 @@ def run_historical_sliding(
     is data, which is the Spark-native shape).
     """
     bounds = sliding_window_bounds(now, offset_ms, range_ms, step_ms)
-    tagged = assign_sliding_windows(quads, bounds)
+    tagged = assign_sliding_windows_regular(quads, now, offset_ms, range_ms, step_ms)
     result = compile_sparql(
         query,
-        tagged.drop(WINDOW_START, WINDOW_END),
+        tagged,
         partition_cols=[WINDOW_ID],
         registry=registry,
         static_quads=static_quads,

@@ -745,3 +745,99 @@ ORACLES.update(
             FROM nation""",
     }
 )
+
+
+def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested SELECT: per-type averages joined back to the detail rows."""
+    q = """SELECT ?e ?type (?v - ?avg_v + 0.0 AS ?delta)
+           WHERE {
+             ?e <urn:col:event_type> ?type .
+             ?e <urn:col:value> ?v .
+             { SELECT ?type (AVG(?v2) AS ?avg_v)
+               WHERE { ?e2 <urn:col:event_type> ?type .
+                       ?e2 <urn:col:value> ?v2 . }
+               GROUP BY ?type }
+           }"""
+    df = _run(_events_quads(spark, sf_dir), q)
+    return df.select("e", "type", F.round(F.col("delta").cast("double"), 6).alias("delta"))
+
+
+def q_agg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 full aggregate surface: SAMPLE-free deterministic set —
+    GROUP_CONCAT (sorted), COUNT DISTINCT, HAVING."""
+    q = """SELECT ?region (COUNT(?n) AS ?n_nations)
+                  (GROUP_CONCAT(?nname ; SEPARATOR=",") AS ?nations)
+           WHERE {
+             ?n <urn:nation:ref_region> ?region .
+             BIND(CONCAT("x", "") AS ?dummy)
+             ?n <urn:nation:n_name> ?nname .
+           }
+           GROUP BY ?region
+           HAVING (COUNT(?n) > 3)"""
+    nation = melt_table(
+        spark.read.parquet(f"{sf_dir}/nation.parquet"), "nation", fk={"n_regionkey": "region"}
+    )
+    df = _run(nation, q)
+    return df.select("region", F.col("n_nations").cast("long").alias("n_nations"), "nations")
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary through the SPARQL path over
+    melted lineitem (classic analytics on the same engine substrate)."""
+    q = """SELECT ?flag ?status (COUNT(?l) AS ?count_order)
+                  (SUM(?qty) AS ?sum_qty)
+                  (SUM(?price) AS ?sum_base_price)
+                  (AVG(?disc) AS ?avg_disc)
+           WHERE {
+             ?l <urn:lineitem:l_returnflag> ?flag .
+             ?l <urn:lineitem:l_linestatus> ?status .
+             ?l <urn:lineitem:l_quantity> ?qty .
+             ?l <urn:lineitem:l_extendedprice> ?price .
+             ?l <urn:lineitem:l_discount> ?disc .
+           }
+           GROUP BY ?flag ?status"""
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data; give
+    # every row a surrogate id and materialize ONCE (localCheckpoint) so
+    # all five pattern scans see identical subject ids
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("__row", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    quads = melt_table(li, "lineitem", key_col="__row")
+    df = _run(quads, q)
+    return df.select(
+        "flag",
+        "status",
+        F.col("count_order").cast("long").alias("count_order"),
+        F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("sum_base_price").cast("double"), 2).alias("sum_base_price"),
+        F.round(F.col("avg_disc").cast("double"), 6).alias("avg_disc"),
+    )
+
+
+QUERIES.update(
+    {"q_subquery": q_subquery, "q_agg_full": q_agg_full, "q_tpch_pricing": q_tpch_pricing}
+)
+
+ORACLES.update(
+    {
+        "q_subquery": f"""
+            WITH a AS (SELECT event_type, AVG(value) AS avg_v FROM events GROUP BY event_type)
+            SELECT {_EV} AS e, e.event_type AS type,
+                   ROUND(e.value - a.avg_v + 0.0, 6) AS delta
+            FROM events e JOIN a ON e.event_type = a.event_type""",
+        "q_agg_full": """
+            SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR) AS region,
+                   COUNT(*) AS n_nations,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation GROUP BY n_regionkey HAVING COUNT(*) > 3""",
+        "q_tpch_pricing": """
+            SELECT l_returnflag AS flag, l_linestatus AS status,
+                   COUNT(*) AS count_order,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    }
+)
