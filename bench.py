@@ -77,6 +77,42 @@ def bench_storage(spark, tmp_root: str) -> tuple[dict[str, float], dict[str, flo
     return timings, extra
 
 
+def bench_live(spark, tmp_root: str) -> dict[str, float]:
+    """Live injection-to-first-result latency (BASELINE shape: RANGE 10s
+    STEP 1s window, N events per window, latency to the first emitted
+    batch — benches/live_injection.rs)."""
+    import shutil
+
+    from janus_spark.parsing import parse_janusql
+    from janus_spark.sources.melt import melt_sensor_fixture
+    from janus_spark.streaming import LiveQueryRunner, ListSink
+
+    text = """
+    PREFIX ex: <http://example.org/>
+    REGISTER RStream <out> AS
+    SELECT ?s ?t
+    FROM NAMED WINDOW ex:w ON STREAM ex:s [RANGE 10000 STEP 1000]
+    WHERE { WINDOW ex:w { ?s ex:temperature ?t . } }
+    """
+    out: dict[str, float] = {}
+    for n_events in (100,):
+        buf = f"{tmp_root}/bench_live_{n_events}"
+        shutil.rmtree(buf, ignore_errors=True)
+        sink = ListSink()
+        runner = LiveQueryRunner(spark, parse_janusql(text), buf, sink=sink)
+        quads = melt_sensor_fixture(spark, n_events)  # ts 100..n*100, within first window
+        runner.on_batch(quads)  # fills the window, nothing closes
+        closer = melt_sensor_fixture(spark, 1).selectExpr(
+            "ts + 20000 as ts", "subject", "predicate", "object", "graph"
+        )
+        t0 = time.perf_counter()
+        runner.on_batch(closer)  # advances event time; windows close + emit
+        dt = time.perf_counter() - t0
+        n_batches = len(sink.batches)
+        out[f"live_injection_{n_events}ev"] = round(dt / max(n_batches, 1), 3)
+    return out
+
+
 def main() -> None:
     import tempfile
 
@@ -107,6 +143,7 @@ def main() -> None:
 
     storage_timings, extra = bench_storage(spark, tempfile.gettempdir())
     timings.update(storage_timings)
+    timings.update(bench_live(spark, tempfile.gettempdir()))
     for k, v in {**storage_timings, **extra}.items():
         print(f"# {k}: {v}", file=sys.stderr)
 

@@ -187,3 +187,78 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     union = F.size(F.array_union(F.col("sha"), F.col("shb")))
     return j.select("a", "b", (F.when(union > 0, inter / union).otherwise(F.lit(0.0))).alias("jaccard"))
+
+
+# ---------------------------------------------------------------- cluster
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Resolve near-dup pairs (a, b) into clusters: every member maps to
+    its cluster's minimum id (the keeper).  Iterative label propagation —
+    each round joins current labels across edges and keeps the min;
+    lineage is truncated per round (localCheckpoint) so cost stays linear
+    in rounds.  Converges in O(cluster diameter) rounds.
+
+    Returns (id, keep_id) for every id that appears in a pair; rows with
+    id == keep_id are the keepers.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .dropDuplicates(["x", "y"])
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("x")
+        .unionByName(edges.select(F.col("y").alias("x")))
+        .distinct()
+        .select(F.col("x").alias("id"), F.col("x").alias("keep_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "y2"), on=edges["y"] == F.col("y2"))
+            .select(F.col("x").alias("id"), F.col("keep_id").alias("nk"))
+            .groupBy("id")
+            .agg(F.min("nk").alias("nk"))
+        )
+        updated = labels.join(neighbor_min, on="id", how="left").select(
+            "id",
+            F.least(F.col("keep_id"), F.coalesce(F.col("nk"), F.col("keep_id"))).alias("keep_id"),
+        )
+        # pointer jumping (path compression): follow my label's label —
+        # turns O(diameter) convergence into O(log diameter)
+        parents = updated.select(F.col("id").alias("pid"), F.col("keep_id").alias("pkeep"))
+        updated = (
+            updated.join(parents, on=updated["keep_id"] == parents["pid"], how="left")
+            .select("id", F.least(F.col("keep_id"), F.coalesce(F.col("pkeep"), F.col("keep_id"))).alias("keep_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="id")
+            .where(F.col("u.keep_id") != F.col("l.keep_id"))
+            .isEmpty()
+        )
+        labels = updated
+        if changed:
+            break
+    return labels
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full dedup decision: every document tagged keep/drop.  Documents in
+    no near-dup pair are keepers by definition; within a cluster only the
+    minimum id survives (deterministic)."""
+    clusters = dedup_clusters(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(clusters, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("keep_id"), F.col("id")).alias("keep_id"),
+            (F.coalesce(F.col("keep_id"), F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )

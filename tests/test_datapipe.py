@@ -158,3 +158,25 @@ def test_frame_sampling(docs):
     frames = multimodal.frame_sample(decoded, every_n=50).collect()
     assert frames
     assert all(r["frame_index"] % 50 == 0 for r in frames)
+
+
+def test_dedup_clusters_transitive(spark):
+    # chain 1-2-3 plus isolated pair 7-8: clusters {1,2,3}->1, {7,8}->7
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["a", "b"])
+    out = {r["id"]: r["keep_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_dedup_keep_list(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 10)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["a", "b"])
+    out = {r["doc_id"]: (r["keep_id"], r["keep"]) for r in dedup.dedup_keep_list(docs, pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True)  # not in any pair
+    assert out[7] == (7, True) and out[8] == (7, False)
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(30)], ["a", "b"])
+    out = dedup.dedup_clusters(pairs).collect()
+    assert all(r["keep_id"] == 0 for r in out)
