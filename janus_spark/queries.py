@@ -841,3 +841,36 @@ ORACLES.update(
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     }
 )
+
+
+def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision over a corpus with known duplicates:
+    cluster resolution + keep/drop tagging (oracle-checkable because the
+    planted pairs are exact duplicates)."""
+    from janus_spark.datapipe.dedup import dedup_keep_list
+
+    from janus_spark.datapipe.text import normalize
+
+    corpus = _dup_corpus(spark, sf_dir)
+    # derive (a, b) pairs from identical normalized text
+    keyed = corpus.select(F.col("doc_id").alias("id"), F.md5(normalize(F.col("text"))).alias("key"))
+    pairs = (
+        keyed.alias("l")
+        .join(keyed.alias("r"), on="key")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    )
+    out = dedup_keep_list(corpus, pairs)
+    return out.select("doc_id", "keep_id", "keep")
+
+
+QUERIES["q_dedup_keeplist"] = q_dedup_keeplist
+ORACLES["q_dedup_keeplist"] = """
+    WITH corpus AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000 ELSE doc_id END AS keep_id,
+           doc_id < 1000000 AS keep
+    FROM corpus"""

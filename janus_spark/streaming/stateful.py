@@ -1,0 +1,136 @@
+"""Streaming stateful comparator — W9's Structured-Streaming form.
+
+The batch comparator (operators/comparator.py) computes rolling
+WindowStats with SQL window functions; this module runs the SAME
+semantics continuously over an unbounded stream using
+``applyInPandasWithState``: per key, the state holds the last-K
+(ts, live, hist) points (exactly the reference's two VecDeques,
+comparator.rs:140-152), each micro-batch folds its rows into the state
+in timestamp order and emits one row per update with the triggered
+anomaly kinds.
+
+This is the engine's showcase of a custom stateful streaming operator —
+state is managed by Spark (fault-tolerant via checkpointing), Arrow moves
+the batches, and the per-key loop is tiny (K<=10 points).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from janus_spark.operators.comparator import ComparatorConfig
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("ts", ArrayType(DoubleType()), True),
+        StructField("live", ArrayType(DoubleType()), True),
+        StructField("hist", ArrayType(DoubleType()), True),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("ts", DoubleType(), False),
+        StructField("live_mean", DoubleType(), True),
+        StructField("hist_mean", DoubleType(), True),
+        StructField("live_slope", DoubleType(), True),
+        StructField("hist_slope", DoubleType(), True),
+        StructField("anomalies", ArrayType(StringType()), True),
+    ]
+)
+
+
+def _window_stats(ts: list[float], vals: list[float]) -> tuple[float, float, float]:
+    """mean, population std-dev, least-squares slope — comparator.rs:23-57."""
+    n = float(len(vals))
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / n
+    std = math.sqrt(var)
+    sum_x = sum(ts)
+    sum_xy = sum(t * v for t, v in zip(ts, vals))
+    sum_x2 = sum(t * t for t in ts)
+    denom = n * sum_x2 - sum_x * sum_x
+    slope = 0.0 if abs(denom) < 2.2e-16 else (n * sum_xy - sum_x * sum(vals)) / denom
+    return mean, std, slope
+
+
+def _compare(ts, live, hist, latest_live, cfg: ComparatorConfig):
+    lm, lsd, ls = _window_stats(ts, live)
+    hm, hsd, hs = _window_stats(ts, hist)
+    eps = 2.220446049250313e-16
+    out = []
+    if abs(lm - hm) > cfg.abs_threshold:
+        out.append("AbsoluteThresholdExceeded")
+    if abs(hm) > eps and (lm - hm) / hm > cfg.rel_threshold:
+        out.append("RelativeDropDetected")
+    if hm - lm > cfg.catchup_trigger:
+        out.append("CatchUpTriggered")
+    if ls * hs < 0 and abs(ls) > cfg.slope_epsilon and abs(hs) > cfg.slope_epsilon:
+        out.append("TrendDivergence")
+    if lsd > hsd + cfg.volatility_buffer:
+        out.append("VolatilityIncrease")
+    if hsd > eps and abs((latest_live - hm) / hsd) > cfg.outlier_z_threshold:
+        out.append("LiveOutlierDetected")
+    return lm, hm, ls, hs, out
+
+
+def streaming_comparator(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    live_col: str = "live",
+    hist_col: str = "hist",
+    config: ComparatorConfig | None = None,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Attach the stateful comparator to a (streaming or batch) frame of
+    (key, ts, live, hist) rows.  Emits one output row per input row, in
+    ts order within each micro-batch, with the anomalies triggered at
+    that update — exactly update_and_compare (comparator.rs:157-177)."""
+    cfg = config or ComparatorConfig()
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_hist, live_hist, hist_hist = state.get
+            ts_hist, live_hist, hist_hist = list(ts_hist), list(live_hist), list(hist_hist)
+        else:
+            ts_hist, live_hist, hist_hist = [], [], []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, r in pdf.iterrows():
+                t, lv, hv = float(r[ts_col]), float(r[live_col]), float(r[hist_col])
+                for buf, v in ((ts_hist, t), (live_hist, lv), (hist_hist, hv)):
+                    if len(buf) >= cfg.window_size:
+                        buf.pop(0)
+                    buf.append(v)
+                lm, hm, ls, hs, anomalies = _compare(ts_hist, live_hist, hist_hist, lv, cfg)
+                rows.append((key[0], t, lm, hm, ls, hs, anomalies))
+        state.update((ts_hist, live_hist, hist_hist))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "ts", "live_mean", "hist_mean", "live_slope", "hist_slope", "anomalies"],
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
