@@ -79,10 +79,30 @@ class SparqlCompiler:
                 for e, asc in q.order_by
             ]
             df = df.orderBy(*keys)
-        if q.offset:
-            df = df.offset(q.offset)
-        if q.limit is not None:
-            df = df.limit(q.limit)
+        if self.partition_cols and (q.limit is not None or q.offset):
+            # per-window semantics: the reference applies LIMIT/OFFSET to
+            # EACH window evaluation; with windows as data that becomes a
+            # rank within the window partition
+            from pyspark.sql import Window as W
+
+            order = (
+                [compile_expr(e, None, self.registry).asc() if asc else compile_expr(e, None, self.registry).desc() for e, asc in q.order_by]
+                if q.order_by
+                else [F.monotonically_increasing_id()]
+            )
+            w = W.partitionBy(*[F.col(c) for c in self.partition_cols]).orderBy(*order)
+            df = df.withColumn("__rn", F.row_number().over(w))
+            lo = q.offset or 0
+            hi = lo + q.limit if q.limit is not None else None
+            cond = F.col("__rn") > lo
+            if hi is not None:
+                cond = cond & (F.col("__rn") <= hi)
+            df = df.filter(cond).drop("__rn")
+        else:
+            if q.offset:
+                df = df.offset(q.offset)
+            if q.limit is not None:
+                df = df.limit(q.limit)
         return df
 
     def compile_construct(self, q) -> DataFrame:

@@ -177,3 +177,27 @@ def test_hybrid_baseline_flow(spark):
     lrows = live.collect()
     assert len(lrows) > 0
     assert all(r["source"] == "live" for r in lrows)
+
+
+def test_sliding_window_limit_is_per_window(spark):
+    """LIMIT inside a sliding-window query applies per window evaluation
+    (reference: each hop runs its own SPARQL with the LIMIT)."""
+    quads = melt_sensor_fixture(spark, 100)
+    eng = JanusEngine(spark, quads)
+    qid = eng.register_query(f"""
+    PREFIX ex: <{EX}>
+    REGISTER RStream <out> AS
+    SELECT ?sensor ?temp
+    FROM NAMED WINDOW ex:h ON LOG ex:sensors [OFFSET 4000 RANGE 1000 STEP 1000]
+    WHERE {{ WINDOW ex:h {{ ?sensor ex:temperature ?temp . }} }}
+    ORDER BY ?sensor LIMIT 3
+    """)
+    res = eng.start_historical(qid, now=5000)[f"{EX}h"]
+    rows = res.collect()
+    by_window = {}
+    for r in rows:
+        by_window.setdefault(r["window_start"], []).append(r)
+    assert len(by_window) >= 4
+    for ws, wrows in by_window.items():
+        assert len(wrows) <= 3, f"window {ws} exceeded per-window LIMIT"
+    assert any(len(w) == 3 for w in by_window.values())
