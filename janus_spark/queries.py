@@ -865,12 +865,21 @@ def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_dedup_keeplist"] = q_dedup_keeplist
-ORACLES["q_dedup_keeplist"] = """
+# keep_id is the min doc_id among ALL docs sharing the same normalized
+# text (the corpus can contain natural duplicates besides the planted
+# copies — observed at sf0.1)
+ORACLES["q_dedup_keeplist"] = (
+    """
     WITH corpus AS (
-      SELECT doc_id FROM documents
+      SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 FROM documents)
+      SELECT doc_id + 1000000, text FROM documents)
     SELECT doc_id,
-           CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000 ELSE doc_id END AS keep_id,
-           doc_id < 1000000 AS keep
+           MIN(doc_id) OVER (PARTITION BY """
+    + _NORM_SQL
+    + """) AS keep_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY """
+    + _NORM_SQL
+    + """) AS keep
     FROM corpus"""
+)

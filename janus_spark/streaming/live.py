@@ -94,6 +94,11 @@ class LiveQueryRunner:
         self._live_query = parsed.live_query()
         self._chunks: dict[str, int] = {}  # subdir name -> max ts (for pruning)
         self._chunk_no = 0
+        # R2S operator: RStream re-emits the full result each close (the
+        # only mode the reference implements); IStream emits only rows new
+        # since the previous close, DStream only rows that disappeared
+        self.operator = (parsed.operator or "RStream").upper()
+        self._prev_rows: dict[str, list] = {}
 
     # ------------------------------------------------------------ buffer
     def _append_buffer(self, batch_df: DataFrame) -> int | None:
@@ -178,7 +183,30 @@ class LiveQueryRunner:
             static_quads=self.static_quads,
         )
         rows = result.limit(self.collect_limit).collect()
-        self.sink(ws.spec.name, s, e, rows)
+        if self.operator in ("ISTREAM", "DSTREAM"):
+            # bag (multiset) semantics: a solution's multiplicity delta
+            # determines how many copies are inserted/deleted
+            from collections import Counter
+
+            prev = self._prev_rows.get(ws.spec.name, [])
+            cur_cnt, prev_cnt = Counter(map(tuple, rows)), Counter(map(tuple, prev))
+            emitted = []
+            if self.operator == "ISTREAM":
+                budget = cur_cnt - prev_cnt
+                source = rows
+            else:
+                budget = prev_cnt - cur_cnt
+                source = prev
+            remaining = dict(budget)
+            for r in source:
+                t = tuple(r)
+                if remaining.get(t, 0) > 0:
+                    remaining[t] -= 1
+                    emitted.append(r)
+            self._prev_rows[ws.spec.name] = rows
+            self.sink(ws.spec.name, s, e, emitted)
+        else:
+            self.sink(ws.spec.name, s, e, rows)
 
     # -------------------------------------------------- structured stream
     def attach(self, stream_df: DataFrame, trigger_seconds: float | None = None, once: bool = False):

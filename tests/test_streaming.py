@@ -186,3 +186,35 @@ def test_engine_start_live_hybrid(spark, tmp_path):
     assert rows, "hybrid live join with baseline should match"
     # every row's mean equals the historical per-sensor average
     assert all(r["mean"] is not None for r in rows)
+
+
+def _unique_subject_quads(spark, n=50):
+    """Each event has a unique subject so window solutions are unique."""
+    return melt_sensor_fixture(spark, n).selectExpr(
+        "ts", "concat(subject, '_', ts) as subject", "predicate", "object", "graph"
+    )
+
+
+def test_istream_emits_only_new_rows(spark, tmp_path):
+    text = LIVE_QUERY.replace("RStream", "IStream")
+    quads = _unique_subject_quads(spark, 50)
+    runner, sink = make_runner(spark, tmp_path, text)
+    runner.on_batch(quads.where("ts <= 3100"))
+    # windows [0,2000) then [1000,3000): second emission only solutions
+    # new relative to the previous window (bag difference)
+    assert [b["window_end"] for b in sink.batches] == [2000, 3000]
+    first, second = sink.batches
+    assert len(first["rows"]) == 19
+    # [1000,3000) holds 20 rows; overlap [1000,2000) has 10 -> 10 new
+    assert len(second["rows"]) == 10
+
+
+def test_dstream_emits_dropped_rows(spark, tmp_path):
+    text = LIVE_QUERY.replace("RStream", "DStream")
+    quads = _unique_subject_quads(spark, 50)
+    runner, sink = make_runner(spark, tmp_path, text)
+    runner.on_batch(quads.where("ts <= 3100"))
+    first, second = sink.batches
+    assert first["rows"] == []  # nothing existed before the first window
+    # rows in [0,2000) but not [1000,3000): ts 100..900 -> 9 dropped
+    assert len(second["rows"]) == 9
