@@ -52,6 +52,39 @@ class QuadStore:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop("ts_bucket")
 
+    def compact(self, target_file_mb: int = 128) -> None:
+        """Rewrite the store with right-sized, ts-sorted files per bucket.
+
+        Streaming/append ingest accumulates many small files per
+        time-bucket (the reference's segment files have the same issue and
+        it never compacts); periodic compaction restores scan efficiency —
+        fewer file opens, full-size row groups, effective min/max skipping.
+        Rewrites into a sibling directory then swaps, so a concurrent
+        reader of the old listing still succeeds.
+        """
+        import shutil
+        import uuid
+
+        df = self.spark.read.parquet(self.path)
+        total_bytes = (
+            df.select(F.sum(F.length("subject") + F.length("predicate") + F.length("object")))
+            .collect()[0][0]
+            or 1
+        )
+        n_parts = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)))
+        tmp = f"{self.path}__compact_{uuid.uuid4().hex[:8]}"
+        (
+            df.repartitionByRange(n_parts, "ts_bucket", "ts")
+            .sortWithinPartitions("ts_bucket", "ts")
+            .write.mode("overwrite")
+            .partitionBy("ts_bucket")
+            .parquet(tmp)
+        )
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        shutil.move(self.path, old)
+        shutil.move(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
     def query(self, start_ts: int, end_ts: int) -> DataFrame:
         """Time-range scan with INCLUSIVE bounds — operator S3.
 

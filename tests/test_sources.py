@@ -61,3 +61,21 @@ def test_quadstore_append(spark, tmp_path):
     store.write(melt_sensor_fixture(spark, 10))
     store.write(melt_sensor_fixture(spark, 10))
     assert store.read().count() == 20
+
+
+def test_quadstore_compact_preserves_data(spark, tmp_path):
+    import glob
+
+    path = os.path.join(str(tmp_path), "store3")
+    store = QuadStore(spark, path, bucket_ms=1000)
+    # 10 small appends -> many small files
+    for _ in range(10):
+        store.write(melt_sensor_fixture(spark, 100))
+    before_files = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    before = store.read().count()
+    store.compact()
+    after_files = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    assert store.read().count() == before == 1000
+    assert after_files < before_files
+    # pruned range query still correct after compaction
+    assert store.query(1000, 3000).count() == 210
