@@ -29,6 +29,9 @@ def _events_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _table_quads(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from janus_spark.sources.melt import ensure_utc
+
+    ensure_utc(spark)  # timestamp melts must not depend on the caller's TZ
     return melt_table(spark.read.parquet(f"{sf_dir}/{table}.parquet"), table)
 
 
@@ -799,6 +802,9 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data; give
     # every row a surrogate id and materialize ONCE (localCheckpoint) so
     # all five pattern scans see identical subject ids
+    from janus_spark.sources.melt import ensure_utc
+
+    ensure_utc(spark)
     li = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .withColumn("__row", F.monotonically_increasing_id())

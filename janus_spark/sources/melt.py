@@ -51,10 +51,18 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in (names or TABLE_NAMES)}
 
 
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone: NTZ→timestamp casts in the melt must be
+    deterministic regardless of the caller's session configuration (the
+    driver's correctness session is not ours)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events table, tolerating parquet TIMESTAMP(NANOS) columns
     (Spark 4 rejects them unless nanosAsLong is set; the long nanos are
     then converted to a microsecond timestamp, ms-exact)."""
+    ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
