@@ -23,12 +23,16 @@ from pyspark.sql import functions as F
 # One RDF term: IRI | quoted literal (with optional ^^<dt> or @lang) | bare token.
 _TERM = r'(?:<[^>]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?|[^<"\s][^\s]*)'
 
+# graph labels are IRIs or blank nodes in N-Quads — a bare-token graph
+# would swallow the trailing "." terminator
+_GRAPH_TERM = r"(?:<[^>]*>|_:[^\s]+)"
+
 _LINE = (
     r"^\s*(?:(\d+)\s+)?"  # 1: optional timestamp
     rf"({_TERM})\s+"  # 2: subject
     rf"({_TERM})\s+"  # 3: predicate
     rf"({_TERM})"  # 4: object
-    rf"(?:\s+({_TERM}))?"  # 5: optional graph
+    rf"(?:\s+({_GRAPH_TERM}))?"  # 5: optional graph
     r"\s*(?:\.\s*)?$"
 )
 
