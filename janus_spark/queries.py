@@ -178,12 +178,16 @@ def q_ext_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ext_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2/F4/F6 rule functions as projected expressions."""
+    """F1/F2/F4-F7/F9 rule functions as projected expressions (with F3/F8
+    in q_ext_outlier this gives every extension function an oracle)."""
     q = """PREFIX janus: <https://janus.rs/fn#>
            SELECT ?e (janus:abs_diff(?v, 50) AS ?ad)
                   (janus:relative_change(?v, 50) AS ?rc)
                   (janus:absolute_threshold_exceeded(?v, 50, 30) AS ?abs_exc)
+                  (janus:relative_threshold_exceeded(?v, 50, 0.5) AS ?rel_exc)
                   (janus:catch_up(50, ?v, 10) AS ?cu)
+                  (janus:volatility_increase(?v, 50, 5) AS ?vol)
+                  (janus:trend_divergent(?v, 50, 25) AS ?trd)
            WHERE { ?e <urn:col:value> ?v . }"""
     return _run(_events_quads(spark, sf_dir), q)
 
@@ -370,7 +374,11 @@ ORACLES: dict[str, str] = {
     "q_ext_outlier": f"""SELECT {_EV} AS e, (value - 50) / 25 AS z FROM events
                          WHERE ABS((value - 50) / 25) > 1.5""",
     "q_ext_rules": f"""SELECT {_EV} AS e, ABS(value - 50) AS ad, (value - 50) / 50 AS rc,
-                              ABS(value - 50) > 30 AS abs_exc, (50 - value) > 10 AS cu
+                              ABS(value - 50) > 30 AS abs_exc,
+                              (value - 50) / 50 > 0.5 AS rel_exc,
+                              (50 - value) > 10 AS cu,
+                              value > 50 + 5 AS vol,
+                              ABS(value - 50) > 25 AS trd
                        FROM events""",
     "q_comparator_stats": f"""
         WITH e AS (
