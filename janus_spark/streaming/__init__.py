@@ -1,5 +1,12 @@
 from janus_spark.streaming.live import LiveQueryRunner, ListSink
 from janus_spark.streaming.replay import replay_quads
 from janus_spark.streaming.stateful import streaming_comparator
+from janus_spark.streaming.native_agg import native_window_agg_stream
 
-__all__ = ["LiveQueryRunner", "ListSink", "replay_quads", "streaming_comparator"]
+__all__ = [
+    "LiveQueryRunner",
+    "ListSink",
+    "replay_quads",
+    "streaming_comparator",
+    "native_window_agg_stream",
+]

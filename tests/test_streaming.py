@@ -218,3 +218,56 @@ def test_dstream_emits_dropped_rows(spark, tmp_path):
     assert first["rows"] == []  # nothing existed before the first window
     # rows in [0,2000) but not [1000,3000): ts 100..900 -> 9 dropped
     assert len(second["rows"]) == 9
+
+
+def test_native_window_agg_stream(spark, tmp_path):
+    """Aggregate-shaped live queries run as native watermarked window
+    aggregations (incremental state, no foreachBatch)."""
+    from janus_spark.model import QUAD_SCHEMA
+    from janus_spark.streaming.native_agg import native_window_agg_stream
+
+    text = f"""
+    PREFIX ex: <{EX}>
+    REGISTER RStream <out> AS
+    SELECT ?sensor (AVG(?t) AS ?avg_t) (COUNT(?t) AS ?n)
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 1000]
+    WHERE {{ WINDOW ex:w {{ ?sensor ex:temperature ?t . }} }}
+    GROUP BY ?sensor
+    """
+    src = tmp_path / "nat_src"
+    src.mkdir()
+    melt_sensor_fixture(spark, 50).coalesce(1).write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(QUAD_SCHEMA).parquet(str(src / "f1"))
+    out = native_window_agg_stream(parse_janusql(text), stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nat_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "nat_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM nat_agg ORDER BY window_start, sensor").collect()
+    assert rows
+    # spark's window(): [k*step, k*step+range) — same hop shape as the runtime
+    w0 = [r for r in rows if r["window_start"] == 0]
+    assert {r["sensor"] for r in w0} == {f"{EX}sensor{i}" for i in range(5)}
+    s0 = [r for r in w0 if r["sensor"].endswith("sensor0")][0]
+    # window [0,2000): sensor0 events i in {5,10,15} -> temps 25,20,25
+    assert s0["n"] == 3 and abs(s0["avg_t"] - (25 + 20 + 25) / 3) < 1e-9
+
+
+def test_native_agg_rejects_join_shapes(spark):
+    from janus_spark.streaming.native_agg import native_window_agg_stream
+
+    text = f"""
+    PREFIX ex: <{EX}>
+    REGISTER RStream <out> AS
+    SELECT ?s (COUNT(?t) AS ?n)
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 1000]
+    WHERE {{ WINDOW ex:w {{ ?s ex:temperature ?t . ?s ex:humidity ?h . }} }}
+    GROUP BY ?s
+    """
+    with pytest.raises(ValueError, match="single triple pattern"):
+        native_window_agg_stream(parse_janusql(text), None)
