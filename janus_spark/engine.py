@@ -182,6 +182,42 @@ class JanusEngine:
         rq.status = RUNNING
         return runner
 
+    def explain_live(self, query_id: str) -> dict:
+        """Which live execution mode a registered query would get and why.
+
+        ``native``: pure Structured Streaming watermark+window aggregation
+        (incremental state, engine-managed cleanup — the scale path for
+        metrics-style continuous queries).  ``foreachbatch``: the general
+        LiveQueryRunner (joins, merges, deltas, baselines)."""
+        from janus_spark.streaming.native_agg import native_agg_reason
+
+        reason = native_agg_reason(self.registry[query_id].parsed)
+        return {
+            "mode": "native" if reason is None else "foreachbatch",
+            "reason": reason or "aggregate-shaped query over one live window",
+        }
+
+    def start_live_auto(
+        self,
+        query_id: str,
+        stream_df: DataFrame,
+        buffer_path: str,
+        sink=None,
+        watermark: str = "10 seconds",
+    ):
+        """Optimizer choice for the live side: dispatch aggregate-shaped
+        queries to the native streaming window aggregation, everything
+        else to the foreachBatch runtime.  Returns ``("native", df)``
+        where df is the unstarted output streaming DataFrame, or
+        ``("foreachbatch", runner)`` with the runner not yet attached."""
+        from janus_spark.streaming.native_agg import native_agg_reason, native_window_agg_stream
+
+        rq = self.registry[query_id]
+        if native_agg_reason(rq.parsed) is None:
+            rq.status = RUNNING
+            return "native", native_window_agg_stream(rq.parsed, stream_df, watermark=watermark)
+        return "foreachbatch", self.start_live(query_id, buffer_path, sink=sink)
+
     def run_live_batch(
         self,
         query_id: str,

@@ -25,6 +25,43 @@ from janus_spark.compiler.expressions import compile_aggregate, compile_expr
 from janus_spark.parsing.janusql import JanusQuery
 
 
+def native_agg_reason(parsed: JanusQuery) -> str | None:
+    """Why a live query CANNOT use the native window-agg path, or None
+    if it can.  The engine's dispatcher consults this; the reasons are
+    user-facing (surfaced in query status / explain output)."""
+    if len(parsed.live_windows) != 1:
+        return "native agg path needs exactly one live window"
+    if (parsed.operator or "RStream").upper() != "RSTREAM":
+        return "IStream/DStream deltas need the foreachBatch runtime"
+    if parsed.baseline_window is not None:
+        return "baseline warm-up joins need the foreachBatch runtime"
+    if parsed.non_window is not None and parsed.non_window.elements:
+        return "non-window patterns need the foreachBatch runtime"
+    if parsed.distinct or parsed.order_by or parsed.limit is not None or parsed.offset:
+        return "DISTINCT/ORDER/LIMIT need per-close evaluation (foreachBatch)"
+    if parsed.having is not None:
+        return "HAVING needs per-close evaluation (foreachBatch)"
+    w = parsed.live_windows[0]
+    body = parsed.window_bodies[w.name]
+    patterns = [el for el in body.elements if isinstance(el, TriplePattern)]
+    filters = [el for el in body.elements if isinstance(el, Filter)]
+    if len(patterns) != 1 or len(patterns) + len(filters) != len(body.elements):
+        return "native agg path needs a single triple pattern (+ filters)"
+    if parsed.projection is None or not any(
+        isinstance(e, ECall) and e.is_aggregate() for e, _ in parsed.projection
+    ):
+        return "native agg path needs an aggregate projection"
+    if any(not isinstance(e, EVar) for e, _ in parsed.group_by):
+        return "computed GROUP BY keys need the foreachBatch runtime"
+    group_vars = {e.name for e, _ in parsed.group_by if isinstance(e, EVar)}
+    for e, _ in parsed.projection:
+        if isinstance(e, ECall) and e.is_aggregate():
+            continue
+        if not (isinstance(e, EVar) and e.name in group_vars):
+            return "projection mixes non-grouped expressions (foreachBatch)"
+    return None
+
+
 def native_window_agg_stream(
     parsed: JanusQuery,
     stream_quads: DataFrame,
@@ -33,20 +70,13 @@ def native_window_agg_stream(
     """Compile an aggregate-shaped live query to a native streaming
     window aggregation.  Raises ValueError (with the reason) when the
     query's shape needs the general foreachBatch runtime instead."""
-    if len(parsed.live_windows) != 1:
-        raise ValueError("native agg path needs exactly one live window")
+    reason = native_agg_reason(parsed)
+    if reason is not None:
+        raise ValueError(reason)
     w = parsed.live_windows[0]
     body = parsed.window_bodies[w.name]
     patterns = [el for el in body.elements if isinstance(el, TriplePattern)]
     filters = [el for el in body.elements if isinstance(el, Filter)]
-    if len(patterns) != 1 or len(patterns) + len(filters) != len(body.elements):
-        raise ValueError("native agg path needs a single triple pattern (+ filters)")
-    if parsed.non_window is not None and parsed.non_window.elements:
-        raise ValueError("non-window patterns need the foreachBatch runtime")
-    if parsed.projection is None or not any(
-        isinstance(e, ECall) and e.is_aggregate() for e, _ in parsed.projection
-    ):
-        raise ValueError("native agg path needs an aggregate projection")
 
     tp = patterns[0]
     df = stream_quads

@@ -271,3 +271,40 @@ def test_native_agg_rejects_join_shapes(spark):
     """
     with pytest.raises(ValueError, match="single triple pattern"):
         native_window_agg_stream(parse_janusql(text), None)
+
+
+def test_engine_dispatches_live_mode(spark, tmp_path):
+    """start_live_auto picks native for aggregate shapes, foreachBatch
+    for join shapes; explain_live reports the choice and reason."""
+    from janus_spark.engine import JanusEngine
+    from janus_spark.model import QUAD_SCHEMA
+    from janus_spark.streaming.live import LiveQueryRunner
+
+    eng = JanusEngine(spark)
+    agg_q = eng.register_query(f"""
+    PREFIX ex: <{EX}>
+    REGISTER RStream <out> AS
+    SELECT ?sensor (COUNT(?t) AS ?n)
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 1000]
+    WHERE {{ WINDOW ex:w {{ ?sensor ex:temperature ?t . }} }}
+    GROUP BY ?sensor
+    """)
+    join_q = eng.register_query(f"""
+    PREFIX ex: <{EX}>
+    REGISTER RStream <out> AS
+    SELECT ?s ?t ?h
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 1000]
+    WHERE {{ WINDOW ex:w {{ ?s ex:temperature ?t . ?s ex:humidity ?h . }} }}
+    """)
+    assert eng.explain_live(agg_q)["mode"] == "native"
+    assert eng.explain_live(join_q)["mode"] == "foreachbatch"
+    assert "triple pattern" in eng.explain_live(join_q)["reason"]
+
+    src = tmp_path / "disp_src"
+    src.mkdir()
+    melt_sensor_fixture(spark, 20).coalesce(1).write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(QUAD_SCHEMA).parquet(str(src / "f1"))
+    mode, handle = eng.start_live_auto(agg_q, stream, str(tmp_path / "b1"))
+    assert mode == "native" and hasattr(handle, "writeStream")
+    mode, handle = eng.start_live_auto(join_q, stream, str(tmp_path / "b2"))
+    assert mode == "foreachbatch" and isinstance(handle, LiveQueryRunner)
