@@ -66,6 +66,9 @@ def parse_nquads_lines(
     if default_ts is None:
         default_ts = (F.unix_micros(F.current_timestamp()) / 1000).cast("long")
     c = F.col(line_col)
+    # default_ts may reference other columns of `lines` (e.g. a Kafka
+    # record timestamp) — evaluate it inside this projection, before
+    # those columns are pruned away
     parsed = lines.where(~c.rlike(r"^\s*(#.*)?$")).select(
         F.regexp_extract(c, _LINE, 1).alias("_ts_raw"),
         _clean_term(F.regexp_extract(c, _LINE, 2)).alias("subject"),
@@ -73,9 +76,10 @@ def parse_nquads_lines(
         _clean_term(F.regexp_extract(c, _LINE, 4)).alias("object"),
         _clean_term(F.regexp_extract(c, _LINE, 5)).alias("graph"),
         F.regexp_extract(c, _LINE, 2).alias("_s_raw"),
+        (default_ts if add_timestamps else F.lit(0)).cast("long").alias("_dts"),
     )
     ts = F.when(F.col("_ts_raw") != "", F.col("_ts_raw").cast("long")).otherwise(
-        default_ts if add_timestamps else F.lit(0)
+        F.col("_dts")
     )
     return (
         parsed.where(F.col("_s_raw") != "")  # regexp failed ⇒ malformed line

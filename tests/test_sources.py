@@ -2,6 +2,7 @@
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from janus_spark.sources import QuadStore, format_nquads, parse_nquads_lines
@@ -79,3 +80,61 @@ def test_quadstore_compact_preserves_data(spark, tmp_path):
     assert after_files < before_files
     # pruned range query still correct after compaction
     assert store.query(1000, 3000).count() == 210
+
+
+# ---------------------------------------------------------------- S7 streams
+def test_decode_kafka_quads_batch(spark):
+    """Kafka value→quads decode: own-timestamp lines keep it, bare lines
+    default to the broker append time (stored-in-log ⇒ replay-stable)."""
+    from datetime import datetime, timezone
+
+    from janus_spark.sources.stream import decode_kafka_quads
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [
+            (b'500 <http://ex/s1> <http://ex/p> "7" <http://ex/g> .', t0),
+            (b'<http://ex/s2> <http://ex/p> "8" .', t0),
+            (b"# comment", t0),
+        ],
+        "value binary, timestamp timestamp",
+    )
+    rows = {tuple(r) for r in decode_kafka_quads(df).collect()}
+    t0ms = int(t0.timestamp() * 1000)
+    assert rows == {
+        (500, "http://ex/s1", "http://ex/p", "7", "http://ex/g"),
+        (t0ms, "http://ex/s2", "http://ex/p", "8", ""),
+    }
+
+
+def test_open_quad_stream_parquet_and_text(spark, tmp_path):
+    from janus_spark.model import QUAD_SCHEMA
+    from janus_spark.sources.stream import open_quad_stream
+
+    pdir = tmp_path / "quads.parquet"
+    melt_sensor_fixture(spark, 10).write.parquet(str(pdir))
+    s = open_quad_stream(spark, f"file://{pdir}")
+    assert s.isStreaming
+    assert [(f.name, f.dataType) for f in s.schema.fields] == [
+        (f.name, f.dataType) for f in QUAD_SCHEMA.fields
+    ]
+
+    tdir = tmp_path / "lines"
+    tdir.mkdir()
+    (tdir / "a.nq").write_text('100 <http://ex/s> <http://ex/p> "v" .\n')
+    s2 = open_quad_stream(spark, str(tdir))
+    q = (
+        s2.writeStream.format("memory").queryName("s7txt")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM s7txt").collect()
+    assert [tuple(r) for r in got] == [(100, "http://ex/s", "http://ex/p", "v", "")]
+
+
+def test_open_quad_stream_kafka_missing_package(spark):
+    from janus_spark.sources.stream import open_quad_stream
+
+    with pytest.raises(Exception, match="(?i)kafka"):
+        open_quad_stream(spark, "kafka://broker:9092/sensors")
