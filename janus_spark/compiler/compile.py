@@ -47,6 +47,15 @@ from janus_spark.compiler.expressions import compile_aggregate, compile_expr
 from janus_spark.functions.registry import FUNCTION_REGISTRY
 
 
+class _StarFrame:
+    """A star of triple patterns pre-compiled to one wide-table scan
+    (property-table rewrite); consumed by compile_group as an inner
+    join input like any pattern."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+
 @dataclass
 class SparqlCompiler:
     quads: DataFrame
@@ -54,6 +63,10 @@ class SparqlCompiler:
     registry: dict = field(default_factory=lambda: dict(FUNCTION_REGISTRY))
     static_quads: DataFrame | None = None  # baseline/background triples (broadcast side)
     path_max_hops: int = 10  # bound for +/* property-path closures
+    # predicate IRI -> PropertyTable (sources.melt.property_registry).
+    # Caller contract: every quad with a registered predicate comes from
+    # that table's melt (true whenever quads = union of melt_table calls).
+    property_tables: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------ entry
     def compile(self, q) -> DataFrame:
@@ -134,12 +147,99 @@ class SparqlCompiler:
             out = out.limit(q.limit)
         return out
 
+    # ------------------------------------------------- star-join rewrite
+    def _rewrite_stars(self, elements: list) -> list:
+        """Replace runs of consecutive constant-predicate patterns that
+        share a subject variable and map to one PropertyTable with a
+        single wide scan (star-join elimination).
+
+        Only runs of adjacent TriplePatterns are grouped (Filters pass
+        through — they are deferred to group end anyway), so evaluation
+        order relative to OPTIONAL/MINUS/BIND is preserved.  The rewrite
+        is value-identical to the self-join plan because the melt emits
+        exactly one quad per (row, column) and PropertyTable reuses the
+        melt's subject/value expressions.
+        """
+        from janus_spark.compiler.ast import Path
+
+        out: list = []
+        run: list[TriplePattern] = []
+
+        def flush() -> None:
+            if not run:
+                return
+            groups: dict = {}
+            rest: list[TriplePattern] = []
+            for tp in run:
+                pt = (
+                    self.property_tables.get(tp.p.value)
+                    if isinstance(tp.p, Iri)
+                    else None
+                )
+                if (
+                    pt is not None
+                    and isinstance(tp.s, Var)
+                    and not (isinstance(tp.o, Var) and tp.o.name == tp.s.name)
+                ):
+                    groups.setdefault((tp.s.name, id(pt)), []).append((pt, tp))
+                else:
+                    rest.append(tp)
+            for (svar, _), entries in groups.items():
+                if len(entries) < 2:  # no self-join to eliminate
+                    rest.extend(tp for _, tp in entries)
+                    continue
+                out.append(_StarFrame(self._compile_star(svar, entries[0][0], [tp for _, tp in entries])))
+            out.extend(rest)
+            run.clear()
+
+        for el in elements:
+            if isinstance(el, TriplePattern) and not isinstance(el.p, Path):
+                run.append(el)
+            elif isinstance(el, Filter):
+                out.append(el)  # deferred to group end; keeps the run alive
+            else:
+                flush()
+                out.append(el)
+        flush()
+        return out
+
+    def _compile_star(self, svar: str, pt, tps: list[TriplePattern]) -> DataFrame:
+        conds: list[Column] = []
+        cols: dict[str, Column] = {svar: pt.subject}
+        for tp in tps:
+            val = pt.values[tp.p.value]
+            # the melt emits no quad for a NULL value — inner-join semantics
+            conds.append(val.isNotNull())
+            if isinstance(tp.o, Var):
+                if tp.o.name in cols:
+                    conds.append(val == cols[tp.o.name])
+                else:
+                    cols[tp.o.name] = val
+            elif isinstance(tp.o, Iri):
+                conds.append(val == tp.o.value)
+            else:
+                conds.append(val == tp.o.lexical)
+        df = pt.df
+        for c in conds:
+            df = df.where(c)
+        return df.select(*[expr.alias(name) for name, expr in cols.items()])
+
     # ------------------------------------------------------------ group
     def compile_group(self, g: Group, graph_term: Term | None) -> DataFrame:
         df: DataFrame | None = None
         filters: list[Expr] = []
-        for el in g.elements:
-            if isinstance(el, TriplePattern):
+        elements = g.elements
+        if (
+            self.property_tables
+            and graph_term is None
+            and not self.partition_cols
+            and self.static_quads is None
+        ):
+            elements = self._rewrite_stars(elements)
+        for el in elements:
+            if isinstance(el, _StarFrame):
+                df = self._merge(df, el.df, "inner")
+            elif isinstance(el, TriplePattern):
                 df = self._merge(df, self._scan(el, graph_term), "inner")
             elif isinstance(el, Filter):
                 filters.append(el.expr)
@@ -446,10 +546,12 @@ def compile_sparql(
     partition_cols: list[str] | None = None,
     registry: dict | None = None,
     static_quads: DataFrame | None = None,
+    property_tables: dict | None = None,
 ) -> DataFrame:
     return SparqlCompiler(
         quads,
         partition_cols or [],
         registry if registry is not None else dict(FUNCTION_REGISTRY),
         static_quads,
+        property_tables=property_tables or {},
     ).compile(q)

@@ -35,8 +35,29 @@ def _table_quads(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return melt_table(spark.read.parquet(f"{sf_dir}/{table}.parquet"), table)
 
 
-def _run(quads: DataFrame, text: str) -> DataFrame:
-    return compile_sparql(parse_sparql(text), quads)
+def _events_ptr(spark: SparkSession, sf_dir: str) -> dict:
+    """Star-join elimination registry for the melted events table."""
+    from janus_spark.sources.melt import events_property_table, property_registry
+
+    return property_registry(events_property_table(read_events(spark, sf_dir)))
+
+
+def _table_ptr(spark: SparkSession, sf_dir: str, *tables: str) -> dict:
+    """Star-join elimination registry for melted relational tables
+    (valid because each TABLE_KEYS key is row-unique in the testdata)."""
+    from janus_spark.sources.melt import ensure_utc, property_registry, property_table
+
+    ensure_utc(spark)
+    return property_registry(
+        *[
+            property_table(spark.read.parquet(f"{sf_dir}/{t}.parquet"), t)
+            for t in tables
+        ]
+    )
+
+
+def _run(quads: DataFrame, text: str, property_tables: dict | None = None) -> DataFrame:
+    return compile_sparql(parse_sparql(text), quads, property_tables=property_tables)
 
 
 # --------------------------------------------------------------- queries
@@ -55,7 +76,7 @@ def q_bgp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              ?event <urn:col:event_type> ?type .
              ?event <urn:col:value> ?v .
              FILTER(?v > 90) }"""
-    return _run(_events_quads(spark, sf_dir), q).select(
+    return _run(_events_quads(spark, sf_dir), q, _events_ptr(spark, sf_dir)).select(
         "event", "type", F.col("value").cast("double").alias("value")
     )
 
@@ -67,7 +88,7 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE { ?e <urn:col:event_type> ?type .
                    ?e <urn:col:value> ?v . }
            GROUP BY ?type"""
-    df = _run(_events_quads(spark, sf_dir), q)
+    df = _run(_events_quads(spark, sf_dir), q, _events_ptr(spark, sf_dir))
     return df.select(
         "type",
         F.col("n").cast("long").alias("n"),
@@ -89,7 +110,7 @@ def q_join_bind_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
              BIND(CONCAT("urn:customer:", ?ck) AS ?c)
              ?c <urn:customer:c_name> ?name .
            } GROUP BY ?name"""
-    df = _run(quads, q)
+    df = _run(quads, q, _table_ptr(spark, sf_dir, "orders", "customer"))
     return df.select(
         "name",
         F.col("order_count").cast("long").alias("order_count"),
@@ -108,7 +129,7 @@ def q_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
              BIND(CONCAT("urn:nation:", ?nk) AS ?n)
              OPTIONAL { ?n <urn:nation:n_name> ?nname . }
            }"""
-    return _run(quads, q)
+    return _run(quads, q, _table_ptr(spark, sf_dir, "customer", "nation"))
 
 
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,7 +790,7 @@ def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ?e2 <urn:col:value> ?v2 . }
                GROUP BY ?type }
            }"""
-    df = _run(_events_quads(spark, sf_dir), q)
+    df = _run(_events_quads(spark, sf_dir), q, _events_ptr(spark, sf_dir))
     return df.select("e", "type", F.round(F.col("delta").cast("double"), 6).alias("delta"))
 
 
@@ -808,18 +829,19 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
            }
            GROUP BY ?flag ?status"""
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data; give
-    # every row a surrogate id and materialize ONCE (localCheckpoint) so
-    # all five pattern scans see identical subject ids
-    from janus_spark.sources.melt import ensure_utc
+    # every row a surrogate id.  The star rewrite collapses all five
+    # patterns into ONE lineitem scan, so the surrogate never crosses scan
+    # boundaries; the checkpoint (needed for stable ids across the melt's
+    # five self-join scans) stays lazy and only the fallback path pays it.
+    from janus_spark.sources.melt import ensure_utc, property_registry, property_table
 
     ensure_utc(spark)
-    li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .withColumn("__row", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "__row", F.monotonically_increasing_id()
     )
-    quads = melt_table(li, "lineitem", key_col="__row")
-    df = _run(quads, q)
+    quads = melt_table(li.localCheckpoint(eager=False), "lineitem", key_col="__row")
+    ptr = property_registry(property_table(li, "lineitem", key_col="__row"))
+    df = _run(quads, q, ptr)
     return df.select(
         "flag",
         "status",

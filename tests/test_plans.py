@@ -104,3 +104,57 @@ def test_static_quads_join_stays_broadcastable(spark):
     )
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_star_join_eliminated_with_property_table(spark, sf_dir):
+    """Property-table rewrite: a star of constant-predicate patterns on
+    one subject var compiles to ONE scan, zero joins (the self-join
+    shuffle this kills is the 100-TB bottleneck for melted analytics)."""
+    from janus_spark.sources.melt import property_registry, property_table
+
+    tbl = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    quads = melt_table(tbl, "orders")
+    ptr = property_registry(property_table(tbl, "orders"))
+    df = compile_sparql(
+        parse_sparql(
+            """SELECT ?o ?s ?p WHERE {
+                 ?o <urn:orders:o_orderstatus> ?s .
+                 ?o <urn:orders:o_totalprice> ?p . }"""
+        ),
+        quads,
+        property_tables=ptr,
+    )
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderstatus" in read and "o_totalprice" in read
+    assert "o_orderdate" not in read, "star scan must still column-prune"
+
+
+def test_star_rewrite_matches_self_join_semantics(spark):
+    """Rewrite parity on the tricky shapes: NULL values drop the row
+    (melt emits no quad), constant objects filter, repeated object vars
+    force equality, and BIND breaks the rewrite run."""
+    from janus_spark.sources.melt import property_registry, property_table
+
+    tbl = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "c", None), (4, "a", 10.0)],
+        "k long, name string, val double",
+    )
+    quads = melt_table(tbl, "t", key_col="k")
+    ptr = property_registry(property_table(tbl, "t", key_col="k"))
+    queries = [
+        "SELECT ?s ?n ?v WHERE { ?s <urn:t:name> ?n . ?s <urn:t:val> ?v . }",
+        'SELECT ?s ?v WHERE { ?s <urn:t:name> "a" . ?s <urn:t:val> ?v . }',
+        # repeated object var: name == val lexical (never true here)
+        "SELECT ?s WHERE { ?s <urn:t:name> ?x . ?s <urn:t:val> ?x . }",
+        # BIND between patterns: run breaks, both halves still correct
+        """SELECT ?s ?n ?b ?v WHERE {
+             ?s <urn:t:name> ?n . BIND(UCASE(?n) AS ?b)
+             ?s <urn:t:val> ?v . }""",
+    ]
+    for q in queries:
+        base = compile_sparql(parse_sparql(q), quads)
+        fast = compile_sparql(parse_sparql(q), quads, property_tables=ptr)
+        assert sorted(map(tuple, base.collect())) == sorted(map(tuple, fast.collect())), q
