@@ -65,7 +65,12 @@ class SparqlCompiler:
     path_max_hops: int = 10  # bound for +/* property-path closures
     # predicate IRI -> PropertyTable (sources.melt.property_registry).
     # Caller contract: every quad with a registered predicate comes from
-    # that table's melt (true whenever quads = union of melt_table calls).
+    # that table's melt (true whenever quads = union of melt_table calls)
+    # AND the quads frame carries no extra filtering the PropertyTable
+    # doesn't — a star scan reads pt.df, not self.quads, so a caller who
+    # pre-filtered quads (e.g. to a time window) must pre-filter the
+    # PropertyTable identically or not pass it.  The engine's windowed
+    # paths never pass property_tables for exactly this reason.
     property_tables: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------ entry

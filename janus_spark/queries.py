@@ -184,7 +184,7 @@ def q_expr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (IF(?v > 50, "hi", "lo") AS ?bucket)
            WHERE { ?e <urn:col:event_type> ?t .
                    ?e <urn:col:value> ?v . }"""
-    df = _run(_events_quads(spark, sf_dir), q)
+    df = _run(_events_quads(spark, sf_dir), q, _events_ptr(spark, sf_dir))
     return df.select("e", F.col("type_len").cast("long").alias("type_len"), "type_uc", "bucket")
 
 
