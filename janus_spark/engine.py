@@ -71,11 +71,20 @@ class RegisteredQuery:
 class JanusEngine:
     """Library entry point (reference JanusApi, janus_api.rs:131-138)."""
 
-    def __init__(self, spark: SparkSession, quads: DataFrame | None = None, max_queries: int = 100):
+    def __init__(
+        self,
+        spark: SparkSession,
+        quads: DataFrame | None = None,
+        max_queries: int = 100,
+        property_tables: dict | None = None,
+    ):
         self.spark = spark
         self.quads = quads
         self.registry: dict[str, RegisteredQuery] = {}
         self.max_queries = max_queries
+        # star-join elimination registry matching `quads` (sources.melt.
+        # property_registry); windowed executors re-slice it per window
+        self.property_tables = property_tables
 
     # ------------------------------------------------------------- C3
     def register_query(self, text: str, baseline_mode: str | None = None, query_id: str | None = None) -> str:
@@ -113,7 +122,14 @@ class JanusEngine:
     ) -> DataFrame:
         sq = parsed.historical_query(window)
         if window.kind == HIST_FIXED:
-            return run_historical_fixed(sq, quads, window.start_ts, window.end_ts, static_quads=static_quads)
+            return run_historical_fixed(
+                sq,
+                quads,
+                window.start_ts,
+                window.end_ts,
+                static_quads=static_quads,
+                property_tables=self.property_tables if quads is self.quads else None,
+            )
         if window.kind == HIST_SLIDING:
             if now is None:
                 now = int(time.time() * 1000)

@@ -40,10 +40,20 @@ def run_historical_fixed(
     end_ts: int,
     registry: dict | None = None,
     static_quads: DataFrame | None = None,
+    property_tables: dict | None = None,
 ) -> DataFrame:
-    """W1: evaluate over quads with ts in [start, end] inclusive."""
+    """W1: evaluate over quads with ts in [start, end] inclusive.
+
+    ``property_tables`` (star-join elimination) are re-derived with the
+    same ts slice so the wide scans see exactly the window's quads."""
     window = quads.where(F.col("ts").between(F.lit(start_ts), F.lit(end_ts)))
-    return compile_sparql(query, window, registry=registry, static_quads=static_quads)
+    pts = None
+    if property_tables:
+        sliced = {id(pt): pt.time_filtered(start_ts, end_ts) for pt in set(property_tables.values())}
+        pts = {pred: sliced[id(pt)] for pred, pt in property_tables.items()}
+    return compile_sparql(
+        query, window, registry=registry, static_quads=static_quads, property_tables=pts
+    )
 
 
 def sliding_window_bounds(now: int, offset_ms: int, range_ms: int, step_ms: int) -> list[tuple[int, int, int]]:

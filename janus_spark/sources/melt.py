@@ -202,11 +202,26 @@ class PropertyTable:
     forms, so a rewritten plan is value-identical to the self-join plan.
     """
 
-    def __init__(self, name: str, df: DataFrame, subject, values: dict):
+    def __init__(self, name: str, df: DataFrame, subject, values: dict, ts=None):
         self.name = name
         self.df = df
         self.subject = subject  # Column: the melt's subject IRI
         self.values = values  # predicate IRI -> lexical value Column
+        self.ts = ts  # Column: the melt's quad timestamp (ms), if any
+
+    def time_filtered(self, start_ts: int, end_ts: int) -> "PropertyTable":
+        """The same table restricted to quads with ts in [start, end]
+        inclusive — matches run_historical_fixed's window slice, so the
+        star rewrite stays valid inside fixed historical windows."""
+        if self.ts is None:
+            raise ValueError(f"property table {self.name} has no ts column")
+        return PropertyTable(
+            self.name,
+            self.df.where(self.ts.between(F.lit(start_ts), F.lit(end_ts))),
+            self.subject,
+            self.values,
+            self.ts,
+        )
 
 
 def property_table(
@@ -215,6 +230,7 @@ def property_table(
     key_col: str | None = None,
     value_cols: list[str] | None = None,
     fk: dict[str, str] | None = None,
+    ts_col=None,
 ) -> PropertyTable:
     """Build the PropertyTable matching ``melt_table(df, table, ...)``
     (same subject synthesis, same lexical value forms)."""
@@ -230,7 +246,8 @@ def property_table(
         values[f"urn:{table}:ref_{target}"] = F.concat(
             F.lit(f"urn:{target}:"), F.col(col).cast("string")
         )
-    return PropertyTable(table, df, subject, values)
+    ts = ts_col if ts_col is not None else F.col(key_col).cast("long") * F.lit(1000)
+    return PropertyTable(table, df, subject, values, ts)
 
 
 def events_property_table(df: DataFrame) -> PropertyTable:
@@ -238,7 +255,9 @@ def events_property_table(df: DataFrame) -> PropertyTable:
     value_cols = [c for c in df.columns if c not in ("event_id", "ts")]
     subject = F.concat(F.lit("urn:event:"), F.col("event_id").cast("string"))
     values = {f"urn:col:{c}": _value_str(df, c) for c in value_cols}
-    return PropertyTable("events", df, subject, values)
+    return PropertyTable(
+        "events", df, subject, values, F.unix_millis(F.col("ts").cast("timestamp"))
+    )
 
 
 def property_registry(*tables: PropertyTable) -> dict:

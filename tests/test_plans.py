@@ -158,3 +158,32 @@ def test_star_rewrite_matches_self_join_semantics(spark):
         base = compile_sparql(parse_sparql(q), quads)
         fast = compile_sparql(parse_sparql(q), quads, property_tables=ptr)
         assert sorted(map(tuple, base.collect())) == sorted(map(tuple, fast.collect())), q
+
+
+def test_star_rewrite_in_fixed_historical_window(spark, sf_dir):
+    """Fixed historical windows re-slice the property tables by ts, so
+    the star scan sees exactly the window's quads — same rows as the
+    self-join path, one scan, no join."""
+    from janus_spark.engine import JanusEngine
+    from janus_spark.queries import _events_ptr, _events_quads
+
+    text = """
+    REGISTER RStream <out> AS
+    SELECT ?e ?t ?v
+    FROM NAMED WINDOW <urn:w:h> ON LOG <urn:stream:events> [START 0 END 1767225600000]
+    WHERE { WINDOW <urn:w:h> {
+      ?e <urn:col:event_type> ?t . ?e <urn:col:value> ?v . } }
+    """
+    quads = _events_quads(spark, sf_dir)
+    base = JanusEngine(spark, quads)
+    fast = JanusEngine(spark, quads, property_tables=_events_ptr(spark, sf_dir))
+    bq = base.start_historical(base.register_query(text, query_id="q"))["urn:w:h"]
+    fq = fast.start_historical(fast.register_query(text, query_id="q"))["urn:w:h"]
+    plan = plan_of(fq)
+    assert plan.count("Scan parquet") == 1 and "Join" not in plan
+    rows_b = sorted(map(tuple, bq.collect()))
+    rows_f = sorted(map(tuple, fq.collect()))
+    assert rows_b == rows_f and rows_b
+    # a window that excludes everything stays empty through the rewrite
+    text2 = text.replace("[START 0 END 1767225600000]", "[START 0 END 5]")
+    assert fast.start_historical(fast.register_query(text2))["urn:w:h"].count() == 0
