@@ -185,6 +185,7 @@ class SparqlCompiler:
                     pt is not None
                     and isinstance(tp.s, Var)
                     and not (isinstance(tp.o, Var) and tp.o.name == tp.s.name)
+                    and all(pc in pt.df.columns for pc in self.partition_cols)
                 ):
                     groups.setdefault((tp.s.name, id(pt)), []).append((pt, tp))
                 else:
@@ -227,7 +228,9 @@ class SparqlCompiler:
         df = pt.df
         for c in conds:
             df = df.where(c)
-        return df.select(*[expr.alias(name) for name, expr in cols.items()])
+        sel = [expr.alias(name) for name, expr in cols.items()]
+        sel += [F.col(pc) for pc in self.partition_cols]
+        return df.select(*sel)
 
     # ------------------------------------------------------------ group
     def compile_group(self, g: Group, graph_term: Term | None) -> DataFrame:
@@ -237,9 +240,11 @@ class SparqlCompiler:
         if (
             self.property_tables
             and graph_term is None
-            and not self.partition_cols
             and self.static_quads is None
         ):
+            # partition_cols are allowed when the property table carries
+            # them (window-tagged PTs from run_historical_sliding); the
+            # per-pattern check in _rewrite_stars enforces it
             elements = self._rewrite_stars(elements)
         for el in elements:
             if isinstance(el, _StarFrame):

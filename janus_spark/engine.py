@@ -136,6 +136,7 @@ class JanusEngine:
             return run_historical_sliding(
                 sq, quads, now, window.offset_ms, window.range_ms, window.step_ms,
                 static_quads=static_quads,
+                property_tables=self.property_tables if quads is self.quads else None,
             )
         raise ValueError(f"not a historical window: {window.kind}")
 

@@ -96,11 +96,19 @@ def assign_sliding_windows_regular(
     exploded map-side.  At 100 TB this replaces a broadcast nested-loop
     range join with a pure narrow transformation.
     """
+    return tag_window_ids(quads, F.col("ts"), now, offset_ms, range_ms, step_ms)
+
+
+def tag_window_ids(
+    df: DataFrame, ts_col, now: int, offset_ms: int, range_ms: int, step_ms: int
+) -> DataFrame:
+    """Explode rows into the sliding windows containing ``ts_col`` —
+    map-side arithmetic, no join (see assign_sliding_windows_regular)."""
     base = now - offset_ms
     k_max = offset_ms // step_ms
-    pruned = quads.where(F.col("ts").between(F.lit(base), F.lit(now)))
-    k_hi = F.floor((F.col("ts") - F.lit(base)) / F.lit(step_ms)).cast("long")
-    k_lo = F.ceil((F.col("ts") - F.lit(base) - F.lit(range_ms)) / F.lit(step_ms)).cast("long")
+    pruned = df.where(ts_col.between(F.lit(base), F.lit(now)))
+    k_hi = F.floor((ts_col - F.lit(base)) / F.lit(step_ms)).cast("long")
+    k_lo = F.ceil((ts_col - F.lit(base) - F.lit(range_ms)) / F.lit(step_ms)).cast("long")
     seq = F.sequence(F.greatest(k_lo, F.lit(0)), F.least(k_hi, F.lit(k_max)))
     return pruned.withColumn(WINDOW_ID, F.explode(seq))
 
@@ -114,18 +122,44 @@ def run_historical_sliding(
     step_ms: int,
     registry: dict | None = None,
     static_quads: DataFrame | None = None,
+    property_tables: dict | None = None,
 ) -> DataFrame:
     """W2 as ONE distributed plan over all hops.
 
     Result carries ``window_start``/``window_end`` columns (the reference
     emits one batch per hop with timestamp = window end; here the window id
     is data, which is the Spark-native shape).
+
+    ``property_tables`` get the same window-id explode applied to their
+    rows, so star-join elimination works across all hops at once (the
+    star scan carries ``__window_id`` like any tagged quad).
     """
     bounds = sliding_window_bounds(now, offset_ms, range_ms, step_ms)
     tagged = assign_sliding_windows_regular(quads, now, offset_ms, range_ms, step_ms)
+    pts = None
+    if property_tables:
+        from janus_spark.sources.melt import PropertyTable
+
+        tagged_pts = {
+            id(pt): PropertyTable(
+                pt.name,
+                tag_window_ids(pt.df, pt.ts, now, offset_ms, range_ms, step_ms),
+                pt.subject,
+                pt.values,
+                pt.ts,
+            )
+            for pt in set(property_tables.values())
+            if pt.ts is not None
+        }
+        pts = {
+            pred: tagged_pts[id(pt)]
+            for pred, pt in property_tables.items()
+            if id(pt) in tagged_pts
+        }
     result = compile_sparql(
         query,
         tagged,
+        property_tables=pts,
         partition_cols=[WINDOW_ID],
         registry=registry,
         static_quads=static_quads,

@@ -187,3 +187,34 @@ def test_star_rewrite_in_fixed_historical_window(spark, sf_dir):
     # a window that excludes everything stays empty through the rewrite
     text2 = text.replace("[START 0 END 1767225600000]", "[START 0 END 5]")
     assert fast.start_historical(fast.register_query(text2))["urn:w:h"].count() == 0
+
+
+def test_star_rewrite_in_sliding_window(spark, sf_dir):
+    """Sliding windows window-tag the property tables, so a star compiles
+    to one tagged scan threaded through the per-window aggregation —
+    same results as the self-join path across every hop."""
+    from janus_spark.engine import JanusEngine
+    from janus_spark.queries import _events_ptr, _events_quads, _events_ts_bounds
+
+    lo, hi = _events_ts_bounds(spark, sf_dir)
+    rng, step = max((hi - lo) // 4, 1), max((hi - lo) // 8, 1)
+    text = f"""
+    REGISTER RStream <out> AS
+    SELECT ?t (COUNT(?e) AS ?n) (AVG(?v) AS ?avg_v)
+    FROM NAMED WINDOW <urn:w:s> ON LOG <urn:stream:events>
+      [OFFSET {hi - lo} RANGE {rng} STEP {step}]
+    WHERE {{ WINDOW <urn:w:s> {{
+      ?e <urn:col:event_type> ?t . ?e <urn:col:value> ?v . }} }}
+    GROUP BY ?t
+    """
+    quads = _events_quads(spark, sf_dir)
+    base = JanusEngine(spark, quads)
+    fast = JanusEngine(spark, quads, property_tables=_events_ptr(spark, sf_dir))
+    bq = base.start_historical(base.register_query(text, query_id="q"), now=hi)["urn:w:s"]
+    fq = fast.start_historical(fast.register_query(text, query_id="q"), now=hi)["urn:w:s"]
+    plan = plan_of(fq)
+    assert plan.count("Scan parquet") == 1, "star + window tag must stay one scan"
+    assert "SortMergeJoin" not in plan
+    rows_b = sorted(map(tuple, bq.collect()))
+    rows_f = sorted(map(tuple, fq.collect()))
+    assert rows_b == rows_f and rows_b
