@@ -34,10 +34,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from janus_spark.queries import ORACLES, oracle_for_hist_fixed, oracle_for_hist_sliding
+    from janus_spark.queries import (
+        ORACLES,
+        oracle_for_hist_fixed,
+        oracle_for_hist_sliding,
+        oracle_for_hist_sliding_star,
+    )
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     out = dict(ORACLES)
     out["q_hist_fixed"] = oracle_for_hist_fixed(sf_dir)
     out["q_hist_sliding"] = oracle_for_hist_sliding(sf_dir)
+    out["q_hist_sliding_star"] = oracle_for_hist_sliding_star(sf_dir)
     return out

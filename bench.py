@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "q_join_bind_concat",
     "q_hist_fixed",
     "q_hist_sliding",
+    "q_hist_sliding_star",
+    "q_tpch_pricing",
     "q_comparator_stats",
     "q_baseline_aggregate",
 ]

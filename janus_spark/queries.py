@@ -254,6 +254,34 @@ def q_hist_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_sliding_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 sliding window + star-join elimination: a multi-pattern BGP
+    grouped per hop runs as ONE window-tagged wide scan (zero
+    self-joins, one shuffle for all hops)."""
+    quads = _events_quads(spark, sf_dir)
+    lo, hi = _events_ts_bounds(spark, sf_dir)
+    offset = hi - lo
+    rng = max((hi - lo) // 4, 1)
+    step = max((hi - lo) // 8, 1)
+    text = f"""
+    REGISTER RStream <out> AS
+    SELECT ?t (COUNT(?e) AS ?n) (AVG(?v) AS ?avg_v)
+    FROM NAMED WINDOW <urn:w:s> ON LOG <urn:stream:events> [OFFSET {offset} RANGE {rng} STEP {step}]
+    WHERE {{ WINDOW <urn:w:s> {{ ?e <urn:col:event_type> ?t . ?e <urn:col:value> ?v . }} }}
+    GROUP BY ?t
+    """
+    eng = JanusEngine(spark, quads, property_tables=_events_ptr(spark, sf_dir))
+    qid = eng.register_query(text, query_id="q_hist_sliding_star")
+    res = eng.start_historical(qid, now=hi)["urn:w:s"]
+    return res.select(
+        "window_start",
+        "window_end",
+        "t",
+        F.col("n").cast("long").alias("n"),
+        F.col("avg_v").cast("double").alias("avg_v"),
+    )
+
+
 def q_comparator_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 rolling WindowStats per user over the events stream."""
     ev = read_events(spark, sf_dir).select(
@@ -357,6 +385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ext_rules": q_ext_rules,
     "q_hist_fixed": q_hist_fixed,
     "q_hist_sliding": q_hist_sliding,
+    "q_hist_sliding_star": q_hist_sliding_star,
     "q_comparator_stats": q_comparator_stats,
     "q_baseline_aggregate": q_baseline_aggregate,
 }
@@ -450,6 +479,27 @@ def oracle_for_hist_sliding(sf_dir: str) -> str:
         SELECT w.window_start, w.window_end, COUNT(*) AS n, AVG(e.value) AS avg_v
         FROM w JOIN events e ON {_TSM.replace('ts', 'e.ts')} BETWEEN w.window_start AND w.window_end
         GROUP BY w.window_start, w.window_end"""
+
+
+def oracle_for_hist_sliding_star(sf_dir: str) -> str:
+    import duckdb
+
+    lo, hi = duckdb.sql(
+        f"SELECT epoch_ns(MIN(ts)) // 1000000, epoch_ns(MAX(ts)) // 1000000 "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    offset = hi - lo
+    rng = max((hi - lo) // 4, 1)
+    step = max((hi - lo) // 8, 1)
+    bounds = sliding_window_bounds(hi, offset, rng, step)
+    values = ", ".join(f"({s}, {e})" for _, s, e in bounds)
+    return f"""
+        WITH w(window_start, window_end) AS (VALUES {values})
+        SELECT w.window_start, w.window_end, e.event_type AS t,
+               COUNT(*) AS n, AVG(e.value) AS avg_v
+        FROM w JOIN events e ON {_TSM.replace('ts', 'e.ts')} BETWEEN w.window_start AND w.window_end
+        WHERE e.event_type IS NOT NULL AND e.value IS NOT NULL
+        GROUP BY w.window_start, w.window_end, e.event_type"""
 
 
 # ----------------------------------------------------- datapipe queries
