@@ -55,16 +55,24 @@ def bench_storage(spark, tmp_root: str) -> tuple[dict[str, float], dict[str, flo
         melt_sensor_fixture(spark, 10_000), mode="overwrite"
     )
 
-    t0 = time.perf_counter()
-    store.write(quads, mode="overwrite")
-    w = time.perf_counter() - t0
+    # best-of-2 everywhere (criterion-style steady state, like the query
+    # bench): the first 1M-row write also pays one-time codec/buffer init
+    w = s_full = s_10 = None
+    scanned = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        store.write(quads, mode="overwrite")
+        dt = time.perf_counter() - t0
+        w = dt if w is None else min(w, dt)
 
-    t0 = time.perf_counter()
-    scanned = store.query(0, n * 100).count()  # 100% range
-    s_full = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    store.query(0, n * 10).count()  # 10% range
-    s_10 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        scanned = store.query(0, n * 100).count()  # 100% range
+        dt = time.perf_counter() - t0
+        s_full = dt if s_full is None else min(s_full, dt)
+        t0 = time.perf_counter()
+        store.query(0, n * 10).count()  # 10% range
+        dt = time.perf_counter() - t0
+        s_10 = dt if s_10 is None else min(s_10, dt)
     quads.unpersist()
 
     timings = {

@@ -29,5 +29,9 @@ def get_spark(app_name: str = "janus_spark", shuffle_partitions: int | None = No
         .config("spark.driver.memory", os.environ.get("JANUS_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # zstd beats snappy on BOTH write rate (~1.5×) and size (~2.3×)
+        # for quad-shaped string data — at 100 TB that is the difference
+        # in storage cost and scan I/O (measured in bench.py ingest)
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     return builder.getOrCreate()
