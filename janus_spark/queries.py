@@ -24,22 +24,44 @@ from janus_spark.operators.historical import sliding_window_bounds
 from janus_spark.sources.melt import melt_events, melt_table, read_events
 
 
+# DataFrames are lazy and immutable — the melted view of a table can be
+# built once per (session, sf_dir) and reused by every query.  Without
+# this each call re-issues hundreds of Py4J column-expression calls for
+# the union-of-projections melt (~1s of pure driver time per query).
+_FRAME_CACHE: dict[tuple, object] = {}
+
+
+def _cached(key: tuple, build):
+    if key not in _FRAME_CACHE:
+        _FRAME_CACHE[key] = build()
+    return _FRAME_CACHE[key]
+
+
 def _events_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return melt_events(read_events(spark, sf_dir))
+    return _cached(
+        (id(spark), sf_dir, "events_quads"),
+        lambda: melt_events(read_events(spark, sf_dir)),
+    )
 
 
 def _table_quads(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from janus_spark.sources.melt import ensure_utc
 
     ensure_utc(spark)  # timestamp melts must not depend on the caller's TZ
-    return melt_table(spark.read.parquet(f"{sf_dir}/{table}.parquet"), table)
+    return _cached(
+        (id(spark), sf_dir, "table_quads", table),
+        lambda: melt_table(spark.read.parquet(f"{sf_dir}/{table}.parquet"), table),
+    )
 
 
 def _events_ptr(spark: SparkSession, sf_dir: str) -> dict:
     """Star-join elimination registry for the melted events table."""
     from janus_spark.sources.melt import events_property_table, property_registry
 
-    return property_registry(events_property_table(read_events(spark, sf_dir)))
+    return _cached(
+        (id(spark), sf_dir, "events_ptr"),
+        lambda: property_registry(events_property_table(read_events(spark, sf_dir))),
+    )
 
 
 def _table_ptr(spark: SparkSession, sf_dir: str, *tables: str) -> dict:
@@ -48,11 +70,14 @@ def _table_ptr(spark: SparkSession, sf_dir: str, *tables: str) -> dict:
     from janus_spark.sources.melt import ensure_utc, property_registry, property_table
 
     ensure_utc(spark)
-    return property_registry(
-        *[
-            property_table(spark.read.parquet(f"{sf_dir}/{t}.parquet"), t)
-            for t in tables
-        ]
+    return _cached(
+        (id(spark), sf_dir, "table_ptr", tables),
+        lambda: property_registry(
+            *[
+                property_table(spark.read.parquet(f"{sf_dir}/{t}.parquet"), t)
+                for t in tables
+            ]
+        ),
     )
 
 
@@ -886,11 +911,16 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.sources.melt import ensure_utc, property_registry, property_table
 
     ensure_utc(spark)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
-        "__row", F.monotonically_increasing_id()
-    )
-    quads = melt_table(li.localCheckpoint(eager=False), "lineitem", key_col="__row")
-    ptr = property_registry(property_table(li, "lineitem", key_col="__row"))
+
+    def build():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+            "__row", F.monotonically_increasing_id()
+        )
+        quads = melt_table(li.localCheckpoint(eager=False), "lineitem", key_col="__row")
+        ptr = property_registry(property_table(li, "lineitem", key_col="__row"))
+        return quads, ptr
+
+    quads, ptr = _cached((id(spark), sf_dir, "lineitem_star"), build)
     df = _run(quads, q, ptr)
     return df.select(
         "flag",
