@@ -73,16 +73,43 @@ def bench_storage(spark, tmp_root: str) -> tuple[dict[str, float], dict[str, flo
         store.query(0, n * 10).count()  # 10% range
         dt = time.perf_counter() - t0
         s_10 = dt if s_10 is None else min(s_10, dt)
+    # Point-query shape (BASELINE.md: index lookup at one exact ts,
+    # 0.235ms @ 1M in the reference).  A single lookup in Spark is bounded
+    # below by task scheduling, so we report the honest single-lookup
+    # latency AND the batched form — 10K lookups in ONE job — whose
+    # amortized per-lookup cost is the distributed engine's answer to
+    # point access (at 100 TB the workload is always the batched one).
+    from pyspark.sql import functions as F
+
+    mid_ts = (n // 2) * 100  # fixture ts domain is 100..n*100
+    p = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        store.query(mid_ts, mid_ts).count()
+        dt = time.perf_counter() - t0
+        p = dt if p is None else min(p, dt)
+
+    k = 10_000
+    keys = spark.range(1, k + 1).select((F.col("id") * (n // k) * 100).alias("ts"))
+    b = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        store.query(100, n * 100).join(F.broadcast(keys), "ts").count()
+        dt = time.perf_counter() - t0
+        b = dt if b is None else min(b, dt)
     quads.unpersist()
 
     timings = {
         "ingest_1m_quads": round(w, 3),
         "range_scan_100pct_1m": round(s_full, 3),
         "range_scan_10pct_1m": round(s_10, 3),
+        "point_query_1m": round(p, 3),
+        "point_lookup_10k_batch": round(b, 3),
     }
     extra = {
         "write_quads_per_sec": round(n / w),
         "scan_quads_per_sec": round(scanned / s_full),
+        "point_lookup_amortized_ms": round(b / k * 1000, 4),
     }
     return timings, extra
 
