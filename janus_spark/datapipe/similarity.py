@@ -133,6 +133,123 @@ def lsh_topk(
     )
 
 
+def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of (sim, cell) structs — cosine of ``vec`` against every
+    centroid, as pure Column expressions (centroids are literals, so the
+    assignment is map-only: NO shuffle, no Python)."""
+    entries = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        entries.append(
+            F.struct(
+                # zero-norm vectors get sim -2 so struct-compare stays total
+                F.coalesce(cosine(vec, arr), F.lit(-2.0)).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+        )
+    return F.array(*entries)
+
+
+def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the highest-cosine centroid (ties -> highest cell id,
+    irrelevant in practice; struct array_max compares sim first)."""
+    return F.array_max(_cell_sims(vec, centroids))["cell"]
+
+
+def probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest cell ids, best first."""
+    top = F.slice(F.reverse(F.array_sort(_cell_sims(vec, centroids))), 1, nprobe)
+    return F.transform(top, lambda s: s["cell"])
+
+
+def ivf_train(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means over the corpus -> centroid list.
+
+    Init is a hash-ordered sample (crc32 of the id), so training is
+    reproducible without any RNG state.  Each iteration is ONE shuffle
+    (groupBy cell,dim avg) and collects only n_cells * dim floats to the
+    driver.  At 100 TB you train on ``corpus.sample(...)`` — centroid
+    quality needs thousands of points per cell, not the full corpus —
+    and the result is still just literals broadcast inside the plan.
+    """
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.crc32(F.col("id").cast("string")), F.col("id"))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(r.v) for r in seed_rows]
+    for _ in range(iters):
+        assigned = corpus.select(
+            nearest_cell(F.col(vec_col), centroids).alias("cell"),
+            F.col(vec_col).alias("v"),
+        )
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        for r in rows:  # cells that lost every member keep their centroid
+            centroids[r.cell] = list(r.c)
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their nearest
+    centroid's inverted list; each query probes its ``nprobe`` nearest
+    cells and exact-cosine-ranks only those candidates.
+
+    Scale path: assignment is map-only (centroid literals), the candidate
+    join shuffles the corpus ONCE on ``cell`` (or zero times if the
+    inverted lists are pre-bucketed on disk), and the query side is
+    broadcast.  ``nprobe = n_cells`` degrades to exact search — the
+    correctness anchor used by the tests.
+    """
+    if centroids is None:
+        centroids = ivf_train(corpus, n_cells, id_col, vec_col, iters)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        nearest_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    cand = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -637,6 +637,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 6).alias("sim"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k — nprobe=4 of 16 inverted lists (rows-only:
+    the candidate set depends on trained centroids, not SQL-expressible)."""
+    from janus_spark.datapipe.similarity import ivf_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.where("vec_id < 5")
+    out = ivf_topk(embs, queries, k=10, n_cells=16, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 6).alias("sim")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via self-LSH (rows-only)."""
     from janus_spark.datapipe.similarity import embedding_near_dup_pairs
@@ -678,6 +691,7 @@ QUERIES.update(
         "q_dedup_simhash": q_dedup_simhash,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_multimodal_decode": q_multimodal_decode,
         "q_nquads_roundtrip": q_nquads_roundtrip,

@@ -122,6 +122,29 @@ def test_lsh_topk_recall(spark, embs):
     assert recall >= 0.5, f"top-1 recall too low: {recall}"
 
 
+def test_ivf_probe_all_equals_exact(spark, embs):
+    # nprobe = n_cells means every inverted list is a candidate source, so
+    # IVF must reproduce brute force exactly regardless of centroid quality
+    queries = embs.where("vec_id < 3")
+    exact = similarity.cosine_topk(embs, queries, k=5).collect()
+    ivf = similarity.ivf_topk(embs, queries, k=5, n_cells=8, nprobe=8, iters=2).collect()
+    key = lambda rs: sorted((r["query_id"], r["vec_id"], r["rank"]) for r in rs)
+    assert key(ivf) == key(exact)
+    sims = lambda rs: {(r["query_id"], r["vec_id"]): r["sim"] for r in rs}
+    for k2, v in sims(exact).items():
+        assert abs(sims(ivf)[k2] - v) < 1e-9
+
+
+def test_ivf_topk_recall(spark, embs):
+    queries = embs.where("vec_id < 10")
+    exact = similarity.cosine_topk(embs, queries, k=5).collect()
+    approx = similarity.ivf_topk(embs, queries, k=5, n_cells=16, nprobe=4).collect()
+    exact_top1 = {r["query_id"]: r["vec_id"] for r in exact if r["rank"] == 1}
+    approx_hits = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = sum(1 for q, v in exact_top1.items() if (q, v) in approx_hits) / len(exact_top1)
+    assert recall >= 0.5, f"top-1 recall too low: {recall}"
+
+
 def test_embedding_near_dup_self(spark, embs):
     # plant an exact duplicate vector
     dup = embs.where("vec_id = 0").select(
