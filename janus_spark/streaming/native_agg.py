@@ -1,18 +1,24 @@
 """Native window-aggregate fast path for live queries — the pure
 Structured Streaming alternative to the foreachBatch runtime.
 
-When a live query is aggregate-shaped — ONE live window, ONE triple
-pattern, aggregates over its variables — the RStream evaluation is
-exactly Spark's built-in event-time window aggregation:
+When a live query is aggregate-shaped — ONE live window, a BGP of
+triple patterns, aggregates over its variables — the RStream
+evaluation is exactly Spark's built-in event-time machinery:
 
-    stream.withWatermark(ts).groupBy(window(ts, range, step), keys).agg(...)
+    single pattern (sliding or tumbling):
+        stream.withWatermark(ts).groupBy(window(ts, range, step), keys).agg(...)
+    multi-pattern BGP (tumbling):
+        per-pattern window-tagged streams, chained stream-stream
+        equi-joins on (window, shared vars), then the windowed agg —
+        Spark's window-join + chained-aggregation pipeline.
 
 This path gets incremental state, watermark-driven cleanup, and
 exactly-once sinks from the engine itself (no driver-side window
 bookkeeping, no full re-evaluation per close) — at 100 TB/day this is
 the mode you want for metrics-style continuous queries.  Queries that
-need joins, OPTIONAL, or multi-window merge stay on LiveQueryRunner
-(which trades those capabilities for generality).
+need OPTIONAL, deltas, baselines, sliding multi-pattern joins, or
+multi-window merge stay on LiveQueryRunner (which trades those
+capabilities for generality).
 """
 
 from __future__ import annotations
@@ -45,8 +51,16 @@ def native_agg_reason(parsed: JanusQuery) -> str | None:
     body = parsed.window_bodies[w.name]
     patterns = [el for el in body.elements if isinstance(el, TriplePattern)]
     filters = [el for el in body.elements if isinstance(el, Filter)]
-    if len(patterns) != 1 or len(patterns) + len(filters) != len(body.elements):
-        return "native agg path needs a single triple pattern (+ filters)"
+    if len(patterns) + len(filters) != len(body.elements):
+        return "OPTIONAL/UNION/subpatterns need the foreachBatch runtime"
+    if not patterns:
+        return "native agg path needs at least one triple pattern"
+    if len(patterns) > 1 and w.range_ms != w.step_ms:
+        return (
+            "multi-pattern BGPs run natively only on tumbling windows "
+            "(sliding window() cannot be projected per-row for a "
+            "stream-stream join); foreachBatch handles sliding"
+        )
     if parsed.projection is None or not any(
         isinstance(e, ECall) and e.is_aggregate() for e, _ in parsed.projection
     ):
@@ -62,23 +76,9 @@ def native_agg_reason(parsed: JanusQuery) -> str | None:
     return None
 
 
-def native_window_agg_stream(
-    parsed: JanusQuery,
-    stream_quads: DataFrame,
-    watermark: str = "10 seconds",
-) -> DataFrame:
-    """Compile an aggregate-shaped live query to a native streaming
-    window aggregation.  Raises ValueError (with the reason) when the
-    query's shape needs the general foreachBatch runtime instead."""
-    reason = native_agg_reason(parsed)
-    if reason is not None:
-        raise ValueError(reason)
-    w = parsed.live_windows[0]
-    body = parsed.window_bodies[w.name]
-    patterns = [el for el in body.elements if isinstance(el, TriplePattern)]
-    filters = [el for el in body.elements if isinstance(el, Filter)]
-
-    tp = patterns[0]
+def _pattern_stream(stream_quads: DataFrame, tp: TriplePattern) -> tuple[DataFrame, set[str]]:
+    """Constant-term filter + variable projection for ONE triple pattern,
+    keeping the event time; returns (stream, bound variable names)."""
     df = stream_quads
     proj: dict[str, str] = {}
     for pos, term in (("subject", tp.s), ("predicate", tp.p), ("object", tp.o)):
@@ -88,24 +88,76 @@ def native_window_agg_stream(
             df = df.where(F.col(pos) == term.value if hasattr(term, "value") else term.lexical)
     sel: list[Column] = [F.timestamp_millis(F.col("ts")).alias("__event_time")]
     sel += [F.col(src).alias(var) for var, src in proj.items()]
-    df = df.select(*sel)
-    for f in filters:
-        df = df.where(compile_expr(f.expr, "bool"))
+    return df.select(*sel), set(proj)
+
+
+def native_window_agg_stream(
+    parsed: JanusQuery,
+    stream_quads: DataFrame,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Compile an aggregate-shaped live query to a native streaming
+    window aggregation.  Raises ValueError (with the reason) when the
+    query's shape needs the general foreachBatch runtime instead.
+
+    Single pattern: watermark + sliding/tumbling ``window()`` groupBy.
+    Multi-pattern BGP (tumbling windows only): each pattern becomes a
+    filtered projection of the stream, window-tagged per-row, and the
+    patterns chain through stream-stream equi-joins on
+    (window, shared vars) — Spark's window-equality join lets the state
+    store evict a window's rows once the watermark passes, so join state
+    is O(open windows), and the chained windowed aggregation after the
+    join is the multiple-stateful-operator pipeline Structured Streaming
+    supports natively (append mode).  The reference evaluates the same
+    shape by re-running the full SPARQL join on every window close
+    (src/stream/, rsp-rs); here the join state is incremental."""
+    reason = native_agg_reason(parsed)
+    if reason is not None:
+        raise ValueError(reason)
+    w = parsed.live_windows[0]
+    body = parsed.window_bodies[w.name]
+    patterns = [el for el in body.elements if isinstance(el, TriplePattern)]
+    filters = [el for el in body.elements if isinstance(el, Filter)]
 
     group_vars = [e.name for e, _ in parsed.group_by if isinstance(e, EVar)]
-    spark_window = F.window(
-        F.col("__event_time"), f"{w.range_ms} milliseconds", f"{w.step_ms} milliseconds"
-    )
     aggs = [
         compile_aggregate(e).alias(name)
         for e, name in parsed.projection
         if isinstance(e, ECall) and e.is_aggregate()
     ]
-    out = (
-        df.withWatermark("__event_time", watermark)
-        .groupBy(spark_window.alias("window"), *[F.col(v) for v in group_vars])
-        .agg(*aggs)
-    )
+
+    if len(patterns) == 1:
+        df, _ = _pattern_stream(stream_quads, patterns[0])
+        for f in filters:
+            df = df.where(compile_expr(f.expr, "bool"))
+        spark_window = F.window(
+            F.col("__event_time"), f"{w.range_ms} milliseconds", f"{w.step_ms} milliseconds"
+        )
+        out = (
+            df.withWatermark("__event_time", watermark)
+            .groupBy(spark_window.alias("window"), *[F.col(v) for v in group_vars])
+            .agg(*aggs)
+        )
+    else:
+        joined: DataFrame | None = None
+        bound: set[str] = set()
+        for tp in patterns:
+            df, tp_vars = _pattern_stream(stream_quads, tp)
+            df = df.withWatermark("__event_time", watermark).select(
+                F.window(F.col("__event_time"), f"{w.range_ms} milliseconds").alias("window"),
+                *[F.col(v) for v in tp_vars],
+            )
+            if joined is None:
+                joined, bound = df, tp_vars
+            else:
+                # shared vars = SPARQL join keys; window equality scopes the
+                # join to co-windowed events AND drives state eviction
+                joined = joined.join(df, on=["window", *sorted(bound & tp_vars)])
+                bound |= tp_vars
+        for f in filters:
+            joined = joined.where(compile_expr(f.expr, "bool"))
+        out = joined.groupBy(F.col("window"), *[F.col(v) for v in group_vars]).agg(*aggs)
+
     return out.select(
         F.unix_millis(F.col("window.start")).alias("window_start"),
         F.unix_millis(F.col("window.end")).alias("window_end"),

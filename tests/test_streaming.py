@@ -269,8 +269,72 @@ def test_native_agg_rejects_join_shapes(spark):
     WHERE {{ WINDOW ex:w {{ ?s ex:temperature ?t . ?s ex:humidity ?h . }} }}
     GROUP BY ?s
     """
-    with pytest.raises(ValueError, match="single triple pattern"):
+    # sliding (STEP < RANGE) multi-pattern stays on foreachBatch
+    with pytest.raises(ValueError, match="tumbling"):
         native_window_agg_stream(parse_janusql(text), None)
+
+
+def test_native_multi_pattern_join_stream(spark, tmp_path):
+    """Multi-pattern BGPs over tumbling windows run natively: per-pattern
+    window-tagged streams -> stream-stream join on (window, shared vars)
+    -> chained windowed aggregation, all incremental (append mode)."""
+    from janus_spark.model import QUAD_SCHEMA
+    from janus_spark.streaming.native_agg import native_agg_reason, native_window_agg_stream
+
+    text = f"""
+    PREFIX ex: <{EX}>
+    REGISTER RStream <out> AS
+    SELECT ?s (COUNT(?t) AS ?n) (AVG(?h) AS ?avg_h)
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 2000]
+    WHERE {{ WINDOW ex:w {{ ?s ex:temperature ?t . ?s ex:humidity ?h . }} }}
+    GROUP BY ?s
+    """
+    parsed = parse_janusql(text)
+    assert native_agg_reason(parsed) is None
+
+    temps = melt_sensor_fixture(spark, 40)
+    hums = temps.select(
+        "ts", "subject", F.lit(f"{EX}humidity").alias("predicate"),
+        (F.col("object").cast("int") + 50).cast("string").alias("object"), "graph",
+    )
+
+    def closer(ts):  # advances the watermark on BOTH pattern legs
+        return temps.unionByName(hums).where("ts = 100").selectExpr(
+            f"CAST({ts} AS LONG) as ts", "subject", "predicate", "object", "graph"
+        )
+
+    src = tmp_path / "natj_src"
+    src.mkdir()
+    # one file per micro-batch (maxFilesPerTrigger=1): the closer files
+    # advance event time so append mode emits the closed windows
+    temps.unionByName(hums).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    closer(60_000).coalesce(1).write.parquet(str(src / "f2.parquet"))
+    closer(120_000).coalesce(1).write.parquet(str(src / "f3.parquet"))
+    stream = (
+        spark.readStream.schema(QUAD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    out = native_window_agg_stream(parse_janusql(text), stream, watermark="1 second")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nat_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "natj_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM nat_join WHERE window_start = 0 ORDER BY s"
+    ).collect()
+    # window [0,2000): ids 1..19; sensor0 has temps {25,20,25} and
+    # humidity {75,70,75} -> BGP cross product: 3x3 = 9 bindings,
+    # avg over ?h repeats each humidity 3 times
+    assert {r["s"] for r in rows} == {f"{EX}sensor{i}" for i in range(5)}
+    s0 = [r for r in rows if r["s"].endswith("sensor0")][0]
+    assert s0["n"] == 9
+    assert abs(s0["avg_h"] - (75 + 70 + 75) / 3) < 1e-9
 
 
 def test_engine_dispatches_live_mode(spark, tmp_path):
@@ -297,8 +361,9 @@ def test_engine_dispatches_live_mode(spark, tmp_path):
     WHERE {{ WINDOW ex:w {{ ?s ex:temperature ?t . ?s ex:humidity ?h . }} }}
     """)
     assert eng.explain_live(agg_q)["mode"] == "native"
+    # sliding multi-pattern (and non-aggregate projection) -> foreachBatch
     assert eng.explain_live(join_q)["mode"] == "foreachbatch"
-    assert "triple pattern" in eng.explain_live(join_q)["reason"]
+    assert "tumbling" in eng.explain_live(join_q)["reason"]
 
     src = tmp_path / "disp_src"
     src.mkdir()
