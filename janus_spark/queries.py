@@ -307,6 +307,82 @@ def q_hist_sliding_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_live_tumbling_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming multi-pattern join path under the EXACT gate: the
+    deterministic sensor fixture flows through a real Structured
+    Streaming run (file source -> per-pattern window tagging ->
+    stream-stream window-equality join -> chained windowed agg -> memory
+    sink, append mode) and the emitted windows hash-match a pure-SQL
+    reconstruction in DuckDB.  The fixture values are small integers, so
+    double sums are exact and engine-order-independent.  sf_dir is
+    unused: the fixture IS the stream (reference bench shape:
+    benches/live_injection.rs)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.model import QUAD_SCHEMA
+    from janus_spark.parsing import parse_janusql
+    from janus_spark.sources.melt import melt_sensor_fixture
+    from janus_spark.streaming.native_agg import native_window_agg_stream
+
+    text = """
+    PREFIX ex: <http://example.org/>
+    REGISTER RStream <out> AS
+    SELECT ?s (COUNT(?t) AS ?n) (AVG(?h) AS ?avg_h)
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 2000]
+    WHERE { WINDOW ex:w { ?s ex:temperature ?t . ?s ex:humidity ?h . } }
+    GROUP BY ?s
+    """
+    temps = melt_sensor_fixture(spark, 40)
+    hums = temps.select(
+        "ts", "subject", F.lit("http://example.org/humidity").alias("predicate"),
+        (F.col("object").cast("int") + 50).cast("string").alias("object"), "graph",
+    )
+
+    def closer(ts: int) -> DataFrame:  # advances event time on both legs
+        return temps.unionByName(hums).where("ts = 100").selectExpr(
+            f"CAST({ts} AS LONG) as ts", "subject", "predicate", "object", "graph"
+        )
+
+    root = tempfile.mkdtemp(prefix="live_tj_")
+    try:
+        temps.unionByName(hums).coalesce(1).write.parquet(f"{root}/f1.parquet")
+        closer(60_000).coalesce(1).write.parquet(f"{root}/f2.parquet")
+        closer(120_000).coalesce(1).write.parquet(f"{root}/f3.parquet")
+        stream = (
+            spark.readStream.schema(QUAD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/*.parquet")
+        )
+        out = native_window_agg_stream(parse_janusql(text), stream, watermark="1 second")
+        name = f"live_tj_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # keep only the data windows (the closer events open far-future
+        # windows that exist solely to advance the watermark)
+        return (
+            spark.table(name)
+            .where(F.col("window_start") <= 4000)
+            .select(
+                "window_start",
+                "window_end",
+                "s",
+                F.col("n").cast("long").alias("n"),
+                F.round(F.col("avg_h"), 6).alias("avg_h"),
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_comparator_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 rolling WindowStats per user over the events stream."""
     ev = read_events(spark, sf_dir).select(
@@ -413,7 +489,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hist_sliding_star": q_hist_sliding_star,
     "q_comparator_stats": q_comparator_stats,
     "q_baseline_aggregate": q_baseline_aggregate,
+    "q_live_tumbling_join": q_live_tumbling_join,
 }
+
+# SQL reconstruction of the streaming fixture: ts=i*100, sensor=i%5,
+# temp=20+(i%10), humidity=temp+50; tumbling 2s windows = ts//2000.
+# The BGP { ?s temp ?t . ?s hum ?h } is the within-window cross product
+# per sensor, exactly a self-join on (sensor, window).
+_LIVE_TJ_ORACLE = """
+WITH ev AS (
+  SELECT CAST(r.range * 100 AS BIGINT) AS ts,
+         'http://example.org/sensor' || CAST(r.range % 5 AS VARCHAR) AS s,
+         CAST(20 + (r.range % 10) AS DOUBLE) AS t
+  FROM range(1, 41) r
+), w AS (
+  SELECT s, t, ts // 2000 AS win FROM ev
+)
+SELECT CAST(a.win * 2000 AS BIGINT) AS window_start,
+       CAST(a.win * 2000 + 2000 AS BIGINT) AS window_end,
+       a.s AS s,
+       COUNT(*) AS n,
+       ROUND(AVG(b.t + 50), 6) AS avg_h
+FROM w a JOIN w b ON a.s = b.s AND a.win = b.win
+GROUP BY 1, 2, 3
+"""
 
 _EV = "'urn:event:' || CAST(event_id AS VARCHAR)"
 _TSM = "(epoch_ns(ts) // 1000000)"
@@ -472,6 +571,7 @@ ORACLES: dict[str, str] = {
                'https://janus.rs/baseline#v' AS var_iri,
                value AS value
         FROM events""",
+    "q_live_tumbling_join": _LIVE_TJ_ORACLE,
 }
 
 
