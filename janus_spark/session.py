@@ -29,9 +29,11 @@ def get_spark(app_name: str = "janus_spark", shuffle_partitions: int | None = No
         .config("spark.driver.memory", os.environ.get("JANUS_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # zstd beats snappy on BOTH write rate (~1.5×) and size (~2.3×)
-        # for quad-shaped string data — at 100 TB that is the difference
-        # in storage cost and scan I/O (measured in bench.py ingest)
+        # zstd beats snappy ~2.6× on size for quad-shaped string data; at
+        # level 1 it also matches snappy's write and scan speed (level 3
+        # costs ~30% write/scan for zero size gain — the data is already
+        # dictionary-encoded before the codec sees it). Measured in bench.py.
         .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.hadoop.parquet.compression.codec.zstd.level", "1")
     )
     return builder.getOrCreate()
