@@ -38,6 +38,16 @@ class QuadStore:
 
         Sort by ts within files so Parquet row-group stats give the
         two-level-index pruning behavior on read.
+
+        ``target_partitions`` opt-in range-clusters on (ts_bucket, ts)
+        before the write.  Use it when the INPUT is not already
+        ts-clustered (e.g. post-shuffle data), where every task would
+        otherwise write a file into every bucket it touches —
+        task_count × bucket_count small files.  For ts-contiguous input
+        (streaming micro-batches, ordered replays) the extra shuffle is
+        a measured net loss (~25% write throughput, identical scans), so
+        it is NOT the default; `compact()` repairs layout after the fact
+        if an unclustered append slipped through.
         """
         bucketed = quads.withColumn("ts_bucket", (F.col("ts") / self.bucket_ms).cast("long"))
         if target_partitions:
