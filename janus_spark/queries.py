@@ -39,7 +39,7 @@ def _cached(key: tuple, build):
 
 def _events_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(
-        (id(spark), sf_dir, "events_quads"),
+        (spark, sf_dir, "events_quads"),
         lambda: melt_events(read_events(spark, sf_dir)),
     )
 
@@ -49,7 +49,7 @@ def _table_quads(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     ensure_utc(spark)  # timestamp melts must not depend on the caller's TZ
     return _cached(
-        (id(spark), sf_dir, "table_quads", table),
+        (spark, sf_dir, "table_quads", table),
         lambda: melt_table(spark.read.parquet(f"{sf_dir}/{table}.parquet"), table),
     )
 
@@ -59,7 +59,7 @@ def _events_ptr(spark: SparkSession, sf_dir: str) -> dict:
     from janus_spark.sources.melt import events_property_table, property_registry
 
     return _cached(
-        (id(spark), sf_dir, "events_ptr"),
+        (spark, sf_dir, "events_ptr"),
         lambda: property_registry(events_property_table(read_events(spark, sf_dir))),
     )
 
@@ -71,7 +71,7 @@ def _table_ptr(spark: SparkSession, sf_dir: str, *tables: str) -> dict:
 
     ensure_utc(spark)
     return _cached(
-        (id(spark), sf_dir, "table_ptr", tables),
+        (spark, sf_dir, "table_ptr", tables),
         lambda: property_registry(
             *[
                 property_table(spark.read.parquet(f"{sf_dir}/{t}.parquet"), t)
@@ -1034,7 +1034,7 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ptr = property_registry(property_table(li, "lineitem", key_col="__row"))
         return quads, ptr
 
-    quads, ptr = _cached((id(spark), sf_dir, "lineitem_star"), build)
+    quads, ptr = _cached((spark, sf_dir, "lineitem_star"), build)
     df = _run(quads, q, ptr)
     return df.select(
         "flag",
