@@ -337,6 +337,72 @@ def test_native_multi_pattern_join_stream(spark, tmp_path):
     assert abs(s0["avg_h"] - (75 + 70 + 75) / 3) < 1e-9
 
 
+def test_native_join_late_data_within_watermark(spark, tmp_path):
+    """A late event arriving within the watermark delay still lands in its
+    (already-open) window on both join legs — the late-data story the
+    reference lacks entirely (its MQTT path overwrites event time with
+    arrival time; SURVEY W7)."""
+    from janus_spark.model import QUAD_SCHEMA
+    from janus_spark.streaming.native_agg import native_window_agg_stream
+
+    text = f"""
+    PREFIX ex: <{EX}>
+    REGISTER RStream <out> AS
+    SELECT ?s (COUNT(?t) AS ?n)
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 2000]
+    WHERE {{ WINDOW ex:w {{ ?s ex:temperature ?t . ?s ex:humidity ?h . }} }}
+    GROUP BY ?s
+    """
+    rows = [
+        # batch 1: one temp event for sensor A in window [0,2000)
+        (100, "A", "temp", "21"),
+        (100, "A", "hum", "70"),
+        # batch 2: advance event time to 2500 (watermark = 2500-10000 < 0,
+        # window [0,2000) still open), THEN a late ts=300 humidity pairing
+        (2500, "B", "temp", "20"),
+        (2500, "B", "hum", "60"),
+        # batch 3: the late event — ts=300 arrives after ts=2500 was seen
+        (300, "A", "temp", "22"),
+        (300, "A", "hum", "71"),
+        # batch 4: far-future closer flushes everything
+        (60_000, "C", "temp", "20"),
+        (60_000, "C", "hum", "60"),
+        (120_000, "C", "temp", "20"),
+        (120_000, "C", "hum", "60"),
+    ]
+    batches = [rows[0:2], rows[2:4], rows[4:6], rows[6:8], rows[8:10]]
+    src = tmp_path / "natl_src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        spark.createDataFrame(
+            [(ts, f"{EX}{s}", f"{EX}{'temperature' if p == 'temp' else 'humidity'}", o, f"{EX}g")
+             for ts, s, p, o in b],
+            QUAD_SCHEMA,
+        ).coalesce(1).write.parquet(str(src / f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema(QUAD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    out = native_window_agg_stream(parse_janusql(text), stream, watermark="10 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nat_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "natl_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["s"]: r["n"]
+        for r in spark.sql("SELECT * FROM nat_late WHERE window_start = 0").collect()
+    }
+    # sensor A: temps {21,22} x hums {70,71} -> 4 bindings; the late
+    # ts=300 pair MUST be counted even though ts=2500 arrived first
+    assert got == {f"{EX}A": 4}
+
+
 def test_engine_dispatches_live_mode(spark, tmp_path):
     """start_live_auto picks native for aggregate shapes, foreachBatch
     for join shapes; explain_live reports the choice and reason."""
