@@ -110,3 +110,33 @@ class QuadStore:
             .where(F.col("ts").between(start_ts, end_ts))
             .drop("ts_bucket")
         )
+
+
+def write_subject_bucketed(
+    spark: SparkSession,
+    quads: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize quads as a subject-bucketed, subject-sorted catalog
+    table (hash-bucketed parquet; no Hive needed).
+
+    At 100 TB the dominant shuffle in every BGP is the self-join on the
+    subject variable.  Spark's native bucketing pins each subject's quads
+    to a fixed bucket file, so any equi-join between two scans of this
+    table on ``subject`` (or between tables sharing bucket count + key)
+    needs NO Exchange on either side — the join runs bucket-local
+    (plan-guarded in tests/test_plans.py).  This is the distributed
+    analogue of the reference's per-subject adjacency inside its
+    in-memory Oxigraph store (SURVEY §2.6: the reference has no
+    distributed co-location story at all)."""
+    (
+        quads.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(buckets, "subject")
+        .sortBy("subject")
+        .saveAsTable(table)
+    )

@@ -218,3 +218,30 @@ def test_star_rewrite_in_sliding_window(spark, sf_dir):
     rows_b = sorted(map(tuple, bq.collect()))
     rows_f = sorted(map(tuple, fq.collect()))
     assert rows_b == rows_f and rows_b
+
+
+def test_subject_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """A subject-bucketed quad table joins to itself on subject with NO
+    Exchange on either side — the shuffle that dominates BGP evaluation
+    at scale simply disappears when the storage layout carries the
+    partitioning."""
+    from janus_spark.sources.quadstore import write_subject_bucketed
+
+    quads = melt_sensor_fixture(spark, 5000)
+    write_subject_bucketed(spark, quads, "bq_quads", str(tmp_path / "bq"), buckets=8)
+    try:
+        t = spark.table("bq_quads")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = (
+                t.select(F.col("subject"), F.col("object").alias("a"))
+                .join(t.select(F.col("subject"), F.col("object").alias("b")), "subject")
+            )
+            plan = plan_of(joined)
+            assert "Exchange" not in plan, f"bucketed self-join must not shuffle:\n{plan}"
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bq_quads")
