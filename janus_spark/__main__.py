@@ -5,6 +5,8 @@
     python -m janus_spark serve  [--sf-dir DIR] [--port 8080]
     python -m janus_spark replay --input file.nq --store DIR [--rate HZ]
     python -m janus_spark bench
+    python -m janus_spark datapipe [--sf-dir DIR] [--out DIR]
+                                   [--min-tokens N] [--min-score X]
 """
 
 from __future__ import annotations
@@ -85,6 +87,41 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def cmd_datapipe(args) -> int:
+    """Training-data curation over the documents table: quality/language
+    features -> quality filter -> exact dedup -> MinHash-LSH near-dup
+    keep-list.  Writes the curated corpus (doc + features + keep flags)
+    to --out if given; prints one JSON summary line either way."""
+    from pyspark.sql import functions as F
+
+    from janus_spark.datapipe.dedup import dedup_keep_list, exact_dedup, minhash_lsh_pairs
+    from janus_spark.datapipe.text import lang_id, quality_features
+
+    spark = _spark()
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    feat = lang_id(quality_features(docs))
+    kept = feat.where(
+        (F.col("q_n_tokens") >= args.min_tokens) & (F.col("q_score") >= args.min_score)
+    )
+    survivors = kept.join(
+        exact_dedup(kept).select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+    keep = dedup_keep_list(survivors, minhash_lsh_pairs(survivors))
+    curated = survivors.join(keep.select("doc_id", "keep_id", "keep"), "doc_id")
+    summary = {
+        "input_docs": docs.count(),
+        "after_quality_filter": kept.count(),
+        "after_exact_dedup": survivors.count(),
+        "near_dup_dropped": curated.where(~F.col("keep")).count(),
+    }
+    summary["curated_docs"] = summary["after_exact_dedup"] - summary["near_dup_dropped"]
+    if args.out:
+        curated.where(F.col("keep")).write.mode("overwrite").parquet(args.out)
+        summary["out"] = args.out
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -117,6 +154,12 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench")
 
+    sd = sub.add_parser("datapipe")
+    sd.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sd.add_argument("--out", default=None)
+    sd.add_argument("--min-tokens", type=int, default=5)
+    sd.add_argument("--min-score", type=float, default=0.5)
+
     args = p.parse_args(argv)
     return {
         "parse": cmd_parse,
@@ -124,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
         "serve": cmd_serve,
         "replay": cmd_replay,
         "bench": cmd_bench,
+        "datapipe": cmd_datapipe,
     }[args.cmd](args)
 
 
