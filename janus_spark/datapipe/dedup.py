@@ -35,6 +35,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose normalized
+    text exactly matches any benchmark document (the pre-training hygiene
+    step — eval data must not leak into the training set).
+
+    Returns (id, fp_md5) for contaminated rows only.  Scale: the benchmark
+    side is tiny relative to the corpus → distinct its fingerprints and
+    broadcast, so the corpus scan is map-only with no shuffle."""
+    fp = F.md5(normalize(F.col(text_col)))
+    bench_fp = benchmark.select(F.md5(normalize(F.col(bench_text_col))).alias("fp_md5")).distinct()
+    return (
+        df.select(F.col(id_col).alias("id"), fp.alias("fp_md5"))
+        .join(F.broadcast(bench_fp), "fp_md5", "semi")
+        .select("id", "fp_md5")
+    )
+
+
 # --------------------------------------------------------------- shingles
 def word_shingles(text_col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (arrays stay JVM-side)."""

@@ -1,0 +1,99 @@
+"""Deterministic sampling operators for training-data curation.
+
+All sampling here is *content-hash* based, not RNG based: a row's fate
+depends only on its key, so runs are reproducible across cluster sizes,
+partitionings, retries and engines (the md5 threshold trick evaluates
+identically in Spark and DuckDB, which makes every operator in this
+module oracle-checkable — see ``janus_spark.queries``).
+
+Scale notes (100 TB): every operator is map-only over the scan except
+``quota_sample``, which shuffles once on the stratum key (bounded output:
+n_per_stratum rows per stratum survive).  No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# md5-prefix space: first 8 hex chars = 32 bits
+_HASH_SPACE = 16 ** 8
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """Map a sampling rate in [0, 1] to an 8-hex-char threshold such that
+    ``substr(md5(key), 1, 8) < threshold`` keeps ~rate of uniformly-hashed
+    keys.  Plain string comparison — lowercase hex sorts like the integer
+    it encodes, so no engine-specific hex→int conversion is needed."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * _HASH_SPACE), _HASH_SPACE - 1), "08x")
+
+
+def hash_bucket(key: Column) -> Column:
+    """The 8-hex-char md5 prefix of a key's string form — the uniform
+    'coin flip' every sampler below compares against a threshold."""
+    return F.substring(F.md5(key.cast("string")), 1, 8)
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id") -> DataFrame:
+    """Keep ~``rate`` of rows, chosen deterministically by key hash.
+    Unlike ``df.sample()`` the selection is stable across runs, partition
+    counts and engines."""
+    return df.where(hash_bucket(F.col(key_col)) < rate_to_hex_threshold(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing: keep
+    10% of English, 100% of low-resource languages).  Map-only: the rate
+    lookup folds to a CASE expression, no join."""
+    thr: Column = F.lit(rate_to_hex_threshold(default_rate))
+    for stratum, rate in rates.items():
+        thr = F.when(F.col(strata_col) == stratum, F.lit(rate_to_hex_threshold(rate))).otherwise(thr)
+    return df.where(hash_bucket(F.col(key_col)) < thr)
+
+
+def quota_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per stratum, picked deterministically
+    (lowest key-hashes win; key breaks hash ties).  The domain-quota
+    pattern: cap any one source's contribution to the corpus.
+
+    One shuffle on the stratum key.  Skew note: a mega-stratum (one domain
+    with billions of rows) funnels into one partition before the rank cut;
+    at that scale pre-filter with ``hash_sample`` at a rate that leaves
+    ~10×n survivors per stratum, then apply the exact quota."""
+    w = Window.partitionBy(strata_col).orderBy(hash_bucket(F.col(key_col)), F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def split_train_eval(
+    df: DataFrame,
+    eval_rate: float = 0.01,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Tag every row with a stable 'train' / 'eval' split label.  Because
+    the split is key-hash based, later re-runs over a grown corpus keep
+    existing rows in their original split (no eval contamination when new
+    data arrives)."""
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(F.col(key_col)) < rate_to_hex_threshold(eval_rate), F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )

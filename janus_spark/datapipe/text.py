@@ -109,6 +109,52 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", best)
 
 
+def clean_tokens(col: Column) -> Column:
+    """Whitespace tokens with empties dropped (blank text → empty list,
+    not [''])."""
+    return F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: t != "")
+
+
+def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals — the classic boilerplate /
+    generated-text filter: unique-token ratio and unique-bigram ratio
+    (degenerate repetitive text → ratios near 0).  Map-only, all native
+    array expressions.
+
+    Bigrams are built by zipping the token list against itself shifted by
+    one; zip pads the tail with NULL and ``concat`` propagates it, so one
+    IS NOT NULL filter yields exactly n-1 bigrams.
+    """
+    toks = clean_tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.filter(
+        F.zip_with(toks, F.slice(toks, 2, F.greatest(n, F.lit(1))), lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    nb = F.size(bigrams)
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(1.0)).alias("uniq_token_ratio"),
+        F.when(nb > 0, F.size(F.array_distinct(bigrams)) / nb).otherwise(F.lit(1.0)).alias("uniq_bigram_ratio"),
+    )
+
+
+def word_freq(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus-level top-k word frequency (vocabulary head).  Explode →
+    partial-aggregated count (map-side combine) → global top-k; ties break
+    on the word so the result is deterministic.  The explode inflates rows
+    ~n_tokens× but never materializes: it feeds straight into a hash
+    aggregate."""
+    words = df.select(F.explode(clean_tokens(F.col(text_col))).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 over the normalized text (md5 is available
     identically in Spark and DuckDB, making the op oracle-checkable), plus

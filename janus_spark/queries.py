@@ -1113,3 +1113,140 @@ ORACLES["q_dedup_keeplist"] = (
     + """) AS keep
     FROM corpus"""
 )
+
+
+# ------------------------------------- deterministic sampling / curation
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: keep ~25% of documents by md5(key)
+    threshold — stable across runs, partitionings and engines."""
+    from janus_spark.datapipe.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(docs, 0.25).select("doc_id", "lang", "source")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rebalancing: downsample English to 25%, keep 75% of
+    German, 50% of everything else."""
+    from janus_spark.datapipe.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, {"en": 0.25, "de": 0.75}, strata_col="lang", default_rate=0.5
+    ).select("doc_id", "lang")
+
+
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain quota: at most 5 documents per source, lowest key-hashes
+    win (deterministic)."""
+    from janus_spark.datapipe.sampling import quota_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quota_sample(docs, 5, strata_col="source").select("doc_id", "source")
+
+
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/eval split tags (~20% eval) — new data never moves old
+    rows across the split."""
+    from janus_spark.datapipe.sampling import split_train_eval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_train_eval(docs, eval_rate=0.2).select("doc_id", "split")
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: unique-token and unique-bigram ratios
+    (boilerplate / degenerate-text filter)."""
+    from janus_spark.datapipe.text import repetition_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_features(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("uniq_token_ratio").cast("double"), 9).alias("uniq_token_ratio"),
+        F.round(F.col("uniq_bigram_ratio").cast("double"), 9).alias("uniq_bigram_ratio"),
+    )
+
+
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 words by frequency (ties break on
+    the word — deterministic)."""
+    from janus_spark.datapipe.text import word_freq
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return word_freq(docs, k=50).select("word", F.col("n").cast("long").alias("n"))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs whose normalized text matches
+    a 'benchmark' set (every 97th doc plays the benchmark role)."""
+    from janus_spark.datapipe.dedup import contamination_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, bench)
+
+
+def _sampling_oracles() -> dict[str, str]:
+    from janus_spark.datapipe.sampling import rate_to_hex_threshold as thr
+
+    bucket = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    toks_sql = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+    return {
+        "q_sample_hash": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE {bucket} < '{thr(0.25)}'""",
+        "q_sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {bucket} < CASE lang WHEN 'en' THEN '{thr(0.25)}'
+                                       WHEN 'de' THEN '{thr(0.75)}'
+                                       ELSE '{thr(0.5)}' END""",
+        "q_sample_quota": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY {bucket}, doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 5""",
+        "q_split_train_eval": f"""
+            SELECT doc_id,
+                   CASE WHEN {bucket} < '{thr(0.2)}' THEN 'eval' ELSE 'train' END AS split
+            FROM documents""",
+        "q_repetition": f"""
+            WITH t AS (SELECT doc_id, {toks_sql} AS l FROM documents),
+                 b AS (SELECT doc_id, l,
+                              list_filter(list_transform(list_zip(l, l[2:]),
+                                          x -> x[1] || ' ' || x[2]),
+                                          x -> x IS NOT NULL) AS bg
+                       FROM t)
+            SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(l) > 0
+                        THEN ROUND(len(list_distinct(l)) / CAST(len(l) AS DOUBLE), 9)
+                        ELSE 1.0 END AS uniq_token_ratio,
+                   CASE WHEN len(bg) > 0
+                        THEN ROUND(len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 9)
+                        ELSE 1.0 END AS uniq_bigram_ratio
+            FROM b""",
+        "q_word_freq": f"""
+            WITH w AS (SELECT unnest({toks_sql}) AS word FROM documents)
+            SELECT word, COUNT(*) AS n FROM w
+            GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+        "q_contamination": f"""
+            SELECT doc_id AS id, md5({_NORM_SQL}) AS fp_md5 FROM documents
+            WHERE md5({_NORM_SQL}) IN (
+              SELECT DISTINCT md5({_NORM_SQL}) FROM documents WHERE doc_id % 97 = 0)""",
+    }
+
+
+QUERIES.update(
+    {
+        "q_sample_hash": q_sample_hash,
+        "q_sample_stratified": q_sample_stratified,
+        "q_sample_quota": q_sample_quota,
+        "q_split_train_eval": q_split_train_eval,
+        "q_repetition": q_repetition,
+        "q_word_freq": q_word_freq,
+        "q_contamination": q_contamination,
+    }
+)
+ORACLES.update(_sampling_oracles())

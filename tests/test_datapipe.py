@@ -203,3 +203,89 @@ def test_dedup_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(30)], ["a", "b"])
     out = dedup.dedup_clusters(pairs).collect()
     assert all(r["keep_id"] == 0 for r in out)
+
+
+# -------------------------------------------------------------- sampling
+def test_hash_sample_rate_monotone_subset(docs):
+    from janus_spark.datapipe import sampling
+
+    small = {r["doc_id"] for r in sampling.hash_sample(docs, 0.1).select("doc_id").collect()}
+    big = {r["doc_id"] for r in sampling.hash_sample(docs, 0.5).select("doc_id").collect()}
+    n = docs.count()
+    assert small <= big  # raising the rate only ADDS rows
+    assert 0.02 * n < len(small) < 0.25 * n
+    assert 0.3 * n < len(big) < 0.7 * n
+
+
+def test_hash_sample_deterministic_across_partitionings(docs):
+    from janus_spark.datapipe import sampling
+
+    a = {r["doc_id"] for r in sampling.hash_sample(docs, 0.3).collect()}
+    b = {r["doc_id"] for r in sampling.hash_sample(docs.repartition(13), 0.3).collect()}
+    assert a == b
+
+
+def test_stratified_sample_rates(docs):
+    from janus_spark.datapipe import sampling
+
+    out = sampling.stratified_sample(docs, {"en": 0.0, "de": 1.0}, default_rate=0.5)
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "en" not in by_lang  # rate 0 drops the stratum entirely
+    assert by_lang["de"] == totals["de"]  # rate 1 keeps everything
+    for lg in by_lang:
+        if lg not in ("en", "de"):
+            assert by_lang[lg] < totals[lg]
+
+
+def test_quota_sample_caps_and_determinism(docs):
+    from janus_spark.datapipe import sampling
+
+    out = sampling.quota_sample(docs, 3, strata_col="source")
+    per = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 3 for r in per)
+    again = sampling.quota_sample(docs.repartition(7), 3, strata_col="source")
+    assert {tuple(r) for r in out.select("doc_id").collect()} == {
+        tuple(r) for r in again.select("doc_id").collect()
+    }
+
+
+def test_split_stable_under_corpus_growth(docs):
+    from janus_spark.datapipe import sampling
+
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    full_split = {r["doc_id"]: r["split"] for r in sampling.split_train_eval(docs).collect()}
+    half_split = {r["doc_id"]: r["split"] for r in sampling.split_train_eval(half).collect()}
+    # adding the other half never moved an existing row across the split
+    assert all(full_split[k] == v for k, v in half_split.items())
+    assert set(full_split.values()) == {"train", "eval"}
+
+
+# ------------------------------------------------------------ repetition
+def test_repetition_features_known_texts(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words fully distinct"), (3, "  "), (4, "one")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+    assert rows[1]["uniq_token_ratio"] == 0.25 and rows[1]["uniq_bigram_ratio"] == pytest.approx(1 / 3)
+    assert rows[2]["uniq_token_ratio"] == 1.0 and rows[2]["uniq_bigram_ratio"] == 1.0
+    assert rows[3]["n_tokens"] == 0 and rows[3]["uniq_token_ratio"] == 1.0
+    assert rows[4]["n_tokens"] == 1 and rows[4]["uniq_bigram_ratio"] == 1.0  # no bigrams
+
+
+def test_word_freq_counts(spark):
+    df = spark.createDataFrame([("b a b",), ("A  b",), ("c",)], ["text"])
+    rows = [(r["word"], r["n"]) for r in text.word_freq(df, k=2).collect()]
+    assert rows == [("b", 3), ("a", 2)]  # case-folded, count-then-word order
+
+
+# --------------------------------------------------------- contamination
+def test_contamination_flags(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox"), (2, "clean document"), (3, "the QUICK brown fox!!")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([("the quick brown fox",)], ["text"])
+    out = dedup.contamination_flags(df, bench).collect()
+    assert {r["id"] for r in out} == {1, 3}  # normalization catches the variant
