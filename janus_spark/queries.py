@@ -1238,8 +1238,42 @@ def _sampling_oracles() -> dict[str, str]:
     }
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user activity sessions with an 8-hour
+    inactivity gap (Spark session_window; inclusive merge at the exact
+    gap boundary — the oracle reproduces it as a gaps-and-islands SQL)."""
+    from janus_spark.operators.sessionize import sessionize
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir)
+    out = sessionize(
+        ev, gap="8 hours", key_cols=("user_id",),
+        aggs={"sum_value": F.round(F.sum("value"), 6)},
+    )
+    return out.select("user_id", "session_start", "session_end",
+                      F.col("n_events").cast("long").alias("n_events"), "sum_value")
+
+
+_GAP_MS = 8 * 3600 * 1000
+ORACLES_SESSIONIZE = {
+    "q_sessionize": f"""
+        WITH e AS (SELECT user_id, {_TSM} AS ts_ms, value FROM events),
+             m AS (SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > {_GAP_MS}
+                                  OR LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+             s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM m)
+        SELECT user_id, MIN(ts_ms) AS session_start,
+               MAX(ts_ms) + {_GAP_MS} AS session_end,
+               COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+        FROM s GROUP BY user_id, sid"""
+}
+
+
 QUERIES.update(
     {
+        "q_sessionize": q_sessionize,
         "q_sample_hash": q_sample_hash,
         "q_sample_stratified": q_sample_stratified,
         "q_sample_quota": q_sample_quota,
@@ -1250,3 +1284,4 @@ QUERIES.update(
     }
 )
 ORACLES.update(_sampling_oracles())
+ORACLES.update(ORACLES_SESSIONIZE)
