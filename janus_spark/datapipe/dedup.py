@@ -58,6 +58,52 @@ def contamination_flags(
     )
 
 
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """N-gram-overlap decontamination — the industry-standard form (exact
+    match only catches verbatim copies; benchmark questions usually appear
+    *embedded* in crawled pages).  Flags corpus docs sharing any
+    normalized word n-gram with the benchmark; returns (id, n_hits) where
+    n_hits counts the doc's distinct grams that appear in the benchmark.
+
+    Scale: the benchmark gram set is small → broadcast; the corpus side is
+    explode → broadcast-semi-join → re-aggregate by doc id (one shuffle on
+    id, count pre-combined map-side).  NB ``F.sequence(1, stop)`` would
+    DESCEND for stop<1, so short docs are guarded to an empty gram list.
+    """
+    from janus_spark.datapipe.text import clean_tokens
+
+    def grams(col: Column) -> Column:
+        # tokenize the NORMALIZED text: benchmark phrases embedded in pages
+        # differ in case/punctuation ("France?") — grams must not
+        toks = clean_tokens(normalize(col))
+        starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        benchmark.select(F.explode(grams(F.col(bench_text_col))).alias("gram")).distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("id"), F.explode(grams(F.col(text_col))).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 # --------------------------------------------------------------- shingles
 def word_shingles(text_col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (arrays stay JVM-side)."""

@@ -155,6 +155,39 @@ def word_freq(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token training chunks.
+    Start positions step by ``chunk_tokens - overlap`` and stop at
+    ``len - overlap``, which guarantees (a) every token lands in at least
+    one chunk and (b) no trailing chunk is fully contained in its
+    predecessor.  Returns (id, chunk_id 0-based, chunk_text, n_tokens).
+
+    Scale: map-only — posexplode feeds downstream operators directly; a
+    doc expands to ceil(len/step) rows, never materialized on the driver.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = clean_tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
+    chunks = F.transform(starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " "))
+    return (
+        df.select(F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .where(F.col("chunk_text") != "")
+        .select(
+            "id", "chunk_id", "chunk_text",
+            token_count(F.col("chunk_text")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 over the normalized text (md5 is available
     identically in Spark and DuckDB, making the op oracle-checkable), plus

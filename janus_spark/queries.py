@@ -1188,6 +1188,27 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, bench)
 
 
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination: corpus docs sharing any normalized
+    5-gram with the benchmark subset (every 97th doc)."""
+    from janus_spark.datapipe.dedup import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = ngram_contamination(docs, bench, n=5)
+    return out.select("id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-chunk preparation: 32-token chunks with 4-token overlap."""
+    from janus_spark.datapipe.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, chunk_tokens=32, overlap=4)
+    return out.select("id", F.col("chunk_id").cast("long").alias("chunk_id"),
+                      "chunk_text", "n_tokens")
+
+
 def _sampling_oracles() -> dict[str, str]:
     from janus_spark.datapipe.sampling import rate_to_hex_threshold as thr
 
@@ -1235,6 +1256,24 @@ def _sampling_oracles() -> dict[str, str]:
             SELECT doc_id AS id, md5({_NORM_SQL}) AS fp_md5 FROM documents
             WHERE md5({_NORM_SQL}) IN (
               SELECT DISTINCT md5({_NORM_SQL}) FROM documents WHERE doc_id % 97 = 0)""",
+        "q_contamination_ngram": f"""
+            WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents),
+                 g AS (SELECT doc_id,
+                              unnest(list_distinct(list_transform(range(1, len(l)-5+2),
+                                     i -> array_to_string(l[i:i+4], ' ')))) AS gram
+                       FROM t),
+                 bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+            SELECT g.doc_id AS id, COUNT(*) AS n_hits
+            FROM g JOIN bg USING (gram) GROUP BY g.doc_id""",
+        "q_chunk_documents": f"""
+            WITH t AS (SELECT doc_id, {toks_sql} AS l FROM documents),
+                 s AS (SELECT doc_id, l,
+                              unnest(range(1, greatest(len(l) - 4, 1) + 1, 28)) AS st
+                       FROM t)
+            SELECT doc_id AS id, CAST((st - 1) // 28 AS BIGINT) AS chunk_id,
+                   array_to_string(l[st:st+31], ' ') AS chunk_text,
+                   CAST(len(l[st:st+31]) AS BIGINT) AS n_tokens
+            FROM s WHERE array_to_string(l[st:st+31], ' ') <> ''""",
     }
 
 
@@ -1281,6 +1320,8 @@ QUERIES.update(
         "q_repetition": q_repetition,
         "q_word_freq": q_word_freq,
         "q_contamination": q_contamination,
+        "q_contamination_ngram": q_contamination_ngram,
+        "q_chunk_documents": q_chunk_documents,
     }
 )
 ORACLES.update(_sampling_oracles())

@@ -289,3 +289,37 @@ def test_contamination_flags(spark):
     bench = spark.createDataFrame([("the quick brown fox",)], ["text"])
     out = dedup.contamination_flags(df, bench).collect()
     assert {r["id"] for r in out} == {1, 3}  # normalization catches the variant
+
+
+def test_ngram_contamination_catches_embedded_benchmark(spark):
+    bench = spark.createDataFrame([(1, "what is the capital of france")], ["doc_id", "text"])
+    df = spark.createDataFrame(
+        [
+            (10, "some page asking What is the Capital of France? among other things"),
+            (11, "a completely unrelated clean document about spark joins"),
+            (12, "too short"),  # < n tokens: guard path, no grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r["n_hits"] for r in dedup.ngram_contamination(df, bench, n=5).collect()}
+    assert 10 in out and out[10] >= 2  # embedded phrase found (exact-match would miss it)
+    assert 11 not in out and 12 not in out
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "tiny doc"), (3, "")], ["doc_id", "text"])
+    rows = text.chunk_documents(df, chunk_tokens=32, overlap=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    # every token of doc 1 appears in at least one chunk
+    covered = {w for r in by_doc[1] for w in r["chunk_text"].split()}
+    assert covered == set(words.split())
+    # consecutive chunks share exactly `overlap` tokens
+    c = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    for a, b in zip(c, c[1:]):
+        assert a["chunk_text"].split()[-4:] == b["chunk_text"].split()[:4]
+    assert all(r["n_tokens"] <= 32 for r in rows)
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "tiny doc"
+    assert 3 not in by_doc  # empty text -> no chunks
