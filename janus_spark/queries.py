@@ -1209,6 +1209,70 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "chunk_text", "n_tokens")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with deterministically planted email /
+    IP / phone (both engines build the same input, then scrub)."""
+    from janus_spark.datapipe.scrub import scrub_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel 555-867-5309"),
+        ).alias("text"),
+    )
+    return scrub_documents(planted)
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (the exact
+    baseline for the approximate-sketch path; see functions/sketches.py)."""
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct users per event type (rows-only: sketch
+    estimates are engine-specific; error bound pinned in
+    tests/test_sketches.py, exact baseline in q_percentiles/n)."""
+    from janus_spark.functions.sketches import hll_distinct
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir)
+    return hll_distinct(ev, "user_id", ["event_type"]).select(
+        "event_type", F.col("approx_distinct").cast("long").alias("approx_distinct")
+    )
+
+
+def _scrub_oracle() -> str:
+    from janus_spark.datapipe.scrub import PII_PATTERNS
+
+    em, ip, ph = PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"]
+    return f"""
+        WITH p AS (SELECT doc_id,
+                          text || ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                               || ' tel 555-867-5309' AS text
+                   FROM documents)
+        SELECT doc_id AS id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{em}', '<EMAIL>', 'g'),
+                   '{ip}', '<IPV4>', 'g'),
+                   '{ph}', '<PHONE>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phone
+        FROM p"""
+
+
 def _sampling_oracles() -> dict[str, str]:
     from janus_spark.datapipe.sampling import rate_to_hex_threshold as thr
 
@@ -1322,7 +1386,16 @@ QUERIES.update(
         "q_contamination": q_contamination,
         "q_contamination_ngram": q_contamination_ngram,
         "q_chunk_documents": q_chunk_documents,
+        "q_pii_scrub": q_pii_scrub,
+        "q_percentiles": q_percentiles,
+        "q_hll_distinct": q_hll_distinct,
     }
 )
 ORACLES.update(_sampling_oracles())
 ORACLES.update(ORACLES_SESSIONIZE)
+ORACLES["q_pii_scrub"] = _scrub_oracle()
+ORACLES["q_percentiles"] = """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type"""

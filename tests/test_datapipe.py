@@ -323,3 +323,24 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert all(r["n_tokens"] <= 32 for r in rows)
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "tiny doc"
     assert 3 not in by_doc  # empty text -> no chunks
+
+
+# ------------------------------------------------------------------ scrub
+def test_redact_pii(spark):
+    from janus_spark.datapipe import scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe+spam@corp.example.org or call 555-123-4567 from 10.1.2.3")],
+        ["doc_id", "text"],
+    )
+    (row,) = scrub.scrub_documents(df).collect()
+    assert row["clean_text"] == "mail me at <EMAIL> or call <PHONE> from <IPV4>"
+    assert (row["n_email"], row["n_ipv4"], row["n_phone"]) == (1, 1, 1)
+
+
+def test_redact_pii_leaves_clean_text_untouched(docs):
+    from janus_spark.datapipe import scrub
+
+    out = scrub.scrub_documents(docs)
+    joined = out.join(docs, out["id"] == docs["doc_id"])
+    assert joined.where(F.col("clean_text") != F.col("text")).count() == 0

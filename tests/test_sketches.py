@@ -1,0 +1,68 @@
+"""Sketch aggregates: accuracy bounds + re-aggregation consistency."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from janus_spark.functions import sketches
+from janus_spark.sources.melt import read_events
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return read_events(spark, sf_dir).cache()
+
+
+def test_hll_distinct_error_bound(events):
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.hll_distinct(events, "user_id", ["event_type"]).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.03
+
+
+def test_hll_sketches_survive_storage_and_merge(events, tmp_path):
+    """The rollup pattern: persist per-(type, user-bucket) sketches, read
+    them back, union to per-type — estimates must equal the direct path
+    (sketch union is lossless re-aggregation, no rescan of raw data)."""
+    per_bucket = sketches.hll_by_key(
+        events.withColumn("bucket", F.col("user_id") % 7), "user_id", ["event_type", "bucket"]
+    )
+    path = str(tmp_path / "hll_rollup")
+    per_bucket.write.parquet(path)
+    rolled = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.hll_merge(events.sparkSession.read.parquet(path), ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.hll_distinct(events, "user_id", ["event_type"]).collect()
+    }
+    assert rolled == direct
+
+
+def test_approx_quantiles_close_to_exact(events):
+    approx = {
+        r["event_type"]: r["q"]
+        for r in sketches.approx_quantiles(events, "value", ["event_type"], [0.5, 0.95]).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+        )
+        .collect()
+    }
+    for k, (p50, p95) in exact.items():
+        spread = max(abs(p95), 1.0)
+        assert abs(approx[k][0] - p50) < 0.05 * spread
+        assert abs(approx[k][1] - p95) < 0.05 * spread
