@@ -36,9 +36,11 @@ class Literal:
 @dataclass(frozen=True)
 class Path:
     """Property path (SPARQL 1.1 subset): link / seq / alt / inv / plus /
-    star.  ``parts`` holds child Paths; a link's ``iri`` is set."""
+    star / opt (zero-or-one) / negset (negated property set).  ``parts``
+    holds child Paths; a link's ``iri`` is set; a negset's ``parts`` are
+    the excluded links."""
 
-    op: str  # "link" | "seq" | "alt" | "inv" | "plus" | "star"
+    op: str  # "link" | "seq" | "alt" | "inv" | "plus" | "star" | "opt" | "negset"
     parts: tuple = ()
     iri: str | None = None
 

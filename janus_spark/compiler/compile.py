@@ -338,6 +338,30 @@ class SparqlCompiler:
         def rel(p) -> DataFrame:
             if p.op == "link":
                 return base_scan(p.iri)
+            if p.op == "negset":
+                # any-predicate scan minus the excluded links (forward only)
+                src = self.quads
+                cond = ~F.col("predicate").isin([l.iri for l in p.parts])
+                if isinstance(graph_term, Iri):
+                    cond = cond & (F.col("graph") == graph_term.value)
+                return src.filter(cond).select(
+                    F.col("subject").alias("__ps"), F.col("object").alias("__po"),
+                    *[F.col(c) for c in pc],
+                )
+            if p.op == "opt":
+                # zero-or-one: child pairs ∪ zero-length identity over the
+                # child's nodes (same bounded identity domain as star)
+                base = rel(p.parts[0])
+                nodes = (
+                    base.select(F.col("__ps").alias("__n"), *[F.col(c) for c in pc])
+                    .unionByName(base.select(F.col("__po").alias("__n"), *[F.col(c) for c in pc]))
+                    .dropDuplicates(["__n", *pc])
+                )
+                ident = nodes.select(
+                    F.col("__n").alias("__ps"), F.col("__n").alias("__po"),
+                    *[F.col(c) for c in pc],
+                )
+                return base.unionByName(ident).dropDuplicates(["__ps", "__po", *pc])
             if p.op == "inv":
                 r = rel(p.parts[0])
                 return r.select(

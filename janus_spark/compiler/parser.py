@@ -354,6 +354,9 @@ class SparqlParser:
         elif self.ts.at_op("*"):
             self.ts.advance()
             p = Path("star", (p,))
+        elif self.ts.at_op("?"):
+            self.ts.advance()
+            p = Path("opt", (p,))
         if inverse:
             p = Path("inv", (p,))
         return p
@@ -362,6 +365,22 @@ class SparqlParser:
         from janus_spark.compiler.ast import Path
 
         t = self.ts.cur
+        if t.kind == "OP" and t.text == "!":
+            # negated property set: !ex:p or !(ex:p1|ex:p2|...)
+            self.ts.advance()
+            links = []
+            if self.ts.at_op("("):
+                self.ts.advance()
+                links.append(self._parse_path_primary())
+                while self.ts.at_op("|"):
+                    self.ts.advance()
+                    links.append(self._parse_path_primary())
+                self.ts.eat_op(")")
+            else:
+                links.append(self._parse_path_primary())
+            if any(l.op != "link" for l in links):
+                raise SyntaxError("negated property set supports only forward IRIs")
+            return Path("negset", tuple(links))
         if t.kind == "OP" and t.text == "(":
             self.ts.advance()
             p = self._parse_path_alt()

@@ -14,7 +14,7 @@ _TOKEN_RE = re.compile(
     | (?P<NUM>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_.\-]*)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.=<>!+\-*/@|^])
+    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.=<>!+\-*/@|^?])
     """,
     re.X,
 )

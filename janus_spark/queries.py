@@ -953,7 +953,35 @@ def q_path_inverse_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(nation.unionByName(region), q)
 
 
-QUERIES.update({"q_property_path": q_property_path, "q_path_inverse_alt": q_path_inverse_alt})
+def q_path_zero_or_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property path (zero-or-one): nation --ref_region?--> self or region
+    (identity domain = nodes of the child relation, as for ``*``)."""
+    nation = melt_table(
+        spark.read.parquet(f"{sf_dir}/nation.parquet"), "nation", fk={"n_regionkey": "region"}
+    )
+    q = """SELECT ?a ?b WHERE {
+             ?a <urn:nation:ref_region>? ?b .
+           }"""
+    return _run(nation, q)
+
+
+def q_path_negated_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property path (negated set): every region edge EXCEPT r_comment."""
+    region = _table_quads(spark, sf_dir, "region")
+    q = """SELECT ?s ?o WHERE {
+             ?s !(<urn:region:r_comment>|<urn:region:r_regionkey>) ?o .
+           }"""
+    return _run(region, q)
+
+
+QUERIES.update(
+    {
+        "q_property_path": q_property_path,
+        "q_path_inverse_alt": q_path_inverse_alt,
+        "q_path_zero_or_one": q_path_zero_or_one,
+        "q_path_negated_set": q_path_negated_set,
+    }
+)
 
 ORACLES.update(
     {
@@ -964,6 +992,19 @@ ORACLES.update(
             SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR) AS r,
                    'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n
             FROM nation""",
+        "q_path_zero_or_one": """
+            SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS a,
+                   'urn:region:' || CAST(n_regionkey AS VARCHAR) AS b
+            FROM nation
+            UNION
+            SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+                   'urn:nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+            UNION
+            SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR),
+                   'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation""",
+        "q_path_negated_set": """
+            SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, r_name AS o
+            FROM region""",
     }
 )
 

@@ -101,3 +101,38 @@ def test_cycle_terminates(spark):
     quads = spark.createDataFrame(rows_data, ["ts", "subject", "predicate", "object", "graph"])
     rows = run(quads, f"SELECT ?x WHERE {{ <{EX}a> <{EX}next>+ ?x . }}").collect()
     assert {r["x"] for r in rows} == {f"{EX}a", f"{EX}b", f"{EX}c"}
+
+
+def test_zero_or_one_path(graph_quads):
+    # alice manages? x: alice herself (zero) + bob (one step)
+    rows = run(
+        graph_quads,
+        f"SELECT ?x WHERE {{ <{EX}alice> <{EX}manages>? ?x . }}",
+    ).collect()
+    assert {r["x"] for r in rows} == {f"{EX}alice", f"{EX}bob"}
+
+
+def test_zero_or_one_in_sequence(graph_quads):
+    # manages?/name: own name (zero) plus direct report's name (one)
+    rows = run(
+        graph_quads,
+        f"SELECT ?n WHERE {{ <{EX}bob> <{EX}manages>?/<{EX}name> ?n . }}",
+    ).collect()
+    assert {r["n"] for r in rows} == {"Bob", "Carol"}
+
+
+def test_negated_property_set(graph_quads):
+    # everything alice points to EXCEPT manages edges
+    rows = run(
+        graph_quads,
+        f"SELECT ?x WHERE {{ <{EX}alice> !<{EX}manages> ?x . }}",
+    ).collect()
+    assert {r["x"] for r in rows} == {f"{EX}carol"}
+
+
+def test_negated_property_set_multi(graph_quads):
+    rows = run(
+        graph_quads,
+        f"SELECT ?x WHERE {{ <{EX}bob> !(<{EX}manages>|<{EX}knows>) ?x . }}",
+    ).collect()
+    assert {r["x"] for r in rows} == {"Bob"}  # only the name edge remains
