@@ -88,21 +88,39 @@ def cmd_replay(args) -> int:
 
 
 def cmd_datapipe(args) -> int:
-    """Training-data curation over the documents table: quality/language
-    features -> quality filter -> exact dedup -> MinHash-LSH near-dup
-    keep-list.  Writes the curated corpus (doc + features + keep flags)
-    to --out if given; prints one JSON summary line either way."""
+    """Training-data curation over the documents table: PII scrub ->
+    quality/language features -> quality + repetition filters -> exact
+    dedup -> MinHash-LSH near-dup keep-list -> optional n-gram benchmark
+    decontamination -> optional per-source quota -> stable train/eval
+    split tags (-> optional chunking).  Writes the curated corpus to
+    --out if given; prints one JSON summary line either way."""
     from pyspark.sql import functions as F
 
-    from janus_spark.datapipe.dedup import dedup_keep_list, exact_dedup, minhash_lsh_pairs
-    from janus_spark.datapipe.text import lang_id, quality_features
+    from janus_spark.datapipe.dedup import (
+        dedup_keep_list,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_contamination,
+    )
+    from janus_spark.datapipe.sampling import quota_sample, split_train_eval
+    from janus_spark.datapipe.scrub import scrub_documents
+    from janus_spark.datapipe.text import lang_id, quality_features, repetition_features
 
     spark = _spark()
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
-    feat = lang_id(quality_features(docs))
+    scrubbed = docs.drop("text").join(
+        scrub_documents(docs).withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("clean_text", "text"),
+        "doc_id",
+    )
+    feat = lang_id(quality_features(scrubbed))
     kept = feat.where(
         (F.col("q_n_tokens") >= args.min_tokens) & (F.col("q_score") >= args.min_score)
     )
+    rep_ok = repetition_features(kept).where(
+        F.col("uniq_token_ratio") >= args.min_uniq_ratio
+    ).select("doc_id")
+    kept = kept.join(rep_ok, "doc_id")
     survivors = kept.join(
         exact_dedup(kept).select(F.col("keep_id").alias("doc_id")), "doc_id"
     )
@@ -114,10 +132,29 @@ def cmd_datapipe(args) -> int:
         "after_exact_dedup": survivors.count(),
         "near_dup_dropped": curated.where(~F.col("keep")).count(),
     }
-    summary["curated_docs"] = summary["after_exact_dedup"] - summary["near_dup_dropped"]
+    curated = curated.where(F.col("keep"))
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        dirty = ngram_contamination(curated, bench, n=5).select(F.col("id").alias("doc_id"))
+        before = curated.count()
+        curated = curated.join(dirty, "doc_id", "left_anti")
+        summary["decontamination_dropped"] = before - curated.count()
+    if args.max_per_source > 0:
+        curated = quota_sample(curated, args.max_per_source, strata_col="source")
+        summary["after_source_quota"] = curated.count()
+    curated = split_train_eval(curated, eval_rate=args.eval_rate)
+    summary["curated_docs"] = curated.count()
+    summary["eval_docs"] = curated.where(F.col("split") == "eval").count()
     if args.out:
-        curated.where(F.col("keep")).write.mode("overwrite").parquet(args.out)
+        curated.write.mode("overwrite").parquet(args.out)
         summary["out"] = args.out
+        if args.chunk_tokens > 0:
+            from janus_spark.datapipe.text import chunk_documents
+
+            chunks = chunk_documents(curated, chunk_tokens=args.chunk_tokens,
+                                     overlap=max(args.chunk_tokens // 8, 1))
+            chunks.write.mode("overwrite").parquet(args.out + "_chunks")
+            summary["chunks"] = chunks.count()
     print(json.dumps(summary))
     return 0
 
@@ -159,6 +196,16 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--out", default=None)
     sd.add_argument("--min-tokens", type=int, default=5)
     sd.add_argument("--min-score", type=float, default=0.5)
+    sd.add_argument("--min-uniq-ratio", type=float, default=0.2,
+                    help="drop docs whose unique-token ratio is below this (repetition filter)")
+    sd.add_argument("--benchmark", default=None,
+                    help="parquet path of benchmark docs; matching 5-gram docs are dropped")
+    sd.add_argument("--max-per-source", type=int, default=0,
+                    help="quota-cap documents per source (0 = no cap)")
+    sd.add_argument("--eval-rate", type=float, default=0.01,
+                    help="fraction tagged 'eval' in the stable train/eval split")
+    sd.add_argument("--chunk-tokens", type=int, default=0,
+                    help="also emit <out>_chunks parquet of N-token training chunks (0 = off)")
 
     args = p.parse_args(argv)
     return {

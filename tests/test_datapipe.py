@@ -344,3 +344,24 @@ def test_redact_pii_leaves_clean_text_untouched(docs):
     out = scrub.scrub_documents(docs)
     joined = out.join(docs, out["id"] == docs["doc_id"])
     assert joined.where(F.col("clean_text") != F.col("text")).count() == 0
+
+
+def test_datapipe_cli_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from janus_spark.__main__ import main
+
+    out = str(tmp_path / "curated")
+    rc = main([
+        "datapipe", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        "--max-per-source", "5", "--chunk-tokens", "16",
+        "--benchmark", "/root/testdata/sf0.001/documents.parquet",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the corpus IS the benchmark here -> decontamination drops every doc
+    # that survived dedup, so the curated set is empty but the pipeline
+    # still runs through quota/split/chunk stages without failing
+    assert summary["decontamination_dropped"] > 0
+    assert summary["curated_docs"] == summary["eval_docs"] == 0
+    assert spark.read.parquet(out + "_chunks").count() == summary["chunks"] == 0
