@@ -245,3 +245,30 @@ def test_subject_bucketed_join_has_no_shuffle(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS bq_quads")
+
+
+def test_contamination_joins_broadcast(spark, sf_dir):
+    """Both decontamination forms must broadcast the benchmark side — a
+    shuffled corpus-vs-benchmark join would be the bottleneck at 100 TB."""
+    from janus_spark.datapipe.dedup import contamination_flags, ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    for df in (contamination_flags(docs, bench), ngram_contamination(docs, bench, n=5)):
+        assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_sampling_and_chunking_are_map_only(spark, sf_dir):
+    """hash/stratified sampling and chunk explode must not shuffle: at
+    scale they run at scan speed."""
+    from janus_spark.datapipe.sampling import hash_sample, stratified_sample
+    from janus_spark.datapipe.text import chunk_documents, repetition_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        hash_sample(docs, 0.25),
+        stratified_sample(docs, {"en": 0.1}, default_rate=0.5),
+        chunk_documents(docs),
+        repetition_features(docs),
+    ):
+        assert "Exchange" not in plan_of(df), "expected a map-only plan"
