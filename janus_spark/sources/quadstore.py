@@ -95,6 +95,26 @@ class QuadStore:
         shutil.move(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
 
+    def vacuum(self, retain_ms: int, now_ts: int) -> int:
+        """Retention: delete whole time-bucket partitions strictly older
+        than ``now_ts - retain_ms``.  Directory-level deletes only — no
+        rewrite, no scan — which is the only retention strategy that
+        stays O(expired partitions) at 100 TB.  Buckets the cutoff falls
+        inside are kept whole (retention is a lower bound).  Returns the
+        number of buckets removed."""
+        import re
+        import shutil
+        from pathlib import Path
+
+        cutoff_bucket = (now_ts - retain_ms) // self.bucket_ms
+        removed = 0
+        for entry in Path(self.path).iterdir():
+            m = re.fullmatch(r"ts_bucket=(-?\d+)", entry.name)
+            if m and int(m.group(1)) < cutoff_bucket:
+                shutil.rmtree(entry)
+                removed += 1
+        return removed
+
     def query(self, start_ts: int, end_ts: int) -> DataFrame:
         """Time-range scan with INCLUSIVE bounds — operator S3.
 

@@ -109,3 +109,22 @@ def open_quad_stream(
     for k, v in options.items():
         reader = reader.option(k, v)
     return parse_nquads_lines(reader.text(path), default_ts=default_ts)
+
+
+def dedup_quad_stream(stream_df: DataFrame, within: str = "10 minutes") -> DataFrame:
+    """Exactly-once-ish ingestion over at-least-once transports (MQTT QoS1
+    redelivery, Kafka replays): drop duplicate quads arriving within the
+    watermark horizon via ``dropDuplicatesWithinWatermark`` — state per
+    quad key is evicted once the watermark passes, so memory is bounded
+    by (ingest rate × horizon), not by history.  Batch DataFrames fall
+    back to a plain dropDuplicates."""
+    key = ["ts", "subject", "predicate", "object", "graph"]
+    if not stream_df.isStreaming:
+        return stream_df.dropDuplicates(key)
+    out = (
+        stream_df.withColumn("__et", F.timestamp_millis(F.col("ts")))
+        .withWatermark("__et", within)
+        .dropDuplicatesWithinWatermark(key)
+        .drop("__et")
+    )
+    return out

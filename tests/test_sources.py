@@ -138,3 +138,55 @@ def test_open_quad_stream_kafka_missing_package(spark):
 
     with pytest.raises(Exception, match="(?i)kafka"):
         open_quad_stream(spark, "kafka://broker:9092/sensors")
+
+
+def test_dedup_quad_stream(spark, tmp_path):
+    from janus_spark.model import QUAD_SCHEMA
+    from janus_spark.sources.stream import dedup_quad_stream
+
+    rows = [
+        (1000, "s1", "p", "a", ""),
+        (1000, "s1", "p", "a", ""),  # redelivered duplicate
+        (2000, "s2", "p", "b", ""),
+        (2000, "s2", "p", "b", ""),
+        (3000, "s2", "p", "c", ""),
+    ]
+    src = tmp_path / "dupsrc"
+    src.mkdir()
+    spark.createDataFrame(rows, QUAD_SCHEMA).coalesce(1).write.parquet(str(src / "f"))
+    stream = spark.readStream.schema(QUAD_SCHEMA).parquet(str(src / "f"))
+    q = (
+        dedup_quad_stream(stream, within="1 minute")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_stream").collect()
+    assert len(got) == 3
+    assert {(r["ts"], r["subject"], r["object"]) for r in got} == {
+        (1000, "s1", "a"), (2000, "s2", "b"), (3000, "s2", "c")
+    }
+    # batch fallback
+    batch = dedup_quad_stream(spark.createDataFrame(rows, QUAD_SCHEMA))
+    assert batch.count() == 3
+
+
+def test_quadstore_vacuum(spark, tmp_path):
+    from janus_spark.model import QUAD_SCHEMA
+    from janus_spark.sources.quadstore import QuadStore
+
+    store = QuadStore(spark, str(tmp_path / "vac"), bucket_ms=1000)
+    rows = [(i * 1000 + 1, f"s{i}", "p", "o", "") for i in range(10)]
+    store.write(spark.createDataFrame(rows, QUAD_SCHEMA))
+    # now = 10_000; retain 3 s -> cutoff bucket 7: buckets 0..6 removed
+    removed = store.vacuum(retain_ms=3000, now_ts=10_000)
+    assert removed == 7
+    left = store.read()
+    assert left.count() == 3
+    assert left.agg(F.min("ts")).collect()[0][0] == 7001
+    # idempotent
+    assert store.vacuum(retain_ms=3000, now_ts=10_000) == 0
