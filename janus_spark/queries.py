@@ -1293,6 +1293,19 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape profile: document-length histogram (100-char buckets)
+    per language — the curation dashboard's first plot."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy(
+        "lang", F.floor(F.col("n_chars") / 100).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def _scrub_oracle() -> str:
     from janus_spark.datapipe.scrub import PII_PATTERNS
 
@@ -1430,8 +1443,13 @@ QUERIES.update(
         "q_pii_scrub": q_pii_scrub,
         "q_percentiles": q_percentiles,
         "q_hll_distinct": q_hll_distinct,
+        "q_length_hist": q_length_hist,
     }
 )
+ORACLES["q_length_hist"] = """
+    SELECT lang, CAST(n_chars // 100 AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang, n_chars // 100"""
 ORACLES.update(_sampling_oracles())
 ORACLES.update(ORACLES_SESSIONIZE)
 ORACLES["q_pii_scrub"] = _scrub_oracle()
