@@ -1293,6 +1293,38 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the most recent prior-or-equal
+    purchase value of the same user (DuckDB native ASOF LEFT JOIN oracle)."""
+    from janus_spark.operators.asof import asof_join
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts_ms", "value")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts_ms", "value")
+    out = asof_join(clicks, purchases, ts_col="ts_ms", by=("user_id",), value_cols=("value",))
+    return out.select(
+        "event_id", "user_id", "ts_ms",
+        F.round("value", 6).alias("click_value"),
+        F.round("value_asof", 6).alias("purchase_value"),
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column analytics: extract props.k per event, aggregate by type."""
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
 def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus shape profile: document-length histogram (100-char buckets)
     per language — the curation dashboard's first plot."""
@@ -1444,8 +1476,25 @@ QUERIES.update(
         "q_percentiles": q_percentiles,
         "q_hll_distinct": q_hll_distinct,
         "q_length_hist": q_length_hist,
+        "q_asof_join": q_asof_join,
+        "q_json_props": q_json_props,
     }
 )
+ORACLES["q_asof_join"] = f"""
+    WITH e AS (SELECT event_id, user_id, {_TSM} AS ts_ms, event_type, value FROM events),
+         c AS (SELECT event_id, user_id, ts_ms, value FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts_ms, value FROM e WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts_ms,
+           ROUND(c.value, 6) AS click_value,
+           ROUND(p.value, 6) AS purchase_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts_ms >= p.ts_ms"""
+ORACLES["q_json_props"] = """
+    SELECT event_type,
+           COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           ROUND(AVG(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
+    FROM events GROUP BY event_type"""
 ORACLES["q_length_hist"] = """
     SELECT lang, CAST(n_chars // 100 AS BIGINT) AS bucket, COUNT(*) AS n_docs,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
