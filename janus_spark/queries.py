@@ -1325,6 +1325,68 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: event counts by (type, user bucket) with
+    subtotal and grand-total rows (multi-level OLAP in one pass)."""
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("bucket", (F.col("user_id") % 4).cast("long"))
+    return (
+        ev.rollup("event_type", "bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("bucket"), F.lit(-1)).alias("bucket"),
+            "n", "sum_v",
+        )
+    )
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL window-function surface: per-user event ordering — row_number,
+    lag delta, running sum (unique (user, ts) makes them deterministic)."""
+    from pyspark.sql.window import Window
+
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id", "ts_ms",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_v"),
+        F.round(F.sum("value").over(run), 6).alias("running_v"),
+    )
+
+
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: daily event counts per type with missing days
+    materialized as zero rows (dense calendar × type grid via sequence +
+    explode, left join back — the timeseries densify Spark lacks natively)."""
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.select(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+        )
+        .crossJoin(daily.select("event_type").distinct())
+    )
+    out = grid.join(daily, ["day", "event_type"], "left").select(
+        F.unix_millis("day").alias("day_ms"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    return out
+
+
 def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus shape profile: document-length histogram (100-char buckets)
     per language — the curation dashboard's first plot."""
@@ -1478,8 +1540,33 @@ QUERIES.update(
         "q_length_hist": q_length_hist,
         "q_asof_join": q_asof_join,
         "q_json_props": q_json_props,
+        "q_rollup": q_rollup,
+        "q_window_funcs": q_window_funcs,
+        "q_gapfill": q_gapfill,
     }
 )
+ORACLES["q_rollup"] = """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(user_id % 4, -1) AS bucket,
+           COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_v
+    FROM events GROUP BY ROLLUP(event_type, user_id % 4)"""
+ORACLES["q_window_funcs"] = f"""
+    SELECT event_id, user_id, {_TSM} AS ts_ms,
+           ROW_NUMBER() OVER w AS rn,
+           ROUND(value - LAG(value) OVER w, 6) AS delta_v,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY {_TSM}
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running_v
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY {_TSM})"""
+ORACLES["q_gapfill"] = """
+    WITH e AS (SELECT date_trunc('day', ts) AS day, event_type FROM events),
+         d AS (SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+         b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+         g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 day)) AS day FROM b),
+         t AS (SELECT DISTINCT event_type FROM d)
+    SELECT (epoch_ns(g.day) // 1000000) AS day_ms, t.event_type,
+           COALESCE(d.n, 0) AS n
+    FROM g CROSS JOIN t
+    LEFT JOIN d ON d.day = g.day AND d.event_type = t.event_type"""
 ORACLES["q_asof_join"] = f"""
     WITH e AS (SELECT event_id, user_id, {_TSM} AS ts_ms, event_type, value FROM events),
          c AS (SELECT event_id, user_id, ts_ms, value FROM e WHERE event_type = 'click'),
