@@ -1594,3 +1594,174 @@ ORACLES["q_percentiles"] = """
            ROUND(quantile_cont(value, 0.5), 6) AS p50,
            ROUND(quantile_cont(value, 0.95), 6) AS p95
     FROM events GROUP BY event_type"""
+
+
+# ------------------------------------------------- fifth-session gates
+_INCIDENT_MS = 3_600_000  # error-event incident window: 1 hour
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucketed equi-join (operators/rangejoin.py):
+    each 'error' event opens a 1-hour incident window per user; count the
+    same user's 'click' events inside each window.  The oracle is the
+    naive inequality join — correct at sf0.01, unrunnable at 100 TB,
+    which is exactly why the bucketed form exists."""
+    from janus_spark.operators.rangejoin import interval_join
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts_ms", F.col("event_id").alias("click_id")
+    )
+    incidents = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_ms").alias("start_ms"),
+        (F.col("ts_ms") + F.lit(_INCIDENT_MS)).alias("end_ms"),
+    )
+    hits = interval_join(
+        clicks, incidents,
+        ts_col="ts_ms", start_col="start_ms", end_col="end_ms",
+        by=("user_id",), bucket_ms=_INCIDENT_MS,
+    )
+    counts = hits.groupBy("incident_id").agg(F.count("*").alias("n_clicks"))
+    return (
+        incidents.join(counts, "incident_id", "left")
+        .select(
+            "incident_id", "user_id", "start_ms",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        )
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with grouping_id over lineitem — all four
+    grouping-set levels in one shuffle (Expand + single hash aggregate;
+    the reference has no grouping sets at all, SURVEY §2.6)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+            "gid", "n", "sum_qty",
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the 3 longest documents per language
+    (row_number window, deterministic tie-break on doc_id).  At scale
+    this is one shuffle on the group key; Spark pushes the k-limit into
+    the sort within each partition (WindowGroupLimit)."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("lang", "rank", "doc_id", "n_chars")
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user-bucket event counts, event_type values spread to
+    columns.  Values are listed explicitly so no extra distinct job runs
+    (at 100 TB the values-discovery scan would read the whole table)."""
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "bucket", (F.col("user_id") % 10).cast("long")
+    )
+    return (
+        ev.groupBy("bucket")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .select(
+            "bucket",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+              for c in ("click", "view", "purchase", "signup", "error")],
+        )
+    )
+
+
+def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot compaction: the single most recent event per user
+    (CDC/SCD 'current state' shape).  max_by avoids a full window sort —
+    one partial-aggregating shuffle instead of partition-wide ordering."""
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    # (ts_ms, event_id) pairs are unique per user in the fixture; the
+    # struct max gives the arg-max with event_id as tie-break
+    pick = F.max(F.struct("ts_ms", "event_id", "event_type", "value")).alias("m")
+    return (
+        ev.groupBy("user_id").agg(pick)
+        .select(
+            "user_id",
+            F.col("m.ts_ms").alias("ts_ms"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+            F.round(F.col("m.value"), 6).alias("value"),
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "q_range_join": q_range_join,
+        "q_cube": q_cube,
+        "q_topk_per_group": q_topk_per_group,
+        "q_pivot": q_pivot,
+        "q_latest_event": q_latest_event,
+    }
+)
+ORACLES["q_range_join"] = f"""
+    WITH e AS (SELECT event_id, user_id, {_TSM} AS ts_ms, event_type FROM events),
+         c AS (SELECT user_id, ts_ms FROM e WHERE event_type = 'click'),
+         i AS (SELECT event_id AS incident_id, user_id, ts_ms AS start_ms
+               FROM e WHERE event_type = 'error')
+    SELECT i.incident_id, i.user_id, i.start_ms,
+           COUNT(c.ts_ms) AS n_clicks
+    FROM i LEFT JOIN c
+      ON c.user_id = i.user_id
+     AND c.ts_ms BETWEEN i.start_ms AND i.start_ms + {_INCIDENT_MS}
+    GROUP BY i.incident_id, i.user_id, i.start_ms"""
+ORACLES["q_cube"] = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 6) AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
+ORACLES["q_topk_per_group"] = """
+    SELECT lang, rank, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rank
+        FROM documents) WHERE rank <= 3"""
+ORACLES["q_pivot"] = """
+    SELECT user_id % 10 AS bucket,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'error') AS error
+    FROM events GROUP BY user_id % 10"""
+ORACLES["q_latest_event"] = f"""
+    SELECT user_id, {_TSM} AS ts_ms, event_id, event_type,
+           ROUND(value, 6) AS value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY {_TSM} DESC, event_id DESC) = 1"""
