@@ -1719,6 +1719,48 @@ def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the symmetric supplier–part
+    graph from lineitem — link-graph quality weighting for curation.
+    Symmetrized so the oracle needs no dangling-mass term; ranks scaled
+    by node count so the 6-decimal rounding keeps full precision."""
+    from janus_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sp = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    edges = sp.unionByName(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    n = ranks.count()
+    return ranks.select("id", F.round(F.col("rank") * n, 6).alias("rank_x_n"))
+
+
+def q_tpch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped star join: top revenue orders for one market
+    segment.  customer is broadcast (small dim), lineitem⋈orders is the
+    one real shuffle; the date filters reach the parquet scans."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cut = "1998-01-01"
+    return (
+        li.where(F.col("l_shipdate") > F.lit(cut).cast("timestamp"))
+        .join(od.where(F.col("o_orderdate") <= F.lit(cut).cast("timestamp")), li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu.where(F.col("c_mktsegment") == "BUILDING")), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+            "o_orderpriority", "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(20)
+    )
+
+
 QUERIES.update(
     {
         "q_range_join": q_range_join,
@@ -1726,8 +1768,47 @@ QUERIES.update(
         "q_topk_per_group": q_topk_per_group,
         "q_pivot": q_pivot,
         "q_latest_event": q_latest_event,
+        "q_pagerank": q_pagerank,
+        "q_tpch_revenue": q_tpch_revenue,
     }
 )
+_PR_EDGES = """
+        edges AS (
+            SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+            FROM lineitem
+            UNION
+            SELECT DISTINCT 'p' || l_partkey, 's' || l_suppkey FROM lineitem),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+        c AS (SELECT COUNT(*) AS n FROM nodes)"""
+_PR_STEP = """
+        r{next} AS (
+            SELECT e.dst AS id,
+                   0.15 / (SELECT n FROM c)
+                   + 0.85 * SUM(r.rank / d.deg) AS rank
+            FROM edges e
+            JOIN r{cur} r ON r.id = e.src
+            JOIN deg d ON d.id = e.src
+            GROUP BY e.dst)"""
+ORACLES["q_pagerank"] = (
+    "WITH " + _PR_EDGES + ","
+    + "r0 AS (SELECT id, 1.0 / (SELECT n FROM c) AS rank FROM nodes),"
+    + ",".join(_PR_STEP.format(cur=i, next=i + 1) for i in range(3))
+    + " SELECT id, ROUND(rank * (SELECT n FROM c), 6) AS rank_x_n FROM r3"
+)
+ORACLES["q_tpch_revenue"] = """
+    SELECT l_orderkey,
+           (epoch_ns(o_orderdate) // 1000000) AS o_orderdate_ms,
+           o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate <= TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 20"""
 ORACLES["q_range_join"] = f"""
     WITH e AS (SELECT event_id, user_id, {_TSM} AS ts_ms, event_type FROM events),
          c AS (SELECT user_id, ts_ms FROM e WHERE event_type = 'click'),

@@ -1,0 +1,51 @@
+"""PageRank operator semantics (mass conservation, known fixed points,
+dangling-node redistribution)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from janus_spark.operators.graph import pagerank
+
+
+def _ranks(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def test_cycle_is_uniform_fixed_point(spark):
+    # 3-cycle: uniform 1/3 is the exact fixed point at any damping
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    out = _ranks(pagerank(edges, iterations=5))
+    for v in out.values():
+        assert v == pytest.approx(1 / 3, rel=1e-12)
+
+
+def test_mass_conserved_with_dangling_node(spark):
+    # b has no out-links; its mass must be redistributed, total stays 1
+    edges = spark.createDataFrame([("a", "b"), ("c", "b")], "src string, dst string")
+    out = pagerank(edges, iterations=4)
+    total = out.agg(F.sum("rank")).first()[0]
+    assert total == pytest.approx(1.0, rel=1e-9)
+    r = _ranks(out)
+    assert r["b"] > r["a"] and r["b"] > r["c"]  # sink collects rank
+    assert r["a"] == pytest.approx(r["c"], rel=1e-12)  # symmetric sources
+
+
+def test_duplicate_edges_do_not_multiply_votes(spark):
+    once = spark.createDataFrame([("a", "b"), ("a", "c")], "src string, dst string")
+    dup = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c")], "src string, dst string"
+    )
+    assert _ranks(pagerank(once, iterations=3)) == _ranks(pagerank(dup, iterations=3))
+
+
+def test_one_iteration_matches_hand_computation(spark):
+    # star: a->b, a->c ; b,c dangling.  After 1 iter (d=0.85, n=3):
+    # dangling mass = 2/3; base = 0.15/3 + 0.85*(2/3)/3
+    edges = spark.createDataFrame([("a", "b"), ("a", "c")], "src string, dst string")
+    base = 0.15 / 3 + 0.85 * (2 / 3) / 3
+    r = _ranks(pagerank(edges, iterations=1))
+    assert r["a"] == pytest.approx(base, rel=1e-12)
+    assert r["b"] == pytest.approx(base + 0.85 * (1 / 3) / 2, rel=1e-12)
+    assert r["c"] == pytest.approx(r["b"], rel=1e-12)
