@@ -82,6 +82,34 @@ def quota_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis): each row draws a reproducible uniform u from its key hash
+    and scores ``-ln(u) / weight``; the k smallest scores win, so a row's
+    selection probability is proportional to its weight.  Quality-weighted
+    corpus subsetting with exact reproducibility across engines.
+
+    Scale: orderBy(score).limit(k) compiles to TakeOrderedAndProject —
+    each task keeps a k-heap, the driver merges; no global sort.  Rows
+    with weight <= 0 (or null) are excluded."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+    u = (h.cast("double") + 1) / (_HASH_SPACE + 1)  # (0, 1]
+    w = F.col(weight_col).try_cast("double")
+    score = -F.log(u) / w
+    return (
+        df.where(w > 0)
+        .withColumn("__score", score)
+        .orderBy("__score")
+        .limit(k)
+        .drop("__score")
+    )
+
+
 def split_train_eval(
     df: DataFrame,
     eval_rate: float = 0.01,

@@ -1,0 +1,65 @@
+"""Skew-mitigation utilities: explicit salting for hot join keys and
+hot-group aggregates.
+
+AQE's skew-join split (spark.sql.adaptive.skewJoin) handles sort-merge
+joins at runtime, but it cannot help (a) streaming joins, (b) hash
+aggregates with a mega-key, or (c) cases where the skew is known ahead
+of time and the extra sort-merge pass is unwanted.  These operators are
+the planned-ahead form: results are provably identical to the unsalted
+operator (pinned by tests and the q_skew_join oracle gate); only the
+partitioning changes.
+
+Cost model: ``salted_join`` replicates the *small* side ``salt`` times
+(size × salt) and spreads each hot left key over ``salt`` partitions.
+Pick salt ≈ (hot-key rows / average-key rows) capped by cluster
+parallelism; 8-32 covers most real skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's hot keys spread over ``salt``
+    sub-partitions and the right side replicated to every sub-partition.
+    Supports 'inner' and 'left' (the replicated side must be the
+    lookup/dimension side).  Output equals ``left.join(right, on, how)``.
+
+    The left salt is random-per-row (seeded, so one run is internally
+    consistent) — correctness never depends on which sub-partition a row
+    lands in, only the spread does."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    sl = left.withColumn("__salt", (F.rand(42) * salt).cast("int"))
+    sr = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return sl.join(sr, [*on, "__salt"], how).drop("__salt")
+
+
+def skew_safe_count_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    alias: str = "n_distinct",
+) -> DataFrame:
+    """COUNT(DISTINCT col) per key without funnelling a hot key's whole
+    value set through one task: stage 1 dedups on (keys, col) — the
+    shuffle spreads by value, so a mega-key fans out — stage 2 counts
+    per key (map-side combinable).  Equals groupBy(keys).countDistinct."""
+    return (
+        df.select(*keys, col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(alias))
+    )

@@ -1761,6 +1761,34 @@ def q_tpch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (operators/skew.py): orders⋈customer spread over 8
+    salt sub-partitions, then revenue per market segment.  The oracle is
+    the plain unsalted join — the whole point is bit-identical results
+    with skew-proof partitioning."""
+    from janus_spark.operators.skew import salted_join
+
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    joined = salted_join(od, cu, ["c_custkey"], salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis,
+    deterministic md5-derived uniforms): 500 documents drawn with
+    probability ∝ n_chars.  TakeOrderedAndProject — no global sort."""
+    from janus_spark.datapipe.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, 500, "n_chars").select("doc_id", "lang", "n_chars")
+
+
 QUERIES.update(
     {
         "q_range_join": q_range_join,
@@ -1770,8 +1798,22 @@ QUERIES.update(
         "q_latest_event": q_latest_event,
         "q_pagerank": q_pagerank,
         "q_tpch_revenue": q_tpch_revenue,
+        "q_skew_join": q_skew_join,
+        "q_sample_weighted": q_sample_weighted,
     }
 )
+ORACLES["q_skew_join"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment"""
+ORACLES["q_sample_weighted"] = """
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                   / 4294967297.0) / n_chars AS s
+        FROM documents WHERE n_chars > 0
+        ORDER BY s LIMIT 500)"""
 _PR_EDGES = """
         edges AS (
             SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst

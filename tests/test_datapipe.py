@@ -250,6 +250,36 @@ def test_quota_sample_caps_and_determinism(docs):
     }
 
 
+def test_weighted_sample_deterministic_and_bounded(docs):
+    from janus_spark.datapipe import sampling
+
+    a = {r["doc_id"] for r in sampling.weighted_sample(docs, 50, "n_chars").collect()}
+    b = {r["doc_id"] for r in sampling.weighted_sample(docs.repartition(13), 50, "n_chars").collect()}
+    assert a == b and len(a) == 50
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from janus_spark.datapipe import sampling
+
+    # 100 light rows (w=1) vs 100 heavy rows (w=1000): the heavy half
+    # must dominate a k=50 draw overwhelmingly
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 100 else 1000.0) for i in range(200)], "doc_id long, w double"
+    )
+    picked = sampling.weighted_sample(df, 50, "w").collect()
+    heavy = sum(1 for r in picked if r["w"] == 1000.0)
+    assert heavy >= 45
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from janus_spark.datapipe import sampling
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, None), (4, 2.0)], "doc_id long, w double"
+    )
+    assert [r["doc_id"] for r in sampling.weighted_sample(df, 10, "w").collect()] == [4]
+
+
 def test_split_stable_under_corpus_growth(docs):
     from janus_spark.datapipe import sampling
 
