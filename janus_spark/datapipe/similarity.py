@@ -283,3 +283,53 @@ def embedding_near_dup_pairs(
         cand.select("a", "b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .where(F.col("sim") >= sim_threshold)
     )
+
+
+def tfidf_topk_pairs(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1000,
+    round_sim: int | None = None,
+) -> DataFrame:
+    """Top-k most similar document pairs by TF-IDF cosine, computed over
+    an inverted index: term→postings equi-join, never a doc×doc cross
+    join.  The sparse-vector complement of the dense-embedding ANN path.
+
+    - tf = in-doc count, idf = ln(n_docs / df_t); per-doc L2 normalize.
+    - Terms with document frequency > ``max_df`` are dropped before the
+      postings self-join (stopword blow-up guard: a term in f docs
+      yields f^2 candidate pairs — at web scale the head term would
+      dominate the entire shuffle; the cutoff bounds any term to
+      max_df^2).  Scores are therefore "tf-idf over informative terms" —
+      the oracle applies the same cutoff.
+    - One shuffle on term for the join, one on the pair for the sum,
+      then TakeOrdered for the global top-k (ties break on ids).
+    - ``round_sim``: round scores to N decimals BEFORE ranking, so the
+      k-boundary cut is reproducible across engines whose float-sum
+      order differs (used by the oracle gate).
+    """
+    from janus_spark.datapipe.text import clean_tokens
+
+    words = docs.select(F.col(id_col).alias("id"), F.explode(clean_tokens(F.col(text_col))).alias("t"))
+    tf = words.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("nd"))
+    dft = tf.groupBy("t").agg(F.count("*").alias("dft")).where(F.col("dft") <= max_df)
+    w = (
+        tf.join(dft, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select("id", "t", (F.col("tf") * F.log(F.col("nd") / F.col("dft"))).alias("w"))
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    unit = w.join(norms, "id").select("id", "t", F.try_divide(F.col("w"), F.col("nrm")).alias("u"))
+    pairs = (
+        unit.alias("l")
+        .join(unit.alias("r"), "t")
+        .where(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.sum(F.col("l.u") * F.col("r.u")).alias("sim"))
+    )
+    if round_sim is not None:
+        pairs = pairs.withColumn("sim", F.round("sim", round_sim))
+    return pairs.orderBy(F.desc("sim"), F.asc("a"), F.asc("b")).limit(k)

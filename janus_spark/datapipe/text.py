@@ -115,6 +115,25 @@ def clean_tokens(col: Column) -> Column:
     return F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: t != "")
 
 
+def doc_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model score per document: mean log p(token) under
+    the corpus's own unigram distribution — the cheap LM-quality signal
+    (very negative = rare-token soup; near zero = stopword boilerplate).
+
+    Plan shape: explode → vocab count (one shuffle, map-side combined)
+    → token⋈vocab equi-join on the word → per-doc mean (second shuffle
+    on doc id).  The corpus total is a 1-row aggregate broadcast into
+    the join, not a driver collect of the vocabulary."""
+    words = df.select(F.col(id_col), F.explode(clean_tokens(F.col(text_col))).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("wn"))
+    total = vocab.agg(F.sum("wn").alias("tn"))
+    scored = words.join(vocab, "word").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.avg(F.log(F.col("wn") / F.col("tn"))).alias("avg_logprob"),
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Within-document repetition signals — the classic boilerplate /
     generated-text filter: unique-token ratio and unique-bigram ratio

@@ -1789,6 +1789,54 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, 500, "n_chars").select("doc_id", "lang", "n_chars")
 
 
+_BAR_MS = 6 * 3600 * 1000  # OHLC bar width: 6 hours
+
+
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries downsampling: 6-hour OHLC bars per event type.  Open
+    and close are arg-min/arg-max via struct ordering ((ts, event_id) is
+    unique, so the comparison never reaches the value) — one partial-
+    aggregating shuffle, no window sort."""
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", "event_id", "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    key = F.struct("ts_ms", "event_id", "value")
+    return (
+        ev.withColumn("bar", F.floor(F.col("ts_ms") / F.lit(_BAR_MS)).cast("long"))
+        .groupBy("event_type", "bar")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(key)["value"], 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max(key)["value"], 6).alias("close"),
+        )
+    )
+
+
+def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score per document (datapipe/text.py
+    doc_logprob): mean log p(token) under the corpus distribution."""
+    from janus_spark.datapipe.text import doc_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = doc_logprob(docs)
+    return out.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most similar document pairs by TF-IDF cosine over an
+    inverted-index term join (datapipe/similarity.py tfidf_topk_pairs).
+    Scores rounded before ranking so the k-cut is engine-reproducible."""
+    from janus_spark.datapipe.similarity import tfidf_topk_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk_pairs(docs, k=50, max_df=1000, round_sim=6)
+
+
 QUERIES.update(
     {
         "q_range_join": q_range_join,
@@ -1800,8 +1848,47 @@ QUERIES.update(
         "q_tpch_revenue": q_tpch_revenue,
         "q_skew_join": q_skew_join,
         "q_sample_weighted": q_sample_weighted,
+        "q_ohlc_resample": q_ohlc_resample,
+        "q_doc_logprob": q_doc_logprob,
+        "q_tfidf_pairs": q_tfidf_pairs,
     }
 )
+_TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+ORACLES["q_ohlc_resample"] = f"""
+    WITH e AS (SELECT event_type, event_id, value, {_TSM} AS ts_ms FROM events),
+         b AS (SELECT *, ts_ms // {_BAR_MS} AS bar,
+                      ROW_NUMBER() OVER (PARTITION BY event_type, ts_ms // {_BAR_MS}
+                                         ORDER BY ts_ms, event_id) AS ra,
+                      ROW_NUMBER() OVER (PARTITION BY event_type, ts_ms // {_BAR_MS}
+                                         ORDER BY ts_ms DESC, event_id DESC) AS rd
+               FROM e)
+    SELECT event_type, bar, COUNT(*) AS n,
+           ROUND(MIN(CASE WHEN ra = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MIN(CASE WHEN rd = 1 THEN value END), 6) AS close
+    FROM b GROUP BY event_type, bar"""
+ORACLES["q_doc_logprob"] = f"""
+    WITH words AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+         vocab AS (SELECT word, COUNT(*) AS wn FROM words GROUP BY word),
+         tot AS (SELECT SUM(wn) AS tn FROM vocab)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(wn / (SELECT tn FROM tot))), 6) AS avg_logprob
+    FROM words JOIN vocab USING (word) GROUP BY doc_id"""
+ORACLES["q_tfidf_pairs"] = f"""
+    WITH words AS (SELECT doc_id AS id, unnest({_TOKS}) AS t FROM documents),
+         tf AS (SELECT id, t, COUNT(*) AS tf FROM words GROUP BY id, t),
+         nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+         dft AS (SELECT t, COUNT(*) AS dft FROM tf GROUP BY t
+                 HAVING COUNT(*) <= 1000),
+         w AS (SELECT id, t, tf * ln((SELECT nd FROM nd) / dft) AS w
+               FROM tf JOIN dft USING (t)),
+         norms AS (SELECT id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY id),
+         u AS (SELECT id, t, w / nrm AS u FROM w JOIN norms USING (id)),
+         p AS (SELECT l.id AS a, r.id AS b, ROUND(SUM(l.u * r.u), 6) AS sim
+               FROM u l JOIN u r USING (t) WHERE l.id < r.id
+               GROUP BY l.id, r.id)
+    SELECT a, b, sim FROM p ORDER BY sim DESC, a, b LIMIT 50"""
 ORACLES["q_skew_join"] = """
     SELECT c_mktsegment, COUNT(*) AS n_orders,
            ROUND(SUM(o_totalprice), 4) AS revenue

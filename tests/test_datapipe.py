@@ -292,6 +292,41 @@ def test_split_stable_under_corpus_growth(docs):
 
 
 # ------------------------------------------------------------ repetition
+def test_doc_logprob_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.doc_logprob(df).collect()}
+    # vocab: a=2 b=2 c=1, total=5
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(math.log(2 / 5), rel=1e-12)
+    assert out[2]["avg_logprob"] == pytest.approx((math.log(2 / 5) + math.log(1 / 5)) / 2, rel=1e-12)
+
+
+def test_doc_logprob_blank_doc_excluded(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "   ")], "doc_id long, text string")
+    assert [r["doc_id"] for r in text.doc_logprob(df).collect()] == [1]
+
+
+def test_tfidf_pairs_identical_docs_rank_first(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    rows = similarity.tfidf_topk_pairs(df, k=5).collect()
+    assert (rows[0]["a"], rows[0]["b"]) == (1, 2)
+    assert rows[0]["sim"] == pytest.approx(1.0, rel=1e-9)
+
+
+def test_tfidf_max_df_drops_stop_terms(spark):
+    # 'the' appears in all three docs; with max_df=2 it cannot create pairs
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "the dog"), (3, "the cat")], "doc_id long, text string"
+    )
+    rows = similarity.tfidf_topk_pairs(df, k=10, max_df=2).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, 3)]  # only 'cat' joins
+
+
 def test_repetition_features_known_texts(spark):
     df = spark.createDataFrame(
         [(1, "spam spam spam spam"), (2, "all words fully distinct"), (3, "  "), (4, "one")],
