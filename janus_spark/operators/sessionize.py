@@ -38,8 +38,16 @@ def sessionize(
     ``session_end`` (epoch ms), ``n_events``, plus any extra ``aggs``
     (name → aggregate Column over the session's events)."""
     extra = aggs or {}
+    # a TIMESTAMP column passes through bare: wrapping it in a (no-op)
+    # cast would hide the watermark attribute from streaming aggregation
+    # validation and break append mode.  NTZ/long/etc still cast.
+    from pyspark.sql.types import TimestampType
+
+    ts = F.col(ts_col)
+    if not isinstance(df.schema[ts_col].dataType, TimestampType):
+        ts = ts.cast("timestamp")
     out = (
-        df.groupBy(F.session_window(F.col(ts_col).cast("timestamp"), gap), *key_cols)
+        df.groupBy(F.session_window(ts, gap), *key_cols)
         .agg(F.count("*").alias("n_events"), *[c.alias(n) for n, c in extra.items()])
     )
     return out.select(

@@ -1789,6 +1789,73 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, 500, "n_chars").select("doc_id", "lang", "n_chars")
 
 
+def q_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization under the EXACT gate: a deterministic
+    burst fixture flows through a real Structured Streaming run (file
+    source → watermark → session_window aggregation → memory sink,
+    append mode; far-future closer events advance the watermark so all
+    data sessions close) and the emitted sessions hash-match a DuckDB
+    gaps-and-islands reconstruction.  sf_dir is unused: the fixture IS
+    the stream.  Fixture: 4 bursts × 10 events, user = r%5 — each user
+    gets 2 events per burst 2.5 s apart (merged by the 4 s gap), bursts
+    ~1 min apart (split)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.operators.sessionize import sessionize
+
+    def fixture(n: int = 40) -> DataFrame:
+        return spark.range(0, n).select(
+            F.timestamp_millis(
+                (F.col("id") / 10).cast("long") * 60000 + (F.col("id") % 10) * 500
+            ).alias("ts"),
+            (F.col("id") % 5).alias("user_id"),
+            F.col("id").cast("double").alias("v"),
+        )
+
+    def closer(ts_ms: int) -> DataFrame:
+        return spark.range(0, 1).select(
+            F.timestamp_millis(F.lit(ts_ms)).alias("ts"),
+            F.lit(99).alias("user_id"),
+            F.lit(0.0).alias("v"),
+        )
+
+    root = tempfile.mkdtemp(prefix="live_sess_")
+    try:
+        fixture().coalesce(1).write.parquet(f"{root}/f1.parquet")
+        closer(10_000_000).coalesce(1).write.parquet(f"{root}/f2.parquet")
+        closer(20_000_000).coalesce(1).write.parquet(f"{root}/f3.parquet")
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/*.parquet")
+        )
+        out = sessionize(
+            stream.withWatermark("ts", "1 second"),
+            gap="4 seconds", key_cols=("user_id",),
+            aggs={"sum_v": F.round(F.sum("v"), 6)},
+        )
+        name = f"live_sess_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table(name)
+            .where(F.col("user_id") != 99)
+            .select("user_id", "session_start", "session_end",
+                    F.col("n_events").cast("long").alias("n_events"), "sum_v")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _BAR_MS = 6 * 3600 * 1000  # OHLC bar width: 6 hours
 
 
@@ -1851,8 +1918,24 @@ QUERIES.update(
         "q_ohlc_resample": q_ohlc_resample,
         "q_doc_logprob": q_doc_logprob,
         "q_tfidf_pairs": q_tfidf_pairs,
+        "q_live_session": q_live_session,
     }
 )
+ORACLES["q_live_session"] = """
+    WITH ev AS (
+      SELECT CAST((r.range // 10) * 60000 + (r.range % 10) * 500 AS BIGINT) AS ts_ms,
+             CAST(r.range % 5 AS BIGINT) AS user_id,
+             CAST(r.range AS DOUBLE) AS v
+      FROM range(0, 40) r),
+    m AS (SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > 4000
+                         OR LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+    s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                  ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+    SELECT user_id, MIN(ts_ms) AS session_start,
+           MAX(ts_ms) + 4000 AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(v), 6) AS sum_v
+    FROM s GROUP BY user_id, sid"""
 _TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
 ORACLES["q_ohlc_resample"] = f"""
     WITH e AS (SELECT event_type, event_id, value, {_TSM} AS ts_ms FROM events),
