@@ -2058,3 +2058,93 @@ ORACLES["q_latest_event"] = f"""
     FROM events
     QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                                ORDER BY {_TSM} DESC, event_id DESC) = 1"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard similarity join (inverted shingle
+    index; the exact counterpart the MinHash/SimHash gates approximate)."""
+    from janus_spark.datapipe.dedup import jaccard_similarity_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_similarity_join(docs, shingle_k=3, threshold=0.5)
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` (LOCF interval
+    weighting) — the irregular-sampling mean plain AVG gets wrong."""
+    from janus_spark.operators.timeseries import time_weighted_avg
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return time_weighted_avg(
+        ev, ["user_id"], ts_col="ts_ms", value_col="value", order_tiebreak="event_id"
+    )
+
+
+_PANE_RANGE_MS = 6 * 3_600_000
+_PANE_STEP_MS = 3_600_000
+
+
+def q_sliding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 6h/1h per-user aggregates via pane partials (one
+    map-combinable pre-agg, window replication on partials not events)."""
+    from janus_spark.operators.timeseries import pane_sliding_agg
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "value", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    return pane_sliding_agg(
+        ev, ["user_id"], ts_col="ts_ms", value_col="value",
+        range_ms=_PANE_RANGE_MS, step_ms=_PANE_STEP_MS,
+    )
+
+
+QUERIES.update(
+    {
+        "q_jaccard_pairs": q_jaccard_pairs,
+        "q_time_weighted_avg": q_time_weighted_avg,
+        "q_sliding_panes": q_sliding_panes,
+    }
+)
+ORACLES["q_jaccard_pairs"] = r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+               FROM documents),
+         s AS (SELECT doc_id,
+                      CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(l) - 1),
+                                              i -> array_to_string(l[i:i+2], ' ')))
+                      END AS sh FROM t),
+         g AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS gram FROM s),
+         p AS (SELECT l.doc_id AS a, r.doc_id AS b, l.n AS na, r.n AS nb,
+                      COUNT(*) AS inter
+               FROM g l JOIN g r USING (gram) WHERE l.doc_id < r.doc_id
+               GROUP BY 1, 2, 3, 4)
+    SELECT a, b, ROUND(inter / (na + nb - inter), 9) AS jaccard
+    FROM p WHERE inter / (na + nb - inter) >= 0.5"""
+ORACLES["q_time_weighted_avg"] = f"""
+    WITH e AS (SELECT user_id, event_id, value, {_TSM} AS ts_ms FROM events),
+         d AS (SELECT user_id, value,
+                      LEAD(ts_ms) OVER (PARTITION BY user_id
+                                        ORDER BY ts_ms, event_id) - ts_ms AS dt
+               FROM e)
+    SELECT user_id, COUNT(*) AS n_intervals,
+           ROUND(SUM(dt) + 0.0, 6) AS span_ms,
+           ROUND(SUM(value * dt) / SUM(dt), 6) AS twa
+    FROM d WHERE dt IS NOT NULL GROUP BY user_id"""
+ORACLES["q_sliding_panes"] = f"""
+    WITH e AS (SELECT user_id, value, {_TSM} AS t FROM events),
+         x AS (SELECT user_id, value,
+                      unnest(generate_series(t // {_PANE_STEP_MS} - {_PANE_RANGE_MS // _PANE_STEP_MS - 1},
+                                             t // {_PANE_STEP_MS})) AS w
+               FROM e)
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_v,
+           ROUND(MIN(value), 6) AS min_v,
+           ROUND(MAX(value), 6) AS max_v,
+           ROUND(AVG(value), 6) AS avg_v,
+           w * {_PANE_STEP_MS} AS window_start
+    FROM x GROUP BY user_id, w"""

@@ -1,0 +1,134 @@
+"""Timeseries operators: time-weighted average, pane-based sliding
+aggregation, and the exact Jaccard similarity self-join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from janus_spark.datapipe.dedup import (
+    jaccard_similarity_join,
+    ngram_jaccard_pairs,
+    word_shingles,
+)
+from janus_spark.operators.timeseries import pane_sliding_agg, time_weighted_avg
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    # key A: value 10 holds for 1000ms, value 30 holds for 3000ms,
+    # final observation carries no weight -> TWA = (10*1000+30*3000)/4000
+    rows = [
+        ("A", 0, 10.0),
+        ("A", 1000, 30.0),
+        ("A", 4000, 99.0),
+        ("B", 0, 5.0),  # single observation: no interval, key dropped
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts_ms", "value"])
+    out = {r["k"]: r for r in time_weighted_avg(df, ["k"]).collect()}
+    assert set(out) == {"A"}
+    assert out["A"]["n_intervals"] == 2
+    assert out["A"]["span_ms"] == 4000.0
+    assert out["A"]["twa"] == pytest.approx((10 * 1000 + 30 * 3000) / 4000)
+
+
+def test_time_weighted_avg_tie_uses_tiebreak(spark):
+    # two observations at the same ts: the tiebreak column makes the
+    # LOCF ordering (and therefore which value gets the gap) total
+    rows = [("A", 0, 1, 10.0), ("A", 0, 2, 20.0), ("A", 1000, 3, 0.0)]
+    df = spark.createDataFrame(rows, ["k", "ts_ms", "eid", "value"])
+    out = time_weighted_avg(df, ["k"], order_tiebreak="eid").collect()[0]
+    # eid=1 gets dt=0, eid=2 gets dt=1000 -> twa = 20
+    assert out["twa"] == pytest.approx(20.0)
+
+
+def test_pane_sliding_agg_matches_naive_explode(spark):
+    ev = (
+        spark.range(500)
+        .select(
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") * 137 % 10_000).alias("ts_ms"),
+            (F.col("id") % 13).cast("double").alias("value"),
+        )
+    )
+    range_ms, step_ms = 3000, 1000
+    panes = pane_sliding_agg(ev, ["k"], range_ms=range_ms, step_ms=step_ms)
+    n = range_ms // step_ms
+    naive = (
+        ev.withColumn(
+            "w",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("ts_ms") / step_ms) - (n - 1),
+                    F.floor(F.col("ts_ms") / step_ms),
+                )
+            ),
+        )
+        .groupBy("k", "w")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_v"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+        )
+        .withColumn("window_start", (F.col("w") * step_ms).cast("long"))
+        .drop("w")
+    )
+    cols = sorted(panes.columns)
+    assert sorted(naive.columns) == cols
+    a = sorted(map(tuple, panes.select(*cols).collect()))
+    b = sorted(map(tuple, naive.select(*cols).collect()))
+    assert a == b
+
+
+def test_pane_sliding_agg_rejects_uneven_step(spark):
+    ev = spark.range(1).select(F.col("id").alias("k"), F.col("id").alias("ts_ms"),
+                               F.col("id").cast("double").alias("value"))
+    with pytest.raises(ValueError):
+        pane_sliding_agg(ev, ["k"], range_ms=2500, step_ms=1000)
+
+
+def test_jaccard_join_matches_pairwise_verification(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different words in this document here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "short text"),  # < k tokens -> whole-text shingle
+        (6, "short text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_similarity_join(df, threshold=0.3).collect()
+    }
+    assert got[(1, 4)] == 1.0
+    assert got[(5, 6)] == 1.0
+    assert (1, 2) in got and 0.3 <= got[(1, 2)] < 1.0
+    assert not any(3 in p for p in got)
+
+    # the posting-count jaccard must equal the array-verification jaccard
+    # for every emitted pair
+    pairs = spark.createDataFrame([(a, b) for a, b in got], ["a", "b"])
+    verified = {
+        (r["a"], r["b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(df, pairs).collect()
+    }
+    assert {p: round(j, 9) for p, j in got.items()} == verified
+
+
+def test_jaccard_join_complete_vs_bruteforce(spark, sf_dir):
+    """Inverted-index join finds EVERY pair the quadratic scan finds."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    got = {(r["a"], r["b"]) for r in jaccard_similarity_join(docs, threshold=0.2).collect()}
+    sh = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    brute = {
+        (r["a"], r["b"])
+        for r in a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .where(inter / union >= 0.2)
+        .collect()
+    }
+    assert got == brute
