@@ -203,6 +203,19 @@ class ConstructQuery:
     limit: int | None = None
 
 
+@dataclass
+class DescribeQuery:
+    """DESCRIBE ?v/<iri>… [WHERE { pattern }] — subject-outgoing
+    description.  SPARQL 1.1 §16.4 leaves the result form implementation-
+    defined; we emit all triples whose subject is a described resource,
+    the minimal behavior (Oxigraph-inherited surface in the reference:
+    its adapter formats any QueryResults::Graph,
+    src/querying/oxigraph_adapter.rs:183-195)."""
+
+    resources: list  # Var | Iri; empty ⇒ DESCRIBE * (all in-scope vars)
+    where: "Group | None" = None
+
+
 def _contains_aggregate(e: Expr) -> bool:
     if isinstance(e, ECall):
         return e.is_aggregate() or any(_contains_aggregate(a) for a in e.args)

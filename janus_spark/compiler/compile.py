@@ -75,10 +75,12 @@ class SparqlCompiler:
 
     # ------------------------------------------------------------ entry
     def compile(self, q) -> DataFrame:
-        from janus_spark.compiler.ast import ConstructQuery
+        from janus_spark.compiler.ast import ConstructQuery, DescribeQuery
 
         if isinstance(q, ConstructQuery):
             return self.compile_construct(q)
+        if isinstance(q, DescribeQuery):
+            return self.compile_describe(q)
         df = self.compile_group(q.where, graph_term=None)
         if q.ask:
             # ASK: any solution exists (Q8, oxigraph_adapter.rs:183-195)
@@ -151,6 +153,37 @@ class SparqlCompiler:
         if q.limit is not None:
             out = out.limit(q.limit)
         return out
+
+    def compile_describe(self, q) -> DataFrame:
+        """DESCRIBE: subject-outgoing triples of each described resource,
+        set semantics.
+
+        Plan shape: distinct described ids (tiny next to the quad log),
+        then a LEFT SEMI join on subject — AQE flips it to broadcast when
+        the id side is small, so the common case is one pruned quad scan
+        with a broadcast membership probe."""
+        ids: DataFrame | None = None
+        consts = [t.value for t in q.resources if isinstance(t, Iri)]
+        var_names = [t.name for t in q.resources if isinstance(t, Var)]
+        if q.where is not None:
+            sol = self.compile_group(q.where, graph_term=None)
+            names = var_names or [c for c in sol.columns if not c.startswith("__")]
+            missing = [n for n in names if n not in sol.columns]
+            if missing:
+                raise ValueError(f"DESCRIBE variable(s) not bound in WHERE: {missing}")
+            for n in names:
+                part = sol.select(F.col(n).cast("string").alias("id"))
+                ids = part if ids is None else ids.unionByName(part)
+        elif var_names:
+            raise ValueError("DESCRIBE with variables requires a WHERE clause")
+        if consts:
+            cdf = self.quads.sparkSession.createDataFrame([(c,) for c in consts], ["id"])
+            ids = cdf if ids is None else ids.unionByName(cdf)
+        if ids is None:
+            raise ValueError("empty DESCRIBE")
+        ids = ids.where(F.col("id").isNotNull()).distinct()
+        out = self.quads.join(ids, self.quads["subject"] == ids["id"], "semi")
+        return out.select("subject", "predicate", "object").dropDuplicates()
 
     # ------------------------------------------------- star-join rewrite
     def _rewrite_stars(self, elements: list) -> list:

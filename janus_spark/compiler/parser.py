@@ -75,6 +75,8 @@ class SparqlParser:
             return SelectQuery(projection=[], where=where, ask=True)
         if self.ts.at_kw("CONSTRUCT"):
             return self.parse_construct()
+        if self.ts.at_kw("DESCRIBE"):
+            return self.parse_describe()
         q = self.parse_select()
         if self.ts.cur.kind != "EOF":
             raise SyntaxError(f"trailing tokens at offset {self.ts.cur.pos}: {self.ts.cur.text!r}")
@@ -94,6 +96,30 @@ class SparqlParser:
             self.ts.advance()
             limit = int(self.ts.advance().text)
         return ConstructQuery(template=template, where=where, limit=limit)
+
+    def parse_describe(self):
+        from janus_spark.compiler.ast import DescribeQuery, Iri, Var
+
+        self.ts.eat_kw("DESCRIBE")
+        resources: list = []
+        if self.ts.at_op("*"):
+            self.ts.advance()  # empty resources ⇒ all in-scope vars
+        else:
+            while self.ts.cur.kind in ("VAR", "IRI", "PNAME"):
+                t = self.parse_term()
+                if not isinstance(t, (Var, Iri)):
+                    raise SyntaxError("DESCRIBE takes variables or IRIs")
+                resources.append(t)
+            if not resources:
+                raise SyntaxError("empty DESCRIBE clause")
+        where = None
+        if self.ts.at_kw("WHERE") or self.ts.at_op("{"):
+            if self.ts.at_kw("WHERE"):
+                self.ts.advance()
+            where = self.parse_group()
+        if self.ts.cur.kind != "EOF":
+            raise SyntaxError(f"trailing tokens at offset {self.ts.cur.pos}: {self.ts.cur.text!r}")
+        return DescribeQuery(resources=resources, where=where)
 
     def parse_prologue(self) -> None:
         while self.ts.at_kw("PREFIX", "BASE"):

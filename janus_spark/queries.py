@@ -2148,3 +2148,26 @@ ORACLES["q_sliding_panes"] = f"""
            ROUND(AVG(value), 6) AS avg_v,
            w * {_PANE_STEP_MS} AS window_start
     FROM x GROUP BY user_id, w"""
+
+
+def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE (Q8 family): subject-outgoing triples of every event
+    matching the WHERE pattern — one semi-join membership probe."""
+    q = """DESCRIBE ?e WHERE { ?e <urn:col:event_type> "error" . }"""
+    return _run(_events_quads(spark, sf_dir), q)
+
+
+QUERIES["q_describe"] = q_describe
+ORACLES["q_describe"] = f"""
+    WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+         t AS (
+           SELECT {_EV} AS subject, 'urn:col:user_id' AS predicate,
+                  CAST(user_id AS VARCHAR) AS object FROM err
+           UNION ALL
+           SELECT {_EV}, 'urn:col:event_type', event_type FROM err
+           UNION ALL
+           SELECT {_EV}, 'urn:col:value', CAST(value AS VARCHAR) FROM err
+           UNION ALL
+           SELECT {_EV}, 'urn:col:props', props FROM err)
+    SELECT DISTINCT subject, predicate, object FROM t
+    WHERE object IS NOT NULL"""

@@ -243,3 +243,36 @@ def test_filter_not_exists(spark, quads):
             }}""",
     ).collect()
     assert {r["s"] for r in rows} == {f"{EX}sensor{i}" for i in (0, 1, 3, 4)}
+
+
+# ------------------------------------------------------------- DESCRIBE
+def test_describe_constant_iri(quads):
+    rows = run(quads, f"DESCRIBE <{EX}sensor1>").collect()
+    assert rows and all(r["subject"] == f"{EX}sensor1" for r in rows)
+    assert {tuple(r) for r in rows} == {
+        (f"{EX}sensor1", f"{EX}temperature", str(20 + i % 10))
+        for i in range(100) if i % 5 == 1
+    }
+
+
+def test_describe_var_with_where(quads):
+    rows = run(
+        quads, f'DESCRIBE ?s WHERE {{ ?s <{EX}temperature> "25" . }}'
+    ).collect()
+    # object "25" ⇒ i%10==5 ⇒ sensors 0 (i%5 for odd multiples of 5: 5,15,..)
+    subjects = {r["subject"] for r in rows}
+    assert subjects == {f"{EX}sensor0"}  # 5,15,…,95 are all ≡ 0 mod 5
+    # description carries ALL outgoing triples, not just the matching one
+    assert {r["object"] for r in rows} == {str(20 + i % 10) for i in range(100) if i % 5 == 0}
+
+
+def test_describe_star_uses_all_vars(quads):
+    a = run(quads, f"DESCRIBE * WHERE {{ ?s <{EX}temperature> ?t . }}")
+    # ?t values are plain literals, never subjects -> same rows as ?s alone
+    b = run(quads, f"DESCRIBE ?s WHERE {{ ?s <{EX}temperature> ?t . }}")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_describe_unbound_var_errors(quads):
+    with pytest.raises(ValueError):
+        run(quads, f"DESCRIBE ?nope WHERE {{ ?s <{EX}temperature> ?t . }}")
