@@ -159,6 +159,24 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy (nats) of the token distribution —
+    the distribution-sensitive repetition signal (uniq_token_ratio treats
+    'a a a a b' and 'a b a b a' alike; entropy doesn't).  Low entropy at
+    high token count = degenerate/boilerplate text.
+
+    Using H = ln N − (Σ c·ln c)/N over per-doc token counts c, both
+    aggregations are map-side combinable: explode → (doc, token) count →
+    per-doc rollup, the same two-shuffle shape as doc_logprob."""
+    words = df.select(F.col(id_col), F.explode(clean_tokens(F.col(text_col))).alias("word"))
+    counts = words.groupBy(id_col, "word").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return counts.groupBy(id_col).agg(
+        n.cast("long").alias("n_tokens"),
+        F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6).alias("entropy"),
+    )
+
+
 def word_freq(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Corpus-level top-k word frequency (vocabulary head).  Explode →
     partial-aggregated count (map-side combine) → global top-k; ties break

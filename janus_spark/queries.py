@@ -2171,3 +2171,68 @@ ORACLES["q_describe"] = f"""
            SELECT {_EV}, 'urn:col:props', props FROM err)
     SELECT DISTINCT subject, predicate, object FROM t
     WHERE object IS NOT NULL"""
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (curation
+    signal: low entropy at high length = degenerate text)."""
+    from janus_spark.datapipe.text import token_entropy
+
+    return token_entropy(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_LOCF_SLOT_MS = 6 * 3_600_000
+
+
+def q_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an irregular series: 6-hour grid per user, value =
+    last observation carried forward (as-of-backward join of the grid
+    against the events — single-shuffle union+window, no range join)."""
+    from janus_spark.operators.asof import asof_join
+    from janus_spark.sources.melt import read_events
+
+    h = _LOCF_SLOT_MS
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    # ties on (user, ts) resolved deterministically: keep the max event_id
+    latest = (
+        ev.groupBy("user_id", "ts_ms")
+        .agg(F.max(F.struct("event_id", "value"))["value"].alias("value"))
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts_ms").alias("mn"), F.max("ts_ms").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.expr(f"(mn + {h - 1}) DIV {h}"), F.expr(f"mx DIV {h}"))
+            ).alias("slot"),
+        )
+        .select("user_id", (F.col("slot") * h).cast("long").alias("ts_ms"))
+    )
+    out = asof_join(grid, latest, ts_col="ts_ms", by=("user_id",), value_cols=("value",))
+    return out.select("user_id", "ts_ms", F.round("value_asof", 6).alias("value_locf"))
+
+
+QUERIES.update({"q_token_entropy": q_token_entropy, "q_locf_resample": q_locf_resample})
+ORACLES["q_token_entropy"] = f"""
+    WITH w AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+         c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word)
+    SELECT doc_id, SUM(c) AS n_tokens,
+           ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+    FROM c GROUP BY doc_id"""
+ORACLES["q_locf_resample"] = f"""
+    WITH e AS (SELECT user_id, event_id, value, {_TSM} AS ts_ms FROM events),
+         latest AS (SELECT user_id, ts_ms, arg_max(value, event_id) AS value
+                    FROM e GROUP BY user_id, ts_ms),
+         b AS (SELECT user_id, MIN(ts_ms) AS mn, MAX(ts_ms) AS mx
+               FROM e GROUP BY user_id),
+         grid AS (SELECT user_id,
+                         unnest(generate_series((mn + {_LOCF_SLOT_MS - 1}) // {_LOCF_SLOT_MS},
+                                                mx // {_LOCF_SLOT_MS})) * {_LOCF_SLOT_MS} AS ts_ms
+                  FROM b)
+    SELECT g.user_id, g.ts_ms, ROUND(l.value, 6) AS value_locf
+    FROM grid g ASOF LEFT JOIN latest l
+      ON g.user_id = l.user_id AND g.ts_ms >= l.ts_ms"""

@@ -272,3 +272,36 @@ def test_sampling_and_chunking_are_map_only(spark, sf_dir):
         repetition_features(docs),
     ):
         assert "Exchange" not in plan_of(df), "expected a map-only plan"
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning (on by default in
+    session.py via AQE defaults) must inject a might_contain probe on the
+    fact side of a selective shuffle join once the size thresholds are
+    met — at 100 TB this is what turns a selective dim⋈fact shuffle join
+    into a pre-filtered scan.  Thresholds are lowered here because the
+    sf-test fact table is far below the 10 GiB production default."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        joined = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        # and it must not change results
+        n_with = joined.count()
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        assert joined.count() == n_with
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
