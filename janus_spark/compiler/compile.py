@@ -63,6 +63,15 @@ class SparqlCompiler:
     registry: dict = field(default_factory=lambda: dict(FUNCTION_REGISTRY))
     static_quads: DataFrame | None = None  # baseline/background triples (broadcast side)
     path_max_hops: int = 10  # bound for +/* property-path closures
+    # Greedy BGP join ordering (selectivity + connectivity). The reference
+    # delegates join planning to Oxigraph (SURVEY §4); on Spark the
+    # written pattern order becomes the initial join order.  Catalyst's
+    # ReorderJoin can recover equi keys for a disconnected middle pattern,
+    # but the resulting join stays Cross-typed and the rule is best-effort
+    # with no selectivity notion; ordering here guarantees connected
+    # equi-inner joins and seeds with the most-constant pattern so the
+    # smallest intermediate comes first.
+    reorder_bgp: bool = True
     # predicate IRI -> PropertyTable (sources.melt.property_registry).
     # Caller contract: every quad with a registered predicate comes from
     # that table's melt (true whenever quads = union of melt_table calls)
@@ -279,6 +288,8 @@ class SparqlCompiler:
             # them (window-tagged PTs from run_historical_sliding); the
             # per-pattern check in _rewrite_stars enforces it
             elements = self._rewrite_stars(elements)
+        if self.reorder_bgp:
+            elements = self._reorder_runs(elements)
         for el in elements:
             if isinstance(el, _StarFrame):
                 df = self._merge(df, el.df, "inner")
@@ -534,6 +545,55 @@ class SparqlCompiler:
         return spark.createDataFrame(rows, schema=v.var_names)
 
     # ------------------------------------------------------------ joins
+    # ------------------------------------------------ BGP join ordering
+    @staticmethod
+    def _pattern_vars(tp: TriplePattern) -> set:
+        return {t.name for t in (tp.s, tp.p, tp.o) if isinstance(t, Var)}
+
+    def _order_patterns(self, pats: list) -> list:
+        """Greedy ordering of one BGP run: seed with the most-constant
+        (most selective) pattern, then always extend through a shared
+        variable when one exists — equi-joins instead of cartesians.
+        Inner joins commute, so any order is semantics-preserving; ties
+        keep written order (deterministic plans)."""
+        if len(pats) <= 1:
+            return pats
+
+        def score(tp: TriplePattern) -> int:
+            return sum(0 if isinstance(t, Var) else 1 for t in (tp.s, tp.p, tp.o))
+
+        remaining = list(range(len(pats)))
+        seed = max(remaining, key=lambda i: (score(pats[i]), -i))
+        order = [seed]
+        remaining.remove(seed)
+        bound = set(self._pattern_vars(pats[seed]))
+        while remaining:
+            connected = [i for i in remaining if self._pattern_vars(pats[i]) & bound]
+            pool = connected or remaining  # no connection anywhere ⇒ true product
+            nxt = max(pool, key=lambda i: (score(pats[i]), -i))
+            order.append(nxt)
+            remaining.remove(nxt)
+            bound |= self._pattern_vars(pats[nxt])
+        return [pats[i] for i in order]
+
+    def _reorder_runs(self, elements: list) -> list:
+        """Reorder each maximal run of consecutive triple patterns; every
+        other element kind (BIND, OPTIONAL, star frames, …) is a barrier
+        because it is order-sensitive or already pre-joined."""
+        out: list = []
+        run: list = []
+        for el in elements:
+            if isinstance(el, TriplePattern):
+                run.append(el)
+            else:
+                if run:
+                    out.extend(self._order_patterns(run))
+                    run = []
+                out.append(el)
+        if run:
+            out.extend(self._order_patterns(run))
+        return out
+
     def _merge(self, left: DataFrame | None, right: DataFrame, how: str) -> DataFrame:
         if left is None:
             return right
@@ -614,6 +674,7 @@ def compile_sparql(
     registry: dict | None = None,
     static_quads: DataFrame | None = None,
     property_tables: dict | None = None,
+    reorder_bgp: bool = True,
 ) -> DataFrame:
     return SparqlCompiler(
         quads,
@@ -621,4 +682,5 @@ def compile_sparql(
         registry if registry is not None else dict(FUNCTION_REGISTRY),
         static_quads,
         property_tables=property_tables or {},
+        reorder_bgp=reorder_bgp,
     ).compile(q)

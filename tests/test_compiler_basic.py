@@ -276,3 +276,50 @@ def test_describe_star_uses_all_vars(quads):
 def test_describe_unbound_var_errors(quads):
     with pytest.raises(ValueError):
         run(quads, f"DESCRIBE ?nope WHERE {{ ?s <{EX}temperature> ?t . }}")
+
+
+# ------------------------------------------------- BGP join reordering
+def test_bgp_reorder_avoids_cartesian(spark):
+    """A disconnected middle pattern must not become a cross join when a
+    later pattern connects both sides (the reference's evaluator handles
+    this inside Oxigraph; our compiler must plan it)."""
+    rows = []
+    for i in range(20):
+        rows.append((i, f"{EX}a{i}", f"{EX}temperature", str(20 + i), "g"))
+        rows.append((i, f"{EX}c{i}", f"{EX}humidity", str(50 + i), "g"))
+        rows.append((i, f"{EX}a{i}", f"{EX}linked", f"{EX}c{i}", "g"))
+    q = spark.createDataFrame(rows, ["ts", "subject", "predicate", "object", "graph"])
+    text = f"""SELECT ?a ?c WHERE {{
+        ?a <{EX}temperature> ?x .
+        ?c <{EX}humidity> ?y .
+        ?a <{EX}linked> ?c .
+    }}"""
+    from janus_spark.compiler import compile_sparql as cs
+
+    good = cs(parse_sparql(text), q)
+    bad = cs(parse_sparql(text), q, reorder_bgp=False)
+    plan_good = good._jdf.queryExecution().executedPlan().toString()
+    plan_bad = bad._jdf.queryExecution().executedPlan().toString()
+    # naive order: Catalyst recovers the equi keys but the join stays
+    # Cross-typed (cartesian-derived); connected order compiles to clean
+    # inner equi-joins from the start
+    assert "CartesianProduct" not in plan_good and "NestedLoopJoin" not in plan_good
+    assert ", Cross" not in plan_good
+    assert ", Cross" in plan_bad or "CartesianProduct" in plan_bad or "NestedLoopJoin" in plan_bad
+    assert sorted(map(tuple, good.collect())) == sorted(map(tuple, bad.collect()))
+    assert good.count() == 20
+
+
+def test_bgp_reorder_seeds_most_selective(spark, quads):
+    """Constant-object patterns join before open patterns; results are
+    unchanged for every permutation of the written order."""
+    p1 = f'?s <{EX}temperature> "25" .'
+    p2 = f"?s <{EX}temperature> ?t ."
+    import itertools
+
+    expected = None
+    for perm in itertools.permutations([p1, p2]):
+        out = run(quads, "SELECT ?s ?t WHERE { " + " ".join(perm) + " }")
+        got = sorted(map(tuple, out.collect()))
+        expected = got if expected is None else expected
+        assert got == expected
