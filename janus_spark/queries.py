@@ -2236,3 +2236,69 @@ ORACLES["q_locf_resample"] = f"""
     SELECT g.user_id, g.ts_ms, ROUND(l.value, 6) AS value_locf
     FROM grid g ASOF LEFT JOIN latest l
       ON g.user_id = l.user_id AND g.ts_ms >= l.ts_ms"""
+
+
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup verification by Levenshtein distance on normalized text,
+    over the EXACT Jaccard candidates (threshold 0.5) — the second-stage
+    verifier of a dedup pipeline.  JVM levenshtein on the joined pair
+    rows only, never all-pairs; the candidate set bounds the O(len²) DP."""
+    from janus_spark.datapipe.dedup import jaccard_similarity_join
+    from janus_spark.datapipe.text import normalize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = docs.select("doc_id", normalize(F.col("text")).alias("nt"))
+    cand = jaccard_similarity_join(docs, shingle_k=3, threshold=0.5).select("a", "b")
+    return (
+        cand.join(norm.select(F.col("doc_id").alias("a"), F.col("nt").alias("ta")), "a")
+        .join(norm.select(F.col("doc_id").alias("b"), F.col("nt").alias("tb")), "b")
+        .select(
+            "a", "b",
+            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+            F.round(
+                F.lit(1.0)
+                - F.levenshtein("ta", "tb") / F.greatest(F.length("ta"), F.length("tb")),
+                9,
+            ).alias("edit_sim"),
+        )
+    )
+
+
+def q_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile binning of documents by composite quality score (NTILE
+    window) with per-bin stats — the 'keep top quality quartiles'
+    curation step."""
+    from janus_spark.datapipe.text import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_features(docs).select("doc_id", "q_score", "n_chars")
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("q_score").desc(), F.col("doc_id").asc())
+    binned = scored.withColumn("quartile", F.ntile(4).over(w))
+    return binned.groupBy("quartile").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("q_score"), 6).alias("avg_score"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+QUERIES.update({"q_edit_distance": q_edit_distance, "q_quality_ntile": q_quality_ntile})
+_JACC_SQL = ORACLES["q_jaccard_pairs"]
+ORACLES["q_edit_distance"] = f"""
+    WITH cand AS (SELECT a, b FROM ({_JACC_SQL})),
+         n AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents)
+    SELECT a, b, levenshtein(l.nt, r.nt) AS edit_dist,
+           ROUND(1.0 - levenshtein(l.nt, r.nt)
+                       / GREATEST(LENGTH(l.nt), LENGTH(r.nt)), 9) AS edit_sim
+    FROM cand JOIN n l ON l.doc_id = a JOIN n r ON r.doc_id = b"""
+_TQ_SQL = ORACLES["q_text_quality"]
+ORACLES["q_quality_ntile"] = f"""
+    WITH s AS (SELECT q.doc_id, q.score, d.n_chars
+               FROM ({_TQ_SQL}) q JOIN documents d USING (doc_id)),
+         b AS (SELECT *, NTILE(4) OVER (ORDER BY score DESC, doc_id ASC) AS quartile
+               FROM s)
+    SELECT quartile, COUNT(*) AS n_docs,
+           ROUND(AVG(score), 6) AS avg_score,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM b GROUP BY quartile"""
