@@ -2302,3 +2302,81 @@ ORACLES["q_quality_ntile"] = f"""
            ROUND(AVG(score), 6) AS avg_score,
            ROUND(AVG(n_chars), 6) AS avg_chars
     FROM b GROUP BY quartile"""
+
+
+def q_live_istream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IStream R2S operator under the EXACT gate: a deterministic
+    unique-value sensor fixture flows through a real Structured Streaming
+    run (file source → foreachBatch live runtime → sliding 4s/2s windows
+    → bag-delta emission) and the per-window inserted rows hash-match a
+    DuckDB reconstruction (consecutive-window anti-join).  Values are
+    unique per quad so bag deltas equal set deltas and the SQL form is
+    exact.  The reference parses IStream but implements only RStream
+    (janusql_parser.rs:43-51); this gate pins our extension.  sf_dir is
+    unused: the fixture IS the stream."""
+    import shutil
+    import tempfile
+
+    from janus_spark.model import QUAD_SCHEMA
+    from janus_spark.parsing import parse_janusql
+    from janus_spark.streaming import ListSink, LiveQueryRunner
+
+    text = """
+    PREFIX ex: <http://example.org/>
+    REGISTER IStream <out> AS
+    SELECT ?s ?t
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 4000 STEP 2000]
+    WHERE { WINDOW ex:w { ?s ex:temperature ?t . } }
+    """
+    fixture = spark.range(1, 61).select(
+        (F.col("id") * 500).alias("ts"),
+        F.concat(F.lit("http://example.org/sensor"), (F.col("id") % 3).cast("string")).alias("subject"),
+        F.lit("http://example.org/temperature").alias("predicate"),
+        F.col("id").cast("string").alias("object"),
+        F.lit("g").alias("graph"),
+    )
+    closer = fixture.where("ts = 500").selectExpr(
+        "CAST(35000 AS LONG) AS ts", "subject", "predicate", "object", "graph"
+    )
+    root = tempfile.mkdtemp(prefix="live_istream_")
+    try:
+        fixture.where("ts <= 15000").coalesce(1).write.parquet(f"{root}/f1.parquet")
+        fixture.where("ts > 15000").coalesce(1).write.parquet(f"{root}/f2.parquet")
+        closer.coalesce(1).write.parquet(f"{root}/f3.parquet")
+        stream = (
+            spark.readStream.schema(QUAD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        sink = ListSink()
+        runner = LiveQueryRunner(spark, parse_janusql(text), f"{root}/buf", sink=sink)
+        q = runner.attach(stream, once=True)
+        q.awaitTermination(300)
+        rows = [
+            (b["window_start"], b["window_end"], r["s"], r["t"])
+            for b in sink.batches
+            for r in b["rows"]
+        ]
+        return spark.createDataFrame(
+            rows, "window_start long, window_end long, s string, t string"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES["q_live_istream"] = q_live_istream
+ORACLES["q_live_istream"] = """
+    WITH f AS (SELECT CAST(r.range * 500 AS BIGINT) AS ts,
+                      'http://example.org/sensor' || CAST(r.range % 3 AS VARCHAR) AS s,
+                      CAST(r.range AS VARCHAR) AS t
+               FROM range(1, 61) r),
+         k AS (SELECT unnest(generate_series(0, 15)) AS k),
+         sol AS (SELECT k.k, f.s, f.t
+                 FROM k JOIN f ON f.ts >= k.k * 2000 AND f.ts < k.k * 2000 + 4000),
+         delta AS (SELECT cur.k, cur.s, cur.t
+                   FROM sol cur LEFT JOIN sol prev
+                     ON prev.k = cur.k - 1 AND prev.s = cur.s AND prev.t = cur.t
+                   WHERE prev.k IS NULL)
+    SELECT CAST(k * 2000 AS BIGINT) AS window_start,
+           CAST(k * 2000 + 4000 AS BIGINT) AS window_end, s, t
+    FROM delta"""
