@@ -31,6 +31,150 @@ from janus_spark.compiler.compile import compile_sparql
 WINDOW_ID = "__window_id"
 WINDOW_START = "window_start"
 WINDOW_END = "window_end"
+PANE = "__pane"
+PANE_BOUNDARY = "__pane_boundary"
+
+
+def _has_exists(e) -> bool:
+    from janus_spark.compiler.ast import EBin, ECall, EExists, EUn
+
+    if isinstance(e, EExists):
+        return True
+    if isinstance(e, EBin):
+        return _has_exists(e.left) or _has_exists(e.right)
+    if isinstance(e, EUn):
+        return _has_exists(e.operand)
+    if isinstance(e, ECall):
+        return any(_has_exists(a) for a in e.args)
+    return False
+
+
+def sliding_pane_spec(query: SelectQuery):
+    """Return ``(group_names, items)`` when the query is pane-decomposable
+    (single triple pattern + row filters, projection of group keys and
+    non-DISTINCT COUNT/SUM/MIN/MAX/AVG), else None.
+
+    ``items`` is one entry per projection column: ``(alias, kind, arg)``
+    with kind in {"key", "COUNT", "COUNT_STAR", "SUM", "MIN", "MAX",
+    "AVG"}.  Multi-pattern queries are excluded because a join must pair
+    quads across panes of the same window; pane-local evaluation is only
+    sound when each solution row derives from one quad."""
+    from janus_spark.compiler.ast import ECall, EVar, Filter, Iri, TriplePattern, Var
+
+    q = query
+    if (
+        q.projection is None
+        or q.distinct
+        or q.having is not None
+        or q.order_by
+        or q.limit is not None
+        or q.offset
+        or q.ask
+    ):
+        return None
+    els = q.where.elements
+    pats = [e for e in els if isinstance(e, TriplePattern)]
+    if len(pats) != 1 or any(not isinstance(e, (TriplePattern, Filter)) for e in els):
+        return None
+    if not isinstance(pats[0].p, (Var, Iri)):  # a property path spans quads
+        return None
+    if any(isinstance(e, Filter) and _has_exists(e.expr) for e in els):
+        return None
+    group_names = []
+    for g, _alias in q.group_by:
+        if not isinstance(g, EVar):
+            return None
+        group_names.append(g.name)
+    items = []
+    has_agg = False
+    for e, name in q.projection:
+        if isinstance(e, EVar):
+            if e.name not in group_names:
+                return None
+            items.append((name, "key", e))
+        elif (
+            isinstance(e, ECall)
+            and e.is_aggregate()
+            and not e.distinct
+            and e.name in ("COUNT", "COUNT_STAR", "SUM", "MIN", "MAX", "AVG")
+        ):
+            items.append((name, e.name, e.args[0] if e.args else None))
+            has_agg = True
+        else:
+            return None
+    return (group_names, items) if has_agg else None
+
+
+def _run_sliding_panes(
+    query: SelectQuery,
+    quads: DataFrame,
+    now: int,
+    offset_ms: int,
+    range_ms: int,
+    step_ms: int,
+    registry: dict | None,
+    spec,
+) -> DataFrame:
+    """Pane-decomposed sliding aggregation ("no pane, no gain", Li et al.
+    2005): aggregate each step-sized pane once, replicate the PARTIALS
+    into the ``range/step`` windows they belong to, then merge.  The
+    naive plan replicates every event that many times before the
+    shuffle; at 100 TB with wide windows this cuts shuffle volume by the
+    per-key-per-pane event count.
+
+    Inclusive window bounds (storage query is [start, end],
+    segmented_storage.rs:318,451-459) make the window end instant belong
+    to the NEXT pane, so rows at an exact pane boundary partial-aggregate
+    separately (PANE_BOUNDARY) and replicate one window further back —
+    reproducing tag_window_ids' ceil/floor arithmetic exactly on partials
+    instead of rows."""
+    from janus_spark.compiler.expressions import compile_expr
+
+    group_names, items = spec
+    base = now - offset_ms
+    r = range_ms // step_ms
+    k_max = offset_ms // step_ms
+    rel = F.col("ts") - F.lit(base)
+    tagged = (
+        quads.where(F.col("ts").between(F.lit(base), F.lit(now)))
+        .withColumn(PANE, F.floor(rel / F.lit(step_ms)).cast("long"))
+        .withColumn(PANE_BOUNDARY, rel % F.lit(step_ms) == 0)
+    )
+    row_q = SelectQuery(projection=None, where=query.where)  # SELECT *
+    rows = compile_sparql(
+        row_q, tagged, partition_cols=[PANE, PANE_BOUNDARY], registry=registry
+    )
+    partial_cols, final_cols, p_names = [], [], []
+    for i, (alias, kind, arg) in enumerate(items):
+        if kind == "key":
+            continue
+        if kind in ("COUNT", "COUNT_STAR"):
+            c = F.count(F.lit(1)) if arg is None else F.count(compile_expr(arg, None, registry))
+            partial_cols.append(c.alias(f"__p{i}"))
+            final_cols.append(F.sum(f"__p{i}").alias(alias))
+            p_names.append(f"__p{i}")
+        elif kind in ("SUM", "MIN", "MAX"):
+            fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max}[kind]
+            w = "num" if kind == "SUM" else None
+            partial_cols.append(fn(compile_expr(arg, w, registry)).alias(f"__p{i}"))
+            final_cols.append(fn(f"__p{i}").alias(alias))
+            p_names.append(f"__p{i}")
+        else:  # AVG = SUM/COUNT partials
+            num = compile_expr(arg, "num", registry)
+            partial_cols.append(F.sum(num).alias(f"__p{i}s"))
+            partial_cols.append(F.count(num).alias(f"__p{i}c"))
+            final_cols.append((F.sum(f"__p{i}s") / F.sum(f"__p{i}c")).alias(alias))
+            p_names.extend([f"__p{i}s", f"__p{i}c"])
+    partials = rows.groupBy(*group_names, PANE, PANE_BOUNDARY).agg(*partial_cols)
+    # window k is [base+k*step, base+k*step+range] inclusive: a pane-m
+    # partial feeds windows [m-r+1, m]; a boundary partial also feeds m-r
+    k_lo = F.when(F.col(PANE_BOUNDARY), F.col(PANE) - r).otherwise(F.col(PANE) - r + 1)
+    win = F.explode(
+        F.sequence(F.greatest(k_lo, F.lit(0)), F.least(F.col(PANE), F.lit(k_max)))
+    ).alias(WINDOW_ID)
+    exploded = partials.select(*group_names, win, *p_names)
+    final = exploded.groupBy(*group_names, WINDOW_ID).agg(*final_cols)
+    return final.select(*[alias for alias, _, _ in items], WINDOW_ID)
 
 
 def run_historical_fixed(
@@ -123,6 +267,7 @@ def run_historical_sliding(
     registry: dict | None = None,
     static_quads: DataFrame | None = None,
     property_tables: dict | None = None,
+    use_panes: bool | None = None,
 ) -> DataFrame:
     """W2 as ONE distributed plan over all hops.
 
@@ -133,8 +278,31 @@ def run_historical_sliding(
     ``property_tables`` get the same window-id explode applied to their
     rows, so star-join elimination works across all hops at once (the
     star scan carries ``__window_id`` like any tagged quad).
+
+    ``use_panes``: None = auto-dispatch the pane-decomposed fast path
+    (_run_sliding_panes) when the query qualifies (single-pattern
+    mergeable aggregate, range a multiple of step, no static quads);
+    True/False force/disable it (parity tests use both).
     """
     bounds = sliding_window_bounds(now, offset_ms, range_ms, step_ms)
+    spec = sliding_pane_spec(query) if use_panes is not False else None
+    if (
+        spec is not None
+        and step_ms > 0
+        and range_ms % step_ms == 0
+        and static_quads is None
+        and not property_tables
+    ):
+        result = _run_sliding_panes(
+            query, quads, now, offset_ms, range_ms, step_ms, registry, spec
+        )
+        spark = quads.sparkSession
+        bdf = spark.createDataFrame(
+            bounds, schema=f"{WINDOW_ID} long, {WINDOW_START} long, {WINDOW_END} long"
+        )
+        return result.join(F.broadcast(bdf), on=WINDOW_ID, how="inner").drop(WINDOW_ID)
+    if use_panes:
+        raise ValueError("query is not pane-decomposable (use_panes=True)")
     tagged = assign_sliding_windows_regular(quads, now, offset_ms, range_ms, step_ms)
     pts = None
     if property_tables:
