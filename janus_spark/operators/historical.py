@@ -253,7 +253,13 @@ def tag_window_ids(
     pruned = df.where(ts_col.between(F.lit(base), F.lit(now)))
     k_hi = F.floor((ts_col - F.lit(base)) / F.lit(step_ms)).cast("long")
     k_lo = F.ceil((ts_col - F.lit(base) - F.lit(range_ms)) / F.lit(step_ms)).cast("long")
-    seq = F.sequence(F.greatest(k_lo, F.lit(0)), F.least(k_hi, F.lit(k_max)))
+    lo = F.greatest(k_lo, F.lit(0))
+    hi = F.least(k_hi, F.lit(k_max))
+    # a row can belong to NO window (gapped geometry when range < step, or
+    # the tail between the last window's end and now): F.sequence(lo, hi)
+    # with lo > hi silently produces a DESCENDING sequence, so it must be
+    # guarded to empty — explode then drops the row
+    seq = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<long>"))
     return pruned.withColumn(WINDOW_ID, F.explode(seq))
 
 

@@ -2380,3 +2380,51 @@ ORACLES["q_live_istream"] = """
     SELECT CAST(k * 2000 AS BIGINT) AS window_start,
            CAST(k * 2000 + 4000 AS BIGINT) AS window_end, s, t
     FROM delta"""
+
+
+def q_baseline_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 baseline bootstrap, LAST mode: the accumulator clears at each
+    sliding hop, so only the final historical window survives into the
+    baseline (docs/BASELINES.md:40-65 semantics; geometry chosen so
+    window ends are unique and unclamped)."""
+    quads = _events_quads(spark, sf_dir)
+    lo, hi = _events_ts_bounds(spark, sf_dir)
+    span = hi - lo
+    step, rng, offset = max(span // 6, 1), max(span // 8, 1), span - 500
+    text = f"""
+    REGISTER RStream <out> AS
+    SELECT ?sensor ?v
+    FROM NAMED WINDOW <urn:w:live> ON STREAM <urn:stream:events> [RANGE 1000 STEP 1000]
+    FROM NAMED WINDOW <urn:w:hist> ON LOG <urn:stream:events> [OFFSET {offset} RANGE {rng} STEP {step}]
+    USING BASELINE <urn:w:hist> LAST
+    WHERE {{
+      WINDOW <urn:w:live> {{ ?sensor <urn:col:value> ?vl . }}
+      WINDOW <urn:w:hist> {{ ?sensor <urn:col:value> ?v . }}
+    }}
+    """
+    eng = JanusEngine(spark, quads)
+    qid = eng.register_query(text, query_id="q_baseline_last")
+    static = eng.warm_baseline(qid, now=hi)
+    return static.select(
+        F.col("subject").alias("anchor"),
+        F.col("predicate").alias("var_iri"),
+        F.col("object").try_cast("double").alias("value"),
+    )
+
+
+QUERIES["q_baseline_last"] = q_baseline_last
+ORACLES["q_baseline_last"] = f"""
+    WITH b AS (SELECT MIN({_TSM}) AS lo, MAX({_TSM}) AS hi FROM events),
+         g AS (SELECT lo, hi, hi - lo AS span,
+                      GREATEST((hi - lo) // 6, 1) AS step,
+                      GREATEST((hi - lo) // 8, 1) AS rng,
+                      (hi - lo) - 500 AS off
+               FROM b),
+         w AS (SELECT hi, (hi - off) + (off // step) * step AS ws,
+                      LEAST((hi - off) + (off // step) * step + rng, hi) AS we
+               FROM g)
+    SELECT 'urn:event:' || CAST(event_id AS VARCHAR) AS anchor,
+           'https://janus.rs/baseline#v' AS var_iri,
+           value
+    FROM events, w
+    WHERE {_TSM} >= w.ws AND {_TSM} <= w.we"""
