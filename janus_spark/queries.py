@@ -2428,3 +2428,72 @@ ORACLES["q_baseline_last"] = f"""
            value
     FROM events, w
     WHERE {_TSM} >= w.ws AND {_TSM} <= w.we"""
+
+
+def q_live_baseline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full hybrid flow under the EXACT gate (the reference's flagship
+    path, QUERY_EXECUTION.md:25-56): the historical window warms an
+    AGGREGATE baseline → compact static triples → the live side
+    broadcast-joins them into every sliding evaluation (Q13 + W8).  A
+    deterministic sensor fixture is both the log and the stream; the
+    emissions hash-match a pure-SQL reconstruction (per-sensor historical
+    mean joined to per-window live readings).  sf_dir is unused: the
+    fixture IS the stream."""
+    import shutil
+    import tempfile
+
+    from janus_spark.sources.melt import melt_sensor_fixture
+    from janus_spark.streaming import ListSink
+
+    text = """
+    PREFIX ex: <http://example.org/>
+    REGISTER RStream <out> AS
+    SELECT ?sensor ?temp ?hv ?v
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 2000]
+    FROM NAMED WINDOW ex:h ON LOG ex:sensors [START 100 END 4000]
+    USING BASELINE ex:h AGGREGATE
+    WHERE {
+      WINDOW ex:w { ?sensor ex:temperature ?temp . }
+      WINDOW ex:h { ?sensor ex:temperature ?hv . }
+      ?sensor <https://janus.rs/baseline#hv> ?v .
+    }
+    """
+    quads = melt_sensor_fixture(spark, 40)  # ts 100..4000
+    root = tempfile.mkdtemp(prefix="live_bl_")
+    try:
+        eng = JanusEngine(spark, quads)
+        qid = eng.register_query(text, query_id="q_live_baseline_join")
+        sink = ListSink()
+        runner = eng.start_live(qid, f"{root}/buf", sink=sink)  # warms baseline
+        runner.on_batch(quads)
+        runner.close(10_000)  # flush [4000,6000) too
+        rows = [
+            (b["window_start"], b["window_end"], r["sensor"], r["temp"], r["v"])
+            for b in sink.batches
+            for r in b["rows"]
+        ]
+        out = spark.createDataFrame(
+            rows, "window_start long, window_end long, sensor string, temp string, v string"
+        )
+        return out.select(
+            "window_start", "window_end", "sensor",
+            F.col("temp").try_cast("double").alias("temp"),
+            F.col("v").try_cast("double").alias("baseline_mean"),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES["q_live_baseline_join"] = q_live_baseline_join
+ORACLES["q_live_baseline_join"] = """
+    WITH ev AS (SELECT CAST(r.range * 100 AS BIGINT) AS ts,
+                       'http://example.org/sensor' || CAST(r.range % 5 AS VARCHAR) AS s,
+                       CAST(20 + (r.range % 10) AS DOUBLE) AS t
+                FROM range(1, 41) r),
+         bl AS (SELECT s, AVG(t) AS mean FROM ev
+                WHERE ts BETWEEN 100 AND 4000 GROUP BY s),
+         w AS (SELECT s, t, ts // 2000 AS win FROM ev)
+    SELECT CAST(w.win * 2000 AS BIGINT) AS window_start,
+           CAST(w.win * 2000 + 2000 AS BIGINT) AS window_end,
+           w.s AS sensor, w.t AS temp, bl.mean AS baseline_mean
+    FROM w JOIN bl USING (s)"""
