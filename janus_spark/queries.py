@@ -2304,16 +2304,11 @@ ORACLES["q_quality_ntile"] = f"""
     FROM b GROUP BY quartile"""
 
 
-def q_live_istream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IStream R2S operator under the EXACT gate: a deterministic
-    unique-value sensor fixture flows through a real Structured Streaming
-    run (file source → foreachBatch live runtime → sliding 4s/2s windows
-    → bag-delta emission) and the per-window inserted rows hash-match a
-    DuckDB reconstruction (consecutive-window anti-join).  Values are
-    unique per quad so bag deltas equal set deltas and the SQL form is
-    exact.  The reference parses IStream but implements only RStream
-    (janusql_parser.rs:43-51); this gate pins our extension.  sf_dir is
-    unused: the fixture IS the stream."""
+def _live_delta_gate(spark: SparkSession, operator: str) -> DataFrame:
+    """Shared harness for the IStream/DStream exact gates: a unique-value
+    sensor fixture flows through a real Structured Streaming run (file
+    source → foreachBatch live runtime → sliding 4s/2s windows) and the
+    per-window delta emissions are returned as one frame."""
     import shutil
     import tempfile
 
@@ -2321,12 +2316,12 @@ def q_live_istream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.parsing import parse_janusql
     from janus_spark.streaming import ListSink, LiveQueryRunner
 
-    text = """
+    text = f"""
     PREFIX ex: <http://example.org/>
-    REGISTER IStream <out> AS
+    REGISTER {operator} <out> AS
     SELECT ?s ?t
     FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 4000 STEP 2000]
-    WHERE { WINDOW ex:w { ?s ex:temperature ?t . } }
+    WHERE {{ WINDOW ex:w {{ ?s ex:temperature ?t . }} }}
     """
     fixture = spark.range(1, 61).select(
         (F.col("id") * 500).alias("ts"),
@@ -2338,7 +2333,7 @@ def q_live_istream(spark: SparkSession, sf_dir: str) -> DataFrame:
     closer = fixture.where("ts = 500").selectExpr(
         "CAST(35000 AS LONG) AS ts", "subject", "predicate", "object", "graph"
     )
-    root = tempfile.mkdtemp(prefix="live_istream_")
+    root = tempfile.mkdtemp(prefix=f"live_{operator.lower()}_")
     try:
         fixture.where("ts <= 15000").coalesce(1).write.parquet(f"{root}/f1.parquet")
         fixture.where("ts > 15000").coalesce(1).write.parquet(f"{root}/f2.parquet")
@@ -2362,6 +2357,15 @@ def q_live_istream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def q_live_istream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IStream R2S operator under the EXACT gate: per-window INSERTED
+    rows (bag delta; values unique so bag ≡ set and the DuckDB
+    consecutive-window anti-join is exact).  The reference parses
+    IStream but implements only RStream (janusql_parser.rs:43-51); this
+    pins our extension.  sf_dir is unused: the fixture IS the stream."""
+    return _live_delta_gate(spark, "IStream")
 
 
 QUERIES["q_live_istream"] = q_live_istream
@@ -2497,3 +2501,29 @@ ORACLES["q_live_baseline_join"] = """
            CAST(w.win * 2000 + 2000 AS BIGINT) AS window_end,
            w.s AS sensor, w.t AS temp, bl.mean AS baseline_mean
     FROM w JOIN bl USING (s)"""
+
+
+def q_live_dstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DStream R2S operator under the EXACT gate (mirror of
+    q_live_istream): per-window DROPPED rows; oracle is the reversed
+    consecutive-window anti-join.  sf_dir is unused: the fixture IS the
+    stream."""
+    return _live_delta_gate(spark, "DStream")
+
+
+QUERIES["q_live_dstream"] = q_live_dstream
+ORACLES["q_live_dstream"] = """
+    WITH f AS (SELECT CAST(r.range * 500 AS BIGINT) AS ts,
+                      'http://example.org/sensor' || CAST(r.range % 3 AS VARCHAR) AS s,
+                      CAST(r.range AS VARCHAR) AS t
+               FROM range(1, 61) r),
+         sol AS (SELECT g.k, f.s, f.t
+                 FROM (SELECT unnest(generate_series(0, 15)) AS k) g
+                 JOIN f ON f.ts >= g.k * 2000 AND f.ts < g.k * 2000 + 4000),
+         delta AS (SELECT prev.k + 1 AS k, prev.s, prev.t
+                   FROM sol prev LEFT JOIN sol cur
+                     ON cur.k = prev.k + 1 AND cur.s = prev.s AND cur.t = prev.t
+                   WHERE cur.k IS NULL AND prev.k + 1 <= 15)
+    SELECT CAST(k * 2000 AS BIGINT) AS window_start,
+           CAST(k * 2000 + 4000 AS BIGINT) AS window_end, s, t
+    FROM delta"""
