@@ -675,6 +675,7 @@ def compile_sparql(
     static_quads: DataFrame | None = None,
     property_tables: dict | None = None,
     reorder_bgp: bool = True,
+    path_max_hops: int = 10,
 ) -> DataFrame:
     return SparqlCompiler(
         quads,
@@ -683,4 +684,5 @@ def compile_sparql(
         static_quads,
         property_tables=property_tables or {},
         reorder_bgp=reorder_bgp,
+        path_max_hops=path_max_hops,
     ).compile(q)

@@ -81,8 +81,8 @@ def _table_ptr(spark: SparkSession, sf_dir: str, *tables: str) -> dict:
     )
 
 
-def _run(quads: DataFrame, text: str, property_tables: dict | None = None) -> DataFrame:
-    return compile_sparql(parse_sparql(text), quads, property_tables=property_tables)
+def _run(quads: DataFrame, text: str, property_tables: dict | None = None, **kw) -> DataFrame:
+    return compile_sparql(parse_sparql(text), quads, property_tables=property_tables, **kw)
 
 
 # --------------------------------------------------------------- queries
@@ -2527,3 +2527,35 @@ ORACLES["q_live_dstream"] = """
     SELECT CAST(k * 2000 AS BIGINT) AS window_start,
            CAST(k * 2000 + 4000 AS BIGINT) AS window_end, s, t
     FROM delta"""
+
+
+def q_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path transitive closure (`p+`) under the EXACT gate:
+    ancestor edges doc → doc//2 form a binary tree over the documents
+    table (depth grows with the table — hop bound set explicitly with headroom); every (descendant,
+    ancestor) pair from the bounded semi-naive iteration must match a
+    DuckDB recursive CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.where("doc_id >= 1").select(
+        F.lit(0).alias("ts"),
+        F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias("subject"),
+        F.lit("urn:tree:parent").alias("predicate"),
+        F.concat(F.lit("urn:doc:"), (F.col("doc_id") / 2).cast("long").cast("string")).alias("object"),
+        F.lit("g").alias("graph"),
+    )
+    q = """SELECT ?d ?a WHERE { ?d <urn:tree:parent>+ ?a . }"""
+    # tree depth is ⌈log₂ max_doc_id⌉ (12 at sf0.1); bound with headroom
+    return _run(edges, q, path_max_hops=24)
+
+
+QUERIES["q_path_closure"] = q_path_closure
+ORACLES["q_path_closure"] = """
+    WITH RECURSIVE e AS (
+        SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS c,
+               'urn:doc:' || CAST(doc_id // 2 AS VARCHAR) AS p
+        FROM documents WHERE doc_id >= 1),
+    r AS (
+        SELECT c, p FROM e
+        UNION
+        SELECT r.c, e.p FROM r JOIN e ON r.p = e.c)
+    SELECT c AS d, p AS a FROM r"""
