@@ -2559,3 +2559,42 @@ ORACLES["q_path_closure"] = """
         UNION
         SELECT r.c, e.p FROM r JOIN e ON r.p = e.c)
     SELECT c AS d, p AS a FROM r"""
+
+
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 sliding window with a DISTINCT aggregate (unique users per
+    hop).  Not pane-decomposable (distinct does not merge), so this pins
+    the general window-id path behind the pane auto-dispatch guard."""
+    quads = _events_quads(spark, sf_dir)
+    lo, hi = _events_ts_bounds(spark, sf_dir)
+    offset = hi - lo
+    rng, step = max((hi - lo) // 4, 1), max((hi - lo) // 8, 1)
+    text = f"""
+    REGISTER RStream <out> AS
+    SELECT (COUNT(DISTINCT ?u) AS ?n_users)
+    FROM NAMED WINDOW <urn:w:h> ON LOG <urn:stream:events> [OFFSET {offset} RANGE {rng} STEP {step}]
+    WHERE {{ WINDOW <urn:w:h> {{ ?e <urn:col:user_id> ?u . }} }}
+    """
+    eng = JanusEngine(spark, quads)
+    qid = eng.register_query(text, query_id="q_sliding_distinct")
+    res = eng.start_historical(qid, now=hi)["urn:w:h"]
+    return res.select(
+        "window_start", "window_end", F.col("n_users").cast("long").alias("n_users")
+    )
+
+
+QUERIES["q_sliding_distinct"] = q_sliding_distinct
+ORACLES["q_sliding_distinct"] = f"""
+    WITH b AS (SELECT MIN({_TSM}) AS lo, MAX({_TSM}) AS hi FROM events),
+         g AS (SELECT lo, hi,
+                      GREATEST((hi - lo) // 4, 1) AS rng,
+                      GREATEST((hi - lo) // 8, 1) AS step,
+                      hi - lo AS off FROM b),
+         w AS (SELECT k, lo + k * step AS ws, LEAST(lo + k * step + rng, hi) AS we
+               FROM g, (SELECT unnest(generate_series(0, 8)) AS k)
+               WHERE k <= off // step),
+         e AS (SELECT user_id, {_TSM} AS t FROM events)
+    SELECT w.ws AS window_start, w.we AS window_end,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM w JOIN e ON e.t >= w.ws AND e.t <= w.we
+    GROUP BY w.ws, w.we"""
