@@ -98,13 +98,16 @@ class JanusQuery:
             proj = [(e, a) for e, a in self.projection if expr_vars(e) and expr_vars(e) <= bound]
             if not proj:
                 proj = [(EVar(v), v) for v in sorted(bound)]
+        # projection aliases (e.g. (COUNT(?e) AS ?n)) are in scope for
+        # HAVING/ORDER BY even though no pattern binds them
+        in_scope = bound | ({a for _, a in proj} if proj else set())
         return SelectQuery(
             projection=proj,
             where=body,
             distinct=self.distinct,
             group_by=[g for g in self.group_by if _grp_vars(g) <= bound],
-            having=self.having if (self.having is not None and expr_vars(self.having) <= bound) else None,
-            order_by=[(e, asc) for e, asc in self.order_by if expr_vars(e) <= bound],
+            having=self.having if (self.having is not None and expr_vars(self.having) <= in_scope) else None,
+            order_by=[(e, asc) for e, asc in self.order_by if expr_vars(e) <= in_scope],
             limit=self.limit,
             offset=self.offset,
         )

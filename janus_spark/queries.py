@@ -2598,3 +2598,52 @@ ORACLES["q_sliding_distinct"] = f"""
            COUNT(DISTINCT e.user_id) AS n_users
     FROM w JOIN e ON e.t >= w.ws AND e.t <= w.we
     GROUP BY w.ws, w.we"""
+
+
+def q_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 + Q10 per-window modifiers: ORDER BY/LIMIT apply to EACH
+    sliding hop (reference semantics — every hop is its own query), so
+    LIMIT 3 compiles to a rank within the window partition
+    (WindowGroupLimit), not a global TakeOrdered."""
+    quads = _events_quads(spark, sf_dir)
+    lo, hi = _events_ts_bounds(spark, sf_dir)
+    offset = hi - lo
+    rng, step = max((hi - lo) // 4, 1), max((hi - lo) // 8, 1)
+    text = f"""
+    REGISTER RStream <out> AS
+    SELECT ?u (COUNT(?e) AS ?n)
+    FROM NAMED WINDOW <urn:w:h> ON LOG <urn:stream:events> [OFFSET {offset} RANGE {rng} STEP {step}]
+    WHERE {{ WINDOW <urn:w:h> {{ ?e <urn:col:user_id> ?u . }} }}
+    GROUP BY ?u
+    ORDER BY DESC(?n) ?u
+    LIMIT 3
+    """
+    eng = JanusEngine(spark, quads)
+    qid = eng.register_query(text, query_id="q_sliding_topk")
+    res = eng.start_historical(qid, now=hi)["urn:w:h"]
+    return res.select(
+        "window_start", "window_end", F.col("u").alias("u"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+QUERIES["q_sliding_topk"] = q_sliding_topk
+ORACLES["q_sliding_topk"] = f"""
+    WITH b AS (SELECT MIN({_TSM}) AS lo, MAX({_TSM}) AS hi FROM events),
+         g AS (SELECT lo, hi,
+                      GREATEST((hi - lo) // 4, 1) AS rng,
+                      GREATEST((hi - lo) // 8, 1) AS step,
+                      hi - lo AS off FROM b),
+         w AS (SELECT k, lo + k * step AS ws, LEAST(lo + k * step + rng, hi) AS we
+               FROM g, (SELECT unnest(generate_series(0, 8)) AS k)
+               WHERE k <= off // step),
+         e AS (SELECT user_id, {_TSM} AS t FROM events),
+         c AS (SELECT w.ws, w.we, CAST(e.user_id AS VARCHAR) AS u,
+                      COUNT(*) AS n
+               FROM w JOIN e ON e.t >= w.ws AND e.t <= w.we
+               GROUP BY w.ws, w.we, e.user_id),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws, we
+                                            ORDER BY n DESC, u ASC) AS rk
+               FROM c)
+    SELECT ws AS window_start, we AS window_end, u, n
+    FROM r WHERE rk <= 3"""

@@ -201,3 +201,27 @@ def test_sliding_window_limit_is_per_window(spark):
     for ws, wrows in by_window.items():
         assert len(wrows) <= 3, f"window {ws} exceeded per-window LIMIT"
     assert any(len(w) == 3 for w in by_window.values())
+
+
+def test_historical_query_keeps_order_by_on_aggregate_alias():
+    """ORDER BY on a projection alias (e.g. (COUNT(?e) AS ?n)) must
+    survive decomposition — aliases are in scope for modifiers even
+    though no pattern binds them (regression: silently dropped)."""
+    from janus_spark.parsing import parse_janusql
+
+    text = """
+    REGISTER RStream <out> AS
+    SELECT ?u (COUNT(?e) AS ?n)
+    FROM NAMED WINDOW <urn:w> ON LOG <urn:s> [START 0 END 100]
+    WHERE { WINDOW <urn:w> { ?e <urn:p> ?u . } }
+    GROUP BY ?u
+    ORDER BY DESC(?n) ?u
+    LIMIT 3
+    """
+    sq = parse_janusql(text).historical_query(
+        parse_janusql(text).historical_windows[0]
+    )
+    assert len(sq.order_by) == 2
+    (e1, asc1), (e2, asc2) = sq.order_by
+    assert not asc1 and asc2
+    assert sq.limit == 3
