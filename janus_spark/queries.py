@@ -2647,3 +2647,97 @@ ORACLES["q_sliding_topk"] = f"""
                FROM c)
     SELECT ws AS window_start, we AS window_end, u, n
     FROM r WHERE rk <= 3"""
+
+
+def q_comparator_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 STREAMING stateful comparator under the EXACT gate: a
+    deterministic two-key fixture flows through a real
+    applyInPandasWithState run in three micro-batches (state crosses
+    every boundary) and each per-update row — last-10 means, slopes and
+    the triggered anomaly kinds — hash-matches a DuckDB window-function
+    reconstruction of comparator.rs:157-236.  Integer-valued fixture
+    keeps every threshold comparison away from float boundaries.
+    sf_dir is unused: the fixture IS the stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.streaming.stateful import streaming_comparator
+
+    fixture = spark.range(0, 20).selectExpr(
+        "CAST(id AS DOUBLE) AS ts",
+        "CAST(id AS DOUBLE) AS live_a",
+        "CAST(19 - id AS DOUBLE) AS hist_a",
+        "CAST((id * 3) % 7 AS DOUBLE) AS live_b",
+        "CAST(3 + id % 5 AS DOUBLE) AS hist_b",
+    )
+    rows = fixture.selectExpr("'a' AS key", "ts", "live_a AS live", "hist_a AS hist").unionByName(
+        fixture.selectExpr("'b' AS key", "ts", "live_b AS live", "hist_b AS hist")
+    )
+    root = tempfile.mkdtemp(prefix="cmp_stream_")
+    try:
+        for i, (lo, hi) in enumerate(((0, 7), (7, 14), (14, 20))):
+            rows.where(f"ts >= {lo} AND ts < {hi}").coalesce(1).write.parquet(f"{root}/b{i}.parquet")
+        stream = (
+            spark.readStream.schema("key string, ts double, live double, hist double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/b*.parquet")
+        )
+        out = streaming_comparator(stream)
+        name = f"cmp_stream_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.table(name)
+        # +0.0 canonicalizes IEEE negative zero (round(-1e-16, 6) -> -0.0,
+        # which reprs differently from 0.0 in the value hash)
+        return res.select(
+            "key", "ts",
+            (F.round("live_mean", 6) + F.lit(0.0)).alias("live_mean"),
+            (F.round("hist_mean", 6) + F.lit(0.0)).alias("hist_mean"),
+            (F.round("live_slope", 6) + F.lit(0.0)).alias("live_slope"),
+            (F.round("hist_slope", 6) + F.lit(0.0)).alias("hist_slope"),
+            F.concat_ws(",", F.sort_array("anomalies")).alias("anomalies"),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES["q_comparator_stream"] = q_comparator_stream
+ORACLES["q_comparator_stream"] = """
+    WITH t AS (SELECT unnest(generate_series(0, 19)) AS t),
+         f AS (
+           SELECT 'a' AS key, CAST(t AS DOUBLE) AS ts,
+                  CAST(t AS DOUBLE) AS live, CAST(19 - t AS DOUBLE) AS hist FROM t
+           UNION ALL
+           SELECT 'b', CAST(t AS DOUBLE),
+                  CAST((t * 3) % 7 AS DOUBLE), CAST(3 + t % 5 AS DOUBLE) FROM t),
+         s AS (SELECT key, ts, live,
+                      AVG(live) OVER w AS lm, AVG(hist) OVER w AS hm,
+                      COALESCE(REGR_SLOPE(live, ts) OVER w, 0.0) AS ls,
+                      COALESCE(REGR_SLOPE(hist, ts) OVER w, 0.0) AS hs,
+                      COALESCE(STDDEV_POP(live) OVER w, 0.0) AS lsd,
+                      COALESCE(STDDEV_POP(hist) OVER w, 0.0) AS hsd
+               FROM f
+               WINDOW w AS (PARTITION BY key ORDER BY ts
+                            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT key, ts,
+           ROUND(lm, 6) + 0.0 AS live_mean, ROUND(hm, 6) + 0.0 AS hist_mean,
+           ROUND(ls, 6) + 0.0 AS live_slope, ROUND(hs, 6) + 0.0 AS hist_slope,
+           array_to_string(list_sort(list_filter([
+             CASE WHEN ABS(lm - hm) > 1.0 THEN 'AbsoluteThresholdExceeded' END,
+             CASE WHEN ABS(hm) > 2.220446049250313e-16 AND (lm - hm) / hm > 0.1
+                  THEN 'RelativeDropDetected' END,
+             CASE WHEN hm - lm > 2.0 THEN 'CatchUpTriggered' END,
+             CASE WHEN ls * hs < 0 AND ABS(ls) > 0.01 AND ABS(hs) > 0.01
+                  THEN 'TrendDivergence' END,
+             CASE WHEN lsd > hsd + 0.5 THEN 'VolatilityIncrease' END,
+             CASE WHEN hsd > 2.220446049250313e-16 AND ABS((live - hm) / hsd) > 3.0
+                  THEN 'LiveOutlierDetected' END
+           ], x -> x IS NOT NULL)), ',') AS anomalies
+    FROM s"""
