@@ -2741,3 +2741,24 @@ ORACLES["q_comparator_stream"] = """
                   THEN 'LiveOutlierDetected' END
            ], x -> x IS NOT NULL)), ',') AS anomalies
     FROM s"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: every-30th-frame indices per media
+    item after (stubbed) decode — the video counterpart of image
+    resize.  Rows-only: the fake decoder's crc32 dimensions are not
+    SQL-expressible, but the plumbing (Arrow decode batch → arithmetic
+    frame explode) is the real scale path."""
+    from janus_spark.datapipe.multimodal import (
+        decode_media,
+        documents_as_media,
+        frame_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    decoded = decode_media(documents_as_media(docs), fake=True)
+    out = frame_sample(decoded, every_n=30)
+    return out.select("media_id", F.col("frame_index").cast("long").alias("frame_index"))
+
+
+QUERIES["q_frame_sample"] = q_frame_sample
