@@ -282,6 +282,12 @@ def jaccard_similarity_join(
     residual heavy grams.  Pruning (a) is left out here because the gate
     checks the unpruned semantics; the join below is already the posting-
     count formulation that (a) drops into.
+
+    Note the self-join tokenizes the corpus twice (Spark does not reuse
+    exchanges across the two differently-projected sides): both passes
+    are map-only scan work that parallelizes linearly, and if the
+    shingle step ever dominates, ``posts.persist(DISK_ONLY)`` (or a
+    staged parquet write) before branching removes the second pass.
     """
     sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
     posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
