@@ -305,6 +305,48 @@ def jaccard_similarity_join(
     )
 
 
+def jaccard_prefix_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard self-join (the AllPairs/PPJoin
+    lemma): with shingles globally ordered by (document frequency asc,
+    shingle), any pair with J ≥ t must share one of each side's first
+    ``|A| − ⌈t·|A|⌉ + 1`` shingles — so only those prefix postings enter
+    the candidate join, and the surviving pairs are verified with the
+    full shingle arrays.  Provably the same output as
+    ``jaccard_similarity_join`` while indexing roughly a ``(1−t)``
+    fraction of the postings; rare-first ordering drains the hot grams
+    out of the join keys, which is what bounds the candidate blowup at
+    corpus scale.
+    """
+    from pyspark.sql import Window as W
+
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
+    dfreq = posts.groupBy("gram").agg(F.count("*").alias("gdf"))
+    ranked = posts.join(dfreq, "gram").withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("id").orderBy(F.asc("gdf"), F.asc("gram"))),
+    )
+    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefix = ranked.where(F.col("rk") <= plen)
+    cand = (
+        prefix.select("gram", F.col("id").alias("a"))
+        .join(prefix.select("gram", F.col("id").alias("b")), "gram")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k)
+    return verified.where(F.col("jaccard") >= F.lit(threshold)).select(
+        "a", "b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------- cluster
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Resolve near-dup pairs (a, b) into clusters: every member maps to

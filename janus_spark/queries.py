@@ -2762,3 +2762,17 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_frame_sample"] = q_frame_sample
+
+
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (PPJoin lemma): same answer as
+    q_jaccard_pairs — the oracle is literally the same SQL — from a
+    candidate join over only each doc's rarest ~(1−t)·|A| shingles."""
+    from janus_spark.datapipe.dedup import jaccard_prefix_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_prefix_join(docs, shingle_k=3, threshold=0.5)
+
+
+QUERIES["q_jaccard_prefix"] = q_jaccard_prefix
+ORACLES["q_jaccard_prefix"] = ORACLES["q_jaccard_pairs"]

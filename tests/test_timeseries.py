@@ -132,3 +132,24 @@ def test_jaccard_join_complete_vs_bruteforce(spark, sf_dir):
         .collect()
     }
     assert got == brute
+
+
+def test_jaccard_prefix_join_equals_unpruned(spark, sf_dir):
+    """The prefix filter is exactness-preserving: identical output to
+    the full inverted-index join at every threshold tested."""
+    from janus_spark.datapipe.dedup import (
+        jaccard_prefix_join,
+        jaccard_similarity_join,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    for t in (0.3, 0.5, 0.8):
+        full = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_similarity_join(docs, threshold=t).collect()
+        }
+        pruned = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_prefix_join(docs, threshold=t).collect()
+        }
+        assert full == pruned
