@@ -68,6 +68,46 @@ def time_weighted_avg(
     )
 
 
+def pane_sliding_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+    range_ms: int = 6 * 3_600_000,
+    step_ms: int = 3_600_000,
+    lgk: int = 14,
+) -> DataFrame:
+    """Approximate sliding-window DISTINCT count via pane HLL sketches.
+
+    COUNT(DISTINCT) does not pane-merge exactly (`sliding_pane_spec`
+    rightly refuses it), but HLL sketches union losslessly — so the pane
+    pattern applies to the *sketch*: one ~2^lgk-byte sketch per
+    (key, pane), replicated into ``range/step`` windows and unioned.
+    Versus the exact plan (every event replicated into every window it
+    touches, then a full distinct shuffle per window), the shuffle
+    carries only sketch binaries.  Error follows the HLL contract
+    (~0.8% at lgK=14; pinned loosely in tests against the exact gate).
+    """
+    if range_ms % step_ms != 0:
+        raise ValueError("range_ms must be a multiple of step_ms (pane = step)")
+    n_panes = range_ms // step_ms
+    pane = F.floor(F.col(ts_col) / F.lit(step_ms)).cast("long")
+    partials = (
+        df.select(*key_cols, ts_col, value_col)
+        .withColumn("pane", pane)
+        .groupBy(*key_cols, "pane")
+        .agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias("hll"))
+    )
+    win = F.explode(F.sequence(F.col("pane") - F.lit(n_panes - 1), F.col("pane"))).alias("w")
+    return (
+        partials.select(*key_cols, win, "hll")
+        .groupBy(*key_cols, "w")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct"))
+        .withColumn("window_start", (F.col("w") * F.lit(step_ms)).cast("long"))
+        .drop("w")
+    )
+
+
 def pane_sliding_agg(
     df: DataFrame,
     key_cols: list[str],

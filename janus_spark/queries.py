@@ -2776,3 +2776,29 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_jaccard_prefix"] = q_jaccard_prefix
 ORACLES["q_jaccard_prefix"] = ORACLES["q_jaccard_pairs"]
+
+
+def q_sliding_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sliding distinct users via pane HLL sketches — the
+    scale form of q_sliding_distinct (same 6h/1h geometry).  Rows-only:
+    DataSketches HLL estimates are not reproducible in DuckDB's HLL;
+    the error contract vs the exact path is pinned in
+    test_timeseries.py."""
+    from janus_spark.operators.timeseries import pane_sliding_distinct
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.lit(1).alias("corpus"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    out = pane_sliding_distinct(
+        ev, ["corpus"], ts_col="ts_ms", value_col="user_id",
+        range_ms=_PANE_RANGE_MS, step_ms=_PANE_STEP_MS,
+    )
+    return out.select(
+        "window_start", F.col("approx_distinct").cast("long").alias("approx_distinct")
+    )
+
+
+QUERIES["q_sliding_hll_distinct"] = q_sliding_hll_distinct

@@ -153,3 +153,41 @@ def test_jaccard_prefix_join_equals_unpruned(spark, sf_dir):
             for r in jaccard_prefix_join(docs, threshold=t).collect()
         }
         assert full == pruned
+
+
+def test_pane_sliding_distinct_tracks_exact(spark):
+    """HLL pane sketches union losslessly: every window's estimate is
+    within the HLL error contract of the true sliding distinct count."""
+    from janus_spark.operators.timeseries import pane_sliding_distinct
+
+    ev = spark.range(5000).select(
+        (F.col("id") % 3).alias("k"),
+        (F.col("id") * 137 % 60_000).alias("ts_ms"),
+        (F.col("id") % 700).cast("string").alias("value"),
+    )
+    range_ms, step_ms = 6_000, 2_000
+    approx = {
+        (r["k"], r["window_start"]): r["approx_distinct"]
+        for r in pane_sliding_distinct(
+            ev, ["k"], range_ms=range_ms, step_ms=step_ms
+        ).collect()
+    }
+    n = range_ms // step_ms
+    exact = {
+        (r["k"], r["w"] * step_ms): r["n"]
+        for r in ev.withColumn(
+            "w",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("ts_ms") / step_ms) - (n - 1),
+                    F.floor(F.col("ts_ms") / step_ms),
+                )
+            ),
+        )
+        .groupBy("k", "w")
+        .agg(F.countDistinct("value").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for key, est in approx.items():
+        assert abs(est - exact[key]) <= max(3, 0.05 * exact[key]), (key, est, exact[key])
