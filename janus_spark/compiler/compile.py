@@ -47,6 +47,33 @@ from janus_spark.compiler.expressions import compile_aggregate, compile_expr
 from janus_spark.functions.registry import FUNCTION_REGISTRY
 
 
+def _alias_map(projection) -> dict:
+    """alias → expression for projection items whose alias is not the
+    bare variable itself ((COUNT(?e) AS ?n), (?u AS ?x))."""
+    return {
+        name: e
+        for e, name in (projection or [])
+        if not (isinstance(e, EVar) and e.name == name)
+    }
+
+
+def _subst_aliases(e, amap: dict):
+    """Rewrite EVar references to projection aliases with the aliased
+    expression (used for HAVING, which evaluates pre-projection).
+    Aggregate calls are left intact — their args reference pattern vars."""
+    if e is None or not amap:
+        return e
+    if isinstance(e, EVar):
+        return amap.get(e.name, e)
+    if isinstance(e, EBin):
+        return EBin(e.op, _subst_aliases(e.left, amap), _subst_aliases(e.right, amap))
+    if isinstance(e, EUn):
+        return EUn(e.op, _subst_aliases(e.operand, amap))
+    if isinstance(e, ECall) and not e.is_aggregate():
+        return ECall(e.name, tuple(_subst_aliases(a, amap) for a in e.args), e.distinct, e.extra)
+    return e
+
+
 class _StarFrame:
     """A star of triple patterns pre-compiled to one wide-table scan
     (property-table rewrite); consumed by compile_group as an inner
@@ -98,7 +125,9 @@ class SparqlCompiler:
             df = self._lower_aggregates(q, df)
         else:
             if q.having is not None:
-                df = df.filter(compile_expr(q.having, "bool", self.registry))
+                # pre-projection frame: resolve projection aliases here too
+                hv = _subst_aliases(q.having, _alias_map(q.projection))
+                df = df.filter(compile_expr(hv, "bool", self.registry))
             df = self._project(q, df)
         if q.distinct:
             df = df.distinct()
@@ -608,6 +637,11 @@ class SparqlCompiler:
 
     # ------------------------------------------------------- aggregates
     def _lower_aggregates(self, q: SelectQuery, df: DataFrame) -> DataFrame:
+        # HAVING may reference a projection alias (HAVING ?n > 5 for
+        # (COUNT(?e) AS ?n)), but it runs BEFORE the projection select —
+        # substitute the aliased expression so its aggregate lowers to an
+        # __aggN column like any other
+        having = _subst_aliases(q.having, _alias_map(q.projection))
         agg_calls: dict[ECall, str] = {}
 
         def collect(e: Expr) -> None:
@@ -626,8 +660,8 @@ class SparqlCompiler:
 
         for e, _ in q.projection or []:
             collect(e)
-        if q.having is not None:
-            collect(q.having)
+        if having is not None:
+            collect(having)
         for e, _ in q.order_by:
             collect(e)
 
@@ -646,8 +680,8 @@ class SparqlCompiler:
             aggs = [F.count(F.lit(1)).alias("__agg_dummy")]
         df = df.groupBy(*all_group).agg(*aggs) if all_group else df.agg(*aggs)
 
-        if q.having is not None:
-            df = df.filter(compile_expr(q.having, "bool", self.registry, agg_map=agg_calls))
+        if having is not None:
+            df = df.filter(compile_expr(having, "bool", self.registry, agg_map=agg_calls))
 
         if q.projection is None:
             return df.drop("__agg_dummy")

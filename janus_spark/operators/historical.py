@@ -169,12 +169,23 @@ def _run_sliding_panes(
     # window k is [base+k*step, base+k*step+range] inclusive: a pane-m
     # partial feeds windows [m-r+1, m]; a boundary partial also feeds m-r
     k_lo = F.when(F.col(PANE_BOUNDARY), F.col(PANE) - r).otherwise(F.col(PANE) - r + 1)
-    win = F.explode(
-        F.sequence(F.greatest(k_lo, F.lit(0)), F.least(F.col(PANE), F.lit(k_max)))
-    ).alias(WINDOW_ID)
+    lo = F.greatest(k_lo, F.lit(0))
+    hi = F.least(F.col(PANE), F.lit(k_max))
+    # r == 0 (point windows) sends every non-boundary partial to lo > hi;
+    # an unguarded F.sequence silently yields a DESCENDING sequence and
+    # wrong window assignments (same bug class as tag_window_ids) — guard
+    # to empty so those partials drop out of every window
+    seq = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<long>"))
+    win = F.explode(seq).alias(WINDOW_ID)
     exploded = partials.select(*group_names, win, *p_names)
     final = exploded.groupBy(*group_names, WINDOW_ID).agg(*final_cols)
-    return final.select(*[alias for alias, _, _ in items], WINDOW_ID)
+    # key projections may alias the grouping var ((?u AS ?x)): the frame
+    # carries the var name, the output contract carries the alias
+    out_cols = [
+        F.col(arg.name).alias(alias) if kind == "key" else F.col(alias)
+        for alias, kind, arg in items
+    ]
+    return final.select(*out_cols, WINDOW_ID)
 
 
 def run_historical_fixed(

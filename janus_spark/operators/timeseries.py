@@ -139,6 +139,9 @@ def pane_sliding_agg(
         .groupBy(*key_cols, "pane")
         .agg(
             F.count("*").alias("p_n"),
+            # AVG denominator counts non-null values only (SQL AVG
+            # semantics); p_n stays COUNT(*) for n_events
+            F.count(value_col).alias("p_cnt"),
             F.sum(value_col).alias("p_sum"),
             F.min(value_col).alias("p_min"),
             F.max(value_col).alias("p_max"),
@@ -147,14 +150,14 @@ def pane_sliding_agg(
     # pane p ⊂ window w  ⇔  w ∈ [p − n_panes + 1, p]
     win = F.explode(F.sequence(F.col("pane") - F.lit(n_panes - 1), F.col("pane"))).alias("w")
     return (
-        partials.select(*key_cols, win, "p_n", "p_sum", "p_min", "p_max")
+        partials.select(*key_cols, win, "p_n", "p_cnt", "p_sum", "p_min", "p_max")
         .groupBy(*key_cols, "w")
         .agg(
             F.sum("p_n").cast("long").alias("n_events"),
             F.round(F.sum("p_sum"), 6).alias("sum_v"),
             F.round(F.min("p_min"), 6).alias("min_v"),
             F.round(F.max("p_max"), 6).alias("max_v"),
-            F.round(F.sum("p_sum") / F.sum("p_n"), 6).alias("avg_v"),
+            F.round(F.sum("p_sum") / F.sum("p_cnt"), 6).alias("avg_v"),
         )
         .withColumn("window_start", (F.col("w") * F.lit(step_ms)).cast("long"))
         .drop("w")

@@ -2201,15 +2201,16 @@ def q_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", "ts_ms")
         .agg(F.max(F.struct("event_id", "value"))["value"].alias("value"))
     )
+    # a user whose [mn, mx] span contains no h-multiple gets lo > hi;
+    # unguarded F.sequence would yield a DESCENDING 2-element sequence
+    # (spurious grid rows) while the oracle's generate_series is empty
+    lo = F.expr(f"(mn + {h - 1}) DIV {h}")
+    hi = F.expr(f"mx DIV {h}")
+    slots = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<bigint>"))
     grid = (
         ev.groupBy("user_id")
         .agg(F.min("ts_ms").alias("mn"), F.max("ts_ms").alias("mx"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence(F.expr(f"(mn + {h - 1}) DIV {h}"), F.expr(f"mx DIV {h}"))
-            ).alias("slot"),
-        )
+        .select("user_id", F.explode(slots).alias("slot"))
         .select("user_id", (F.col("slot") * h).cast("long").alias("ts_ms"))
     )
     out = asof_join(grid, latest, ts_col="ts_ms", by=("user_id",), value_cols=("value",))

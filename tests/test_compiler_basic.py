@@ -323,3 +323,30 @@ def test_bgp_reorder_seeds_most_selective(spark, quads):
         got = sorted(map(tuple, out.collect()))
         expected = got if expected is None else expected
         assert got == expected
+
+
+def test_having_references_projection_alias(quads):
+    # HAVING ?n > N where ?n aliases an aggregate: evaluates pre-projection,
+    # so the alias must resolve to the lowered aggregate column (ADVICE r2)
+    rows = run(
+        quads,
+        f"""
+        SELECT ?s (COUNT(?t) AS ?n)
+        WHERE {{ ?s <{EX}temperature> ?t . }}
+        GROUP BY ?s
+        HAVING (?n > 19)
+        """,
+    ).collect()
+    # 100 rows over 5 sensors -> 20 each; all pass > 19, none pass > 20
+    assert len(rows) == 5
+    assert all(r["n"] == 20 for r in rows)
+    rows2 = run(
+        quads,
+        f"""
+        SELECT ?s (COUNT(?t) AS ?n)
+        WHERE {{ ?s <{EX}temperature> ?t . }}
+        GROUP BY ?s
+        HAVING (?n > 20)
+        """,
+    ).collect()
+    assert rows2 == []

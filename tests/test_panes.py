@@ -152,3 +152,30 @@ def test_sliding_gapped_geometry_aggregates_correctly(spark, quads):
         ) + r["n"]
     for (lo_w, hi_w), n in per_window.items():
         assert n == sum(1 for t in raw if lo_w <= t <= hi_w)
+
+
+def test_pane_path_zero_range_matches_general(spark, quads):
+    # range = 0: point windows — only rows at exact step multiples belong;
+    # every non-boundary partial maps to lo > hi and must drop, not get a
+    # descending-sequence window assignment (ADVICE r2)
+    q = parse_sparql(AGG_QUERY)
+    fast = run_historical_sliding(q, quads, 20_000, 10_000, 0, 1_000, use_panes=True)
+    slow = run_historical_sliding(q, quads, 20_000, 10_000, 0, 1_000, use_panes=False)
+    assert _collect(fast) == _collect(slow)
+    assert fast.count() > 0  # boundary rows exist in the fixture
+
+
+def test_pane_path_aliased_group_key(spark, quads):
+    # (?s AS ?sensor): frame groups by the var, output carries the alias
+    text = f"""
+    SELECT (?s AS ?sensor) (COUNT(?t) AS ?n)
+    WHERE {{ ?s <{EX}temperature> ?t . }}
+    GROUP BY ?s
+    """
+    q = parse_sparql(text)
+    assert sliding_pane_spec(q) is not None
+    fast = run_historical_sliding(q, quads, 20_000, 10_000, 2_000, 1_000, use_panes=True)
+    slow = run_historical_sliding(q, quads, 20_000, 10_000, 2_000, 1_000, use_panes=False)
+    assert "sensor" in fast.columns
+    assert sorted(fast.columns) == sorted(slow.columns)
+    assert _collect(fast) == _collect(slow)

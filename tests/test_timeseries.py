@@ -191,3 +191,16 @@ def test_pane_sliding_distinct_tracks_exact(spark):
     assert set(approx) == set(exact)
     for key, est in approx.items():
         assert abs(est - exact[key]) <= max(3, 0.05 * exact[key]), (key, est, exact[key])
+
+
+def test_pane_sliding_agg_null_values_avg(spark):
+    # NULL values: excluded from sum/min/max AND from the AVG denominator
+    # (SQL AVG semantics); n_events still counts every row
+    rows = [("A", 500, 10.0), ("A", 600, None), ("A", 700, 20.0)]
+    df = spark.createDataFrame(rows, "k string, ts_ms long, value double")
+    out = pane_sliding_agg(df, ["k"], range_ms=1000, step_ms=1000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 3
+    assert r["sum_v"] == 30.0
+    assert r["avg_v"] == pytest.approx(15.0)  # not 30/3
