@@ -104,6 +104,26 @@ def ngram_contamination(
     )
 
 
+# ------------------------------------------------------------ shared hash
+def shared_hash64(col: Column, seed: int | None = None) -> Column:
+    """60-bit hash from the top 15 hex chars of md5 — the cross-engine
+    hash family: DuckDB reproduces it exactly as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``, which is what makes the
+    MinHash/SimHash gates oracle-EXACT.  ``seed`` prepends ``"{seed}:"``
+    for independent family members.  xxhash64 stays the default for
+    production paths (one JVM op vs a full md5); the algorithms are
+    hash-agnostic, so the gates exercising this family verify the same
+    banding/bucketing plans."""
+    c = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shared_hash64_sql(expr: str, seed: int | None = None) -> str:
+    """The DuckDB spelling of ``shared_hash64`` (oracle generation)."""
+    e = expr if seed is None else f"'{seed}:' || {expr}"
+    return f"('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+
 # --------------------------------------------------------------- shingles
 def word_shingles(text_col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (arrays stay JVM-side)."""
@@ -116,13 +136,17 @@ def word_shingles(text_col: Column, k: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------- minhash
-def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
+def minhash_signature(shingles: Column, num_perm: int = 16, hash_fn: str = "xxhash64") -> Column:
     """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, i)."""
+    hash(shingle, i).  ``hash_fn``: "xxhash64" (default, fastest) or
+    "md5" (the cross-engine family ``shared_hash64`` — used by the
+    oracle-exact gate)."""
 
     def perm_min(i: int) -> Column:
         # single-param lambda only: a second param would be bound to the
         # element index by F.transform
+        if hash_fn == "md5":
+            return F.array_min(F.transform(shingles, lambda s: shared_hash64(s, i)))
         seed = F.lit(i)
         return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, seed)))
 
@@ -137,6 +161,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) with exact shingle-Jaccard >= threshold.
 
@@ -144,22 +169,29 @@ def minhash_lsh_pairs(
     buckets (the ONLY join, and it is equi-join on (band, band_hash) so it
     shuffles once and never scans cross-bucket pairs) → exact verify via
     array_intersect/array_union.
+
+    ``hash_fn="md5"`` switches to the cross-engine ``shared_hash64``
+    family and uses the raw signature concat as the band key (so the
+    DuckDB oracle reproduces buckets exactly); the default re-hashes the
+    band to a compact 8-byte shuffle key.
     """
     rows = num_perm // bands
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm, hash_fn))
+
+    def band_key(b: int) -> Column:
+        concat = F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])
+        return concat if hash_fn == "md5" else F.xxhash64(concat)
+
     banded = base.select(
         "id",
         "sh",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
                     for b in range(bands)
                 ]
             )
@@ -183,10 +215,16 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------- simhash
-def simhash32(text_col: Column) -> Column:
-    """32-bit SimHash over word tokens (sign-vote per bit)."""
+def simhash32(text_col: Column, hash_fn: str = "xxhash64") -> Column:
+    """32-bit SimHash over word tokens (sign-vote per bit).  ``hash_fn``:
+    "xxhash64" (default) or "md5" (cross-engine ``shared_hash64`` — the
+    oracle-exact gate's family; votes read bits 0..31 of the 60-bit
+    value)."""
     toks = F.array_distinct(tokens(F.lower(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_fn == "md5":
+        hashes = F.transform(toks, lambda t: shared_hash64(t))
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def vote(bit: int) -> Column:
         # NB: the merge lambda must take exactly TWO params (acc, elem) —
@@ -210,11 +248,12 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs with hamming(simhash) <= max_hamming.
     Banding: 4 bytes of the 32-bit hash; pairs agreeing on >= 1 band are
     candidates (guaranteed to include all pairs with hamming <= 3)."""
-    base = df.select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("sh"))
+    base = df.select(F.col(id_col).alias("id"), simhash32(F.col(text_col), hash_fn).alias("sh"))
     banded = base.select(
         "id",
         "sh",

@@ -62,16 +62,25 @@ def documents_as_media(df: DataFrame) -> DataFrame:
     )
 
 
+def _digest60(payload: bytes) -> int:
+    """60-bit digest from the top 15 hex chars of md5 — chosen because a
+    DuckDB oracle reproduces it exactly (``('0x' || substr(md5(x), 1,
+    15))::BIGINT``), making the decode gate value-checkable."""
+    import hashlib
+
+    return int(hashlib.md5(payload or b"").hexdigest()[:15], 16)
+
+
 def _fake_decode(media_type: str, payload: bytes) -> tuple[int, int, int]:
     """DETERMINISTIC FAKE decode (no codecs in this container): derives
-    width/height/frames from a crc32 of the payload.  Replace with a real
-    decoder (PIL/librosa/ffmpeg) in production."""
-    crc = zlib.crc32(payload or b"")
+    width/height/frames from an md5 digest of the payload.  Replace with
+    a real decoder (PIL/librosa/ffmpeg) in production."""
+    h = _digest60(payload)
     if media_type == "image":
-        return 64 + crc % 512, 64 + (crc >> 9) % 512, 1
+        return 64 + h % 512, 64 + (h >> 9) % 512, 1
     if media_type == "audio":
-        return 1, 1, 1000 + crc % 100000  # "samples"
-    return 32 + crc % 256, 32 + (crc >> 8) % 256, 1 + crc % 300  # video frames
+        return 1, 1, 1000 + h % 100000  # "samples"
+    return 32 + h % 256, 32 + (h >> 8) % 256, 1 + h % 300  # video frames
 
 
 def decode_media(df: DataFrame, fake: bool = True, batch_hint: int | None = None) -> DataFrame:
@@ -89,7 +98,7 @@ def decode_media(df: DataFrame, fake: bool = True, batch_hint: int | None = None
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
                 "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
-                "checksum": pdf["payload"].map(lambda b: zlib.crc32(b or b"")),
+                "checksum": pdf["payload"].map(_digest60),
             }
             dims = [
                 _fake_decode(t, p)

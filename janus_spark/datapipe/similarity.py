@@ -171,8 +171,10 @@ def ivf_train(
 ) -> list[list[float]]:
     """Deterministic Lloyd k-means over the corpus -> centroid list.
 
-    Init is a hash-ordered sample (crc32 of the id), so training is
-    reproducible without any RNG state.  Each iteration is ONE shuffle
+    Init is a hash-ordered sample (md5 of the id — the cross-engine
+    ordering a DuckDB oracle can reproduce; ``iters=0`` returns the raw
+    seed sample, which is what the oracle-exact IVF gate uses), so
+    training is reproducible without any RNG state.  Each iteration is ONE shuffle
     (groupBy cell,dim avg) and collects only n_cells * dim floats to the
     driver.  At 100 TB you train on ``corpus.sample(...)`` — centroid
     quality needs thousands of points per cell, not the full corpus —
@@ -180,7 +182,7 @@ def ivf_train(
     """
     seed_rows = (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.crc32(F.col("id").cast("string")), F.col("id"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .limit(n_cells)
         .collect()
     )

@@ -688,31 +688,35 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only check: not SQL-expressible)."""
+    """MinHash+LSH near-dup pairs, oracle-EXACT: the md5-derived
+    ``shared_hash64`` family makes signatures/buckets reproducible in
+    DuckDB SQL (the xxhash64 default is plan-identical)."""
     from janus_spark.datapipe.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
     mutated = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
         "lang", "source", "n_chars",
     )
-    return minhash_lsh_pairs(docs.unionByName(mutated), jaccard_threshold=0.5).select(
-        "a", "b", F.round("jaccard", 6).alias("jaccard")
-    )
+    return minhash_lsh_pairs(
+        docs.unionByName(mutated), jaccard_threshold=0.5, hash_fn="md5"
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash near-dup pairs, oracle-EXACT via ``shared_hash64``."""
     from janus_spark.datapipe.dedup import simhash_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
     mutated = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         "lang", "source", "n_chars",
     )
-    return simhash_pairs(docs.unionByName(mutated), max_hamming=4)
+    return simhash_pairs(docs.unionByName(mutated), max_hamming=4, hash_fn="md5").select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,30 +732,36 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only)."""
+    """LSH-bucketed approximate top-k, oracle-EXACT: the hyperplanes are
+    deterministic literals (seed 42), so the DuckDB oracle reproduces the
+    exact candidate buckets and ranking."""
     from janus_spark.datapipe.similarity import lsh_topk
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = embs.where("vec_id < 5")
-    out = lsh_topk(embs, queries, k=10, bands=8, bits_per_band=4)
+    out = lsh_topk(embs, queries, k=10, bands=8, bits_per_band=4, dim=64)
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 6).alias("sim"))
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k — nprobe=4 of 16 inverted lists (rows-only:
-    the candidate set depends on trained centroids, not SQL-expressible)."""
+    """IVF approximate top-k — nprobe=4 of 16 inverted lists, seeded
+    coreset centroids (``iters=0``: the md5-hash-ordered sample IS the
+    codebook, making the cell assignment SQL-reproducible and the gate
+    oracle-EXACT; Lloyd refinement is covered by the probe-all ≡ exact
+    anchor in tests)."""
     from janus_spark.datapipe.similarity import ivf_topk
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = embs.where("vec_id < 5")
-    out = ivf_topk(embs, queries, k=10, n_cells=16, nprobe=4)
+    out = ivf_topk(embs, queries, k=10, n_cells=16, nprobe=4, iters=0)
     return out.select(
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 6).alias("sim")
     )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via self-LSH (rows-only)."""
+    """Embedding-cosine near-dup pairs via self-LSH, oracle-EXACT
+    (deterministic hyperplane literals as in q_ann_lsh)."""
     from janus_spark.datapipe.similarity import embedding_near_dup_pairs
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -762,8 +772,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads through mapInPandas decode
-    (deterministic fake codec; rows-only)."""
+    """Multimodal plumbing: binary payloads through mapInPandas decode.
+    Oracle-EXACT: the deterministic fake codec derives dimensions from an
+    md5 digest DuckDB reproduces (payloads are utf-8 text bytes, so
+    ``md5(text)`` matches byte-for-byte)."""
     from janus_spark.datapipe.multimodal import decode_media, documents_as_media
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -897,6 +909,226 @@ ORACLES["q_nquads_roundtrip"] = f"""
                     ('urn:col:value', CAST(value AS VARCHAR)),
                     ('urn:col:props', props)) AS p(predicate, object)
     WHERE p.object IS NOT NULL"""
+
+
+# ---- generated oracles for the signature/LSH gates ------------------------
+# These reproduce the Spark operators exactly in DuckDB SQL: the hash
+# family is shared_hash64 (md5-derived, see datapipe/dedup.py), hyperplane
+# weights are embedded as literals from the same seed, and float sums
+# agree because both engines fold element-wise in doubles (6-dp rounding
+# absorbs the residual ulp, same contract as q_ann_bruteforce).
+
+def _h60_sql(expr: str, seed: int | None = None) -> str:
+    e = expr if seed is None else f"'{seed}:' || {expr}"
+    return f"('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+
+def _minhash_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_perm // bands
+    mins = ",\n                 ".join(
+        f"MIN({_h60_sql('gram', i)}) AS m{i}" for i in range(num_perm)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bh FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 200
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' tailmarker'
+           FROM documents WHERE doc_id < 200),
+         t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+               FROM corpus),
+         s AS (SELECT doc_id,
+                      CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(l) - 1),
+                                              i -> array_to_string(l[i:i+2], ' ')))
+                      END AS sh FROM t),
+         g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+         sig AS (SELECT doc_id,
+                 {mins}
+                 FROM g GROUP BY doc_id),
+         bands AS ({band_rows}),
+         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                  FROM bands l JOIN bands r USING (band, bh)
+                  WHERE l.doc_id < r.doc_id),
+         j AS (SELECT c.a, c.b,
+                      len(list_intersect(sa.sh, sb.sh)) AS inter,
+                      len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
+               FROM cand c
+               JOIN s sa ON sa.doc_id = c.a
+               JOIN s sb ON sb.doc_id = c.b)
+    SELECT a, b,
+           ROUND(CASE WHEN un > 0 THEN inter / CAST(un AS DOUBLE) ELSE 0.0 END, 6) AS jaccard
+    FROM j
+    WHERE (CASE WHEN un > 0 THEN inter / CAST(un AS DOUBLE) ELSE 0.0 END) >= {threshold}"""
+
+
+def _simhash_oracle(max_hamming: int = 4) -> str:
+    votes = ",\n                 ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (sh >> {8 * b}) & 255 AS bh FROM sig"
+        for b in range(4)
+    )
+    return rf"""
+    WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 200
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id < 200),
+         t AS (SELECT doc_id,
+                      unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok
+               FROM corpus),
+         h AS (SELECT doc_id, {_h60_sql('tok')} AS h FROM t),
+         votes AS (SELECT doc_id,
+                 {votes}
+                 FROM h GROUP BY doc_id),
+         sig AS (SELECT doc_id, {sig} AS sh FROM votes),
+         bands AS ({band_rows}),
+         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                  FROM bands l JOIN bands r USING (band, bh)
+                  WHERE l.doc_id < r.doc_id)
+    SELECT c.a, c.b, CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+    FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+    WHERE bit_count(xor(sa.sh, sb.sh)) <= {max_hamming}"""
+
+
+def _plane_lit(plane: list[float]) -> str:
+    return "[" + ",".join(repr(x) for x in plane) + "]"
+
+
+def _lsh_sig_sql(planes, bands: int, bits_per_band: int, vec: str) -> str:
+    """Per-band bucket expressions ``bh0..bh{bands-1}`` over column ``vec``
+    (DOUBLE[]), mirroring similarity.lsh_signature exactly."""
+    outs = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {_plane_lit(planes[b * bits_per_band + i])}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(bits_per_band)
+        )
+        outs.append(f"({bits}) AS bh{b}")
+    return ",\n                 ".join(outs)
+
+
+def _ann_lsh_oracle(k: int = 10, bands: int = 8, bits_per_band: int = 4, dim: int = 64, seed: int = 42) -> str:
+    from janus_spark.datapipe.similarity import hyperplanes
+
+    planes = hyperplanes(dim, bits_per_band * bands, seed)
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band, bh{b} AS bh FROM sig" for b in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sig AS (SELECT vec_id, v,
+                 {_lsh_sig_sql(planes, bands, bits_per_band, 'v')}
+                 FROM e),
+         bands AS ({band_rows}),
+         q AS (SELECT vec_id AS query_id, v AS qv, band, bh FROM bands WHERE vec_id < 5),
+         cand AS (SELECT DISTINCT q.query_id, c.vec_id
+                  FROM bands c JOIN q ON c.band = q.band AND c.bh = q.bh
+                  WHERE c.vec_id <> q.query_id),
+         sims AS (SELECT cand.query_id, cand.vec_id,
+                         list_cosine_similarity(eq.v, ec.v) AS sim
+                  FROM cand
+                  JOIN e eq ON eq.vec_id = cand.query_id
+                  JOIN e ec ON ec.vec_id = cand.vec_id),
+         ranked AS (SELECT query_id, vec_id, sim,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY sim DESC, vec_id) AS rank
+                    FROM sims)
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= {k}"""
+
+
+def _ann_ivf_oracle(k: int = 10, n_cells: int = 16, nprobe: int = 4) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ce AS (SELECT v AS cv, cell FROM (
+                  SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+                  FROM e) WHERE cell < {n_cells}),
+         asg AS (SELECT e.vec_id, e.v, c.cell,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                           ORDER BY COALESCE(list_cosine_similarity(e.v, c.cv), -2.0) DESC,
+                                                    c.cell DESC) AS rnk
+                 FROM e CROSS JOIN ce c),
+         corpus AS (SELECT vec_id, v, cell FROM asg WHERE rnk = 1),
+         probe AS (SELECT vec_id AS query_id, v AS qv, cell
+                   FROM asg WHERE vec_id < 5 AND rnk <= {nprobe}),
+         sims AS (SELECT p.query_id, c.vec_id,
+                         list_cosine_similarity(p.qv, c.v) AS sim
+                  FROM probe p JOIN corpus c USING (cell)
+                  WHERE c.vec_id <> p.query_id),
+         ranked AS (SELECT query_id, vec_id, sim,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY sim DESC, vec_id) AS rank
+                    FROM sims)
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= {k}"""
+
+
+def _near_dup_oracle(sim_threshold: float = 0.99, bands: int = 8, bits_per_band: int = 8, dim: int = 64, seed: int = 42) -> str:
+    from janus_spark.datapipe.similarity import hyperplanes
+
+    planes = hyperplanes(dim, bits_per_band * bands, seed)
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT id, v, {b} AS band, bh{b} AS bh FROM sig" for b in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               UNION ALL
+               SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+               WHERE vec_id < 10),
+         sig AS (SELECT id, v,
+                 {_lsh_sig_sql(planes, bands, bits_per_band, 'v')}
+                 FROM e),
+         bands AS ({band_rows}),
+         cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+                  FROM bands l JOIN bands r USING (band, bh)
+                  WHERE l.id < r.id),
+         sims AS (SELECT c.a, c.b, list_cosine_similarity(ea.v, eb.v) AS sim
+                  FROM cand c JOIN e ea ON ea.id = c.a JOIN e eb ON eb.id = c.b)
+    SELECT a, b, ROUND(sim, 6) AS sim FROM sims WHERE sim >= {sim_threshold}"""
+
+
+_MM_H = "('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT"
+_MM_DECODE_ORACLE = f"""
+    WITH m AS (SELECT doc_id AS media_id,
+                      ['image','audio','video'][(doc_id % 3) + 1] AS media_type,
+                      CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+                      {_MM_H} AS hv
+               FROM documents)
+    SELECT media_id, media_type, n_bytes, hv AS checksum,
+           CAST(CASE media_type WHEN 'image' THEN 64 + hv % 512
+                                WHEN 'audio' THEN 1
+                                ELSE 32 + hv % 256 END AS INTEGER) AS width,
+           CAST(CASE media_type WHEN 'image' THEN 64 + (hv >> 9) % 512
+                                WHEN 'audio' THEN 1
+                                ELSE 32 + (hv >> 8) % 256 END AS INTEGER) AS height,
+           CAST(CASE media_type WHEN 'image' THEN 1
+                                WHEN 'audio' THEN 1000 + hv % 100000
+                                ELSE 1 + hv % 300 END AS INTEGER) AS n_frames
+    FROM m"""
+
+ORACLES.update(
+    {
+        "q_dedup_minhash": _minhash_oracle(),
+        "q_dedup_simhash": _simhash_oracle(),
+        "q_ann_lsh": _ann_lsh_oracle(),
+        "q_ann_ivf": _ann_ivf_oracle(),
+        "q_embedding_near_dup": _near_dup_oracle(),
+        "q_multimodal_decode": _MM_DECODE_ORACLE,
+    }
+)
 
 
 def q_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2747,9 +2979,8 @@ ORACLES["q_comparator_stream"] = """
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling: every-30th-frame indices per media
     item after (stubbed) decode — the video counterpart of image
-    resize.  Rows-only: the fake decoder's crc32 dimensions are not
-    SQL-expressible, but the plumbing (Arrow decode batch → arithmetic
-    frame explode) is the real scale path."""
+    resize.  Oracle-EXACT: the fake decoder's frame counts are
+    md5-derived, so DuckDB reproduces the explode."""
     from janus_spark.datapipe.multimodal import (
         decode_media,
         documents_as_media,
@@ -2763,6 +2994,12 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_frame_sample"] = q_frame_sample
+ORACLES["q_frame_sample"] = f"""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS mt, {_MM_H} AS hv
+               FROM documents)
+    SELECT media_id,
+           CAST(unnest(generate_series(0, CAST(1 + hv % 300 AS BIGINT) - 1, 30)) AS BIGINT) AS frame_index
+    FROM m WHERE mt = 2"""
 
 
 def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
