@@ -303,24 +303,26 @@ def jaccard_similarity_join(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard similarity self-join (a < b,
-    J ≥ threshold) via an inverted shingle index — no LSH, no arrays on
-    the pair side, no quadratic candidate blowup.
+    J ≥ threshold) via an inverted shingle index — no LSH, no quadratic
+    candidate blowup.
 
+    ``prefix_filter=True`` (the default, and the only plan that survives
+    a skewed corpus at 100 TB) routes through ``jaccard_prefix_join``:
+    the AllPairs/PPJoin prefix lemma indexes only each doc's rarest
+    ``⌊(1−t)·|A|⌋+1`` shingles as join keys, draining hot grams out of
+    the candidate join while provably preserving the output
+    (``q_jaccard_pairs`` and ``q_jaccard_prefix`` share one oracle;
+    the skew guard in test_skew.py pins the candidate-count bound).
+
+    ``prefix_filter=False`` is the unpruned postings-count formulation:
     |A∩B| = number of shared postings per (a, b), counted by the index
-    self-join; |A∪B| = |A| + |B| − |A∩B|.  Complete for any threshold > 0:
-    a pair sharing no shingle has J = 0 and can never qualify, so joining
-    only through shared postings loses nothing.
-
-    Scale path (100 TB): this is the SSJoin shape. Two standard pruning
-    steps keep it exact while bounding the hot-posting blowup: (a) prefix
-    filtering — order shingles by global document frequency and index only
-    each doc's first ``⌊(1−t)·|A|⌋+1`` shingles as join keys (any pair with
-    J ≥ t must share one of them); (b) AQE skew-join splitting for the
-    residual heavy grams.  Pruning (a) is left out here because the gate
-    checks the unpruned semantics; the join below is already the posting-
-    count formulation that (a) drops into.
+    self-join; |A∪B| = |A| + |B| − |A∩B|.  Complete for any
+    threshold > 0: a pair sharing no shingle has J = 0 and can never
+    qualify.  Simpler plan (no per-doc ranking pass), right when the
+    gram-frequency distribution is known flat.
 
     Note the self-join tokenizes the corpus twice (Spark does not reuse
     exchanges across the two differently-projected sides): both passes
@@ -328,6 +330,8 @@ def jaccard_similarity_join(
     shingle step ever dominates, ``posts.persist(DISK_ONLY)`` (or a
     staged parquet write) before branching removes the second pass.
     """
+    if prefix_filter:
+        return jaccard_prefix_join(df, text_col, id_col, shingle_k, threshold)
     sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
     posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
     left = posts.select("gram", F.col("id").alias("a"), F.col("n").alias("na"))
@@ -344,6 +348,36 @@ def jaccard_similarity_join(
     )
 
 
+def jaccard_prefix_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate (a, b) pairs under the AllPairs/PPJoin prefix lemma —
+    exposed separately so tests can pin the candidate-count bound on
+    skewed corpora (the quantity that explodes without the filter)."""
+    from pyspark.sql import Window as W
+
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
+    dfreq = posts.groupBy("gram").agg(F.count("*").alias("gdf"))
+    ranked = posts.join(dfreq, "gram").withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("id").orderBy(F.asc("gdf"), F.asc("gram"))),
+    )
+    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefix = ranked.where(F.col("rk") <= plen)
+    return (
+        prefix.select("gram", F.col("id").alias("a"))
+        .join(prefix.select("gram", F.col("id").alias("b")), "gram")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def jaccard_prefix_join(
     df: DataFrame,
     text_col: str = "text",
@@ -356,30 +390,12 @@ def jaccard_prefix_join(
     shingle), any pair with J ≥ t must share one of each side's first
     ``|A| − ⌈t·|A|⌉ + 1`` shingles — so only those prefix postings enter
     the candidate join, and the surviving pairs are verified with the
-    full shingle arrays.  Provably the same output as
-    ``jaccard_similarity_join`` while indexing roughly a ``(1−t)``
-    fraction of the postings; rare-first ordering drains the hot grams
-    out of the join keys, which is what bounds the candidate blowup at
-    corpus scale.
+    full shingle arrays.  Provably the same output as the unpruned
+    postings join while indexing roughly a ``(1−t)`` fraction of the
+    postings; rare-first ordering drains the hot grams out of the join
+    keys, which is what bounds the candidate blowup at corpus scale.
     """
-    from pyspark.sql import Window as W
-
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
-    posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
-    dfreq = posts.groupBy("gram").agg(F.count("*").alias("gdf"))
-    ranked = posts.join(dfreq, "gram").withColumn(
-        "rk",
-        F.row_number().over(W.partitionBy("id").orderBy(F.asc("gdf"), F.asc("gram"))),
-    )
-    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    prefix = ranked.where(F.col("rk") <= plen)
-    cand = (
-        prefix.select("gram", F.col("id").alias("a"))
-        .join(prefix.select("gram", F.col("id").alias("b")), "gram")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    cand = jaccard_prefix_candidates(df, text_col, id_col, shingle_k, threshold)
     verified = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k)
     return verified.where(F.col("jaccard") >= F.lit(threshold)).select(
         "a", "b", F.round("jaccard", 9).alias("jaccard")

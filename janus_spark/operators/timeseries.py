@@ -108,6 +108,86 @@ def pane_sliding_distinct(
     )
 
 
+def pane_sliding_percentile(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+    range_ms: int = 6 * 3_600_000,
+    step_ms: int = 3_600_000,
+    probs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    vmin: float = 0.0,
+    vmax: float = 600.0,
+    n_bins: int = 600,
+) -> DataFrame:
+    """Sliding-window percentiles via mergeable fixed-width HISTOGRAM
+    sketches — the pane path for the one aggregate family
+    ``sliding_pane_spec`` rightly refuses (quantiles don't two-level
+    merge, and Spark does not expose percentile_approx's partial digest
+    as a storable column the way it does HLL sketches).
+
+    A fixed-bin histogram IS a mergeable quantile sketch: pane partials
+    are (bin, count) rows, the pane→window rollup is a counts sum, and
+    the p-quantile is read off the window CDF.  Error is bounded by the
+    bin width ((vmax−vmin)/n_bins, the returned value is the bin
+    midpoint); values outside [vmin, vmax] clamp into the edge bins.
+    Versus the exact plan the shuffle carries at most ``n_bins`` rows
+    per (key, pane) instead of every event — and unlike T-digest the
+    arithmetic is deterministic integer counting, so the gate is
+    oracle-EXACT in DuckDB, not merely error-bound-tested.
+
+    Windows are ``[w*step, w*step + range)`` per key, emitted iff
+    non-empty; returns one row per (key, window) with ``n_events`` and
+    one ``p{NN}`` column per requested quantile (rank ``ceil(p*N)`` of
+    the CDF, the standard lower-quantile definition).
+    """
+    if range_ms % step_ms != 0:
+        raise ValueError("range_ms must be a multiple of step_ms (pane = step)")
+    n_panes = range_ms // step_ms
+    width = (vmax - vmin) / n_bins
+    pane = F.floor(F.col(ts_col) / F.lit(step_ms)).cast("long")
+    bin_ = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(vmin)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    partials = (
+        df.select(*key_cols, ts_col, value_col)
+        .where(F.col(value_col).isNotNull())
+        .withColumn("pane", pane)
+        .withColumn("bin", bin_)
+        .groupBy(*key_cols, "pane", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    win = F.explode(F.sequence(F.col("pane") - F.lit(n_panes - 1), F.col("pane"))).alias("w")
+    hist = (
+        partials.select(*key_cols, win, "bin", "cnt")
+        .groupBy(*key_cols, "w", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(*key_cols, "w")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*key_cols, "w")
+    cdf = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_all)
+    )
+    aggs = [F.max("total").cast("long").alias("n_events")]
+    for p in probs:
+        rank = F.ceil(F.lit(p) * F.col("total"))
+        b = F.min(F.when(F.col("cum") >= rank, F.col("bin")))
+        aggs.append(
+            F.round(F.lit(vmin) + (b + 0.5) * F.lit(width), 6).alias(f"p{round(p * 100)}")
+        )
+    return (
+        cdf.groupBy(*key_cols, "w")
+        .agg(*aggs)
+        .withColumn("window_start", (F.col("w") * F.lit(step_ms)).cast("long"))
+        .drop("w")
+    )
+
+
 def pane_sliding_agg(
     df: DataFrame,
     key_cols: list[str],

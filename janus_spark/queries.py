@@ -2293,12 +2293,15 @@ ORACLES["q_latest_event"] = f"""
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard similarity join (inverted shingle
-    index; the exact counterpart the MinHash/SimHash gates approximate)."""
+    """Exact all-pairs n-gram Jaccard similarity join — the UNPRUNED
+    postings-count formulation (the exact counterpart the MinHash/
+    SimHash gates approximate).  q_jaccard_prefix runs the PPJoin
+    prefix-filtered plan (the production default) against the SAME
+    oracle — together they pin the prefix lemma's output equivalence."""
     from janus_spark.datapipe.dedup import jaccard_similarity_join
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return jaccard_similarity_join(docs, shingle_k=3, threshold=0.5)
+    return jaccard_similarity_join(docs, shingle_k=3, threshold=0.5, prefix_filter=False)
 
 
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2380,6 +2383,58 @@ ORACLES["q_sliding_panes"] = f"""
            ROUND(AVG(value), 6) AS avg_v,
            w * {_PANE_STEP_MS} AS window_start
     FROM x GROUP BY user_id, w"""
+
+
+_PCT_BINS, _PCT_VMAX = 600, 600.0  # width 1.0 over the events value range
+
+
+def q_sliding_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 6h/1h p50/p95/p99 per event type via mergeable histogram
+    sketches (pane partials are (bin, count) rows; quantiles read off the
+    window CDF).  Deterministic integer counting → oracle-EXACT, closing
+    the non-mergeable-aggregate gap behind the pane dispatch."""
+    from janus_spark.operators.timeseries import pane_sliding_percentile
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", "value", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    return pane_sliding_percentile(
+        ev, ["event_type"], ts_col="ts_ms", value_col="value",
+        range_ms=_PANE_RANGE_MS, step_ms=_PANE_STEP_MS,
+        probs=(0.5, 0.95, 0.99), vmin=0.0, vmax=_PCT_VMAX, n_bins=_PCT_BINS,
+    )
+
+
+def _pct_expr(p: float) -> str:
+    return (
+        f"ROUND(0.0 + (MIN(CASE WHEN cum >= CEIL({p} * total) THEN bin END) + 0.5)"
+        f" * {_PCT_VMAX / _PCT_BINS}, 6) AS p{round(p * 100)}"
+    )
+
+
+QUERIES["q_sliding_percentile"] = q_sliding_percentile
+ORACLES["q_sliding_percentile"] = f"""
+    WITH e AS (SELECT event_type, value, {_TSM} AS t FROM events
+               WHERE value IS NOT NULL),
+         b AS (SELECT event_type, t,
+                      LEAST(GREATEST(CAST(FLOOR(value / {_PCT_VMAX / _PCT_BINS}) AS BIGINT), 0),
+                            {_PCT_BINS - 1}) AS bin
+               FROM e),
+         x AS (SELECT event_type, bin,
+                      unnest(generate_series(t // {_PANE_STEP_MS} - {_PANE_RANGE_MS // _PANE_STEP_MS - 1},
+                                             t // {_PANE_STEP_MS})) AS w
+               FROM b),
+         h AS (SELECT event_type, w, bin, COUNT(*) AS cnt FROM x GROUP BY 1, 2, 3),
+         c AS (SELECT event_type, w, bin, cnt,
+                      SUM(cnt) OVER (PARTITION BY event_type, w ORDER BY bin
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                      SUM(cnt) OVER (PARTITION BY event_type, w) AS total
+               FROM h)
+    SELECT event_type, CAST(MAX(total) AS BIGINT) AS n_events,
+           {_pct_expr(0.5)}, {_pct_expr(0.95)}, {_pct_expr(0.99)},
+           w * {_PANE_STEP_MS} AS window_start
+    FROM c GROUP BY event_type, w"""
 
 
 def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:

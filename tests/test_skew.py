@@ -54,3 +54,61 @@ def test_skew_safe_count_distinct_equals_builtin(spark):
         for r in df.groupBy("k").agg(F.countDistinct("val").alias("n")).collect()
     }
     assert ours == builtin
+
+
+def _skewed_corpus(spark, n_docs=200, hot_frac=0.3):
+    """30% of docs share one hot 3-gram; every doc also has unique filler.
+    The hot gram alone would generate C(0.3*n, 2) candidate pairs in an
+    unpruned postings join."""
+    hot = "alpha beta gamma"
+    rows = []
+    for i in range(n_docs):
+        filler = " ".join(f"tok{i}x{j}" for j in range(8))
+        text = f"{hot} {filler}" if i % int(1 / hot_frac) == 0 else filler
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prefix_filter_bounds_skewed_candidates(spark):
+    """VERDICT r1 item 5: the PPJoin prefix filter must keep the
+    candidate count bounded on a hot-shingle corpus — measured, not
+    claimed — while producing the identical join output."""
+    from janus_spark.datapipe.dedup import (
+        jaccard_prefix_candidates,
+        jaccard_similarity_join,
+        word_shingles,
+    )
+
+    docs = _skewed_corpus(spark)
+    n_hot = docs.where(F.col("text").startswith("alpha beta gamma")).count()
+    assert n_hot >= 60  # every 3rd doc of 200
+
+    # unpruned candidate pairs: every pair sharing >= 1 shingle
+    sh = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    posts = sh.select(F.col("doc_id").alias("id"), F.explode("sh").alias("gram"))
+    unpruned = (
+        posts.alias("l").join(posts.alias("r"), "gram")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select("l.id", "r.id").distinct().count()
+    )
+    assert unpruned >= n_hot * (n_hot - 1) // 2  # the hot-gram blowup is real
+
+    pruned = jaccard_prefix_candidates(docs, shingle_k=3, threshold=0.5).count()
+    # docs are mostly unique filler: no pair can reach J >= 0.5, and the
+    # prefix (rarest-first) ordering keeps the hot gram out of every
+    # prefix, so candidates collapse instead of exploding
+    assert pruned <= unpruned / 10, (pruned, unpruned)
+
+    # and the filtered plan is still EXACT
+    got = sorted(
+        map(tuple, jaccard_similarity_join(docs, threshold=0.5).select("a", "b").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            jaccard_similarity_join(docs, threshold=0.5, prefix_filter=False)
+            .select("a", "b")
+            .collect(),
+        )
+    )
+    assert got == want

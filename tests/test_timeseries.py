@@ -204,3 +204,36 @@ def test_pane_sliding_agg_null_values_avg(spark):
     assert r["n_events"] == 3
     assert r["sum_v"] == 30.0
     assert r["avg_v"] == pytest.approx(15.0)  # not 30/3
+
+
+def test_pane_sliding_percentile_within_bin_width_of_exact(spark):
+    """Histogram-sketch sliding quantiles: every p-quantile is within one
+    bin width of the exact rank-ceil(p*n) order statistic, and n_events
+    is exact."""
+    import math
+    import random
+
+    from janus_spark.operators.timeseries import pane_sliding_percentile
+
+    rng = random.Random(7)
+    rows = [("k", float(rng.randrange(0, 10_000)), rng.uniform(0.0, 100.0)) for _ in range(800)]
+    df = spark.createDataFrame(rows, "k string, ts_ms double, value double")
+    range_ms, step_ms, width = 3000, 1000, 1.0
+    out = {
+        int(r["window_start"]): r
+        for r in pane_sliding_percentile(
+            df, ["k"], range_ms=range_ms, step_ms=step_ms,
+            probs=(0.5, 0.9), vmin=0.0, vmax=100.0, n_bins=100,
+        ).collect()
+    }
+    # windows over panes: window w covers [w*step, w*step + range)
+    starts = {int(t // step_ms) * step_ms - k * step_ms for _, t, _ in rows for k in range(3)}
+    for ws in starts:
+        vals = sorted(v for _, t, v in rows if ws <= t < ws + range_ms)
+        if not vals:
+            continue
+        r = out[ws]
+        assert r["n_events"] == len(vals)
+        for p, col in ((0.5, "p50"), (0.9, "p90")):
+            exact = vals[math.ceil(p * len(vals)) - 1]
+            assert abs(r[col] - exact) <= width, (ws, col, r[col], exact)
