@@ -12,7 +12,13 @@ Mirrors the reference's route surface (src/http/server.rs:273-289):
                                       uses a WebSocket — this container has
                                       no WS library, and chunked NDJSON is
                                       the HTTP-native equivalent)
+    GET    /api/queries/<id>/results/sse  same stream as Server-Sent Events
+                                      (text/event-stream: push framing for
+                                      browser EventSource consumers — the
+                                      closest zero-dependency stand-in for
+                                      the reference's WS, server.rs:473-545)
     POST   /api/replay/start          replay a quads source into live queries
+    POST   /api/replay/stop           stop an in-flight replay (server.rs:548+)
     GET    /api/replay/status
     GET    /ops/status
     GET    /health
@@ -91,7 +97,8 @@ def create_app(engine: JanusEngine, buffer_root: str = "/tmp/janus_spark_live") 
     app = Flask("janus_spark")
     hub = QueryResultHub()
     runners: dict[str, object] = {}
-    replay_state = {"running": False, "batches": 0, "events": 0}
+    replay_state = {"running": False, "batches": 0, "events": 0, "stopped": False}
+    replay_stop = threading.Event()
     app.extensions["janus"] = {"engine": engine, "hub": hub, "runners": runners}
 
     # ------------------------------------------------------------ queries
@@ -187,27 +194,47 @@ def create_app(engine: JanusEngine, buffer_root: str = "/tmp/janus_spark_live") 
         runners.pop(qid, None)
         return jsonify({"query_id": qid, "status": engine.get_query(qid).status})
 
+    def _drain(qid, timeout, max_results):
+        """Yield (kind, payload) result/lag items from the hub queue —
+        shared by the NDJSON and SSE framings."""
+        q = hub.get(qid)
+        n = 0
+        deadline = time.time() + timeout
+        while n < max_results and time.time() < deadline:
+            try:
+                item = q.get(timeout=max(0.05, min(0.5, deadline - time.time())))
+            except queue.Empty:
+                continue
+            if hub.dropped.get(qid):
+                yield "lag", {"type": "lag", "dropped": hub.dropped[qid]}
+                hub.dropped[qid] = 0
+            yield "result", item
+            n += 1
+
     @app.get("/api/queries/<qid>/results")
     def results(qid):
         timeout = float(request.args.get("timeout", "5"))
         max_results = int(request.args.get("max", "1000"))
 
         def gen():
-            q = hub.get(qid)
-            n = 0
-            deadline = time.time() + timeout
-            while n < max_results and time.time() < deadline:
-                try:
-                    item = q.get(timeout=max(0.05, min(0.5, deadline - time.time())))
-                except queue.Empty:
-                    continue
-                if hub.dropped.get(qid):
-                    yield json.dumps({"type": "lag", "dropped": hub.dropped[qid]}) + "\n"
-                    hub.dropped[qid] = 0
-                yield json.dumps(item, default=str) + "\n"
-                n += 1
+            for _, payload in _drain(qid, timeout, max_results):
+                yield json.dumps(payload, default=str) + "\n"
 
         return Response(gen(), mimetype="application/x-ndjson")
+
+    @app.get("/api/queries/<qid>/results/sse")
+    def results_sse(qid):
+        timeout = float(request.args.get("timeout", "5"))
+        max_results = int(request.args.get("max", "1000"))
+
+        def gen():
+            for kind, payload in _drain(qid, timeout, max_results):
+                if kind == "lag":
+                    yield "event: lag\ndata: " + json.dumps(payload) + "\n\n"
+                else:
+                    yield "data: " + json.dumps(payload, default=str) + "\n\n"
+
+        return Response(gen(), mimetype="text/event-stream")
 
     # ------------------------------------------------------------- replay
     @app.post("/api/replay/start")
@@ -225,18 +252,30 @@ def create_app(engine: JanusEngine, buffer_root: str = "/tmp/janus_spark_live") 
             from janus_spark.sources.nquads import read_nquads
             from janus_spark.streaming.replay import replay_quads
 
-            replay_state.update(running=True, batches=0)
+            replay_stop.clear()
+            replay_state.update(running=True, batches=0, stopped=False)
             if path and path.endswith((".nq", ".nt", ".txt")):
                 quads = read_nquads(engine.spark, path)
             elif path:
                 quads = engine.spark.read.parquet(path)
             else:
                 quads = engine.quads
-            n = replay_quads(quads, runners[qid], batch_ms=batch_ms)
-            replay_state.update(running=False, batches=n)
+            n = replay_quads(
+                quads, runners[qid], batch_ms=batch_ms, should_stop=replay_stop.is_set
+            )
+            replay_state.update(running=False, batches=n, stopped=replay_stop.is_set())
 
         threading.Thread(target=run, daemon=True).start()
         return jsonify({"ok": True})
+
+    @app.post("/api/replay/stop")
+    def replay_stop_route():
+        # reference replay stop (server.rs:548+): idempotent; the replay
+        # thread observes the flag before its next batch
+        replay_stop.set()
+        if not replay_state["running"]:
+            replay_state["stopped"] = True
+        return jsonify({"ok": True, "was_running": replay_state["running"]})
 
     @app.get("/api/replay/status")
     def replay_status():

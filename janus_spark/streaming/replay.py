@@ -15,6 +15,7 @@ mode does the same).
 from __future__ import annotations
 
 import time
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,11 +31,17 @@ def replay_quads(
     store: QuadStore | None = None,
     rate_hz: float | None = None,
     close_at_end: bool = True,
+    should_stop: Callable[[], bool] | None = None,
 ) -> int:
     """Replay a static quads frame as time-ordered micro-batches.
 
     ``batch_ms``: event-time span per micro-batch (processing-time trigger
     interval equivalent).  Returns the number of batches fed.
+
+    ``should_stop``: polled before each batch — the replay stop control
+    the reference exposes as POST /api/replay/stop (server.rs:548+);
+    a stopped replay still closes the runner (sentinel flush) so
+    downstream windows fire with what was fed.
     """
     bounds = quads.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     if bounds["lo"] is None:
@@ -43,6 +50,8 @@ def replay_quads(
     n = 0
     cur = lo
     while cur <= hi:
+        if should_stop is not None and should_stop():
+            break
         batch = quads.where((F.col("ts") >= cur) & (F.col("ts") < cur + batch_ms))
         if store is not None:
             store.write(batch)  # dual-write (stream_bus.rs:279-298)
@@ -52,5 +61,5 @@ def replay_quads(
         if rate_hz:
             time.sleep(1.0 / rate_hz)
     if close_at_end:
-        runner.close(hi + 1)
+        runner.close(min(cur, hi + 1))
     return n

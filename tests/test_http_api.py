@@ -100,3 +100,116 @@ def test_replay_requires_live_query(client):
     assert r.status_code == 400
     r2 = client.post("/api/replay/start", json={"query_id": "nope"})
     assert r2.status_code == 400
+
+
+LIVE_HYBRID_QUERY = f"""
+PREFIX ex: <{EX}>
+REGISTER RStream <out> AS
+SELECT ?sensor ?temp ?mean
+FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 2000]
+FROM NAMED WINDOW ex:hist ON LOG ex:sensors [START 100 END 3000]
+USING BASELINE ex:hist AGGREGATE
+WHERE {{
+  WINDOW ex:w {{ ?sensor ex:temperature ?temp . }}
+  WINDOW ex:hist {{ ?sensor ex:temperature ?mean . }}
+  ?sensor <https://janus.rs/baseline#mean> ?mean .
+}}
+"""
+
+
+def test_sse_stream_framing(client):
+    """SSE delivery (the WS stand-in): same payloads as NDJSON, framed as
+    text/event-stream data: events."""
+    qid = client.post("/api/queries", json={"query": HIST_QUERY}).get_json()["query_id"]
+    client.post(f"/api/queries/{qid}/start")
+    r = client.get(f"/api/queries/{qid}/results/sse?timeout=60&max=1")
+    assert r.mimetype == "text/event-stream"
+    frames = [f for f in r.data.decode().split("\n\n") if f.strip()]
+    assert len(frames) == 1
+    assert frames[0].startswith("data: ")
+    msg = json.loads(frames[0][len("data: "):])
+    assert msg["source"] == "historical" and msg["type"] == "result"
+    assert len(msg["bindings"]) == 21
+
+
+def test_hybrid_lifecycle_end_to_end(client):
+    """VERDICT r1 item 9: the full product path through HTTP — register a
+    hybrid query, start (baseline warm -> Running), consume the
+    historical result, replay live data, consume live window fires whose
+    rows carry the baseline join, stop replay (idempotent post-finish),
+    stop the query."""
+    qid = client.post("/api/queries", json={"query": LIVE_HYBRID_QUERY}).get_json()["query_id"]
+    meta = client.get(f"/api/queries/{qid}").get_json()
+    assert meta["historical_windows"] == 1 and meta["live_windows"] == 1
+
+    assert client.post(f"/api/queries/{qid}/start").get_json()["status"] == "starting"
+    # historical result arrives first (WarmingBaseline happens inside
+    # start_live; by the time the live runner exists the status is Running)
+    r = client.get(f"/api/queries/{qid}/results?timeout=120&max=1")
+    hist = [json.loads(x) for x in r.data.decode().strip().splitlines() if x]
+    assert hist and hist[0]["source"] == "historical"
+
+    for _ in range(100):
+        if client.get(f"/api/queries/{qid}").get_json()["status"] == "Running":
+            break
+        time.sleep(0.2)
+    assert client.get(f"/api/queries/{qid}").get_json()["status"] == "Running"
+
+    # replay the engine's quads into the live side; tumbling 2s windows
+    # fire.  The live runner is created by the background start thread
+    # after the historical pass — poll until replay accepts it.
+    for _ in range(300):
+        r = client.post("/api/replay/start", json={"query_id": qid, "batch_ms": 1000})
+        if r.status_code == 200:
+            break
+        time.sleep(0.2)
+    assert r.get_json().get("ok")
+    r = client.get(f"/api/queries/{qid}/results?timeout=120&max=2")
+    live = [json.loads(x) for x in r.data.decode().strip().splitlines() if x]
+    live = [m for m in live if m.get("source") == "live"]
+    assert live, "live window fires must reach the result stream"
+    assert all("mean" in b and b["mean"] is not None for m in live for b in m["bindings"])
+
+    for _ in range(150):
+        if not client.get("/api/replay/status").get_json()["running"]:
+            break
+        time.sleep(0.2)
+    status = client.get("/api/replay/status").get_json()
+    assert status["running"] is False and status["batches"] > 0
+
+    # replay stop after completion is idempotent
+    assert client.post("/api/replay/stop").get_json()["ok"]
+    assert client.get("/api/replay/status").get_json()["stopped"] is True
+
+    stopped = client.post(f"/api/queries/{qid}/stop").get_json()
+    assert stopped["status"] == "Stopped"
+
+
+def test_replay_stop_interrupts_inflight(client):
+    """POST /api/replay/stop halts an in-flight replay before it feeds
+    every batch (C6 route parity with server.rs:548+)."""
+    qid = client.post("/api/queries", json={"query": LIVE_HYBRID_QUERY}).get_json()["query_id"]
+    client.post(f"/api/queries/{qid}/start")
+    client.get(f"/api/queries/{qid}/results?timeout=120&max=1")  # wait for hist
+
+    # 100ms batches over ts 100..10000 -> ~100 batches, several seconds
+    for _ in range(300):
+        r = client.post("/api/replay/start", json={"query_id": qid, "batch_ms": 100})
+        if r.status_code == 200:
+            break
+        time.sleep(0.2)
+    assert r.get_json().get("ok")
+    for _ in range(100):
+        if client.get("/api/replay/status").get_json()["running"]:
+            break
+        time.sleep(0.1)
+    assert client.post("/api/replay/stop").get_json()["ok"]
+    for _ in range(300):
+        if not client.get("/api/replay/status").get_json()["running"]:
+            break
+        time.sleep(0.2)
+    status = client.get("/api/replay/status").get_json()
+    assert status["running"] is False
+    assert status["stopped"] is True
+    assert status["batches"] < 100, "stop must interrupt before the full replay"
+    client.post(f"/api/queries/{qid}/stop")
