@@ -1,0 +1,102 @@
+"""Bench regression guard (VERDICT r1 item 10): run bench.py and compare
+per-query wall times against the previous round's recorded numbers —
+exit non-zero if any query regressed more than the allowed ratio at the
+same scale factor.
+
+Usage: python scripts/check_bench.py [baseline.json] [max_ratio]
+
+``baseline.json`` defaults to the newest BENCH_r*.json in the repo root;
+``max_ratio`` defaults to 1.5.  Storage microbenches on this shared box
+are ±40% noisy run-to-run (see bench.py's best-of-3 note), so only
+ratios above the threshold on the steady-state query set fail the
+check; throughput deltas are printed for the record.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_baseline(path: str | None) -> dict:
+    if path is None:
+        cands = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        if not cands:
+            print("no BENCH_r*.json baseline found; nothing to compare")
+            sys.exit(0)
+        path = cands[-1]
+    with open(path) as f:
+        data = json.load(f)
+    parsed = data.get("parsed", data)
+    print(f"baseline: {path} (sf={parsed.get('sf')})")
+    return parsed
+
+
+def run_bench_once() -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    if out.returncode != 0:
+        print(out.stderr[-3000:])
+        sys.exit(2)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_bench(reps: int = 2) -> dict:
+    """Per-query best-of-N: this box's ambient load inflates single runs
+    by up to ~40%; the minimum is the steady-state signal (same reasoning
+    as bench.py's internal best-of-3 for storage)."""
+    runs = [run_bench_once() for _ in range(reps)]
+    best = dict(runs[0])
+    best["queries"] = {
+        k: min(r["queries"][k] for r in runs if k in r["queries"])
+        for k in runs[0]["queries"]
+    }
+    best["value"] = round(sum(best["queries"].values()), 3)
+    return best
+
+
+def main() -> None:
+    base_path = sys.argv[1] if len(sys.argv) > 1 else None
+    max_ratio = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+    base = load_baseline(base_path)
+    cur = run_bench()
+    if cur.get("sf") != base.get("sf"):
+        print(f"sf mismatch (baseline {base.get('sf')} vs current {cur.get('sf')}); skipping")
+        sys.exit(0)
+
+    failures = []
+    for name, was in sorted(base.get("queries", {}).items()):
+        now = cur.get("queries", {}).get(name)
+        if now is None:
+            print(f"  {name:26s} {was:8.3f}s -> MISSING")
+            failures.append((name, was, None))
+            continue
+        ratio = now / was if was > 0 else 1.0
+        flag = "REGRESSED" if ratio > max_ratio else ""
+        print(f"  {name:26s} {was:8.3f}s -> {now:8.3f}s  ({ratio:4.2f}x) {flag}")
+        if ratio > max_ratio:
+            failures.append((name, was, now))
+    for k, was in sorted(base.get("throughput", {}).items()):
+        now = cur.get("throughput", {}).get(k)
+        print(f"  {k:26s} {was:>12} -> {now}")
+    print(f"total: {base.get('value')}s -> {cur.get('value')}s")
+    if failures:
+        print(f"FAIL: {len(failures)} queries regressed >{max_ratio}x: "
+              + ", ".join(f[0] for f in failures))
+        sys.exit(1)
+    print("OK: no query regressed beyond the threshold")
+
+
+if __name__ == "__main__":
+    main()
