@@ -475,3 +475,77 @@ def dedup_keep_list(
             (F.coalesce(F.col("keep_id"), F.col("id")) == F.col("id")).alias("keep"),
         )
     )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level (substring) dedup — the within-document complement of
+    the whole-document strategies above.  Crawled corpora repeat
+    boilerplate *passages* (headers, license blurbs, templated intros)
+    inside otherwise-unique documents; whole-doc MinHash never sees them.
+    The standard cure (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better") is exact substring matching over the corpus;
+    a suffix array is inherently sequential, so the distributed form used
+    here works on word k-gram shingles:
+
+      1. every doc emits its k-token shingles with 1-based start positions;
+      2. a shingle occurring in >= ``min_docs`` distinct docs is duplicated;
+      3. per doc, duplicated shingle positions merge into maximal passages
+         (spans merge while next_start - prev_start <= k, i.e. the token
+         ranges overlap or touch).
+
+    Returns (id, span_start, span_end, n_shingles) — one row per maximal
+    duplicated passage, positions in token space.
+
+    Scale: shingling is map-side (transform over a guarded sequence — an
+    unguarded ``F.sequence(1, n-k+1)`` DESCENDS for docs shorter than k);
+    duplicated-shingle detection is one shuffle on the 32-byte md5 gram
+    key with map-side partial aggregation; the semi join back is an
+    equi-join on the same key (AQE splits hot boilerplate grams); the
+    island merge is one shuffle on doc id.  No postings×postings join
+    anywhere, so a gram in 30%% of docs costs O(postings), not
+    O(postings²)."""
+    from pyspark.sql.window import Window as W
+
+    from janus_spark.datapipe.text import clean_tokens
+
+    toks = df.select(F.col(id_col).alias("id"), clean_tokens(F.col(text_col)).alias("l"))
+    n = F.size("l")
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.transform(starts, lambda i: F.struct(i.alias("pos"), F.md5(F.concat_ws(" ", F.slice("l", i, k))).alias("gh")))
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "semi").select("id", "pos")
+    w = W.partitionBy("id").orderBy("pos")
+    lagp = F.lag("pos").over(w)
+    marked = hits.withColumn(
+        "ns", F.when(lagp.isNull() | (F.col("pos") - lagp > k), 1).otherwise(0)
+    )
+    islands = marked.withColumn(
+        "island", F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").alias("n_shingles"),
+        )
+        .drop("island")
+    )

@@ -3095,3 +3095,44 @@ def q_sliding_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_sliding_hll_distinct"] = q_sliding_hll_distinct
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup: maximal cross-document duplicated passages as
+    merged 5-token shingle spans (the distributed form of Lee et al.'s
+    exact substring dedup; see duplicate_passages)."""
+    from janus_spark.datapipe.dedup import duplicate_passages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = duplicate_passages(docs, k=5)
+    return out.select(
+        "id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+    )
+
+
+QUERIES["q_passage_dedup"] = q_passage_dedup
+ORACLES["q_passage_dedup"] = r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x <> '') AS l
+               FROM documents),
+         g AS (SELECT doc_id, unnest(range(1, len(l) - 5 + 2)) AS pos, l
+               FROM t WHERE len(l) >= 5),
+         h AS (SELECT doc_id, pos,
+                      md5(array_to_string(l[pos:pos+4], ' ')) AS gh
+               FROM g),
+         d AS (SELECT gh FROM h GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+         m AS (SELECT h.doc_id, h.pos FROM h JOIN d USING (gh)),
+         i AS (SELECT doc_id, pos,
+                      CASE WHEN LAG(pos) OVER w IS NULL
+                                OR pos - LAG(pos) OVER w > 5 THEN 1 ELSE 0 END AS ns
+               FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         s AS (SELECT *, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+               FROM i)
+    SELECT doc_id AS id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+           COUNT(*) AS n_shingles
+    FROM s GROUP BY doc_id, island"""

@@ -469,3 +469,40 @@ def test_extract_features_fake_false_raises(spark, docs):
     media = multimodal.documents_as_media(docs.limit(5))
     with pytest.raises(Exception, match="NotImplementedError|encoder"):
         multimodal.extract_features(media, fake=False).collect()
+
+
+def test_duplicate_passages_merges_adjacent_shingles(spark):
+    from janus_spark.datapipe.dedup import duplicate_passages
+
+    boiler = "creative commons license applies to this page"  # 7 tokens
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"{boiler} epsilon zeta eta theta iota"),
+        (3, "totally unique words nothing shared here at all"),
+        (4, "tiny doc"),  # shorter than k -> no shingles, no crash
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in duplicate_passages(df, k=5).collect()}
+    # doc 1: boiler starts at token 3 (1-based); 7 tokens -> 3 shingles
+    # of 5 merge into one span [3, 9]
+    assert (out[1]["span_start"], out[1]["span_end"], out[1]["n_shingles"]) == (3, 9, 3)
+    # doc 2: boiler at tokens 1..7 -> span [1, 7]
+    assert (out[2]["span_start"], out[2]["span_end"], out[2]["n_shingles"]) == (1, 7, 3)
+    assert 3 not in out and 4 not in out
+
+
+def test_duplicate_passages_keeps_distant_spans_separate(spark):
+    from janus_spark.datapipe.dedup import duplicate_passages
+
+    a = "shared passage one two three"
+    b = "other shared block four five"
+    filler = " ".join(f"f{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, f"{a} {filler} {b}"), (2, f"{a} x y z w v"), (3, f"{b} q r s t u")],
+        ["doc_id", "text"],
+    )
+    spans = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_passages(df, k=5).where("id = 1").collect()
+    )
+    assert spans == [(1, 5), (16, 20)]
