@@ -72,3 +72,60 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts on an undirected simple graph given as an
+    edge list (self-loops and duplicate/reverse edges collapsed).
+    Returns ``(id, n_triangles)`` for nodes in at least one triangle —
+    the basis for clustering-coefficient curation signals (spam link
+    farms score near-cliques; organic link graphs don't).
+
+    Scale: the naive wedge join explodes on hot nodes (the "curse of the
+    last reducer") — a degree-10⁶ hub yields 10¹² wedges.  The standard
+    cure (Suri & Vassilvitskii, WWW'12) orients every edge from its
+    lower-(degree, id) endpoint to the higher, so wedges are only built
+    at each triangle's *minimum-order* vertex: out-degrees are bounded
+    by O(√m), total wedge volume by O(m^{3/2}), and every triangle is
+    enumerated exactly once — no /3 correction, no double counting.
+    All joins are equi-joins on node ids (AQE-splittable); the struct
+    comparison for orientation is map-side."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    canon = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = canon.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("i"))
+    oriented = ed.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(ka < kb, kb).otherwise(ka).alias("kv"),
+    )
+    wedges = (
+        oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
+        .join(oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2")), "u")
+        .where(F.col("k1") < F.col("k2"))
+        .select("u", "v1", "v2")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+        "semi",
+    )
+    members = (
+        tri.select(F.col("u").alias("id"))
+        .unionByName(tri.select(F.col("v1").alias("id")))
+        .unionByName(tri.select(F.col("v2").alias("id")))
+    )
+    return members.groupBy("id").agg(F.count("*").alias("n_triangles"))

@@ -3136,3 +3136,40 @@ ORACLES["q_passage_dedup"] = r"""
     SELECT doc_id AS id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
            COUNT(*) AS n_shingles
     FROM s GROUP BY doc_id, island"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts linked
+    when they appear in the same order) — degree-ordered wedge
+    enumeration, each triangle counted once at its minimum-order vertex
+    (see operators/graph.py::triangle_count)."""
+    from janus_spark.operators.graph import triangle_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lp = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        lp.alias("x")
+        .join(lp.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    out = triangle_count(edges)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
+QUERIES["q_triangle_count"] = q_triangle_count
+ORACLES["q_triangle_count"] = """
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT DISTINCT x.p AS a, y.p AS b
+               FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+         t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e e1
+               JOIN e e2 ON e1.b = e2.a
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         r AS (SELECT x AS id FROM t
+               UNION ALL SELECT y FROM t
+               UNION ALL SELECT z FROM t)
+    SELECT id, COUNT(*) AS n_triangles FROM r GROUP BY id"""

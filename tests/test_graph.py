@@ -49,3 +49,25 @@ def test_one_iteration_matches_hand_computation(spark):
     assert r["a"] == pytest.approx(base, rel=1e-12)
     assert r["b"] == pytest.approx(base + 0.85 * (1 / 3) / 2, rel=1e-12)
     assert r["c"] == pytest.approx(r["b"], rel=1e-12)
+
+
+def test_triangle_count_k4_and_star(spark):
+    from janus_spark.operators.graph import triangle_count
+
+    # K4: every node is in C(3,2)=3 triangles; star hub: none
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    star = [("hub", f"leaf{i}") for i in range(5)]
+    edges = spark.createDataFrame(k4 + star, ["src", "dst"])
+    out = {r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_count_collapses_duplicates_and_loops(spark):
+    from janus_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a"), ("b", "c")],
+        ["src", "dst"],
+    )
+    out = {r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
