@@ -3173,3 +3173,90 @@ ORACLES["q_triangle_count"] = """
                UNION ALL SELECT y FROM t
                UNION ALL SELECT z FROM t)
     SELECT id, COUNT(*) AS n_triangles FROM r GROUP BY id"""
+
+
+def q_tpch_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from orders where the customer
+    and the line's supplier are in the SAME nation, one region, one year.
+    Plan: region→nation→customer/supplier are all broadcast dims; the one
+    real shuffle is lineitem⋈orders on orderkey; the colocation condition
+    (c_nationkey = s_nationkey) is applied as a post-broadcast filter, so
+    no extra shuffle appears."""
+    rg = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "ASIA")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    asia_nations = na.join(F.broadcast(rg), na.n_regionkey == rg.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    cust = cu.join(
+        F.broadcast(asia_nations), cu.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("nation"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .where(F.col("s_nationkey") == F.col("c_nk"))
+        .groupBy("nation")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+QUERIES["q_tpch_local_supplier"] = q_tpch_local_supplier
+ORACLES["q_tpch_local_supplier"] = """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_nationkey = c.c_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name"""
+
+
+def q_tpch_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines of one brand whose quantity is
+    below 20%% of that part's average quantity (the correlated scalar
+    subquery rewritten as an aggregate + broadcast join — the only
+    distributed form; Catalyst cannot decorrelate a per-row rescan).
+    The per-part averages are computed once over the brand-filtered part
+    set, so the agg input is pre-pruned by the broadcast semi join."""
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").where(F.col("p_brand") == "Brand#23")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    brand_lines = li.join(F.broadcast(pa.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    avgq = brand_lines.groupBy("p_partkey").agg((F.avg("l_quantity") * 0.2).alias("qcut"))
+    return (
+        brand_lines.join(F.broadcast(avgq), "p_partkey")
+        .where(F.col("l_quantity") < F.col("qcut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+QUERIES["q_tpch_small_quantity"] = q_tpch_small_quantity
+ORACLES["q_tpch_small_quantity"] = """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)"""
