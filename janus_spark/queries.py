@@ -3260,3 +3260,87 @@ ORACLES["q_tpch_small_quantity"] = """
             SELECT 0.2 * AVG(l2.l_quantity)
             FROM lineitem l2
             WHERE l2.l_partkey = l.l_partkey)"""
+
+
+def q_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join under the EXACT gate: a
+    deterministic arithmetic fixture (clicks every 700 ms, purchases
+    every 1100 ms, users mod 5) flows through a REAL Structured
+    Streaming run — two file-source streams, watermarks on both sides,
+    equi-join on user with a [0, +3 s] event-time range bound — and the
+    emitted matches hash-match DuckDB's inequality join over the same
+    arithmetic ranges.  State is evicted by the range bound, so the
+    buffered footprint is O(rate x 3 s) regardless of stream length.
+    The fixture starts at t=10 s, not epoch 0: a row whose event time
+    equals the initial watermark (0) is discarded as late by the
+    late-row filter — boundary pinned here so nobody "simplifies" the
+    base away.  sf_dir is unused: the fixture IS the stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.streaming.joins import interval_join_stream
+
+    root = tempfile.mkdtemp(prefix="live_ij_")
+    try:
+        clicks = spark.range(0, 40).select(
+            F.col("id").alias("click_id"),
+            (F.col("id") % 5).alias("user_id"),
+            F.timestamp_millis(F.col("id") * 700 + 10_000).alias("cts"),
+        )
+        buys = spark.range(0, 30).select(
+            F.col("id").alias("buy_id"),
+            (F.col("id") % 5).alias("user_id"),
+            F.timestamp_millis(F.col("id") * 1100 + 10_000).alias("bts"),
+            (F.col("id") * 10).cast("double").alias("amount"),
+        )
+        # split each side into two files so the join spans micro-batches
+        clicks.where("click_id < 20").coalesce(1).write.parquet(f"{root}/c/f1.parquet")
+        clicks.where("click_id >= 20").coalesce(1).write.parquet(f"{root}/c/f2.parquet")
+        buys.where("buy_id < 15").coalesce(1).write.parquet(f"{root}/b/f1.parquet")
+        buys.where("buy_id >= 15").coalesce(1).write.parquet(f"{root}/b/f2.parquet")
+        cs = (
+            spark.readStream.schema(clicks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/c/*.parquet")
+        )
+        bs = (
+            spark.readStream.schema(buys.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/b/*.parquet")
+        )
+        out = interval_join_stream(
+            cs, bs, ["user_id"], "cts", "bts", lower_ms=0, upper_ms=3000
+        )
+        name = f"live_ij_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table(name).select(
+            "click_id",
+            "buy_id",
+            "user_id",
+            F.unix_millis("cts").alias("cts_ms"),
+            F.unix_millis("bts").alias("bts_ms"),
+            "amount",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES["q_live_interval_join"] = q_live_interval_join
+ORACLES["q_live_interval_join"] = """
+    WITH c AS (SELECT i AS click_id, i % 5 AS user_id, i * 700 + 10000 AS cts_ms
+               FROM range(0, 40) t(i)),
+         b AS (SELECT i AS buy_id, i % 5 AS user_id, i * 1100 + 10000 AS bts_ms,
+                      CAST(i * 10 AS DOUBLE) AS amount
+               FROM range(0, 30) t(i))
+    SELECT c.click_id, b.buy_id, c.user_id, c.cts_ms, b.bts_ms, b.amount
+    FROM c JOIN b ON c.user_id = b.user_id
+               AND b.bts_ms >= c.cts_ms AND b.bts_ms <= c.cts_ms + 3000"""

@@ -439,3 +439,26 @@ def test_engine_dispatches_live_mode(spark, tmp_path):
     assert mode == "native" and hasattr(handle, "writeStream")
     mode, handle = eng.start_live_auto(join_q, stream, str(tmp_path / "b2"))
     assert mode == "foreachbatch" and isinstance(handle, LiveQueryRunner)
+
+
+def test_interval_join_stream_matches_batch_join(spark):
+    """Stream-stream interval join ≡ the equivalent batch inequality
+    join on the same fixture (the gate q_live_interval_join pins the
+    same thing against DuckDB; this keeps it in the fast suite)."""
+    from janus_spark.queries import QUERIES
+
+    out = QUERIES["q_live_interval_join"](spark, "unused")
+    rows = set(tuple(r) for r in out.collect())
+    c = spark.range(0, 40).selectExpr("id AS click_id", "id % 5 AS user_id", "id * 700 + 10000 AS cts_ms")
+    b = spark.range(0, 30).selectExpr(
+        "id AS buy_id", "id % 5 AS user_id", "id * 1100 + 10000 AS bts_ms",
+        "CAST(id * 10 AS DOUBLE) AS amount",
+    )
+    exp = set(
+        tuple(r)
+        for r in c.join(b, "user_id")
+        .where("bts_ms >= cts_ms AND bts_ms <= cts_ms + 3000")
+        .select("click_id", "buy_id", "user_id", "cts_ms", "bts_ms", "amount")
+        .collect()
+    )
+    assert rows == exp and len(rows) == 24
