@@ -242,3 +242,38 @@ def pane_sliding_agg(
         .withColumn("window_start", (F.col("w") * F.lit(step_ms)).cast("long"))
         .drop("w")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    state_col: str,
+    ts_col: str = "ts_ms",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: collapse an event log
+    into validity intervals per key — one row per *state change*, with
+    ``valid_from`` (inclusive) and ``valid_to`` (exclusive, NULL while
+    current).  Consecutive events with the same state merge into one
+    interval; an as-of join against the result answers "state at time T"
+    (see operators/asof.py).
+
+    Scale: two window passes over the same (key, order) partitioning —
+    Catalyst plans ONE shuffle and one sort for both (change detection
+    via lag, interval close via lead on the filtered changes).  ``tie_cols``
+    break ordering ties for same-timestamp events (required for a
+    deterministic history)."""
+    from pyspark.sql.window import Window as W
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    changed = df.withColumn("__prev", F.lag(state_col).over(w)).where(
+        F.col("__prev").isNull() | (F.col(state_col) != F.col("__prev"))
+    )
+    w2 = W.partitionBy(*key_cols).orderBy(ts_col)
+    return changed.select(
+        *key_cols,
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )

@@ -3344,3 +3344,30 @@ ORACLES["q_live_interval_join"] = """
     SELECT c.click_id, b.buy_id, c.user_id, c.cts_ms, b.bts_ms, b.amount
     FROM c JOIN b ON c.user_id = b.user_id
                AND b.bts_ms >= c.cts_ms AND b.bts_ms <= c.cts_ms + 3000"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals: each user's event_type history collapsed
+    to state-change rows with [valid_from, valid_to) bounds
+    (operators/timeseries.py::scd2_intervals).  event_id breaks
+    same-timestamp ties so the history is deterministic."""
+    from janus_spark.operators.timeseries import scd2_intervals
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    out = scd2_intervals(ev, ["user_id"], "event_type", "ts_ms", tie_cols=["event_id"])
+    return out.select("user_id", "state", "valid_from", "valid_to")
+
+
+QUERIES["q_scd2_history"] = q_scd2_history
+ORACLES["q_scd2_history"] = f"""
+    WITH e AS (SELECT user_id, event_id, event_type, {_TSM} AS ts_ms FROM events),
+         m AS (SELECT *, LAG(event_type) OVER w AS prev
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+         c AS (SELECT * FROM m WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id, event_type AS state, ts_ms AS valid_from,
+           LEAD(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS valid_to
+    FROM c"""

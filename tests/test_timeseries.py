@@ -237,3 +237,37 @@ def test_pane_sliding_percentile_within_bin_width_of_exact(spark):
         for p, col in ((0.5, "p50"), (0.9, "p90")):
             exact = vals[math.ceil(p * len(vals)) - 1]
             assert abs(r[col] - exact) <= width, (ws, col, r[col], exact)
+
+
+def test_scd2_intervals_collapses_repeats_and_closes_intervals(spark):
+    from janus_spark.operators.timeseries import scd2_intervals
+
+    rows = [
+        ("u1", 1, "login", 100), ("u1", 2, "login", 200), ("u1", 3, "buy", 300),
+        ("u1", 4, "login", 400), ("u2", 5, "view", 50),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "event_type", "ts_ms"])
+    out = sorted(
+        tuple(r) for r in scd2_intervals(df, ["user_id"], "event_type", "ts_ms",
+                                         tie_cols=["event_id"]).collect()
+    )
+    assert out == [
+        ("u1", "buy", 300, 400),
+        ("u1", "login", 100, 300),
+        ("u1", "login", 400, None),
+        ("u2", "view", 50, None),
+    ]
+
+
+def test_scd2_intervals_single_shuffle_plan(spark):
+    """Both window passes share one (key, order) partitioning — exactly
+    one hash exchange in the physical plan."""
+    from janus_spark.operators.timeseries import scd2_intervals
+
+    df = spark.range(100).selectExpr(
+        "CAST(id % 7 AS STRING) AS user_id", "id AS event_id",
+        "CAST(id % 3 AS STRING) AS event_type", "id * 10 AS ts_ms",
+    )
+    out = scd2_intervals(df, ["user_id"], "event_type", "ts_ms", tie_cols=["event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
