@@ -33,7 +33,15 @@ class QuadStore:
         self.path = path
         self.bucket_ms = bucket_ms
 
-    def write(self, quads: DataFrame, mode: str = "append", target_partitions: int | None = None) -> None:
+    def write(
+        self,
+        quads: DataFrame,
+        mode: str = "append",
+        target_partitions: int | None = None,
+        cluster: str = "ts",
+        bloom_subjects: bool = False,
+        bloom_ndv: int = 1_000_000,
+    ) -> None:
         """write_rdf / flush equivalent (segmented_storage.rs:117-163,521-630).
 
         Sort by ts within files so Parquet row-group stats give the
@@ -48,16 +56,35 @@ class QuadStore:
         a measured net loss (~25% write throughput, identical scans), so
         it is NOT the default; `compact()` repairs layout after the fact
         if an unclustered append slipped through.
+
+        ``cluster="predicate"`` sorts files by (predicate, ts) instead of
+        ts alone: row groups become predicate-homogeneous runs, so the
+        dominant BGP shape — constant-predicate scans — skips whole row
+        groups via predicate min/max stats.  The trade-off is coarser ts
+        skipping INSIDE a bucket (the hour-bucket partition dir still
+        bounds ts), so it fits predicate-selective workloads; the default
+        stays ts for time-range-dominated ones.
+
+        ``bloom_subjects=True`` writes Parquet bloom filters on the
+        subject column (~1 byte/NDV at the default FPP): point lookups
+        (constant-subject BGPs) then skip row groups without requiring a
+        subject sort order.  Size the filter with ``bloom_ndv`` ≈ distinct
+        subjects per file.  NB parquet-mr only materializes the bloom
+        when a chunk is NOT fully dictionary-encoded — low-cardinality
+        toy data gets dictionary-exact row-group membership instead,
+        which is strictly better; at real subject cardinality (the
+        100 TB case) the bloom is what gets written.
         """
+        sort_cols = ["predicate", "ts"] if cluster == "predicate" else ["ts"]
         bucketed = quads.withColumn("ts_bucket", (F.col("ts") / self.bucket_ms).cast("long"))
         if target_partitions:
-            bucketed = bucketed.repartitionByRange(target_partitions, "ts_bucket", "ts")
-        (
-            bucketed.sortWithinPartitions("ts")
-            .write.mode(mode)
-            .partitionBy("ts_bucket")
-            .parquet(self.path)
-        )
+            bucketed = bucketed.repartitionByRange(target_partitions, "ts_bucket", *sort_cols)
+        writer = bucketed.sortWithinPartitions(*sort_cols).write.mode(mode)
+        if bloom_subjects:
+            writer = writer.option("parquet.bloom.filter.enabled#subject", "true").option(
+                "parquet.bloom.filter.expected.ndv#subject", str(bloom_ndv)
+            )
+        writer.partitionBy("ts_bucket").parquet(self.path)
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop("ts_bucket")

@@ -190,3 +190,97 @@ def test_quadstore_vacuum(spark, tmp_path):
     assert left.agg(F.min("ts")).collect()[0][0] == 7001
     # idempotent
     assert store.vacuum(retain_ms=3000, now_ts=10_000) == 0
+
+
+def _parquet_files(root):
+    from pathlib import Path
+
+    return [p for p in Path(root).rglob("*.parquet") if p.is_file()]
+
+
+def test_quadstore_predicate_clustering_gives_homogeneous_rowgroups(spark, tmp_path):
+    """cluster='predicate' must produce predicate-runs across row groups
+    (non-overlapping min/max ranges) — that is what makes
+    constant-predicate scans skip row groups via footer stats."""
+    import duckdb
+
+    from janus_spark.sources.melt import melt_sensor_fixture
+    from janus_spark.sources.quadstore import QuadStore
+
+    hc = spark._jsc.hadoopConfiguration()
+    old_bs = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try:
+        store = QuadStore(spark, str(tmp_path / "st"), bucket_ms=10**12)
+        store.write(melt_sensor_fixture(spark, 60_000), mode="overwrite", cluster="predicate")
+        con = duckdb.connect()
+        multi = checked = 0
+        for f in _parquet_files(tmp_path / "st"):
+            rgs = con.execute(
+                "SELECT row_group_id, stats_min_value, stats_max_value "
+                "FROM parquet_metadata(?) WHERE path_in_schema = 'predicate' "
+                "ORDER BY row_group_id",
+                [str(f)],
+            ).fetchall()
+            if len(rgs) < 2:
+                continue
+            multi += 1
+            for (_, lo1, hi1), (_, lo2, hi2) in zip(rgs, rgs[1:]):
+                assert hi1 <= lo2, f"overlapping predicate runs in {f}"
+                checked += 1
+        assert multi >= 1 and checked >= 1  # the assertion actually ran
+    finally:
+        if old_bs is None:
+            hc.unset("parquet.block.size")
+        else:
+            hc.set("parquet.block.size", old_bs)
+
+
+def test_quadstore_bloom_filter_written_on_subject(spark, tmp_path):
+    """bloom_subjects=True must emit Parquet bloom filters for the
+    subject column (footer bloom offset set); default write must not.
+
+    NB parquet-mr skips the bloom when a column chunk ends up fully
+    dictionary-encoded (the dictionary already gives exact row-group
+    membership), so the fixture needs realistic subject cardinality —
+    which is exactly the 100 TB case where the filter matters."""
+    import pyspark.sql.functions as F
+
+    from janus_spark.sources.quadstore import QuadStore
+
+    def bloom_offsets(root):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        offs = []
+        for f in _parquet_files(root):
+            inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                jvm.org.apache.hadoop.fs.Path(str(f)), conf
+            )
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+            try:
+                for block in reader.getFooter().getBlocks():
+                    for col in block.getColumns():
+                        if col.getPath().toDotString() == "subject":
+                            offs.append(col.getBloomFilterOffset())
+            finally:
+                reader.close()
+        return offs
+
+    quads = spark.range(50_000).select(
+        F.concat(F.lit("http://example.org/u"), F.col("id")).alias("subject"),
+        F.lit("http://example.org/value").alias("predicate"),
+        F.col("id").cast("string").alias("object"),
+        F.lit("").alias("graph"),
+        F.col("id").alias("ts"),
+    )
+    plain = QuadStore(spark, str(tmp_path / "plain"), bucket_ms=10**12)
+    plain.write(quads, mode="overwrite")
+    bloomed = QuadStore(spark, str(tmp_path / "bloom"), bucket_ms=10**12)
+    bloomed.write(quads, mode="overwrite", bloom_subjects=True, bloom_ndv=50_000)
+    assert all(o == -1 for o in bloom_offsets(tmp_path / "plain"))
+    offs = bloom_offsets(tmp_path / "bloom")
+    assert offs and any(o > 0 for o in offs)
+    # scans stay correct through the bloomed store
+    got = bloomed.read().where("subject = 'http://example.org/u123'").count()
+    exp = quads.where("subject = 'http://example.org/u123'").count()
+    assert got == exp == 1
