@@ -153,6 +153,40 @@ def minhash_signature(shingles: Column, num_perm: int = 16, hash_fn: str = "xxha
     return F.array(*[perm_min(i) for i in range(num_perm)])
 
 
+def _minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, sh, band, bh) rows: shingle set + exploded LSH band keys."""
+    rows = num_perm // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm, hash_fn))
+
+    def band_key(b: int) -> Column:
+        concat = F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])
+        return concat if hash_fn == "md5" else F.xxhash64(concat)
+
+    return base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -175,28 +209,7 @@ def minhash_lsh_pairs(
     DuckDB oracle reproduces buckets exactly); the default re-hashes the
     band to a compact 8-byte shuffle key.
     """
-    rows = num_perm // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm, hash_fn))
-
-    def band_key(b: int) -> Column:
-        concat = F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])
-        return concat if hash_fn == "md5" else F.xxhash64(concat)
-
-    banded = base.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _minhash_banded(df, text_col, id_col, num_perm, bands, shingle_k, hash_fn)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -548,4 +561,48 @@ def duplicate_passages(
             F.count("*").alias("n_shingles"),
         )
         .drop("island")
+    )
+
+
+def minhash_lsh_join(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus near-duplicate join: pairs (corpus_id, ref_id) whose
+    exact shingle-Jaccard >= threshold — the "dedup the new crawl against
+    the existing training set" shape, distinct from self-dedup: the
+    reference side's signatures are computed once (persist them in
+    practice) and NO corpus×corpus or reference×reference candidates are
+    ever generated, because the band equi-join only pairs across the two
+    frames.  Same signature family as ``minhash_lsh_pairs`` — a doc
+    banding identically in both calls is the guarantee.
+
+    Scale: one shuffle per side on (band, band_hash); hot buckets
+    (boilerplate-heavy bands) are AQE-splittable; verification runs on
+    the candidate set only, arrays stay JVM-side."""
+    l = _minhash_banded(corpus, text_col, id_col, num_perm, bands, shingle_k, hash_fn).alias("l")
+    r = _minhash_banded(reference, text_col, id_col, num_perm, bands, shingle_k, hash_fn).alias("r")
+    cand = (
+        l.join(r, on=["band", "bh"], how="inner")
+        .select(
+            F.col("l.id").alias("corpus_id"),
+            F.col("r.id").alias("ref_id"),
+            F.col("l.sh").alias("sha"),
+            F.col("r.sh").alias("shb"),
+        )
+        .dropDuplicates(["corpus_id", "ref_id"])
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.array_union(F.col("sha"), F.col("shb")))
+    return (
+        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("corpus_id", "ref_id", "jaccard")
     )

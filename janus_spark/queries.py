@@ -3371,3 +3371,72 @@ ORACLES["q_scd2_history"] = f"""
     SELECT user_id, event_type AS state, ts_ms AS valid_from,
            LEAD(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS valid_to
     FROM c"""
+
+
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup join (new crawl vs training set),
+    oracle-EXACT via the shared md5 hash family: even-id docs with a
+    crawl marker appended must LSH-match their originals in the
+    reference set without any crawl x crawl or ref x ref candidates."""
+    from janus_spark.datapipe.dedup import minhash_lsh_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reference = docs.where("doc_id < 150")
+    crawl = docs.where("doc_id < 200 AND doc_id % 2 = 0").select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" crawl tail")).alias("text"),
+    )
+    out = minhash_lsh_join(crawl, reference, jaccard_threshold=0.5, hash_fn="md5")
+    return out.select("corpus_id", "ref_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_join_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_perm // bands
+    mins = ",\n                 ".join(
+        f"MIN({_h60_sql('gram', i)}) AS m{i}" for i in range(num_perm)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, side, {b} AS band, {key} AS bh FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH corpus AS (
+           SELECT doc_id, text, 'ref' AS side FROM documents WHERE doc_id < 150
+           UNION ALL
+           SELECT doc_id + 5000000, text || ' crawl tail', 'crawl'
+           FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0),
+         t AS (SELECT doc_id, side,
+                      string_split_regex(trim(lower(text)), '\s+') AS l
+               FROM corpus),
+         s AS (SELECT doc_id, side,
+                      CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(l) - 1),
+                                              i -> array_to_string(l[i:i+2], ' ')))
+                      END AS sh FROM t),
+         g AS (SELECT doc_id, side, unnest(sh) AS gram FROM s),
+         sig AS (SELECT doc_id, side,
+                 {mins}
+                 FROM g GROUP BY doc_id, side),
+         bands AS ({band_rows}),
+         cand AS (SELECT DISTINCT l.doc_id AS corpus_id, r.doc_id AS ref_id
+                  FROM bands l JOIN bands r USING (band, bh)
+                  WHERE l.side = 'crawl' AND r.side = 'ref'),
+         j AS (SELECT c.corpus_id, c.ref_id,
+                      len(list_intersect(sa.sh, sb.sh)) AS inter,
+                      len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
+               FROM cand c
+               JOIN s sa ON sa.doc_id = c.corpus_id AND sa.side = 'crawl'
+               JOIN s sb ON sb.doc_id = c.ref_id AND sb.side = 'ref')
+    SELECT corpus_id, ref_id,
+           ROUND(CASE WHEN un > 0 THEN inter / CAST(un AS DOUBLE) ELSE 0.0 END, 6) AS jaccard
+    FROM j
+    WHERE (CASE WHEN un > 0 THEN inter / CAST(un AS DOUBLE) ELSE 0.0 END) >= {threshold}"""
+
+
+QUERIES["q_dedup_cross_corpus"] = q_dedup_cross_corpus
+ORACLES["q_dedup_cross_corpus"] = _minhash_join_oracle()

@@ -506,3 +506,23 @@ def test_duplicate_passages_keeps_distant_spans_separate(spark):
         for r in duplicate_passages(df, k=5).where("id = 1").collect()
     )
     assert spans == [(1, 5), (16, 20)]
+
+
+def test_minhash_lsh_join_only_pairs_across_corpora(spark):
+    from janus_spark.datapipe.dedup import minhash_lsh_join
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    crawl = spark.createDataFrame(
+        [(1, base + " extra"), (2, base + " extra"), (3, "entirely different words here")],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame(
+        [(10, base), (11, base), (12, "unrelated reference text content")],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_join(crawl, ref, jaccard_threshold=0.5).collect()
+    got = {(r["corpus_id"], r["ref_id"]) for r in pairs}
+    # near-dup crawl docs pair with BOTH matching refs; crawl 1-2 (dups of
+    # each other) and ref 10-11 never pair — the join is strictly bipartite
+    assert got == {(1, 10), (1, 11), (2, 10), (2, 11)}
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
