@@ -77,9 +77,11 @@ class JanusEngine:
         quads: DataFrame | None = None,
         max_queries: int = 100,
         property_tables: dict | None = None,
+        path_max_hops: int = 10,
     ):
         self.spark = spark
         self.quads = quads
+        self.path_max_hops = path_max_hops
         self.registry: dict[str, RegisteredQuery] = {}
         self.max_queries = max_queries
         # star-join elimination registry matching `quads` (sources.melt.
@@ -129,6 +131,7 @@ class JanusEngine:
                 window.end_ts,
                 static_quads=static_quads,
                 property_tables=self.property_tables if quads is self.quads else None,
+                path_max_hops=self.path_max_hops,
             )
         if window.kind == HIST_SLIDING:
             if now is None:
@@ -137,6 +140,7 @@ class JanusEngine:
                 sq, quads, now, window.offset_ms, window.range_ms, window.step_ms,
                 static_quads=static_quads,
                 property_tables=self.property_tables if quads is self.quads else None,
+                path_max_hops=self.path_max_hops,
             )
         raise ValueError(f"not a historical window: {window.kind}")
 

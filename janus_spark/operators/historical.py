@@ -196,6 +196,7 @@ def run_historical_fixed(
     registry: dict | None = None,
     static_quads: DataFrame | None = None,
     property_tables: dict | None = None,
+    path_max_hops: int = 10,
 ) -> DataFrame:
     """W1: evaluate over quads with ts in [start, end] inclusive.
 
@@ -207,7 +208,8 @@ def run_historical_fixed(
         sliced = {id(pt): pt.time_filtered(start_ts, end_ts) for pt in set(property_tables.values())}
         pts = {pred: sliced[id(pt)] for pred, pt in property_tables.items()}
     return compile_sparql(
-        query, window, registry=registry, static_quads=static_quads, property_tables=pts
+        query, window, registry=registry, static_quads=static_quads,
+        property_tables=pts, path_max_hops=path_max_hops,
     )
 
 
@@ -285,6 +287,7 @@ def run_historical_sliding(
     static_quads: DataFrame | None = None,
     property_tables: dict | None = None,
     use_panes: bool | None = None,
+    path_max_hops: int = 10,
 ) -> DataFrame:
     """W2 as ONE distributed plan over all hops.
 
@@ -348,6 +351,7 @@ def run_historical_sliding(
         partition_cols=[WINDOW_ID],
         registry=registry,
         static_quads=static_quads,
+        path_max_hops=path_max_hops,
     )
     spark = quads.sparkSession
     bdf = spark.createDataFrame(bounds, schema=f"{WINDOW_ID} long, {WINDOW_START} long, {WINDOW_END} long")

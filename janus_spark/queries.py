@@ -3440,3 +3440,42 @@ def _minhash_join_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 
 
 QUERIES["q_dedup_cross_corpus"] = q_dedup_cross_corpus
 ORACLES["q_dedup_cross_corpus"] = _minhash_join_oracle()
+
+
+def q_window_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition gate: property-path transitive closure INSIDE a
+    historical fixed window — the window's ts slice bounds which tree
+    edges exist (edge ts = doc id), then `parent+` closes over only
+    those.  Exercises the engine path window-slice → compiler → bounded
+    semi-naive iteration end-to-end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.where("doc_id >= 1").select(
+        F.col("doc_id").alias("ts"),
+        F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias("subject"),
+        F.lit("urn:tree:parent").alias("predicate"),
+        F.concat(F.lit("urn:doc:"), (F.col("doc_id") / 2).cast("long").cast("string")).alias("object"),
+        F.lit("g").alias("graph"),
+    )
+    text = """
+    REGISTER RStream <out> AS
+    SELECT ?d ?a
+    FROM NAMED WINDOW <urn:w:h> ON LOG <urn:stream:e> [START 1 END 400]
+    WHERE { WINDOW <urn:w:h> { ?d <urn:tree:parent>+ ?a . } }
+    """
+    eng = JanusEngine(spark, edges, path_max_hops=16)
+    qid = eng.register_query(text, query_id="q_window_path_closure")
+    res = eng.start_historical(qid)["urn:w:h"]
+    return res.select("d", "a")
+
+
+QUERIES["q_window_path_closure"] = q_window_path_closure
+ORACLES["q_window_path_closure"] = """
+    WITH RECURSIVE e AS (
+        SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS c,
+               'urn:doc:' || CAST(doc_id // 2 AS VARCHAR) AS p
+        FROM documents WHERE doc_id BETWEEN 1 AND 400),
+    r AS (
+        SELECT c, p FROM e
+        UNION
+        SELECT r.c, e.p FROM r JOIN e ON r.p = e.c)
+    SELECT c AS d, p AS a FROM r"""
