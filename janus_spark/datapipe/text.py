@@ -235,3 +235,59 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+def pack_token_stream(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-shard packing offsets: place every document into a
+    deterministic concatenated token stream and report where it lands.
+
+    Documents are sharded by a hash of their id (shards are independent
+    training files), ordered within each shard by the same hash (a
+    stable, seed-free shuffle), and laid out back-to-back; ``seq_id`` is
+    the fixed-size training sequence the document STARTS in and
+    ``straddles`` flags documents crossing a sequence boundary (packed
+    training chops those at token granularity).  True first-fit bin
+    packing is inherently sequential (each bin's fill depends on every
+    earlier decision); the concatenate-then-chop layout is the form
+    production packing uses and the only one that distributes.
+
+    Returns (id, shard, n_tokens, start_offset, end_offset, seq_id,
+    straddles).
+
+    Scale: one shuffle keyed on shard for the window pass; shards are
+    independent so parallelism = n_shards × window throughput — size
+    n_shards to the cluster, not to 8."""
+    from pyspark.sql.window import Window as W
+
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(clean_tokens(F.col(text_col))).alias("n_tokens"),
+        h.alias("hk"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy("hk")
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    out = base.withColumn("start_offset", start).withColumn(
+        "end_offset", F.col("start_offset") + F.col("n_tokens")
+    )
+    return out.select(
+        "id",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        "end_offset",
+        F.floor(F.col("start_offset") / budget_tokens).alias("seq_id"),
+        (
+            (F.col("end_offset") > (F.floor(F.col("start_offset") / budget_tokens) + 1) * budget_tokens)
+            & (F.col("n_tokens") > 0)
+        ).alias("straddles"),
+    )

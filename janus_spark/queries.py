@@ -3479,3 +3479,42 @@ ORACLES["q_window_path_closure"] = """
         UNION
         SELECT r.c, e.p FROM r JOIN e ON r.p = e.c)
     SELECT c AS d, p AS a FROM r"""
+
+
+def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-stream packing offsets for training shards (deterministic
+    hash shuffle, 512-token sequences, 4 shards) — see
+    datapipe/text.py::pack_token_stream."""
+    from janus_spark.datapipe.text import pack_token_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_token_stream(docs, budget_tokens=512, n_shards=4)
+    return out.select(
+        "id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("end_offset").cast("long").alias("end_offset"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "straddles",
+    )
+
+
+QUERIES["q_pack_tokens"] = q_pack_tokens
+ORACLES["q_pack_tokens"] = """
+    WITH b AS (SELECT doc_id AS id,
+                      len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                      x -> x <> '')) AS n_tokens,
+                      md5(CAST(doc_id AS VARCHAR)) AS hk,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
+               FROM documents),
+         o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hk
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS start_offset
+               FROM b)
+    SELECT id, shard, n_tokens, start_offset,
+           start_offset + n_tokens AS end_offset,
+           start_offset // 512 AS seq_id,
+           (start_offset + n_tokens > (start_offset // 512 + 1) * 512
+            AND n_tokens > 0) AS straddles
+    FROM o"""

@@ -526,3 +526,27 @@ def test_minhash_lsh_join_only_pairs_across_corpora(spark):
     # each other) and ref 10-11 never pair — the join is strictly bipartite
     assert got == {(1, 10), (1, 11), (2, 10), (2, 11)}
     assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_pack_token_stream_contiguous_per_shard(spark):
+    from janus_spark.datapipe.text import pack_token_stream
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 7 + 1))) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    out = pack_token_stream(docs, budget_tokens=10, n_shards=3).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= {0, 1, 2} and len(out) == 50
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["start_offset"])
+        # offsets tile the shard's token stream with no gaps or overlaps
+        pos = 0
+        for r in rows:
+            assert r["start_offset"] == pos
+            assert r["end_offset"] == pos + r["n_tokens"]
+            assert r["seq_id"] == pos // 10
+            assert r["straddles"] == (pos + r["n_tokens"] > (pos // 10 + 1) * 10)
+            pos = r["end_offset"]
