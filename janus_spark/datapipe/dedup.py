@@ -415,6 +415,52 @@ def jaccard_prefix_join(
     )
 
 
+def containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT all-pairs n-gram CONTAINMENT self-join: emit (a, b, a < b)
+    where ``max(|A∩B|/|A|, |A∩B|/|B|)`` ≥ threshold — the asymmetric
+    near-dup signal Jaccard misses.  A short document quoted wholesale
+    inside a long one has tiny Jaccard (union is dominated by the long
+    doc) but containment ≈ 1 from the short side; corpus dedup that
+    drops such subset-duplicates needs this operator, not
+    ``jaccard_similarity_join``.
+
+    Same inverted-postings shape as the unpruned Jaccard join (one
+    equi-join on the shingle, |A∩B| counted as shared postings): a pair
+    sharing no shingle has containment 0, so the index join is complete
+    for any threshold > 0.  Note the PPJoin prefix lemma does NOT
+    transfer unchanged (it bounds the symmetric measure; the asymmetric
+    bound would need ``|A| − ⌈t·|A|⌉ + 1`` prefixes on *each* side
+    independently), so at corpus scale the skew guards are the
+    ``max_df``-style hot-gram drain of ``tfidf_topk_pairs`` plus AQE
+    skew-join splitting — shingle document frequency is Zipf-bounded
+    for word k-shingles with k ≥ 3.
+    """
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
+    left = posts.select("gram", F.col("id").alias("a"), F.col("n").alias("na"))
+    right = posts.select("gram", F.col("id").alias("b"), F.col("n").alias("nb"))
+    pairs = (
+        left.join(right, "gram")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    c_ab = F.col("inter") / F.col("na")
+    c_ba = F.col("inter") / F.col("nb")
+    return pairs.where(F.greatest(c_ab, c_ba) >= F.lit(threshold)).select(
+        "a",
+        "b",
+        F.round(c_ab, 9).alias("containment_a_in_b"),
+        F.round(c_ba, 9).alias("containment_b_in_a"),
+    )
+
+
 # ---------------------------------------------------------------- cluster
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Resolve near-dup pairs (a, b) into clusters: every member maps to

@@ -110,6 +110,46 @@ def weighted_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain re-balancing: sample ~``budget`` rows with
+    per-source share ∝ ``n_s^alpha`` — the standard multi-domain training
+    mix (alpha=1 keeps natural proportions, alpha→0 approaches uniform
+    across sources; 0.5 is the common square-root temperature).  The
+    per-source keep rate is ``min(1, budget·share_s / n_s)``; selection
+    within a source is the deterministic md5 threshold, so the draw is
+    reproducible across engines, partitionings and re-runs.
+
+    Plan: one count aggregate over the scan (map-side combined, one row
+    per source) → rate table broadcast back onto the corpus — the big
+    side is touched map-only twice, no shuffle of the corpus itself.
+    Rates are rounded to 9 decimals before thresholding so the Spark and
+    DuckDB float paths agree bit-for-bit at the comparison.
+
+    alpha=0.5 uses ``sqrt`` (IEEE-754 correctly rounded in every engine);
+    other alphas use ``pow``, where a last-ulp divergence between libm
+    implementations is absorbed by the rounding except on measure-zero
+    boundaries."""
+    w = (lambda c: F.sqrt(c)) if alpha == 0.5 else (lambda c: F.pow(c, F.lit(alpha)))
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    z = counts.agg(F.sum(w(F.col("__n"))).alias("__z"))
+    rates = counts.crossJoin(F.broadcast(z)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.round(F.lit(float(budget)) * w(F.col("__n")) / F.col("__z") / F.col("__n"), 9),
+        ).alias("__rate"),
+    )
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+    thr = F.floor(F.col("__rate") * F.lit(float(_HASH_SPACE))).cast("bigint")
+    return df.join(F.broadcast(rates), source_col).where(h < thr).drop("__rate")
+
+
 def split_train_eval(
     df: DataFrame,
     eval_rate: float = 0.01,

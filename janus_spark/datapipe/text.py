@@ -134,6 +134,54 @@ def doc_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    context-sensitive upgrade of ``doc_logprob`` (CCNet-style perplexity
+    filtering): for each adjacent token pair score
+    ``p = λ·c(prev,cur)/c(prev) + (1−λ)·c(cur)/T`` under the corpus's own
+    counts and report the per-doc mean log p (docs with < 2 tokens drop
+    out).  Word-salad scores low even when every word is common; the
+    unigram model cannot see that.
+
+    Plan shape: bigrams are built map-side by zipping the token list
+    against its shift (no positional self-join), then one corpus bigram
+    count + one unigram count (both map-side combined), equi-joined back
+    onto the occurrences, per-doc rollup.  The corpus total is a 1-row
+    broadcast, not a collect."""
+    toks = clean_tokens(F.col(text_col))
+    n = F.size(toks)
+    bgs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(n, F.lit(1))),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+        lambda s: s["cur"].isNotNull(),
+    )
+    occ = df.select(F.col(id_col), F.explode(bgs).alias("bg")).select(
+        id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    uni = df.select(F.explode(toks).alias("w")).groupBy("w").agg(F.count("*").alias("uc"))
+    tot = uni.agg(F.sum("uc").alias("tn"))
+    bg = occ.groupBy("prev", "cur").agg(F.count("*").alias("bc"))
+    scored = (
+        occ.join(bg, ["prev", "cur"])
+        .join(uni.select(F.col("w").alias("prev"), F.col("uc").alias("pc")), "prev")
+        .join(uni.select(F.col("w").alias("cur"), F.col("uc").alias("cc")), "cur")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.lit(lam) * F.col("bc") / F.col("pc") + F.lit(1.0 - lam) * F.col("cc") / F.col("tn")
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Within-document repetition signals — the classic boilerplate /
     generated-text filter: unique-token ratio and unique-bigram ratio

@@ -68,6 +68,75 @@ def time_weighted_avg(
     )
 
 
+def interp_resample(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+    step_ms: int = 3_600_000,
+) -> DataFrame:
+    """Regularize an irregular series by LINEAR INTERPOLATION onto a
+    per-key ``step_ms`` grid — the smooth counterpart of LOCF resampling
+    (sensor fusion / feature alignment want interpolation; state
+    semantics want LOCF).  Grid slots span [first obs, last obs] per
+    key, so both bracketing observations always exist; a slot landing
+    exactly on an observation returns that value.
+
+    Plan: grid rows are unioned with observations and BOTH brackets are
+    found in one window pass — ``last(value, ignorenulls)`` looking back
+    and ``first(value, ignorenulls)`` looking forward share the same
+    partitioning and sort, so Catalyst plans ONE shuffle + ONE sort for
+    the whole operator.  No range join, no per-slot probe: this is the
+    union+window trick of ``asof_join`` applied in both directions at
+    once, and it survives 100 TB because state per key is a sort run,
+    not a cross product.
+
+    Observations at the same (key, ts) must be pre-deduplicated by the
+    caller (as-of semantics need one value per instant).
+    """
+    obs = df.select(
+        *key_cols,
+        F.col(ts_col).cast("long").alias("__ts"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(1).alias("__is_obs"),
+    )
+    lo = F.expr(f"(mn + {step_ms - 1}) DIV {step_ms}")
+    hi = F.expr(f"mx DIV {step_ms}")
+    slots = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<bigint>"))
+    grid = (
+        obs.groupBy(*key_cols)
+        .agg(F.min("__ts").alias("mn"), F.max("__ts").alias("mx"))
+        .select(*key_cols, F.explode(slots).alias("__slot"))
+        .select(
+            *key_cols,
+            (F.col("__slot") * step_ms).cast("long").alias("__ts"),
+            F.lit(None).cast("double").alias("__v"),
+            F.lit(0).alias("__is_obs"),
+        )
+    )
+    u = obs.unionByName(grid)
+    # obs sorts before grid at an equal instant so the backward bracket
+    # sees an observation sitting exactly on the slot
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__ts"), F.col("__is_obs").desc())
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    marked = (
+        u.withColumn("__pv", F.last(F.when(F.col("__is_obs") == 1, F.col("__v")), ignorenulls=True).over(back))
+        .withColumn("__pt", F.last(F.when(F.col("__is_obs") == 1, F.col("__ts")), ignorenulls=True).over(back))
+        .withColumn("__nv", F.first(F.when(F.col("__is_obs") == 1, F.col("__v")), ignorenulls=True).over(fwd))
+        .withColumn("__nt", F.first(F.when(F.col("__is_obs") == 1, F.col("__ts")), ignorenulls=True).over(fwd))
+    )
+    frac = (F.col("__ts") - F.col("__pt")) / (F.col("__nt") - F.col("__pt"))
+    interp = F.when(F.col("__nt") > F.col("__pt"), F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac).otherwise(
+        F.col("__pv")
+    )
+    return marked.where(F.col("__is_obs") == 0).select(
+        *key_cols,
+        F.col("__ts").alias(ts_col),
+        F.round(interp, 6).alias("value_interp"),
+    )
+
+
 def pane_sliding_distinct(
     df: DataFrame,
     key_cols: list[str],

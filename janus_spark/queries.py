@@ -3518,3 +3518,131 @@ ORACLES["q_pack_tokens"] = """
            (start_offset + n_tokens > (start_offset // 512 + 1) * 512
             AND n_tokens > 0) AS straddles
     FROM o"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment self-join — subset-duplicate detection
+    (short doc quoted inside a long one) that symmetric Jaccard misses;
+    see datapipe/dedup.py::containment_join."""
+    from janus_spark.datapipe.dedup import containment_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return containment_join(docs, shingle_k=3, threshold=0.8)
+
+
+QUERIES["q_containment_pairs"] = q_containment_pairs
+ORACLES["q_containment_pairs"] = r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+               FROM documents),
+         s AS (SELECT doc_id,
+                      CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(l) - 1),
+                                              i -> array_to_string(l[i:i+2], ' ')))
+                      END AS sh FROM t),
+         g AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS gram FROM s),
+         p AS (SELECT l.doc_id AS a, r.doc_id AS b, l.n AS na, r.n AS nb,
+                      COUNT(*) AS inter
+               FROM g l JOIN g r USING (gram) WHERE l.doc_id < r.doc_id
+               GROUP BY 1, 2, 3, 4)
+    SELECT a, b, ROUND(inter / na, 9) AS containment_a_in_b,
+           ROUND(inter / nb, 9) AS containment_b_in_a
+    FROM p WHERE GREATEST(inter / na, inter / nb) >= 0.8"""
+
+
+_MIX_BUDGET = 200
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) domain re-balancing of the corpus to a
+    ~200-doc budget — deterministic md5 draw, per-source share ∝
+    sqrt(n_s); see datapipe/sampling.py::temperature_mix."""
+    from janus_spark.datapipe.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_mix(docs, budget=_MIX_BUDGET, alpha=0.5)
+    return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+QUERIES["q_temperature_mix"] = q_temperature_mix
+ORACLES["q_temperature_mix"] = f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         z AS (SELECT SUM(sqrt(n)) AS z FROM c),
+         r AS (SELECT source,
+                      LEAST(1.0, ROUND({_MIX_BUDGET}.0 * sqrt(n) / (SELECT z FROM z) / n, 9))
+                          AS rate FROM c)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < CAST(FLOOR(rate * 4294967296.0) AS BIGINT)"""
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score per document (perplexity-style
+    quality filtering); see datapipe/text.py::bigram_logprob."""
+    from janus_spark.datapipe.text import bigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_logprob(docs, lam=0.75)
+
+
+QUERIES["q_bigram_logprob"] = q_bigram_logprob
+ORACLES["q_bigram_logprob"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+         occ AS (SELECT doc_id, l[i] AS prev, l[i + 1] AS cur
+                 FROM t, unnest(range(1, len(l))) AS u(i)),
+         uni AS (SELECT w, COUNT(*) AS uc
+                 FROM (SELECT unnest(l) AS w FROM t) GROUP BY w),
+         tot AS (SELECT SUM(uc) AS tn FROM uni),
+         bg AS (SELECT prev, cur, COUNT(*) AS bc FROM occ GROUP BY prev, cur)
+    SELECT o.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln(0.75 * bc / pu.uc
+                        + 0.25 * cu.uc / (SELECT tn FROM tot))), 6) AS avg_logprob
+    FROM occ o
+    JOIN bg USING (prev, cur)
+    JOIN uni pu ON pu.w = o.prev
+    JOIN uni cu ON cu.w = o.cur
+    GROUP BY o.doc_id"""
+
+
+def q_interp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an irregular series by linear interpolation onto a
+    6-hour grid per user (both brackets found in ONE union+window pass);
+    see operators/timeseries.py::interp_resample."""
+    from janus_spark.operators.timeseries import interp_resample
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    latest = (
+        ev.groupBy("user_id", "ts_ms")
+        .agg(F.max(F.struct("event_id", "value"))["value"].alias("value"))
+    )
+    return interp_resample(
+        latest, ["user_id"], ts_col="ts_ms", value_col="value", step_ms=_LOCF_SLOT_MS
+    )
+
+
+QUERIES["q_interp_resample"] = q_interp_resample
+ORACLES["q_interp_resample"] = f"""
+    WITH e AS (SELECT user_id, event_id, value, {_TSM} AS ts_ms FROM events),
+         latest AS (SELECT user_id, ts_ms, arg_max(value, event_id) AS value
+                    FROM e GROUP BY user_id, ts_ms),
+         b AS (SELECT user_id, MIN(ts_ms) AS mn, MAX(ts_ms) AS mx
+               FROM e GROUP BY user_id),
+         grid AS (SELECT user_id,
+                         unnest(generate_series((mn + {_LOCF_SLOT_MS - 1}) // {_LOCF_SLOT_MS},
+                                                mx // {_LOCF_SLOT_MS})) * {_LOCF_SLOT_MS} AS ts_ms
+                  FROM b),
+         p AS (SELECT g.user_id, g.ts_ms, l.ts_ms AS pt, l.value AS pv
+               FROM grid g ASOF JOIN latest l
+                 ON g.user_id = l.user_id AND g.ts_ms >= l.ts_ms),
+         n AS (SELECT g.user_id, g.ts_ms, l.ts_ms AS nt, l.value AS nv
+               FROM grid g ASOF JOIN latest l
+                 ON g.user_id = l.user_id AND g.ts_ms <= l.ts_ms)
+    SELECT p.user_id, p.ts_ms,
+           ROUND(CASE WHEN n.nt > p.pt
+                      THEN p.pv + (n.nv - p.pv) * (p.ts_ms - p.pt) / (n.nt - p.pt)
+                      ELSE p.pv END, 6) AS value_interp
+    FROM p JOIN n ON p.user_id = n.user_id AND p.ts_ms = n.ts_ms"""

@@ -550,3 +550,78 @@ def test_pack_token_stream_contiguous_per_shard(spark):
             assert r["seq_id"] == pos // 10
             assert r["straddles"] == (pos + r["n_tokens"] > (pos // 10 + 1) * 10)
             pos = r["end_offset"]
+
+
+def test_containment_join_detects_subset_duplicate(spark):
+    from janus_spark.datapipe.dedup import containment_join
+
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short = "gamma delta epsilon zeta eta"  # fully contained phrase
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, other)], "doc_id long, text string"
+    )
+    out = containment_join(df, shingle_k=3, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    # every shingle of the short doc appears in the long doc
+    assert r["containment_b_in_a"] == 1.0
+    assert r["containment_a_in_b"] < 0.9
+
+
+def test_containment_asymmetric_where_jaccard_blind(spark):
+    """The motivating case: subset-dup with Jaccard far below any usable
+    threshold but containment at 1.0 from the short side."""
+    from janus_spark.datapipe.dedup import containment_join, jaccard_similarity_join
+
+    long = " ".join(f"w{i}" for i in range(60))
+    short = " ".join(f"w{i}" for i in range(20, 28))
+    df = spark.createDataFrame([(1, long), (2, short)], "doc_id long, text string")
+    jac = jaccard_similarity_join(df, threshold=0.5).collect()
+    assert jac == []  # symmetric measure misses it
+    cont = containment_join(df, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["containment_b_in_a"] == 1.0
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    from janus_spark.datapipe.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [(i + 10_000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, budget=200, alpha=0.5).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in out}
+    # sqrt temperature: shares ∝ sqrt(900):sqrt(100) = 3:1 instead of 9:1
+    assert 120 <= got["big"] <= 180
+    assert 30 <= got["small"] <= 70
+    # alpha=1 keeps natural proportions (~180:20)
+    nat = temperature_mix(df, budget=200, alpha=1.0).groupBy("source").count().collect()
+    nat = {r["source"]: r["count"] for r in nat}
+    assert nat["big"] > 2.5 * got["small"] and nat["small"] < got["small"]
+
+
+def test_temperature_mix_deterministic_and_capped(spark):
+    from janus_spark.datapipe.sampling import temperature_mix
+
+    rows = [(i, "a") for i in range(50)] + [(i + 1000, "b") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r["doc_id"] for r in temperature_mix(df, budget=300).collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(df, budget=300).collect())
+    assert a == b  # md5 draw: identical across runs
+    # a tiny source whose fair share exceeds its size is kept whole (rate capped at 1)
+    kept_a = [d for d in a if d < 1000]
+    assert len(kept_a) == 50
+
+
+def test_bigram_logprob_ranks_word_salad_below_fluent(spark):
+    from janus_spark.datapipe.text import bigram_logprob
+
+    fluent = "the cat sat on the mat " * 5
+    salad = "mat the on sat cat the cat mat on the sat mat on cat the sat on mat cat sat the mat cat on"
+    df = spark.createDataFrame(
+        [(1, fluent.strip()), (2, salad), (3, "solo")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert 3 not in out  # < 2 tokens → no bigrams → dropped
+    # same unigram vocabulary, but the salad's bigrams are rare
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]

@@ -271,3 +271,36 @@ def test_scd2_intervals_single_shuffle_plan(spark):
     out = scd2_intervals(df, ["user_id"], "event_type", "ts_ms", tie_cols=["event_id"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interp_resample_linear_and_exact_hits(spark):
+    from janus_spark.operators.timeseries import interp_resample
+
+    rows = [(1, 0, 10.0), (1, 100, 20.0), (1, 250, 50.0)]
+    df = spark.createDataFrame(rows, "k long, ts_ms long, value double")
+    out = {r["ts_ms"]: r["value_interp"] for r in
+           interp_resample(df, ["k"], step_ms=50).collect()}
+    assert out[0] == 10.0          # slot on an observation → that value
+    assert out[50] == 15.0         # midway 0→100
+    assert out[100] == 20.0
+    assert out[150] == 30.0        # 1/3 along 100→250
+    assert out[200] == 40.0
+    assert out[250] == 50.0
+    assert set(out) == {0, 50, 100, 150, 200, 250}  # grid clipped to [mn, mx]
+
+
+def test_interp_resample_single_shuffle_plan(spark):
+    """Both brackets come out of one union+window pass: exactly one
+    exchange on the key feeds the sort (plus the grid-bounds aggregate),
+    and no join appears anywhere in the plan."""
+    from janus_spark.operators.timeseries import interp_resample
+
+    df = spark.createDataFrame(
+        [(1, i * 37, float(i)) for i in range(20)], "k long, ts_ms long, value double"
+    )
+    plan = interp_resample(df, ["k"], step_ms=100)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # the four bracket columns share one partitioning + sort: exactly one
+    # Sort, and exactly two Exchanges (union→window, grid-bounds agg)
+    assert plan.count("+- Sort") == 1
+    assert plan.count("+- Exchange") == 2
