@@ -252,6 +252,152 @@ def ivf_topk(
     )
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a left-fold — fixed evaluation order so a
+    SQL oracle can reproduce the float result bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 0,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector is split into ``m``
+    contiguous subspaces and each subspace gets ``k_codes`` centroids.
+    Seeding is the same md5-hash-ordered coreset as ``ivf_train`` with
+    ``iters=0`` — the sampled rows' subvectors ARE the codebooks, so
+    training is RNG-free and an oracle can re-derive it in SQL (the form
+    the exact gate pins).
+
+    ``iters > 0`` runs per-subspace Lloyd refinement — ALL subspaces in
+    one pass per iteration: encode (map-only against current literals)
+    → posexplode (subspace, code, position) → one groupBy avg, so an
+    iteration costs ONE shuffle of (m·k_codes·d_sub) partial sums
+    regardless of corpus size, and collects only codebook-sized floats.
+    Same deterministic-given-init property as ``ivf_train``.
+
+    Returns ``codebooks[j][c]`` = centroid ``c`` of subspace ``j``."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(k_codes)
+        .collect()
+    )
+    dim = len(rows[0].v)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    cbs = [[[float(x) for x in list(r.v)[j * d : (j + 1) * d]] for r in rows] for j in range(m)]
+    for _ in range(iters):
+        enc = corpus.select(
+            pq_codes(F.col(vec_col), cbs).alias("codes"), F.col(vec_col).alias("v")
+        )
+        parts = (
+            enc.select(F.posexplode("codes").alias("j", "code"), "v")
+            .select("j", "code", F.posexplode(F.slice("v", F.col("j") * d + 1, F.lit(d))).alias("pos", "x"))
+            .groupBy("j", "code", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .collect()
+        )
+        for r in parts:  # codes that lost every member keep their centroid
+            cbs[r.j][r.code][r.pos] = float(r.mval)
+    return cbs
+
+
+def pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Encode a vector into its ``m`` nearest-codeword indices (squared-L2
+    per subspace, ties → lowest code).  Pure Column arithmetic against
+    codebook literals: encoding is map-only, NO shuffle, no Python — the
+    same centroids-as-literals trick as IVF cell assignment."""
+    d = len(codebooks[0][0])
+    codes = []
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(vec, j * d + 1, d)
+        entries = [
+            F.struct(
+                _l2sq(sub, F.array(*[F.lit(x) for x in c])).alias("dist"),
+                F.lit(i).alias("code"),
+            )
+            for i, c in enumerate(cb)
+        ]
+        codes.append(F.array_min(F.array(*entries))["code"])
+    return F.array(*codes)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int = 0,
+    iters: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN top-k by asymmetric distance computation
+    (ADC, Jégou et al. 2011): corpus vectors are stored as ``m`` one-byte
+    codes, the query stays full-precision, and the approximate inner
+    product is ``Σ_j  dot(q_j, codebook_j[code_j(x)])``.
+
+    THE memory-compression scale path: a 64-dim float vector (256 B)
+    becomes ``m`` bytes (64× here) — at 100 TB of raw embeddings the
+    encoded corpus is ~1.6 TB and fits hot across a cluster, turning ANN
+    into a map-only scan of the codes table + a per-query top-k.  In
+    production the encode runs ONCE at ingest (``pq_codes`` on write);
+    the search never touches raw vectors except for the optional
+    ``rerank`` step, which re-scores only the top ``rerank`` ADC
+    candidates per query with exact cosine (one extra broadcast probe of
+    the raw table, standard IVFADC practice).
+
+    ``rerank=0`` ranks purely by ADC — deterministic and SQL-expressible,
+    which is what the exact-oracle gate pins.  Ties break by vec_id.
+    """
+    if codebooks is None:
+        codebooks = pq_train(corpus, m, k_codes, id_col, vec_col, iters=iters)
+    d = len(codebooks[0][0])
+    enc = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        pq_codes(F.col(vec_col), codebooks).alias("codes"),
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    joined = enc.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    adc = None
+    for j, cb in enumerate(codebooks):
+        subq = F.slice(F.col("qv"), j * d + 1, d)
+        cb_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb])
+        contrib = _dot(subq, F.element_at(cb_lit, F.element_at(F.col("codes"), j + 1) + 1))
+        adc = contrib if adc is None else adc + contrib
+    sims = joined.select("query_id", "vec_id", "qv", "cv", adc.alias("sim_adc"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_adc").desc(), F.col("vec_id"))
+    if rerank:
+        cand = sims.withColumn("r", F.row_number().over(w)).where(F.col("r") <= rerank)
+        exact = cand.select(
+            "query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+        return (
+            exact.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "sim")
+        )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.col("sim_adc").alias("sim"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -3646,3 +3646,61 @@ ORACLES["q_interp_resample"] = f"""
                       THEN p.pv + (n.nv - p.pv) * (p.ts_ms - p.pt) / (n.nt - p.pt)
                       ELSE p.pv END, 6) AS value_interp
     FROM p JOIN n ON p.user_id = n.user_id AND p.ts_ms = n.ts_ms"""
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k by ADC (m=4 subspaces x 16 codes,
+    md5-coreset codebooks — RNG-free, so the encode and the ADC ranking
+    are SQL-reproducible and the gate is oracle-EXACT; exact-cosine
+    re-ranking is covered by recall tests).  See
+    datapipe/similarity.py::pq_topk."""
+    from janus_spark.datapipe.similarity import pq_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.where("vec_id < 5")
+    out = pq_topk(embs, queries, k=10, m=4, k_codes=16)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+QUERIES["q_ann_pq"] = q_ann_pq
+ORACLES["q_ann_pq"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT v AS cv, code FROM (
+                  SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+                  FROM e) WHERE code < 16),
+         enc AS (SELECT vec_id, j, code FROM (
+                  SELECT e.vec_id, s.j, c.code,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.j
+                             ORDER BY list_sum(list_transform(range(1, 17),
+                                         i -> (e.v[s.j * 16 + i] - c.cv[s.j * 16 + i])
+                                            * (e.v[s.j * 16 + i] - c.cv[s.j * 16 + i]))) ASC,
+                                      c.code ASC) AS rnk
+                  FROM e, range(0, 4) s(j) CROSS JOIN cb c) WHERE rnk = 1),
+         codes AS (SELECT vec_id,
+                          MAX(CASE WHEN j = 0 THEN code END) AS c0,
+                          MAX(CASE WHEN j = 1 THEN code END) AS c1,
+                          MAX(CASE WHEN j = 2 THEN code END) AS c2,
+                          MAX(CASE WHEN j = 3 THEN code END) AS c3
+                   FROM enc GROUP BY vec_id),
+         adc AS (SELECT q.vec_id AS query_id, t.vec_id,
+                        list_sum(list_transform(range(1, 17), i -> q.v[i] * b0.cv[i]))
+                      + list_sum(list_transform(range(1, 17), i -> q.v[16 + i] * b1.cv[16 + i]))
+                      + list_sum(list_transform(range(1, 17), i -> q.v[32 + i] * b2.cv[32 + i]))
+                      + list_sum(list_transform(range(1, 17), i -> q.v[48 + i] * b3.cv[48 + i]))
+                            AS sim
+                 FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) q
+                 CROSS JOIN codes t
+                 JOIN cb b0 ON b0.code = t.c0
+                 JOIN cb b1 ON b1.code = t.c1
+                 JOIN cb b2 ON b2.code = t.c2
+                 JOIN cb b3 ON b3.code = t.c3
+                 WHERE t.vec_id <> q.vec_id),
+         ranked AS (SELECT query_id, vec_id, sim,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY sim DESC, vec_id) AS rank
+                    FROM adc)
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= 10"""

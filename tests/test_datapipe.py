@@ -625,3 +625,45 @@ def test_bigram_logprob_ranks_word_salad_below_fluent(spark):
     assert 3 not in out  # < 2 tokens → no bigrams → dropped
     # same unigram vocabulary, but the salad's bigrams are rare
     assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+
+
+def test_pq_codes_shape_and_determinism(spark, embs):
+    from janus_spark.datapipe import similarity
+
+    cbs = similarity.pq_train(embs, m=4, k_codes=16)
+    assert len(cbs) == 4 and all(len(cb) == 16 for cb in cbs)
+    assert all(len(c) == 16 for cb in cbs for c in cb)  # 64-dim / 4 subspaces
+    enc = embs.select(
+        "vec_id", similarity.pq_codes(F.col("embedding"), cbs).alias("codes")
+    )
+    rows = enc.collect()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    again = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert all(again[r["vec_id"]] == r["codes"] for r in rows)  # RNG-free
+
+
+def test_pq_rerank_recall_monotone_and_lloyd_helps(spark, embs):
+    """Recall@5 vs exact cosine grows monotonically with the rerank
+    width, and Lloyd-refined codebooks beat the raw coreset.  The
+    fixture embeddings are near-random (PQ's worst case — no cluster
+    structure), so absolute recall is modest by design; everything here
+    is RNG-free, so the assertions are deterministic."""
+    from janus_spark.datapipe import similarity
+
+    queries = embs.where("vec_id < 10")
+    exact = similarity.cosine_topk(embs, queries, k=5).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in exact}
+
+    def recall(rerank, codebooks):
+        out = similarity.pq_topk(
+            embs, queries, k=5, m=4, k_codes=16, codebooks=codebooks, rerank=rerank
+        ).collect()
+        return len(truth & {(r["query_id"], r["vec_id"]) for r in out}) / len(truth)
+
+    raw = similarity.pq_train(embs, m=4, k_codes=16)
+    r0, r50, r150 = recall(0, raw), recall(50, raw), recall(150, raw)
+    assert r0 <= r50 <= r150
+    assert r150 >= 0.5  # 30%-of-corpus rerank floor on the fixture
+    refined = similarity.pq_train(embs, m=4, k_codes=16, iters=3)
+    assert recall(100, refined) >= recall(100, raw)
