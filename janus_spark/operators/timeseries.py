@@ -137,6 +137,82 @@ def interp_resample(
     )
 
 
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+    alpha: float = 0.2,
+    max_lag: int = 8,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, bounded-lag form:
+    ``y_i = Σ_{l<L} (1−α)^l·x_{i−l} / Σ_{l<L} (1−α)^l`` over the lags
+    that exist and are non-null.  The unbounded recursion ``y_i = α·x_i
+    + (1−α)·y_{i−1}`` is inherently sequential (and its closed form
+    overflows ``(1−α)^{−i}``); truncating at ``max_lag`` bounds the
+    omitted mass at ``(1−α)^L`` (0.17 for the defaults) while keeping
+    the operator ONE window pass — ``max_lag`` lag() columns over a
+    single partition sort, no self-join, no recursion, trivially
+    distributed.
+
+    Weights are Python-float literals baked into the plan, so an oracle
+    embedding the same literals reproduces the arithmetic exactly.
+    Null values contribute to neither numerator nor denominator; a row
+    whose trailing window is all-null yields NULL (try_divide).
+    """
+    weights = [(1.0 - alpha) ** l for l in range(max_lag)]
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    v = F.col(value_col).cast("double")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for l, wt in enumerate(weights):
+        x = F.lag(v, l).over(w)
+        num = num + F.lit(wt) * F.coalesce(x, F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    keep = [*key_cols, ts_col, value_col] + ([order_tiebreak] if order_tiebreak else [])
+    return df.select(*keep).withColumn("ewma", F.round(F.try_divide(num, den), 6))
+
+
+def winsorize(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Clip a numeric column at per-group exact interpolated quantiles —
+    the robust-scaling step that keeps a fat-tailed feature from
+    dominating training statistics, without dropping the rows the way a
+    filter would.
+
+    Plan: ONE grouped exact-percentile aggregate (rows per group:
+    exactly one) broadcast back onto the data — the big side is touched
+    map-only, no shuffle of the corpus.  At 100 TB swap
+    ``F.percentile`` for ``percentile_approx`` if the per-group sort
+    memory bites; the operator shape is unchanged.
+
+    Adds ``value_winsorized`` and a ``clipped`` flag; NULL values pass
+    through unclipped with ``clipped = false``.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*key_cols).agg(
+        F.percentile(v, lower).alias("__lo"), F.percentile(v, upper).alias("__hi")
+    )
+    out = df.join(F.broadcast(bounds), key_cols)
+    # greatest/least IGNORE nulls (a null value would collapse to the
+    # lower bound) — gate the clip on non-null explicitly
+    clipped_v = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    )
+    return out.select(
+        *df.columns,
+        F.round(clipped_v, 6).alias("value_winsorized"),
+        F.coalesce((v < F.col("__lo")) | (v > F.col("__hi")), F.lit(False)).alias("clipped"),
+    )
+
+
 def pane_sliding_distinct(
     df: DataFrame,
     key_cols: list[str],

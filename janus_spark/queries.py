@@ -3704,3 +3704,76 @@ ORACLES["q_ann_pq"] = """
                     FROM adc)
     SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
     FROM ranked WHERE rank <= 10"""
+
+
+_EWMA_ALPHA = 0.2
+_EWMA_LAGS = 8
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lag EWMA of event value per user (one window pass, no
+    self-join); see operators/timeseries.py::ewma."""
+    from janus_spark.operators.timeseries import ewma
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    out = ewma(
+        ev, ["user_id"], ts_col="ts_ms", value_col="value",
+        alpha=_EWMA_ALPHA, max_lag=_EWMA_LAGS, order_tiebreak="event_id",
+    )
+    return out.select("user_id", "event_id", "ts_ms", "ewma")
+
+
+def _ewma_oracle() -> str:
+    # the SAME Python-float weight literals the Spark plan bakes in, so
+    # the two engines do identical double arithmetic
+    ws = [(1.0 - _EWMA_ALPHA) ** l for l in range(_EWMA_LAGS)]
+    case = "CASE a.rn - b.rn " + " ".join(
+        f"WHEN {l} THEN {w!r}" for l, w in enumerate(ws)
+    ) + " END"
+    return f"""
+    WITH e AS (SELECT user_id, event_id, value, {_TSM} AS ts_ms,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY {_TSM}, event_id) AS rn
+               FROM events),
+         s AS (SELECT a.user_id, a.event_id, a.ts_ms,
+                      SUM({case} * b.value) AS num,
+                      SUM({case}) AS den
+               FROM e a LEFT JOIN e b
+                 ON b.user_id = a.user_id
+                AND a.rn - b.rn BETWEEN 0 AND {_EWMA_LAGS - 1}
+                AND b.value IS NOT NULL
+               GROUP BY 1, 2, 3)
+    SELECT user_id, event_id, ts_ms, ROUND(num / den, 6) AS ewma FROM s"""
+
+
+QUERIES["q_ewma"] = q_ewma
+ORACLES["q_ewma"] = _ewma_oracle()
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization at exact [p05, p95] quantiles; see
+    operators/timeseries.py::winsorize."""
+    from janus_spark.operators.timeseries import winsorize
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = winsorize(ev, ["event_type"], value_col="value", lower=0.05, upper=0.95)
+    return out.select("event_id", "event_type", "value_winsorized", "clipped")
+
+
+QUERIES["q_winsorize"] = q_winsorize
+ORACLES["q_winsorize"] = """
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS lo,
+                      quantile_cont(value, 0.95) AS hi
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND(CASE WHEN e.value IS NOT NULL
+                      THEN LEAST(GREATEST(e.value, b.lo), b.hi) END, 6)
+               AS value_winsorized,
+           COALESCE(e.value < b.lo OR e.value > b.hi, FALSE) AS clipped
+    FROM events e JOIN b USING (event_type)"""

@@ -304,3 +304,48 @@ def test_interp_resample_single_shuffle_plan(spark):
     # Sort, and exactly two Exchanges (union→window, grid-bounds agg)
     assert plan.count("+- Sort") == 1
     assert plan.count("+- Exchange") == 2
+
+
+def test_ewma_hand_computed_with_null_and_series_start(spark):
+    from janus_spark.operators.timeseries import ewma
+
+    rows = [(1, 0, 10.0), (1, 1, 20.0), (1, 2, None), (1, 3, 40.0)]
+    df = spark.createDataFrame(rows, "k long, ts_ms long, value double")
+    out = {r["ts_ms"]: r["ewma"] for r in
+           ewma(df, ["k"], alpha=0.5, max_lag=3).collect()}
+    assert out[0] == 10.0                                # lone first value
+    assert out[1] == round((20 + 0.5 * 10) / 1.5, 6)     # two lags
+    # null value at t=2: skipped in num AND den (not treated as 0)
+    assert out[2] == round((0.5 * 20 + 0.25 * 10) / 0.75, 6)
+    assert out[3] == round((40 + 0.25 * 20) / 1.25, 6)   # null lag skipped
+
+
+def test_ewma_all_null_window_yields_null(spark):
+    from janus_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame([(1, 0, None), (1, 1, None)], "k long, ts_ms long, value double")
+    out = ewma(df, ["k"], alpha=0.5, max_lag=2).collect()
+    assert all(r["ewma"] is None for r in out)
+
+
+def test_winsorize_clips_tails_and_passes_nulls(spark):
+    from janus_spark.operators.timeseries import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(1, 100)] + [(100, "a", 1000.0), (101, "a", None)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_id"]: r for r in winsorize(df, ["event_type"]).collect()}
+    assert out[100]["clipped"] is True
+    assert out[100]["value_winsorized"] < 1000.0   # pulled down to p95
+    assert out[50]["clipped"] is False and out[50]["value_winsorized"] == 50.0
+    assert out[101]["clipped"] is False and out[101]["value_winsorized"] is None
+    assert out[1]["clipped"] is True               # low tail clips too
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    from janus_spark.operators.timeseries import winsorize
+
+    df = spark.createDataFrame(
+        [(i, "t", float(i)) for i in range(50)], "event_id long, event_type string, value double"
+    )
+    plan = winsorize(df, ["event_type"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
