@@ -1,0 +1,146 @@
+"""Behavioral-analytics operators: ordered funnels, cohort retention,
+robust (median/MAD) outlier flagging.
+
+These are the product-analytics shapes a warehouse team runs daily over
+event streams; each is expressed as grouped aggregates + broadcast-sized
+joins so the event table itself is never self-joined row-to-row.
+
+Scale notes (100 TB): funnel steps chain k−1 joins of per-user aggregate
+frames (≤ n_users rows each) keyed identically on the user — Catalyst
+reuses the hash partitioning across the chain, so the event scan shuffles
+once per step at most and the big table is only ever filtered+aggregated.
+Cohort retention is two aggregates over the scan joined on the user key.
+MAD is two grouped exact percentiles broadcast back map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    event_col: str = "event_type",
+    within_ms: int | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step k at the EARLIEST
+    event of type ``steps[k]`` that is strictly after their step-(k−1)
+    time (and within ``within_ms`` of their step-1 time, if given).
+    Earliest-completion semantics: greedily taking the minimum valid
+    timestamp at every step is optimal — if any assignment completes the
+    funnel, the greedy one does.
+
+    Returns one row per step: ``(step, step_name, n_users)`` with
+    ``n_users`` monotonically non-increasing down the funnel.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(event_col).alias("e"),
+    )
+    reached = ev.where(F.col("e") == steps[0]).groupBy("u").agg(F.min("t").alias("t1"))
+    reached = reached.withColumn("tk", F.col("t1"))
+    counts = [(1, steps[0], reached)]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.where(F.col("e") == step)
+            .join(reached.select("u", "t1", "tk"), "u")
+            .where(F.col("t") > F.col("tk"))
+        )
+        if within_ms is not None:
+            nxt = nxt.where(F.col("t") <= F.col("t1") + F.lit(within_ms))
+        reached = nxt.groupBy("u").agg(
+            F.max("t1").alias("t1"), F.min("t").alias("tk")
+        )
+        counts.append((i, step, reached))
+    rows = None
+    for i, name, frame in counts:
+        c = frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col("n_users").cast("long"),
+        )
+        rows = c if rows is None else rows.unionByName(c)
+    return rows
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    period_ms: int = 7 * 24 * 3_600_000,
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity period,
+    counted in every later period they were active.  Output one row per
+    ``(cohort_period, period_offset)`` with ``n_active`` distinct users;
+    offset 0 is the cohort size itself.
+
+    Two aggregates over the scan (first-seen per user; distinct active
+    (user, period) pairs) joined on the user key — the join inputs are
+    both user-cardinality, never event-cardinality.
+    """
+    # integer DIV, not floor(float division): at ms timestamps a double
+    # quotient can land a hair under an exact boundary
+    first = (
+        df.select(F.col(user_col).alias("u"), F.col(ts_col).cast("long").alias("t"))
+        .groupBy("u")
+        .agg(F.expr(f"min(t) DIV {period_ms}").alias("cohort"))
+    )
+    active = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).cast("long").alias("t"),
+        )
+        .select("u", F.expr(f"t DIV {period_ms}").alias("p"))
+        .distinct()
+    )
+    return (
+        active.join(first, "u")
+        .groupBy(
+            F.col("cohort").cast("long").alias("cohort_period"),
+            (F.col("p") - F.col("cohort")).cast("long").alias("period_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flagging by median/MAD: the modified
+    z-score ``0.6745·(x − median) / MAD`` (Iglewicz–Hoaglin) is immune to
+    the outliers themselves inflating the threshold — the failure mode of
+    mean/σ z-scores that the comparator's F3 function inherits by design.
+
+    Two grouped exact-percentile aggregates (median, then median absolute
+    deviation) broadcast back onto the data; the corpus is touched
+    map-only.  Groups with MAD = 0 (over half the values identical) yield
+    NULL scores (try_divide) and ``is_outlier = false`` for on-median
+    rows rather than dividing by zero.
+
+    Adds ``robust_z`` and ``is_outlier``.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*key_cols).agg(F.percentile(v, 0.5).alias("__med"))
+    with_med = df.join(F.broadcast(med), key_cols)
+    mad = (
+        with_med.where(v.isNotNull())
+        .groupBy(*key_cols)
+        .agg(F.percentile(F.abs(v - F.col("__med")), 0.5).alias("__mad"))
+    )
+    out = with_med.join(F.broadcast(mad), key_cols)
+    robust_z = F.round(F.try_divide(F.lit(0.6745) * (v - F.col("__med")), F.col("__mad")), 6)
+    return out.select(
+        *df.columns,
+        robust_z.alias("robust_z"),
+        F.coalesce(F.abs(robust_z) > F.lit(k), F.lit(False)).alias("is_outlier"),
+    )

@@ -3777,3 +3777,98 @@ ORACLES["q_winsorize"] = """
                AS value_winsorized,
            COALESCE(e.value < b.lo OR e.value > b.hi, FALSE) AS clipped
     FROM events e JOIN b USING (event_type)"""
+
+
+_FUNNEL_WITHIN_MS = 7 * 24 * 3_600_000
+_COHORT_PERIOD_MS = 7 * 24 * 3_600_000
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (strictly increasing
+    timestamps, 7-day completion window); see
+    operators/analytics.py::funnel."""
+    from janus_spark.operators.analytics import funnel
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return funnel(
+        ev, ["view", "click", "purchase"], within_ms=_FUNNEL_WITHIN_MS
+    )
+
+
+QUERIES["q_funnel"] = q_funnel
+ORACLES["q_funnel"] = f"""
+    WITH e AS (SELECT user_id, {_TSM} AS t, event_type FROM events),
+         s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MAX(s1.t1) AS t1, MIN(e.t) AS tk
+                FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND e.t > s1.t1
+                  AND e.t <= s1.t1 + {_FUNNEL_WITHIN_MS}
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id
+                FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND e.t > s2.tk
+                  AND e.t <= s2.t1 + {_FUNNEL_WITHIN_MS}
+                GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (first-activity week × active-week
+    offset); see operators/analytics.py::retention_cohorts."""
+    from janus_spark.operators.analytics import retention_cohorts
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    return retention_cohorts(ev, period_ms=_COHORT_PERIOD_MS)
+
+
+QUERIES["q_retention_cohorts"] = q_retention_cohorts
+ORACLES["q_retention_cohorts"] = f"""
+    WITH e AS (SELECT user_id, {_TSM} AS t FROM events),
+         f AS (SELECT user_id, MIN(t) // {_COHORT_PERIOD_MS} AS cohort
+               FROM e GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, t // {_COHORT_PERIOD_MS} AS p FROM e)
+    SELECT f.cohort AS cohort_period,
+           a.p - f.cohort AS period_offset,
+           COUNT(*) AS n_active
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier flags by median/MAD modified z-score
+    (immune to the outliers inflating the threshold); see
+    operators/analytics.py::mad_outliers."""
+    from janus_spark.operators.analytics import mad_outliers
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = mad_outliers(ev, ["event_type"], value_col="value", k=3.0)
+    return out.select("event_id", "event_type", "robust_z", "is_outlier")
+
+
+QUERIES["q_mad_outliers"] = q_mad_outliers
+ORACLES["q_mad_outliers"] = """
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+         mad AS (SELECT e.event_type,
+                        quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                 FROM events e JOIN med m USING (event_type)
+                 WHERE e.value IS NOT NULL GROUP BY e.event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND(0.6745 * (e.value - m.med) / d.mad, 6) AS robust_z,
+           COALESCE(ABS(ROUND(0.6745 * (e.value - m.med) / d.mad, 6)) > 3.0,
+                    FALSE) AS is_outlier
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)"""

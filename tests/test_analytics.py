@@ -1,0 +1,71 @@
+"""Behavioral analytics: ordered funnel, cohort retention, MAD outliers."""
+
+import pytest
+
+from janus_spark.operators.analytics import funnel, mad_outliers, retention_cohorts
+
+
+def test_funnel_requires_strict_order_and_window(spark):
+    rows = [
+        # u1 completes in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: click BEFORE view — click after view missing → stops at view
+        (2, 50, "click"), (2, 60, "view"),
+        # u3: completes but purchase outside the window
+        (3, 0, "view"), (3, 5, "click"), (3, 5000, "purchase"),
+        # u4: never views; click/purchase don't count
+        (4, 10, "click"), (4, 20, "purchase"),
+        # u5: same-ts click (not strictly after) → stops at view
+        (5, 10, "view"), (5, 10, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, event_type string")
+    out = {r["step_name"]: r["n_users"] for r in
+           funnel(df, ["view", "click", "purchase"], within_ms=100).collect()}
+    assert out == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_greedy_earliest_is_optimal(spark):
+    # view@0, click@5, purchase@6: greedy takes click@5 then purchase@6.
+    # A non-greedy assignment (click@7) would miss purchase@6 — greedy
+    # earliest-completion must find the conversion.
+    rows = [(1, 0, "view"), (1, 5, "click"), (1, 7, "click"), (1, 6, "purchase")]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, event_type string")
+    out = {r["step_name"]: r["n_users"] for r in
+           funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out["purchase"] == 1
+
+
+def test_retention_cohorts_offsets(spark):
+    p = 100
+    rows = [
+        (1, 10), (1, 110), (1, 310),   # cohort 0, active periods 0,1,3
+        (2, 150), (2, 250),            # cohort 1, active periods 1,2
+        (3, 120),                      # cohort 1, active period 1 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    out = {(r["cohort_period"], r["period_offset"]): r["n_active"]
+           for r in retention_cohorts(df, period_ms=p).collect()}
+    assert out == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 2, (1, 1): 1}
+
+
+def test_mad_outliers_robust_where_mean_z_is_not(spark):
+    # one huge outlier among tight values: MAD flags it; the same point
+    # inflates mean/σ enough that a 3σ z-score would also need checking —
+    # the key property is the tight points are NOT flagged
+    vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.0, 10.1, 9.9, 1000.0]
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)], "event_id long, event_type string, value double"
+    )
+    out = {r["event_id"]: r for r in mad_outliers(df, ["event_type"], k=3.0).collect()}
+    assert out[8]["is_outlier"] is True
+    assert all(out[i]["is_outlier"] is False for i in range(8))
+
+
+def test_mad_outliers_zero_mad_yields_null_scores(spark):
+    df = spark.createDataFrame(
+        [(i, "t", 5.0) for i in range(10)] + [(99, "t", None)],
+        "event_id long, event_type string, value double",
+    )
+    out = mad_outliers(df, ["event_type"]).collect()
+    assert all(r["robust_z"] is None for r in out)       # MAD = 0 → try_divide null
+    assert all(r["is_outlier"] is False for r in out)
