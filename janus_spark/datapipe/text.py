@@ -225,6 +225,44 @@ def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def novelty_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's distinct k-shingles
+    that no lower-id document contains — the marginal-contribution signal
+    for incremental corpus growth (a crawl batch full of near-copies of
+    already-ingested content scores ≈ 0 even when no single pair crosses
+    a dedup threshold; ids double as ingest order).
+
+    Plan: shingle explode → min-owner per shingle (ONE shuffle on the
+    shingle, map-side combined) → join back to the doc's postings → per
+    -doc ratio.  No pairwise comparison anywhere: cost is O(postings),
+    not O(docs²), which is what makes a corpus-wide novelty sweep
+    feasible where the Jaccard self-join is reserved for candidates.
+    """
+    from janus_spark.datapipe.dedup import word_shingles
+
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    posts = sh.select("id", F.explode("sh").alias("gram"))
+    owner = posts.groupBy("gram").agg(F.min("id").alias("first_id"))
+    return (
+        posts.join(owner, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("first_id") == F.col("id"), 1.0).otherwise(0.0)), 6
+            ).alias("novelty"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def word_freq(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Corpus-level top-k word frequency (vocabulary head).  Explode →
     partial-aggregated count (map-side combine) → global top-k; ties break

@@ -3872,3 +3872,30 @@ ORACLES["q_mad_outliers"] = """
            COALESCE(ABS(ROUND(0.6745 * (e.value - m.med) / d.mad, 6)) > 3.0,
                     FALSE) AS is_outlier
     FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)"""
+
+
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: fraction of its shingles no lower-id doc has —
+    marginal-contribution curation signal, O(postings) not O(docs²);
+    see datapipe/text.py::novelty_scores."""
+    from janus_spark.datapipe.text import novelty_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return novelty_scores(docs, shingle_k=3)
+
+
+QUERIES["q_novelty"] = q_novelty
+ORACLES["q_novelty"] = r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+               FROM documents),
+         s AS (SELECT doc_id,
+                      CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(l) - 1),
+                                              i -> array_to_string(l[i:i+2], ' ')))
+                      END AS sh FROM t),
+         g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+         o AS (SELECT gram, MIN(doc_id) AS first_id FROM g GROUP BY gram)
+    SELECT g.doc_id, COUNT(*) AS n_shingles,
+           ROUND(AVG(CASE WHEN o.first_id = g.doc_id THEN 1.0 ELSE 0.0 END), 6)
+               AS novelty
+    FROM g JOIN o USING (gram) GROUP BY g.doc_id"""

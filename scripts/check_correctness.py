@@ -73,6 +73,10 @@ def main():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     results = {}
+
+    def progress(name):
+        print(f"  .. {name}: {results[name][:120]}", flush=True)
+
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
@@ -82,9 +86,11 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             results[name] = f"SPARK ERROR: {e}"
+            progress(name)
             continue
         if name not in oracles:
             results[name] = f"rows-only ({len(srows)} rows)"
+            progress(name)
             continue
         try:
             cur = con.execute(oracles[name])
@@ -92,12 +98,15 @@ def main():
             orows = cur.fetchall()
         except Exception as e:
             results[name] = f"ORACLE ERROR: {e}"
+            progress(name)
             continue
         if sorted(scols) != sorted(ocols):
             results[name] = f"SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
+            progress(name)
             continue
         if len(srows) != len(orows):
             results[name] = f"ROWCOUNT MISMATCH spark={len(srows)} oracle={len(orows)}"
+            progress(name)
             continue
         a = canon(srows, scols)
         b = canon(orows, ocols)
@@ -109,6 +118,7 @@ def main():
         else:
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
             results[name] = f"VALUE MISMATCH ({len(srows)} rows) e.g. {diffs}"
+        progress(name)
 
     width = max(len(n) for n in results)
     fails = 0

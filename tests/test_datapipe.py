@@ -667,3 +667,20 @@ def test_pq_rerank_recall_monotone_and_lloyd_helps(spark, embs):
     assert r150 >= 0.5  # 30%-of-corpus rerank floor on the fixture
     refined = similarity.pq_train(embs, m=4, k_codes=16, iters=3)
     assert recall(100, refined) >= recall(100, raw)
+
+
+def test_novelty_scores_order_sensitive(spark):
+    from janus_spark.datapipe.text import novelty_scores
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),      # first: all novel
+        (2, "alpha beta gamma delta epsilon"),       # exact copy: 0 novel
+        (3, "alpha beta gamma zeta eta theta iota"), # partial overlap
+        (4, "one two three four five"),              # disjoint: all novel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["novelty"] for r in novelty_scores(df).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 0.0
+    assert 0.0 < out[3] < 1.0
+    assert out[4] == 1.0
