@@ -275,7 +275,7 @@ def q_hist_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start",
         "window_end",
         F.col("n").cast("long").alias("n"),
-        F.col("avg_v").cast("double").alias("avg_v"),
+        F.round(F.col("avg_v").cast("double"), 6).alias("avg_v"),
     )
 
 
@@ -303,7 +303,7 @@ def q_hist_sliding_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_end",
         "t",
         F.col("n").cast("long").alias("n"),
-        F.col("avg_v").cast("double").alias("avg_v"),
+        F.round(F.col("avg_v").cast("double"), 6).alias("avg_v"),
     )
 
 
@@ -601,7 +601,8 @@ def oracle_for_hist_sliding(sf_dir: str) -> str:
     values = ", ".join(f"({s}, {e})" for _, s, e in bounds)
     return f"""
         WITH w(window_start, window_end) AS (VALUES {values})
-        SELECT w.window_start, w.window_end, COUNT(*) AS n, AVG(e.value) AS avg_v
+        SELECT w.window_start, w.window_end, COUNT(*) AS n,
+               ROUND(AVG(e.value), 6) AS avg_v
         FROM w JOIN events e ON {_TSM.replace('ts', 'e.ts')} BETWEEN w.window_start AND w.window_end
         GROUP BY w.window_start, w.window_end"""
 
@@ -621,7 +622,7 @@ def oracle_for_hist_sliding_star(sf_dir: str) -> str:
     return f"""
         WITH w(window_start, window_end) AS (VALUES {values})
         SELECT w.window_start, w.window_end, e.event_type AS t,
-               COUNT(*) AS n, AVG(e.value) AS avg_v
+               COUNT(*) AS n, ROUND(AVG(e.value), 6) AS avg_v
         FROM w JOIN events e ON {_TSM.replace('ts', 'e.ts')} BETWEEN w.window_start AND w.window_end
         WHERE e.event_type IS NOT NULL AND e.value IS NOT NULL
         GROUP BY w.window_start, w.window_end, e.event_type"""
