@@ -117,7 +117,7 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "type",
         F.col("n").cast("long").alias("n"),
-        F.col("avg_value").cast("double").alias("avg_value"),
+        F.round(F.col("avg_value").cast("double"), 6).alias("avg_value"),
         F.col("min_value").cast("double").alias("min_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )
@@ -136,10 +136,12 @@ def q_join_bind_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
              ?c <urn:customer:c_name> ?name .
            } GROUP BY ?name"""
     df = _run(quads, q, _table_ptr(spark, sf_dir, "orders", "customer"))
+    # round-4: per-customer sums stay ~1e7 even at large sf (grouping key
+    # cardinality grows with the data), 3 orders above double ulp there
     return df.select(
         "name",
         F.col("order_count").cast("long").alias("order_count"),
-        F.col("total").cast("double").alias("total"),
+        F.round(F.col("total").cast("double"), 4).alias("total"),
     )
 
 
@@ -521,11 +523,12 @@ ORACLES: dict[str, str] = {
     "q_bgp_scan": f"SELECT {_EV} AS event, value FROM events",
     "q_bgp_join": f"""SELECT {_EV} AS event, event_type AS type, value
                       FROM events WHERE value > 90""",
-    "q_agg_group": """SELECT event_type AS type, COUNT(*) AS n, AVG(value) AS avg_value,
+    "q_agg_group": """SELECT event_type AS type, COUNT(*) AS n,
+                             ROUND(AVG(value), 6) AS avg_value,
                              MIN(value) AS min_value, MAX(value) AS max_value
                       FROM events GROUP BY event_type""",
     "q_join_bind_concat": """SELECT c.c_name AS name, COUNT(*) AS order_count,
-                                    SUM(o.o_totalprice) AS total
+                                    ROUND(SUM(o.o_totalprice), 4) AS total
                              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                              GROUP BY c.c_name""",
     "q_optional": """SELECT 'urn:customer:' || CAST(c.c_custkey AS VARCHAR) AS c,
@@ -2006,9 +2009,12 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey"), "o_totalprice"
     )
     joined = salted_join(od, cu, ["c_custkey"], salt=8)
+    # decimal(18,2) sum: exact integer-cent arithmetic — a double sum at
+    # 10x data (~1e11) has ulp ~1e-5, i.e. AT the round-4 boundary
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("revenue"),
     )
 
 
@@ -2207,7 +2213,7 @@ ORACLES["q_tfidf_pairs"] = f"""
     SELECT a, b, sim FROM p ORDER BY sim DESC, a, b LIMIT 50"""
 ORACLES["q_skew_join"] = """
     SELECT c_mktsegment, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment"""
 ORACLES["q_sample_weighted"] = """
