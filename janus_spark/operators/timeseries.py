@@ -197,8 +197,12 @@ def winsorize(
     through unclipped with ``clipped = false``.
     """
     v = F.col(value_col).cast("double")
+    # bounds rounded to 1e-6 (the operator's own output precision): the
+    # quantile interpolation differs across engines in the final ulp at
+    # ~1e5 rows per group, which otherwise flips boundary rows' clipping
     bounds = df.groupBy(*key_cols).agg(
-        F.percentile(v, lower).alias("__lo"), F.percentile(v, upper).alias("__hi")
+        F.round(F.percentile(v, lower), 6).alias("__lo"),
+        F.round(F.percentile(v, upper), 6).alias("__hi"),
     )
     out = df.join(F.broadcast(bounds), key_cols)
     # greatest/least IGNORE nulls (a null value would collapse to the

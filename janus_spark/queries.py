@@ -3775,8 +3775,8 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_winsorize"] = q_winsorize
 ORACLES["q_winsorize"] = """
     WITH b AS (SELECT event_type,
-                      quantile_cont(value, 0.05) AS lo,
-                      quantile_cont(value, 0.95) AS hi
+                      ROUND(quantile_cont(value, 0.05), 6) AS lo,
+                      ROUND(quantile_cont(value, 0.95), 6) AS hi
                FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type,
            ROUND(CASE WHEN e.value IS NOT NULL
