@@ -2140,7 +2140,10 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.datapipe.similarity import tfidf_topk_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return tfidf_topk_pairs(docs, k=50, max_df=1000, round_sim=6)
+    # max_df scales with the corpus so the hot-term guard stays a guard
+    # instead of filtering out the whole (replicated) vocabulary at 10x
+    max_df = max(1000, docs.count() // 5)
+    return tfidf_topk_pairs(docs, k=50, max_df=max_df, round_sim=6)
 
 
 QUERIES.update(
@@ -2202,7 +2205,8 @@ ORACLES["q_tfidf_pairs"] = f"""
          tf AS (SELECT id, t, COUNT(*) AS tf FROM words GROUP BY id, t),
          nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
          dft AS (SELECT t, COUNT(*) AS dft FROM tf GROUP BY t
-                 HAVING COUNT(*) <= 1000),
+                 HAVING COUNT(*) <=
+                        GREATEST(1000, (SELECT COUNT(*) FROM documents) // 5)),
          w AS (SELECT id, t, tf * ln((SELECT nd FROM nd) / dft) AS w
                FROM tf JOIN dft USING (t)),
          norms AS (SELECT id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY id),
@@ -3906,3 +3910,42 @@ ORACLES["q_novelty"] = r"""
            ROUND(AVG(CASE WHEN o.first_id = g.doc_id THEN 1.0 ELSE 0.0 END), 6)
                AS novelty
     FROM g JOIN o USING (gram) GROUP BY g.doc_id"""
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering over the embedding column: every vector assigned
+    to its nearest coreset centroid (map-only against literals, the IVF
+    cell assignment reused as a clustering operator), with per-cluster
+    size and mean within-cluster cosine — the corpus-structure summary a
+    curation pipeline reads before balancing by cluster."""
+    from janus_spark.datapipe.similarity import _cell_sims, ivf_train
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = ivf_train(embs, n_cells=16, iters=0)
+    best = F.array_max(_cell_sims(F.col("embedding"), centroids))
+    return (
+        embs.select(best["cell"].alias("cluster"), best["sim"].alias("sim"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("sim"), 6).alias("avg_cosine"),
+        )
+        .select(F.col("cluster").cast("long").alias("cluster"), "n", "avg_cosine")
+    )
+
+
+QUERIES["q_embedding_clusters"] = q_embedding_clusters
+ORACLES["q_embedding_clusters"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ce AS (SELECT v AS cv, cell FROM (
+                  SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+                  FROM e) WHERE cell < 16),
+         asg AS (SELECT e.vec_id, c.cell,
+                        COALESCE(list_cosine_similarity(e.v, c.cv), -2.0) AS sim,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                           ORDER BY COALESCE(list_cosine_similarity(e.v, c.cv), -2.0) DESC,
+                                                    c.cell DESC) AS rnk
+                 FROM e CROSS JOIN ce c)
+    SELECT CAST(cell AS BIGINT) AS cluster, COUNT(*) AS n,
+           ROUND(AVG(sim), 6) AS avg_cosine
+    FROM asg WHERE rnk = 1 GROUP BY cell"""
