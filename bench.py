@@ -192,6 +192,21 @@ def main() -> None:
     for k, v in {**storage_timings, **extra}.items():
         print(f"# {k}: {v}", file=sys.stderr)
 
+    # datapipe shapes, reported separately (NOT in the headline total, so
+    # round-over-round totals stay comparable): near-dup sweep, PQ ANN,
+    # prefix-filtered Jaccard, novelty sweep
+    datapipe: dict[str, float] = {}
+    for name in ("q_dedup_minhash", "q_ann_pq", "q_jaccard_prefix", "q_novelty"):
+        fn = QUERIES[name]
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn(spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        datapipe[name] = round(best, 3)
+        print(f"# datapipe {name}: {datapipe[name]:.3f}s ({n} rows)", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_total",
@@ -200,6 +215,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
         "throughput": extra,
+        "datapipe": datapipe,
     }
     print(json.dumps(out))
 

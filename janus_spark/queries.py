@@ -3949,3 +3949,36 @@ ORACLES["q_embedding_clusters"] = """
     SELECT CAST(cell AS BIGINT) AS cluster, COUNT(*) AS n,
            ROUND(AVG(sim), 6) AS avg_cosine
     FROM asg WHERE rnk = 1 GROUP BY cell"""
+
+
+def q_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window functions per event type — percent_rank /
+    cume_dist (tie-stable) and ntile over a total order (tie-broken by
+    event_id so the quartile split is engine-deterministic)."""
+    from pyspark.sql import Window
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    # explicit null placement: Spark ASC defaults nulls-first, DuckDB
+    # nulls-last — pin to nulls-first on both engines
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), "event_id"
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+QUERIES["q_rank_funcs"] = q_rank_funcs
+ORACLES["q_rank_funcs"] = """
+    SELECT event_id, event_type,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume_dist,
+           NTILE(4) OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY value ASC NULLS FIRST, event_id)"""
