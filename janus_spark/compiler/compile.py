@@ -381,7 +381,12 @@ class SparqlCompiler:
             right = self.compile_group(fexpr.operand.group, graph_term)
             shared = [c for c in df.columns if c in set(right.columns)]
             if not shared:
-                return df  # NOT EXISTS with no shared vars: keep (subset bound)
+                # var-free NOT EXISTS: the inner pattern is existentially
+                # quantified independent of the outer row — any solution
+                # anywhere falsifies it for EVERY row (anti join against a
+                # 1-row probe; empty inner group keeps everything)
+                probe = right.limit(1).select(F.lit(1).alias("__e"))
+                return df.join(probe, on=F.lit(True), how="left_anti")
             return df.join(right.select(*shared).distinct(), on=shared, how="left_anti")
         return df.filter(compile_expr(fexpr, "bool", self.registry))
 

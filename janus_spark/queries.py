@@ -3982,3 +3982,58 @@ ORACLES["q_rank_funcs"] = """
     FROM events
     WINDOW w AS (PARTITION BY event_type
                  ORDER BY value ASC NULLS FIRST, event_id)"""
+
+
+def q_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 corner pinned: FILTER INSIDE an OPTIONAL group scopes to that
+    group — rows whose optional match fails the filter keep the solution
+    with the optional vars UNBOUND (left-join ON-condition semantics,
+    not post-filter; the classic SPARQL OPTIONAL/FILTER trap)."""
+    q = """SELECT ?e ?t ?v ?u WHERE {
+             ?e <urn:col:event_type> ?t .
+             OPTIONAL { ?e <urn:col:value> ?v .
+                        ?e <urn:col:user_id> ?u .
+                        FILTER(?v > 100) }
+           }"""
+    df = _run(_events_quads(spark, sf_dir), q, _events_ptr(spark, sf_dir))
+    return df.select(
+        "e", "t",
+        F.col("v").cast("double").alias("v"),
+        F.col("u").cast("string").alias("u"),
+    )
+
+
+QUERIES["q_optional_filter"] = q_optional_filter
+ORACLES["q_optional_filter"] = f"""
+    SELECT {_EV} AS e, event_type AS t,
+           CASE WHEN value > 100 THEN value END AS v,
+           CASE WHEN value > 100 THEN CAST(user_id AS VARCHAR) END AS u
+    FROM events WHERE event_type IS NOT NULL"""
+
+
+def q_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 negation via correlated NOT EXISTS: click events of users who
+    never produced a high-severity (value > 195) error — compiles to a
+    distinct-build anti join on the shared variable, no per-row
+    subquery."""
+    q = """SELECT ?e ?u WHERE {
+             ?e <urn:col:event_type> "click" .
+             ?e <urn:col:user_id> ?u .
+             FILTER NOT EXISTS { ?e2 <urn:col:event_type> "error" .
+                                 ?e2 <urn:col:user_id> ?u .
+                                 ?e2 <urn:col:value> ?v2 .
+                                 FILTER(?v2 > 195) }
+           }"""
+    df = _run(_events_quads(spark, sf_dir), q, _events_ptr(spark, sf_dir))
+    return df.select("e", F.col("u").cast("string").alias("u"))
+
+
+QUERIES["q_not_exists_anti"] = q_not_exists_anti
+ORACLES["q_not_exists_anti"] = f"""
+    SELECT {_EV} AS e, CAST(user_id AS VARCHAR) AS u
+    FROM events c
+    WHERE event_type = 'click'
+      AND NOT EXISTS (SELECT 1 FROM events x
+                      WHERE x.event_type = 'error'
+                        AND x.user_id = c.user_id
+                        AND x.value > 195)"""

@@ -350,3 +350,26 @@ def test_having_references_projection_alias(quads):
         """,
     ).collect()
     assert rows2 == []
+
+
+def test_not_exists_disjoint_vars_is_global(spark):
+    """Var-free [NOT] EXISTS is existentially quantified independent of
+    the outer row (SPARQL 1.1 §8.1.1): a matching inner pattern ANYWHERE
+    falsifies NOT EXISTS for every solution; an empty one keeps all.
+    MINUS with disjoint domains removes NOTHING (§8.3.3) — the classic
+    divergence between the two negation forms."""
+    rows = [("urn:a", "urn:p:name", "alice"), ("urn:b", "urn:p:other", "x")]
+    q = spark.createDataFrame(
+        [(s, p, o, 0, "") for s, p, o in rows],
+        "subject string, predicate string, object string, ts long, graph string",
+    )
+    base = "?s <urn:p:name> ?n ."
+
+    def res(body):
+        return [r["s"] for r in run(q, f"SELECT ?s WHERE {{ {base} {body} }}").collect()]
+
+    assert res("FILTER NOT EXISTS { ?x <urn:p:other> ?y . }") == []
+    assert res("FILTER NOT EXISTS { ?x <urn:p:absent> ?y . }") == ["urn:a"]
+    assert res("FILTER EXISTS { ?x <urn:p:other> ?y . }") == ["urn:a"]
+    assert res("FILTER EXISTS { ?x <urn:p:absent> ?y . }") == []
+    assert res("MINUS { ?x <urn:p:other> ?y . }") == ["urn:a"]
