@@ -373,3 +373,31 @@ def test_not_exists_disjoint_vars_is_global(spark):
     assert res("FILTER EXISTS { ?x <urn:p:other> ?y . }") == ["urn:a"]
     assert res("FILTER EXISTS { ?x <urn:p:absent> ?y . }") == []
     assert res("MINUS { ?x <urn:p:other> ?y . }") == ["urn:a"]
+
+
+def test_unbound_var_corners(spark):
+    """Five SPARQL unbound-variable corners: FILTER on a maybe-unbound
+    var drops the row (type error → false) unless BOUND-guarded;
+    COUNT over an empty solution set is one row of 0; UNION branches
+    binding different vars leave the others unbound; COALESCE falls
+    through unbound."""
+    rows = [("urn:a", "urn:p:name", "alice"), ("urn:b", "urn:p:name", "bob"),
+            ("urn:a", "urn:p:age", "30")]
+    q = spark.createDataFrame(
+        [(s, p, o, 0, "") for s, p, o in rows],
+        "subject string, predicate string, object string, ts long, graph string",
+    )
+
+    def res(text):
+        return sorted([tuple(r) for r in run(q, text).collect()], key=str)
+
+    opt = "?s <urn:p:name> ?n . OPTIONAL { ?s <urn:p:age> ?age . }"
+    assert res(f"SELECT ?s ?age WHERE {{ {opt} FILTER(?age > 18) }}") == [("urn:a", "30")]
+    assert res(f"SELECT ?s ?age WHERE {{ {opt} FILTER(!BOUND(?age) || ?age > 18) }}") == [
+        ("urn:a", "30"), ("urn:b", None)]
+    assert res("SELECT (COUNT(?x) AS ?n) WHERE { ?x <urn:p:absent> ?y . }") == [(0,)]
+    assert res("""SELECT ?s ?n ?a WHERE {
+        { ?s <urn:p:name> ?n . } UNION { ?s <urn:p:age> ?a . } }""") == [
+        ("urn:a", "alice", None), ("urn:a", None, "30"), ("urn:b", "bob", None)]
+    assert res(f'SELECT ?s (COALESCE(?age, "none") AS ?x) WHERE {{ {opt} }}') == [
+        ("urn:a", "30"), ("urn:b", "none")]
