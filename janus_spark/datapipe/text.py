@@ -248,7 +248,10 @@ def novelty_scores(
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
-    posts = sh.select("id", F.explode("sh").alias("gram"))
+    # deferred localCheckpoint: the shingle evaluation (interpreted
+    # higher-order exprs) is the dominant cost and feeds BOTH the owner
+    # aggregate and the ratio join — materialize it once, not twice
+    posts = sh.select("id", F.explode("sh").alias("gram")).localCheckpoint(eager=False)
     owner = posts.groupBy("gram").agg(F.min("id").alias("first_id"))
     return (
         posts.join(owner, "gram")
