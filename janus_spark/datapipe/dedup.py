@@ -81,14 +81,18 @@ def ngram_contamination(
 
     def grams(col: Column) -> Column:
         # tokenize the NORMALIZED text: benchmark phrases embedded in pages
-        # differ in case/punctuation ("France?") — grams must not
+        # differ in case/punctuation ("France?") — grams must not.
+        # zip-against-shifts, NOT slice-per-index: an expression inside a
+        # higher-order lambda re-evaluates per element (the slice form
+        # re-tokenized the doc O(n_tokens) times per row)
         toks = clean_tokens(normalize(col))
-        starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        size = F.size(toks)
+        acc = toks
+        for j in range(1, n):
+            shifted = F.slice(toks, j + 1, F.greatest(size - j, F.lit(1)))
+            acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
         return F.when(
-            F.size(toks) >= n,
-            F.array_distinct(
-                F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
-            ),
+            size >= n, F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
         ).otherwise(F.array().cast("array<string>"))
 
     bench_grams = (

@@ -300,12 +300,15 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
-    toks = clean_tokens(F.col(text_col))
+    # tokens materialized as a column first: a lambda over an embedded
+    # expression would re-tokenize the doc once per chunk
+    base = df.select(F.col(id_col).alias("id"), clean_tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
     chunks = F.transform(starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " "))
     return (
-        df.select(F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        base.select("id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
         .where(F.col("chunk_text") != "")
         .select(
             "id", "chunk_id", "chunk_text",
