@@ -253,22 +253,25 @@ def simhash32(text_col: Column, hash_fn: str = "xxhash64") -> Column:
         hashes = F.transform(toks, lambda t: shared_hash64(t))
     else:
         hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def vote(bit: int) -> Column:
-        # NB: the merge lambda must take exactly TWO params (acc, elem) —
-        # extra params change how Spark binds the lambda variables
-        mask = F.lit(1 << bit).cast("long")
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-
-    bit_votes = [vote(b) for b in range(32)]
-    out = F.lit(0).cast("long")
-    for b, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    # ONE aggregate with a 32-slot accumulator, not 32 aggregates: the
+    # ``hashes`` expression is a collection argument, so per-bit
+    # aggregates re-tokenized + re-hashed the doc 32× per row (measured
+    # 4.6×/10× slower for xxhash64/md5).  NB merge lambdas must take
+    # exactly TWO params (acc, elem) — a third binds the element index.
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    zero = F.array_repeat(F.lit(0).cast("long"), 32)
+    votes = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, hv: F.zip_with(
+            acc, masks, lambda a, m: a + F.when(hv.bitwiseAND(m) != 0, 1).otherwise(-1)
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_pairs(
