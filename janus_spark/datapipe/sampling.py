@@ -31,17 +31,26 @@ def rate_to_hex_threshold(rate: float) -> str:
     return format(min(int(rate * _HASH_SPACE), _HASH_SPACE - 1), "08x")
 
 
-def hash_bucket(key: Column) -> Column:
+def hash_bucket(key: Column, salt: str = "") -> Column:
     """The 8-hex-char md5 prefix of a key's string form — the uniform
-    'coin flip' every sampler below compares against a threshold."""
-    return F.substring(F.md5(key.cast("string")), 1, 8)
+    'coin flip' every sampler below compares against a threshold.
+
+    ``salt`` namespaces the draw per OPERATOR: two hash-keyed operators
+    composed over the same key column must not share a coin (an unsalted
+    temperature-mix → split pipeline made the eval fraction 0.1/keep_rate
+    instead of 0.1, because the split's low-hash winners were exactly the
+    mix's low-hash keepers).  Each sampler below has a distinct default
+    salt; pass your own when composing the same operator twice."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
 
 
-def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id") -> DataFrame:
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = ":sample"
+) -> DataFrame:
     """Keep ~``rate`` of rows, chosen deterministically by key hash.
     Unlike ``df.sample()`` the selection is stable across runs, partition
     counts and engines."""
-    return df.where(hash_bucket(F.col(key_col)) < rate_to_hex_threshold(rate))
+    return df.where(hash_bucket(F.col(key_col), salt) < rate_to_hex_threshold(rate))
 
 
 def stratified_sample(
@@ -50,6 +59,7 @@ def stratified_sample(
     strata_col: str = "lang",
     key_col: str = "doc_id",
     default_rate: float = 0.0,
+    salt: str = ":strat",
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. language rebalancing: keep
     10% of English, 100% of low-resource languages).  Map-only: the rate
@@ -57,7 +67,7 @@ def stratified_sample(
     thr: Column = F.lit(rate_to_hex_threshold(default_rate))
     for stratum, rate in rates.items():
         thr = F.when(F.col(strata_col) == stratum, F.lit(rate_to_hex_threshold(rate))).otherwise(thr)
-    return df.where(hash_bucket(F.col(key_col)) < thr)
+    return df.where(hash_bucket(F.col(key_col), salt) < thr)
 
 
 def quota_sample(
@@ -65,6 +75,7 @@ def quota_sample(
     n_per_stratum: int,
     strata_col: str = "source",
     key_col: str = "doc_id",
+    salt: str = ":quota",
 ) -> DataFrame:
     """At most ``n_per_stratum`` rows per stratum, picked deterministically
     (lowest key-hashes win; key breaks hash ties).  The domain-quota
@@ -74,7 +85,7 @@ def quota_sample(
     with billions of rows) funnels into one partition before the rank cut;
     at that scale pre-filter with ``hash_sample`` at a rate that leaves
     ~10×n survivors per stratum, then apply the exact quota."""
-    w = Window.partitionBy(strata_col).orderBy(hash_bucket(F.col(key_col)), F.col(key_col))
+    w = Window.partitionBy(strata_col).orderBy(hash_bucket(F.col(key_col), salt), F.col(key_col))
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= n_per_stratum)
@@ -87,6 +98,7 @@ def weighted_sample(
     k: int,
     weight_col: str,
     key_col: str = "doc_id",
+    salt: str = ":weight",
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis–
     Spirakis): each row draws a reproducible uniform u from its key hash
@@ -97,7 +109,7 @@ def weighted_sample(
     Scale: orderBy(score).limit(k) compiles to TakeOrderedAndProject —
     each task keeps a k-heap, the driver merges; no global sort.  Rows
     with weight <= 0 (or null) are excluded."""
-    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+    h = F.conv(hash_bucket(F.col(key_col), salt), 16, 10)
     u = (h.cast("double") + 1) / (_HASH_SPACE + 1)  # (0, 1]
     w = F.col(weight_col).try_cast("double")
     score = -F.log(u) / w
@@ -116,6 +128,7 @@ def temperature_mix(
     alpha: float = 0.5,
     source_col: str = "source",
     key_col: str = "doc_id",
+    salt: str = ":mix",
 ) -> DataFrame:
     """Temperature-based domain re-balancing: sample ~``budget`` rows with
     per-source share ∝ ``n_s^alpha`` — the standard multi-domain training
@@ -145,7 +158,7 @@ def temperature_mix(
             F.round(F.lit(float(budget)) * w(F.col("__n")) / F.col("__z") / F.col("__n"), 9),
         ).alias("__rate"),
     )
-    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+    h = F.conv(hash_bucket(F.col(key_col), salt), 16, 10).cast("bigint")
     thr = F.floor(F.col("__rate") * F.lit(float(_HASH_SPACE))).cast("bigint")
     return df.join(F.broadcast(rates), source_col).where(h < thr).drop("__rate")
 
@@ -154,6 +167,7 @@ def split_train_eval(
     df: DataFrame,
     eval_rate: float = 0.01,
     key_col: str = "doc_id",
+    salt: str = ":split",
 ) -> DataFrame:
     """Tag every row with a stable 'train' / 'eval' split label.  Because
     the split is key-hash based, later re-runs over a grown corpus keep
@@ -161,7 +175,7 @@ def split_train_eval(
     data arrives)."""
     return df.withColumn(
         "split",
-        F.when(hash_bucket(F.col(key_col)) < rate_to_hex_threshold(eval_rate), F.lit("eval")).otherwise(
-            F.lit("train")
-        ),
+        F.when(
+            hash_bucket(F.col(key_col), salt) < rate_to_hex_threshold(eval_rate), F.lit("eval")
+        ).otherwise(F.lit("train")),
     )

@@ -1660,26 +1660,28 @@ def _scrub_oracle() -> str:
 def _sampling_oracles() -> dict[str, str]:
     from janus_spark.datapipe.sampling import rate_to_hex_threshold as thr
 
-    bucket = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    def bucket(salt: str) -> str:
+        return f"substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8)"
+
     toks_sql = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
     return {
         "q_sample_hash": f"""
             SELECT doc_id, lang, source FROM documents
-            WHERE {bucket} < '{thr(0.25)}'""",
+            WHERE {bucket(':sample')} < '{thr(0.25)}'""",
         "q_sample_stratified": f"""
             SELECT doc_id, lang FROM documents
-            WHERE {bucket} < CASE lang WHEN 'en' THEN '{thr(0.25)}'
+            WHERE {bucket(':strat')} < CASE lang WHEN 'en' THEN '{thr(0.25)}'
                                        WHEN 'de' THEN '{thr(0.75)}'
                                        ELSE '{thr(0.5)}' END""",
         "q_sample_quota": f"""
             SELECT doc_id, source FROM (
               SELECT doc_id, source,
-                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY {bucket}, doc_id) AS rk
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY {bucket(':quota')}, doc_id) AS rk
               FROM documents)
             WHERE rk <= 5""",
         "q_split_train_eval": f"""
             SELECT doc_id,
-                   CASE WHEN {bucket} < '{thr(0.2)}' THEN 'eval' ELSE 'train' END AS split
+                   CASE WHEN {bucket(':split')} < '{thr(0.2)}' THEN 'eval' ELSE 'train' END AS split
             FROM documents""",
         "q_repetition": f"""
             WITH t AS (SELECT doc_id, {toks_sql} AS l FROM documents),
@@ -2223,7 +2225,7 @@ ORACLES["q_skew_join"] = """
 ORACLES["q_sample_weighted"] = """
     SELECT doc_id, lang, n_chars FROM (
         SELECT doc_id, lang, n_chars,
-               -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+               -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':weight'), 1, 8))::BIGINT + 1)
                    / 4294967297.0) / n_chars AS s
         FROM documents WHERE n_chars > 0
         ORDER BY s LIMIT 500)"""
@@ -3583,7 +3585,7 @@ ORACLES["q_temperature_mix"] = f"""
                           AS rate FROM c)
     SELECT d.doc_id, d.source, d.n_chars
     FROM documents d JOIN r USING (source)
-    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
           < CAST(FLOOR(rate * 4294967296.0) AS BIGINT)"""
 
 
@@ -4037,3 +4039,54 @@ ORACLES["q_not_exists_anti"] = f"""
                       WHERE x.event_type = 'error'
                         AND x.user_id = c.user_id
                         AND x.value > 195)"""
+
+
+_CUR_BUDGET = 150
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition under ONE oracle: exact dedup
+    (normalized-fingerprint keepers) → repetition filter
+    (uniq-token ratio ≥ 0.3) → temperature mix to a 150-doc budget →
+    stable train/eval split.  Everything composes as one lazy plan — the
+    gate pins that the operator outputs feed each other correctly, not
+    just that each is right in isolation."""
+    from janus_spark.datapipe.dedup import exact_dedup
+    from janus_spark.datapipe.sampling import split_train_eval, temperature_mix
+    from janus_spark.datapipe.text import repetition_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keepers, "doc_id")
+    rep = repetition_features(kept).where(F.col("uniq_token_ratio") >= 0.3)
+    filtered = kept.join(rep.select("doc_id"), "doc_id")
+    mixed = temperature_mix(filtered, budget=_CUR_BUDGET, alpha=0.5)
+    out = split_train_eval(mixed, eval_rate=0.1)
+    return out.select("doc_id", "source", "split")
+
+
+QUERIES["q_curation_pipeline"] = q_curation_pipeline
+ORACLES["q_curation_pipeline"] = f"""
+    WITH keep AS (SELECT MIN(doc_id) AS doc_id
+                  FROM (SELECT doc_id, md5({_NORM_SQL}) AS key FROM documents)
+                  GROUP BY key),
+         kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+         toks AS (SELECT doc_id, source,
+                         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     x -> x <> '') AS l
+                  FROM kept),
+         rep AS (SELECT doc_id, source FROM toks
+                 WHERE len(l) = 0
+                    OR len(list_distinct(l)) / len(l) >= 0.3),
+         c AS (SELECT source, COUNT(*) AS n FROM rep GROUP BY source),
+         z AS (SELECT SUM(sqrt(n)) AS z FROM c),
+         r AS (SELECT source,
+                      LEAST(1.0, ROUND({_CUR_BUDGET}.0 * sqrt(n) / (SELECT z FROM z) / n, 9))
+                          AS rate FROM c)
+    SELECT p.doc_id, p.source,
+           CASE WHEN substr(md5(CAST(p.doc_id AS VARCHAR) || ':split'), 1, 8)
+                     < '{'{:08x}'.format(int(0.1 * 16**8))}'
+                THEN 'eval' ELSE 'train' END AS split
+    FROM rep p JOIN r USING (source)
+    WHERE ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
+          < CAST(FLOOR(rate * 4294967296.0) AS BIGINT)"""
