@@ -31,10 +31,20 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 8,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Iterate PageRank on a directed graph given as an edge list.
     Returns ``(id, rank)`` with ranks summing to 1.  Duplicate edges are
-    collapsed (an edge's multiplicity does not multiply its vote)."""
+    collapsed (an edge's multiplicity does not multiply its vote).
+
+    ``seeds``: personalized PageRank — the teleport (and dangling-mass
+    redistribution) targets only the seed node ids, so rank measures
+    proximity TO THE SEEDS rather than global centrality (topic-focused
+    corpus weighting: seed with known-good domains, sample by rank).
+    Seeds are embedded as an ``isin`` literal — fine to thousands; for
+    a huge seed set swap the membership test for a broadcast semi-join
+    flag.  ``seeds=None`` keeps the uniform teleport (global PageRank,
+    bit-identical to the previous formulation)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -45,7 +55,17 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if seeds is None:
+        is_seed = F.lit(True)
+        n_t = n
+    else:
+        is_seed = F.col("id").isin(list(seeds))
+        n_t = len(set(seeds))
+        if n_t == 0:
+            raise ValueError("seeds must be non-empty (or None for uniform)")
+    ranks = nodes.withColumn(
+        "rank", F.when(is_seed, F.lit(1.0 / n_t)).otherwise(F.lit(0.0))
+    )
 
     for i in range(iterations):
         contrib = (
@@ -61,12 +81,15 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .first()[0]
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = (1.0 - damping) / n_t + damping * dangling / n_t
         ranks = (
             nodes.join(contrib, "id", "left")
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+                (
+                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0.0))
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
         if (i + 1) % checkpoint_every == 0:

@@ -4090,3 +4090,48 @@ ORACLES["q_curation_pipeline"] = f"""
     FROM rep p JOIN r USING (source)
     WHERE ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
           < CAST(FLOOR(rate * 4294967296.0) AS BIGINT)"""
+
+
+_PPR_SEEDS = ("s1", "s2", "s3", "s4", "s5")
+
+
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (teleport restricted to 5 seed suppliers)
+    over the symmetric supplier–part graph — topic-focused proximity
+    weighting; see operators/graph.py::pagerank(seeds=...)."""
+    from janus_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sp = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    edges = sp.unionByName(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iterations=3, damping=0.85, seeds=list(_PPR_SEEDS))
+    # scaled by 1000 so 6-decimal rounding keeps precision on small masses
+    return ranks.select("id", F.round(F.col("rank") * 1000, 6).alias("rank_x_1000"))
+
+
+def _ppr_oracle() -> str:
+    seeds = "(" + ", ".join(f"'{s}'" for s in _PPR_SEEDS) + ")"
+    ns = len(_PPR_SEEDS)
+    step = """
+        r{next} AS (
+            SELECT n.id,
+                   CASE WHEN n.id IN {seeds} THEN (1 - 0.85) / {ns} ELSE 0 END
+                   + 0.85 * COALESCE(i.inflow, 0) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, SUM(r.rank / d.deg) AS inflow
+                FROM edges e JOIN r{cur} r ON r.id = e.src
+                JOIN deg d ON d.id = e.src
+                GROUP BY e.dst) i USING (id))"""
+    return (
+        "WITH " + _PR_EDGES + ","
+        + f"r0 AS (SELECT id, CASE WHEN id IN {seeds} THEN 1.0 / {ns} ELSE 0 END AS rank FROM nodes),"
+        + ",".join(step.format(cur=i, next=i + 1, seeds=seeds, ns=ns) for i in range(3))
+        + " SELECT id, ROUND(rank * 1000, 6) AS rank_x_1000 FROM r3"
+    )
+
+
+QUERIES["q_pagerank_personalized"] = q_pagerank_personalized
+ORACLES["q_pagerank_personalized"] = _ppr_oracle()

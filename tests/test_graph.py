@@ -71,3 +71,20 @@ def test_triangle_count_collapses_duplicates_and_loops(spark):
     )
     out = {r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()}
     assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_personalized_pagerank_localizes_mass(spark):
+    from janus_spark.operators.graph import pagerank
+
+    # two disconnected 3-cycles; seeding in the first keeps ALL mass there
+    c1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    c2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    edges = spark.createDataFrame(c1 + c2, ["src", "dst"])
+    ranks = {r["id"]: r["rank"] for r in
+             pagerank(edges, iterations=5, seeds=["a"]).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert all(ranks[v] == 0.0 for v in ("x", "y", "z"))
+    assert ranks["a"] > ranks["b"] > 0  # seed holds the most mass
+    # uniform teleport spreads across both components
+    uni = {r["id"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert all(uni[v] > 0 for v in "abcxyz")
