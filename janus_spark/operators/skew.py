@@ -63,3 +63,39 @@ def skew_safe_count_distinct(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(alias))
     )
+
+
+def skew_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top: int = 10,
+) -> DataFrame:
+    """Shuffle-planning diagnosis: the ``top`` hottest keys with their
+    row count, share of the table, skew factor (count ÷ mean count per
+    key), and the salt factor that would level each down to the mean —
+    the number you feed straight into ``salted_join``.  Run this BEFORE
+    shipping a join/groupBy on an unknown key at scale; a skew factor in
+    the hundreds means AQE split points or planned salting.
+
+    One map-side-combined aggregation over the scan plus a 2-row
+    broadcast of the totals; the top-N cut is TakeOrdered (per-task
+    heap), no global sort.
+    """
+    keys = [F.col(k) for k in key_cols]
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("__total"), F.count("*").alias("__nkeys")
+    )
+    skew = F.col("n") * F.col("__nkeys") / F.col("__total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            *key_cols,
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(skew, 6).alias("skew_factor"),
+            F.ceil(skew).cast("long").alias("suggested_salt"),
+        )
+        .orderBy(F.desc("n"), *key_cols)
+        .limit(top)
+    )

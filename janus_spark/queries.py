@@ -4135,3 +4135,26 @@ def _ppr_oracle() -> str:
 
 QUERIES["q_pagerank_personalized"] = q_pagerank_personalized
 ORACLES["q_pagerank_personalized"] = _ppr_oracle()
+
+
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnosis (hottest customer keys in orders) —
+    the pre-flight check for join/groupBy shuffle planning; see
+    operators/skew.py::skew_stats."""
+    from janus_spark.operators.skew import skew_stats
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return skew_stats(od, ["o_custkey"], top=10)
+
+
+QUERIES["q_skew_stats"] = q_skew_stats
+ORACLES["q_skew_stats"] = """
+    WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+         t AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM c)
+    SELECT o_custkey, n,
+           ROUND(n / t.total, 6) AS share,
+           ROUND(n * t.nkeys / t.total, 6) AS skew_factor,
+           CAST(CEIL(n * t.nkeys / t.total) AS BIGINT) AS suggested_salt
+    FROM c, t
+    ORDER BY n DESC, o_custkey
+    LIMIT 10"""

@@ -112,3 +112,18 @@ def test_prefix_filter_bounds_skewed_candidates(spark):
         )
     )
     assert got == want
+
+
+def test_skew_stats_flags_hot_key(spark):
+    from janus_spark.operators.skew import skew_stats
+
+    # 9 keys with 10 rows each + one key with 910 rows: mean = 100
+    rows = [(k, i) for k in range(9) for i in range(10)] + [(99, i) for i in range(910)]
+    df = spark.createDataFrame(rows, "k long, x long")
+    out = skew_stats(df, ["k"], top=3).collect()
+    hot = out[0]
+    assert hot["k"] == 99 and hot["n"] == 910
+    assert abs(hot["share"] - 0.91) < 1e-6
+    assert abs(hot["skew_factor"] - 9.1) < 1e-6
+    assert hot["suggested_salt"] == 10   # ceil(9.1): levels the key to ~mean
+    assert len(out) == 3 and out[1]["n"] == 10
