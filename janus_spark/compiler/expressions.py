@@ -235,7 +235,11 @@ def compile_aggregate(e: ECall, registry=None) -> Column:
     if name == "MAX":
         return F.max(rec(e.args[0]))
     if name == "SAMPLE":
-        return F.first(rec(e.args[0]), ignorenulls=True)
+        # SPARQL allows ANY value; min is a legal choice and, unlike
+        # first(), deterministic across partitionings and retries — the
+        # rest of the engine guarantees reproducible results, SAMPLE
+        # should not be the one exception
+        return F.min(rec(e.args[0]))
     if name == "GROUP_CONCAT":
         # sorted for determinism (SPARQL leaves the order undefined;
         # a stable order makes results reproducible and oracle-checkable)

@@ -401,3 +401,17 @@ def test_unbound_var_corners(spark):
         ("urn:a", "alice", None), ("urn:a", None, "30"), ("urn:b", "bob", None)]
     assert res(f'SELECT ?s (COALESCE(?age, "none") AS ?x) WHERE {{ {opt} }}') == [
         ("urn:a", "30"), ("urn:b", "none")]
+
+
+def test_sample_aggregate_deterministic(spark):
+    rows = [("urn:g1", "urn:p:v", v) for v in ("c", "a", "b")] + [
+        ("urn:g2", "urn:p:v", "z")
+    ]
+    q = spark.createDataFrame(
+        [(s, p, o, 0, "") for s, p, o in rows],
+        "subject string, predicate string, object string, ts long, graph string",
+    )
+    text = "SELECT ?s (SAMPLE(?v) AS ?x) WHERE { ?s <urn:p:v> ?v . } GROUP BY ?s"
+    a = sorted(tuple(r) for r in run(q, text).collect())
+    b = sorted(tuple(r) for r in run(q.repartition(7), text).collect())
+    assert a == b == [("urn:g1", "a"), ("urn:g2", "z")]  # min: stable pick
