@@ -332,6 +332,20 @@ def pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     return F.array(*codes)
 
 
+def _adc_dot(codes: Column, qv: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Asymmetric inner product: Σ_j dot(q_j, codebook_j[code_j]) — the
+    per-subspace contributions add in a fixed left-to-right order so a
+    SQL oracle reproduces the float result exactly."""
+    d = len(codebooks[0][0])
+    adc = None
+    for j, cb in enumerate(codebooks):
+        subq = F.slice(qv, j * d + 1, d)
+        cb_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb])
+        contrib = _dot(subq, F.element_at(cb_lit, F.element_at(codes, j + 1) + 1))
+        adc = contrib if adc is None else adc + contrib
+    return adc
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -372,12 +386,7 @@ def pq_topk(
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     joined = enc.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
-    adc = None
-    for j, cb in enumerate(codebooks):
-        subq = F.slice(F.col("qv"), j * d + 1, d)
-        cb_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb])
-        contrib = _dot(subq, F.element_at(cb_lit, F.element_at(F.col("codes"), j + 1) + 1))
-        adc = contrib if adc is None else adc + contrib
+    adc = _adc_dot(F.col("codes"), F.col("qv"), codebooks)
     sims = joined.select("query_id", "vec_id", "qv", "cv", adc.alias("sim_adc"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim_adc").desc(), F.col("vec_id"))
     if rerank:
@@ -393,6 +402,80 @@ def pq_topk(
         )
     return (
         sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.col("sim_adc").alias("sim"))
+    )
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFADC architecture): corpus vectors
+    live in inverted lists keyed by their nearest coarse centroid AND are
+    stored as m-byte PQ codes; a query probes its ``nprobe`` nearest
+    cells and ADC-scores only those cells' codes.
+
+    This is the 100 TB search shape: the scan touches ``nprobe/n_cells``
+    of a corpus that is itself 64× compressed — both reductions compose.
+    Cell assignment and encoding are map-only (literals); the candidate
+    join shuffles the codes table once on ``cell`` (zero times if the
+    lists are pre-bucketed on disk); the query side is broadcast.
+    ``rerank`` re-scores the top ADC candidates with exact cosine against
+    the raw vectors.  Codes are over raw vectors with shared codebooks
+    (classic IVFADC encodes residuals x − centroid; same plan shape,
+    per-cell or shared residual codebooks drop in via ``codebooks``).
+
+    RNG-free end to end (md5-coreset centroids and codebooks), so the
+    whole composition is SQL-reproducible — the gate is oracle-EXACT.
+    """
+    if centroids is None:
+        centroids = ivf_train(corpus, n_cells, id_col, vec_col, iters=0)
+    if codebooks is None:
+        codebooks = pq_train(corpus, m, k_codes, id_col, vec_col)
+    enc = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        nearest_cell(F.col(vec_col), centroids).alias("cell"),
+        pq_codes(F.col(vec_col), codebooks).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    cand = (
+        enc.join(F.broadcast(q), on="cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "qv", "cv",
+            _adc_dot(F.col("codes"), F.col("qv"), codebooks).alias("sim_adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_adc").desc(), F.col("vec_id"))
+    if rerank:
+        shortlist = cand.withColumn("r", F.row_number().over(w)).where(F.col("r") <= rerank)
+        exact = shortlist.select(
+            "query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+        return (
+            exact.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "sim")
+        )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", F.col("sim_adc").alias("sim"))
     )

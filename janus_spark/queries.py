@@ -4158,3 +4158,68 @@ ORACLES["q_skew_stats"] = """
     FROM c, t
     ORDER BY n DESC, o_custkey
     LIMIT 10"""
+
+
+def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF routing + PQ codes composed (FAISS IVFADC shape): probe 4 of
+    16 inverted lists, ADC-score only their m-byte codes — both scan
+    reductions compose; see datapipe/similarity.py::ivfadc_topk."""
+    from janus_spark.datapipe.similarity import ivfadc_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.where("vec_id < 5")
+    out = ivfadc_topk(embs, queries, k=10, n_cells=16, nprobe=4, m=4, k_codes=16)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+QUERIES["q_ann_ivfadc"] = q_ann_ivfadc
+ORACLES["q_ann_ivfadc"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ce AS (SELECT v AS cv, cell FROM (
+                  SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+                  FROM e) WHERE cell < 16),
+         asg AS (SELECT e.vec_id, e.v, c.cell,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                           ORDER BY COALESCE(list_cosine_similarity(e.v, c.cv), -2.0) DESC,
+                                                    c.cell DESC) AS rnk
+                 FROM e CROSS JOIN ce c),
+         corpus AS (SELECT vec_id, v, cell FROM asg WHERE rnk = 1),
+         probe AS (SELECT vec_id AS query_id, v AS qv, cell
+                   FROM asg WHERE vec_id < 5 AND rnk <= 4),
+         enc AS (SELECT vec_id, j, code FROM (
+                  SELECT e.vec_id, s.j, c.cell AS code,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.j
+                             ORDER BY list_sum(list_transform(range(1, 17),
+                                         i -> (e.v[s.j * 16 + i] - c.cv[s.j * 16 + i])
+                                            * (e.v[s.j * 16 + i] - c.cv[s.j * 16 + i]))) ASC,
+                                      c.cell ASC) AS rnk
+                  FROM e, range(0, 4) s(j) CROSS JOIN ce c) WHERE rnk = 1),
+         codes AS (SELECT vec_id,
+                          MAX(CASE WHEN j = 0 THEN code END) AS c0,
+                          MAX(CASE WHEN j = 1 THEN code END) AS c1,
+                          MAX(CASE WHEN j = 2 THEN code END) AS c2,
+                          MAX(CASE WHEN j = 3 THEN code END) AS c3
+                   FROM enc GROUP BY vec_id),
+         adc AS (SELECT p.query_id, t.vec_id,
+                        list_sum(list_transform(range(1, 17), i -> p.qv[i] * b0.cv[i]))
+                      + list_sum(list_transform(range(1, 17), i -> p.qv[16 + i] * b1.cv[16 + i]))
+                      + list_sum(list_transform(range(1, 17), i -> p.qv[32 + i] * b2.cv[32 + i]))
+                      + list_sum(list_transform(range(1, 17), i -> p.qv[48 + i] * b3.cv[48 + i]))
+                            AS sim
+                 FROM probe p
+                 JOIN corpus t USING (cell)
+                 JOIN codes x ON x.vec_id = t.vec_id
+                 JOIN ce b0 ON b0.cell = x.c0
+                 JOIN ce b1 ON b1.cell = x.c1
+                 JOIN ce b2 ON b2.cell = x.c2
+                 JOIN ce b3 ON b3.cell = x.c3
+                 WHERE t.vec_id <> p.query_id),
+         ranked AS (SELECT query_id, vec_id, sim,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY sim DESC, vec_id) AS rank
+                    FROM adc)
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= 10"""

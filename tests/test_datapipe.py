@@ -684,3 +684,30 @@ def test_novelty_scores_order_sensitive(spark):
     assert out[2] == 0.0
     assert 0.0 < out[3] < 1.0
     assert out[4] == 1.0
+
+
+def test_ivfadc_probe_all_matches_pq(spark, embs):
+    """nprobe = n_cells degrades IVFADC to plain PQ ADC over the whole
+    corpus — the correctness anchor tying the composition to its parts."""
+    from janus_spark.datapipe import similarity
+
+    queries = embs.where("vec_id < 5")
+    pq = similarity.pq_topk(embs, queries, k=5, m=4, k_codes=16).collect()
+    ivfadc = similarity.ivfadc_topk(
+        embs, queries, k=5, n_cells=16, nprobe=16, m=4, k_codes=16
+    ).collect()
+    key = lambda rs: sorted((r["query_id"], r["vec_id"], r["rank"]) for r in rs)
+    assert key(ivfadc) == key(pq)
+
+
+def test_ivfadc_rerank_recall(spark, embs):
+    from janus_spark.datapipe import similarity
+
+    queries = embs.where("vec_id < 10")
+    exact = similarity.cosine_topk(embs, queries, k=5).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in exact}
+    out = similarity.ivfadc_topk(
+        embs, queries, k=5, n_cells=16, nprobe=8, m=4, k_codes=16, rerank=100
+    ).collect()
+    hit = len(truth & {(r["query_id"], r["vec_id"]) for r in out}) / len(truth)
+    assert hit >= 0.3  # probe-half + wide rerank floor on the random fixture
