@@ -313,12 +313,31 @@ def pane_sliding_percentile(
         .groupBy(*key_cols, "w", "bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
+    return (
+        quantiles_from_binned(hist, [*key_cols, "w"], probs, vmin, width)
+        .withColumn("window_start", (F.col("w") * F.lit(step_ms)).cast("long"))
+        .drop("w")
+    )
+
+
+def quantiles_from_binned(
+    hist: DataFrame,
+    part_cols: list[str],
+    probs: tuple[float, ...],
+    vmin: float,
+    width: float,
+) -> DataFrame:
+    """Quantiles off a binned histogram frame ``(part_cols…, bin, cnt)``:
+    CDF per partition, rank ``ceil(p·N)`` (standard lower quantile),
+    value = bin midpoint.  Shared finisher for the batch pane path and
+    the streaming histogram sink — deterministic integer counting, so
+    both are oracle-EXACT."""
     w_cum = (
-        Window.partitionBy(*key_cols, "w")
+        Window.partitionBy(*part_cols)
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy(*key_cols, "w")
+    w_all = Window.partitionBy(*part_cols)
     cdf = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "total", F.sum("cnt").over(w_all)
     )
@@ -329,12 +348,7 @@ def pane_sliding_percentile(
         aggs.append(
             F.round(F.lit(vmin) + (b + 0.5) * F.lit(width), 6).alias(f"p{round(p * 100)}")
         )
-    return (
-        cdf.groupBy(*key_cols, "w")
-        .agg(*aggs)
-        .withColumn("window_start", (F.col("w") * F.lit(step_ms)).cast("long"))
-        .drop("w")
-    )
+    return cdf.groupBy(*part_cols).agg(*aggs)
 
 
 def pane_sliding_agg(

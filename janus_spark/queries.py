@@ -4223,3 +4223,81 @@ ORACLES["q_ann_ivfadc"] = """
                     FROM adc)
     SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
     FROM ranked WHERE rank <= 10"""
+
+
+def q_live_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live sliding percentiles over a REAL Structured Streaming run:
+    tumbling 4s windows aggregate fixed-bin histogram counts with native
+    incremental state (append mode, watermark-closed), and the quantiles
+    read off the sunk counts in batch.  Deterministic integer counting →
+    EXACT oracle.  sf_dir unused: the fixture IS the stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.operators.timeseries import quantiles_from_binned
+    from janus_spark.streaming.native_agg import histogram_quantile_stream
+
+    fixture = spark.range(1, 61).select(
+        (F.col("id") * 500).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("sensor"),
+        (20.0 + (F.col("id") % 10)).alias("value"),
+    )
+    closer = spark.range(1).select(
+        F.lit(95_000).cast("long").alias("ts"),
+        F.lit("9").alias("sensor"),
+        F.lit(25.0).alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="live_pct_")
+    name = f"live_pct_{uuid.uuid4().hex[:8]}"
+    try:
+        fixture.where("ts <= 15000").coalesce(1).write.parquet(f"{root}/f1.parquet")
+        fixture.where("ts > 15000").coalesce(1).write.parquet(f"{root}/f2.parquet")
+        closer.coalesce(1).write.parquet(f"{root}/f3.parquet")
+        stream = (
+            spark.readStream.schema("ts long, sensor string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        hist = histogram_quantile_stream(
+            stream, [], ts_col="ts", value_col="value",
+            window_ms=4_000, vmin=20.0, vmax=30.0, n_bins=10,
+        )
+        q = (
+            hist.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        counts = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = quantiles_from_binned(counts, ["window_start"], (0.5, 0.95), 20.0, 1.0)
+    # the closer's own window never finalizes (nothing after it) — only
+    # fixture windows are in the sink, which is exactly what the oracle
+    # reconstructs
+    return out.select(
+        "window_start", "n_events", F.col("p50").alias("p50"), F.col("p95").alias("p95")
+    )
+
+
+QUERIES["q_live_percentile"] = q_live_percentile
+ORACLES["q_live_percentile"] = """
+    WITH e AS (SELECT i * 500 AS ts, 20.0 + (i % 10) AS value
+               FROM range(1, 61) r(i)),
+         b AS (SELECT (ts // 4000) * 4000 AS window_start,
+                      CAST(LEAST(GREATEST(FLOOR((value - 20.0) / 1.0), 0), 9) AS BIGINT) AS bin,
+                      COUNT(*) AS cnt
+               FROM e GROUP BY 1, 2),
+         c AS (SELECT window_start, bin, cnt,
+                      SUM(cnt) OVER (PARTITION BY window_start ORDER BY bin
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                      SUM(cnt) OVER (PARTITION BY window_start) AS total
+               FROM b)
+    SELECT window_start, CAST(MAX(total) AS BIGINT) AS n_events,
+           ROUND(20.0 + (MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END) + 0.5) * 1.0, 6) AS p50,
+           ROUND(20.0 + (MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END) + 0.5) * 1.0, 6) AS p95
+    FROM c GROUP BY window_start"""

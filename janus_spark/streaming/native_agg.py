@@ -164,3 +164,51 @@ def native_window_agg_stream(
         *[F.col(v) for v in group_vars],
         *[F.col(name) for e, name in parsed.projection if isinstance(e, ECall) and e.is_aggregate()],
     )
+
+
+def histogram_quantile_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_ms: int = 4_000,
+    vmin: float = 0.0,
+    vmax: float = 100.0,
+    n_bins: int = 100,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Streaming half of the live percentile operator: per tumbling
+    event-time window and key, aggregate fixed-bin histogram COUNTS with
+    Spark's native incremental state (watermark-evicted, append-mode
+    emission on window close).  The shuffle carries at most ``n_bins``
+    rows per (key, window) regardless of event rate — the same mergeable
+    -sketch argument as the batch pane path, running continuously.
+
+    Feed the sunk counts to ``operators.timeseries.quantiles_from_binned``
+    for the quantile read-off; the split matters at scale because the
+    histogram state is the only thing the stream maintains — quantile
+    extraction is a cheap batch query over closed windows, re-runnable
+    for any prob set without touching the stream.
+
+    ``ts_col`` holds epoch milliseconds (the quad-stream convention)."""
+    width = (vmax - vmin) / n_bins
+    bin_ = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(vmin)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    ev = (
+        stream.withColumn("__evt", F.timestamp_millis(F.col(ts_col).cast("long")))
+        .withWatermark("__evt", watermark)
+        .where(F.col(value_col).isNotNull())
+        .withColumn("bin", bin_)
+    )
+    return (
+        ev.groupBy(F.window("__evt", f"{window_ms} milliseconds"), *key_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start"),
+            *key_cols,
+            "bin",
+            "cnt",
+        )
+    )
