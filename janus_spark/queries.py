@@ -4301,3 +4301,36 @@ ORACLES["q_live_percentile"] = """
            ROUND(20.0 + (MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END) + 0.5) * 1.0, 6) AS p50,
            ROUND(20.0 + (MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END) + 0.5) * 1.0, 6) AS p95
     FROM c GROUP BY window_start"""
+
+
+def q_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-or-more property path (`p*`) under the EXACT gate: the `p+`
+    closure over the doc→doc//2 ancestor tree PLUS the zero-length
+    identity over the predicate's nodes (documented divergence from the
+    spec's all-graph-terms identity: the practical, bounded reading)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.where("doc_id >= 1").select(
+        F.lit(0).alias("ts"),
+        F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias("subject"),
+        F.lit("urn:tree:parent").alias("predicate"),
+        F.concat(F.lit("urn:doc:"), (F.col("doc_id") / 2).cast("long").cast("string")).alias("object"),
+        F.lit("g").alias("graph"),
+    )
+    q = """SELECT ?d ?a WHERE { ?d <urn:tree:parent>* ?a . }"""
+    return _run(edges, q, path_max_hops=24)
+
+
+QUERIES["q_path_star"] = q_path_star
+ORACLES["q_path_star"] = """
+    WITH RECURSIVE e AS (
+        SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS c,
+               'urn:doc:' || CAST(doc_id // 2 AS VARCHAR) AS p
+        FROM documents WHERE doc_id >= 1),
+    r AS (
+        SELECT c, p FROM e
+        UNION
+        SELECT r.c, e.p FROM r JOIN e ON r.p = e.c),
+    n AS (SELECT c AS x FROM e UNION SELECT p FROM e)
+    SELECT c AS d, p AS a FROM r
+    UNION
+    SELECT x, x FROM n"""
