@@ -355,7 +355,7 @@ class SparqlCompiler:
             elif type(el).__name__ == "SubSelect":
                 df = self._merge(df, self.compile(el.query), "inner")
             elif isinstance(el, InlineValues):
-                df = self._merge(df, self._values_frame(el), "inner")
+                df = self._merge_values(df, el)
             else:
                 raise ValueError(f"unsupported group element {type(el).__name__}")
         if df is None:
@@ -577,6 +577,32 @@ class SparqlCompiler:
         spark = self.quads.sparkSession
         rows = [tuple(str(x) if x is not None else None for x in row) for row in v.rows]
         return spark.createDataFrame(rows, schema=v.var_names)
+
+    def _merge_values(self, left: DataFrame | None, v: InlineValues) -> DataFrame:
+        """Join a VALUES block by SPARQL solution COMPATIBILITY, not plain
+        equality: an UNDEF (null) binding on either side matches anything
+        and the merged solution takes the defined value.  A plain
+        equi-join silently drops every UNDEF row (null never equals).
+        UNDEF-free blocks keep the equi-join fast path; blocks with
+        UNDEF use a compound-condition join — VALUES tables are tiny, so
+        the broadcast nested loop this plans to is a few rows wide."""
+        vf = self._values_frame(v)
+        if left is None:
+            return vf
+        shared = [c for c in left.columns if c in set(vf.columns)]
+        has_undef = any(x is None for row in v.rows for x in row)
+        if not shared or not has_undef:
+            return self._merge(left, vf, "inner")
+        cond = F.lit(True)
+        for c in shared:
+            cond = cond & (left[c].isNull() | vf[c].isNull() | (left[c] == vf[c]))
+        joined = left.join(vf, on=cond, how="inner")
+        cols = [
+            F.coalesce(left[c], vf[c]).alias(c) if c in shared else left[c]
+            for c in left.columns
+        ]
+        cols += [vf[c] for c in vf.columns if c not in shared]
+        return joined.select(*cols)
 
     # ------------------------------------------------------------ joins
     # ------------------------------------------------ BGP join ordering

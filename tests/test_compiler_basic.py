@@ -415,3 +415,25 @@ def test_sample_aggregate_deterministic(spark):
     a = sorted(tuple(r) for r in run(q, text).collect())
     b = sorted(tuple(r) for r in run(q.repartition(7), text).collect())
     assert a == b == [("urn:g1", "a"), ("urn:g2", "z")]  # min: stable pick
+
+
+def test_values_undef_is_compatibility_wildcard(spark):
+    """VALUES joins by solution compatibility (SPARQL 1.1 §10.2): an
+    UNDEF binding matches ANY value — including on the join variable,
+    where a plain equi-join would silently drop the row."""
+    rows = [("urn:a", "urn:p:name", "alice"), ("urn:b", "urn:p:name", "bob")]
+    q = spark.createDataFrame(
+        [(s, p, o, 0, "") for s, p, o in rows],
+        "subject string, predicate string, object string, ts long, graph string",
+    )
+    out = sorted(
+        tuple(r)
+        for r in run(q, """SELECT ?s ?n ?tag WHERE {
+            ?s <urn:p:name> ?n .
+            VALUES (?n ?tag) { (UNDEF "X") ("alice" "A") } }""").collect()
+    )
+    assert out == [
+        ("urn:a", "alice", "A"),
+        ("urn:a", "alice", "X"),
+        ("urn:b", "bob", "X"),
+    ]
