@@ -4334,3 +4334,76 @@ ORACLES["q_path_star"] = """
     SELECT c AS d, p AS a FROM r
     UNION
     SELECT x, x FROM n"""
+
+
+def q_live_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live top-k per window over a REAL streaming run: tumbling 4s
+    windows maintain per-sensor event counts as native incremental state
+    (append mode, watermark-closed); the top-2 sensors per window rank
+    off the sunk counts in batch — the same state-vs-readout split as
+    q_live_percentile (rank sets aren't incrementally mergeable; bounded
+    per-key counts are).  sf_dir unused: the fixture IS the stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    fixture = spark.range(1, 61).select(
+        (F.col("id") * 500).alias("ts"),
+        # skewed sensor assignment so per-window leaders vary
+        (F.col("id") % 7 % 3).cast("string").alias("sensor"),
+    )
+    closer = spark.range(1).select(
+        F.lit(95_000).cast("long").alias("ts"), F.lit("9").alias("sensor")
+    )
+    root = tempfile.mkdtemp(prefix="live_topk_")
+    name = f"live_topk_{uuid.uuid4().hex[:8]}"
+    try:
+        fixture.where("ts <= 15000").coalesce(1).write.parquet(f"{root}/f1.parquet")
+        fixture.where("ts > 15000").coalesce(1).write.parquet(f"{root}/f2.parquet")
+        closer.coalesce(1).write.parquet(f"{root}/f3.parquet")
+        stream = (
+            spark.readStream.schema("ts long, sensor string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        counts = (
+            stream.withColumn("__evt", F.timestamp_millis(F.col("ts")))
+            .withWatermark("__evt", "1 second")
+            .groupBy(F.window("__evt", "4000 milliseconds"), "sensor")
+            .agg(F.count("*").alias("n"))
+            .select(F.unix_millis(F.col("window.start")).alias("window_start"), "sensor", "n")
+        )
+        q = (
+            counts.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        sunk = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("sensor"))
+    return (
+        sunk.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .select("window_start", "sensor", F.col("n").cast("long").alias("n"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+QUERIES["q_live_topk"] = q_live_topk
+ORACLES["q_live_topk"] = """
+    WITH e AS (SELECT i * 500 AS ts, CAST(i % 7 % 3 AS VARCHAR) AS sensor
+               FROM range(1, 61) r(i)),
+         c AS (SELECT (ts // 4000) * 4000 AS window_start, sensor, COUNT(*) AS n
+               FROM e GROUP BY 1, 2),
+         rk AS (SELECT window_start, sensor, n,
+                       ROW_NUMBER() OVER (PARTITION BY window_start
+                                          ORDER BY n DESC, sensor ASC) AS rank
+                FROM c)
+    SELECT window_start, sensor, n, rank FROM rk WHERE rank <= 2"""
