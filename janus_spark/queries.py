@@ -4407,3 +4407,61 @@ ORACLES["q_live_topk"] = """
                                           ORDER BY n DESC, sensor ASC) AS rank
                 FROM c)
     SELECT window_start, sensor, n, rank FROM rk WHERE rank <= 2"""
+
+
+def q_live_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-ish ingest over an at-least-once transport, under the
+    EXACT gate: a stream carrying every quad TWICE (staggered redelivery
+    across micro-batches, the MQTT-QoS1/Kafka-replay shape) flows through
+    ``dedup_quad_stream`` in a real Structured Streaming run; the sink
+    must hold each quad exactly once.  sf_dir unused: the fixture IS the
+    stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.sources.stream import dedup_quad_stream
+
+    fixture = spark.range(1, 41).select(
+        (F.col("id") * 500).alias("ts"),
+        F.concat(F.lit("urn:s"), (F.col("id") % 5).cast("string")).alias("subject"),
+        F.lit("urn:p:v").alias("predicate"),
+        F.col("id").cast("string").alias("object"),
+        F.lit("g").alias("graph"),
+    )
+    root = tempfile.mkdtemp(prefix="live_dedup_")
+    name = f"live_dedup_{uuid.uuid4().hex[:8]}"
+    try:
+        # batch 1: originals; batch 2: full redelivery + the tail half
+        # again — duplicates arrive both within and across micro-batches
+        fixture.coalesce(1).write.parquet(f"{root}/f1.parquet")
+        fixture.unionByName(fixture.where("ts > 10000")).coalesce(1).write.parquet(
+            f"{root}/f2.parquet"
+        )
+        stream = (
+            spark.readStream.schema("ts long, subject string, predicate string, object string, graph string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        deduped = dedup_quad_stream(stream, within="10 minutes")
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        sunk = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return sunk.select("ts", "subject", "object")
+
+
+QUERIES["q_live_ingest_dedup"] = q_live_ingest_dedup
+ORACLES["q_live_ingest_dedup"] = """
+    SELECT i * 500 AS ts,
+           'urn:s' || CAST(i % 5 AS VARCHAR) AS subject,
+           CAST(i AS VARCHAR) AS object
+    FROM range(1, 41) r(i)"""
