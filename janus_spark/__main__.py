@@ -142,6 +142,11 @@ def cmd_datapipe(args) -> int:
     if args.max_per_source > 0:
         curated = quota_sample(curated, args.max_per_source, strata_col="source")
         summary["after_source_quota"] = curated.count()
+    if args.mix_budget > 0:
+        from janus_spark.datapipe.sampling import temperature_mix
+
+        curated = temperature_mix(curated, budget=args.mix_budget, alpha=args.mix_alpha)
+        summary["after_temperature_mix"] = curated.count()
     curated = split_train_eval(curated, eval_rate=args.eval_rate)
     summary["curated_docs"] = curated.count()
     summary["eval_docs"] = curated.where(F.col("split") == "eval").count()
@@ -202,6 +207,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet path of benchmark docs; matching 5-gram docs are dropped")
     sd.add_argument("--max-per-source", type=int, default=0,
                     help="quota-cap documents per source (0 = no cap)")
+    sd.add_argument("--mix-budget", type=int, default=0,
+                    help="temperature-mix the corpus down to ~N docs (0 = off)")
+    sd.add_argument("--mix-alpha", type=float, default=0.5,
+                    help="temperature exponent: per-source share ∝ n^alpha")
     sd.add_argument("--eval-rate", type=float, default=0.01,
                     help="fraction tagged 'eval' in the stable train/eval split")
     sd.add_argument("--chunk-tokens", type=int, default=0,

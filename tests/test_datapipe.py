@@ -711,3 +711,18 @@ def test_ivfadc_rerank_recall(spark, embs):
     ).collect()
     hit = len(truth & {(r["query_id"], r["vec_id"]) for r in out}) / len(truth)
     assert hit >= 0.3  # probe-half + wide rerank floor on the random fixture
+
+
+def test_datapipe_cli_with_temperature_mix(spark, tmp_path, capsys):
+    import json
+
+    from janus_spark.__main__ import main
+
+    rc = main([
+        "datapipe", "--sf-dir", "/root/testdata/sf0.001",
+        "--mix-budget", "20", "--mix-alpha", "0.5",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < summary["after_temperature_mix"] <= summary["after_exact_dedup"]
+    assert summary["curated_docs"] == summary["after_temperature_mix"]
