@@ -437,3 +437,21 @@ def test_values_undef_is_compatibility_wildcard(spark):
         ("urn:a", "alice", "X"),
         ("urn:b", "bob", "X"),
     ]
+
+
+def test_filter_precedence_in_and_negation(spark):
+    """&& binds tighter than || (SPARQL §17.2 grammar); IN / NOT IN and
+    unary minus coerce numerically."""
+    rows = [("urn:a", "urn:p:v", "1"), ("urn:b", "urn:p:v", "2"), ("urn:c", "urn:p:v", "-3")]
+    q = spark.createDataFrame(
+        [(s, p, o, 0, "") for s, p, o in rows],
+        "subject string, predicate string, object string, ts long, graph string",
+    )
+
+    def res(f):
+        return sorted(r["s"] for r in run(q, f"SELECT ?s WHERE {{ ?s <urn:p:v> ?v . FILTER({f}) }}").collect())
+
+    assert res("?v > 5 || ?v > 0 && ?v < 2") == ["urn:a"]
+    assert res("?v IN (1, -3)") == ["urn:a", "urn:c"]
+    assert res("?v NOT IN (1, -3)") == ["urn:b"]
+    assert res("-?v > 2") == ["urn:c"]
