@@ -420,6 +420,7 @@ def ivfadc_topk(
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
     rerank: int = 0,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF + PQ composed (the FAISS IVFADC architecture): corpus vectors
     live in inverted lists keyed by their nearest coarse centroid AND are
@@ -432,35 +433,57 @@ def ivfadc_topk(
     join shuffles the codes table once on ``cell`` (zero times if the
     lists are pre-bucketed on disk); the query side is broadcast.
     ``rerank`` re-scores the top ADC candidates with exact cosine against
-    the raw vectors.  Codes are over raw vectors with shared codebooks
-    (classic IVFADC encodes residuals x − centroid; same plan shape,
-    per-cell or shared residual codebooks drop in via ``codebooks``).
+    the raw vectors.
+
+    ``residual=True`` is classic IVFADC: codes quantize ``x − c_cell``
+    (the part the coarse quantizer missed) with shared residual
+    codebooks, and the score decomposes exactly as
+    ``dot(q, x) ≈ dot(q, c_cell) + dot(q, r̂)`` — the first term is
+    computed exactly per (query, cell), so only the residual carries
+    quantization error.  Same plan shape (the residual is one extra
+    map-side zip against a centroid literal).  ``residual=False`` codes
+    raw vectors — simpler, and what the base gate pins.
 
     RNG-free end to end (md5-coreset centroids and codebooks), so the
-    whole composition is SQL-reproducible — the gate is oracle-EXACT.
+    whole composition is SQL-reproducible — the gates are oracle-EXACT.
     """
     if centroids is None:
         centroids = ivf_train(corpus, n_cells, id_col, vec_col, iters=0)
-    if codebooks is None:
-        codebooks = pq_train(corpus, m, k_codes, id_col, vec_col)
-    enc = corpus.select(
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    assigned = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
         nearest_cell(F.col(vec_col), centroids).alias("cell"),
-        pq_codes(F.col(vec_col), codebooks).alias("codes"),
     )
+    if residual:
+        assigned = assigned.withColumn(
+            "rv",
+            F.zip_with(
+                F.col("cv"),
+                F.element_at(cent_lit, F.col("cell") + 1),
+                lambda a, b: a.cast("double") - b,
+            ),
+        )
+        if codebooks is None:
+            res_frame = assigned.select(F.col("vec_id").alias(id_col), F.col("rv").alias(vec_col))
+            codebooks = pq_train(res_frame, m, k_codes, id_col, vec_col)
+        enc = assigned.withColumn("codes", pq_codes(F.col("rv"), codebooks)).drop("rv")
+    else:
+        if codebooks is None:
+            codebooks = pq_train(corpus, m, k_codes, id_col, vec_col)
+        enc = assigned.withColumn("codes", pq_codes(F.col("cv"), codebooks))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.explode(probe_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
     )
+    score = _adc_dot(F.col("codes"), F.col("qv"), codebooks)
+    if residual:
+        score = _dot(F.col("qv"), F.element_at(cent_lit, F.col("cell") + 1)) + score
     cand = (
         enc.join(F.broadcast(q), on="cell")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id", "qv", "cv",
-            _adc_dot(F.col("codes"), F.col("qv"), codebooks).alias("sim_adc"),
-        )
+        .select("query_id", "vec_id", "qv", "cv", score.alias("sim_adc"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_adc").desc(), F.col("vec_id"))
     if rerank:

@@ -726,3 +726,44 @@ def test_datapipe_cli_with_temperature_mix(spark, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < summary["after_temperature_mix"] <= summary["after_exact_dedup"]
     assert summary["curated_docs"] == summary["after_temperature_mix"]
+
+
+def test_ivfadc_residual_full_probe_rerank_is_exact(spark, embs):
+    """probe-all + rerank-over-everything reduces residual IVFADC to
+    exact cosine regardless of code quality — the anchor that ties the
+    residual path's plumbing (cells, residuals, codes, shortlist) to
+    ground truth."""
+    from janus_spark.datapipe import similarity
+
+    queries = embs.where("vec_id < 3")
+    exact = similarity.cosine_topk(embs, queries, k=5).collect()
+    out = similarity.ivfadc_topk(
+        embs, queries, k=5, n_cells=8, nprobe=8, m=4, k_codes=16,
+        residual=True, rerank=10_000,
+    ).collect()
+    key = lambda rs: sorted((r["query_id"], r["vec_id"], r["rank"]) for r in rs)
+    assert key(out) == key(exact)
+
+
+def test_ivfadc_residual_helps_with_trained_centroids(spark, embs):
+    """With Lloyd-refined coarse centroids the residuals are smaller than
+    the raw vectors, so residual codes carry less quantization error —
+    ADC recall must not degrade versus raw-vector codes.  (With raw
+    coreset centroids residuals are LARGER — x minus an arbitrary vector
+    — which is why residual=False is the default for iters=0 use.)
+    Deterministic fixture, so the comparison is stable."""
+    from janus_spark.datapipe import similarity
+
+    queries = embs.where("vec_id < 10")
+    exact = similarity.cosine_topk(embs, queries, k=5).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in exact}
+    cents = similarity.ivf_train(embs, 16, iters=3)
+
+    def recall(residual):
+        out = similarity.ivfadc_topk(
+            embs, queries, k=5, n_cells=16, nprobe=8, m=4, k_codes=16,
+            centroids=cents, residual=residual,
+        ).collect()
+        return len(truth & {(r["query_id"], r["vec_id"]) for r in out}) / len(truth)
+
+    assert recall(True) >= recall(False)
