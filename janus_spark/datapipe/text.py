@@ -266,6 +266,49 @@ def novelty_scores(
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus profile — the telemetry every ingest batch gets
+    before curation decisions: document and token volume, length stats,
+    language spread, and the dominant language with its share (a source
+    whose top-language share collapses usually changed its crawler, not
+    its audience).
+
+    Two map-side-combined aggregations (per (source, lang), then per
+    source) + an argmax struct for the dominant language — no window
+    sort, no collect; output is one row per source."""
+    per_doc = df.select(
+        F.col(group_col).alias("src"),
+        F.col(lang_col).alias("lg"),
+        F.size(clean_tokens(F.col(text_col))).alias("ntok"),
+        F.length(F.col(text_col)).alias("nchr"),
+    )
+    by_lang = per_doc.groupBy("src", "lg").agg(
+        F.count("*").alias("docs"),
+        F.sum("ntok").alias("toks"),
+        F.sum("nchr").alias("chrs"),
+    )
+    # argmax by (docs, lang): deterministic dominant language per source
+    return (
+        by_lang.groupBy("src")
+        .agg(
+            F.sum("docs").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.round(F.sum("chrs") / F.sum("docs"), 6).alias("avg_chars"),
+            F.count("*").cast("long").alias("n_langs"),
+            F.max(F.struct(F.col("docs"), F.col("lg")))["lg"].alias("top_lang"),
+            F.round(F.max(F.struct(F.col("docs"), F.col("lg")))["docs"] / F.sum("docs"), 6).alias(
+                "top_lang_share"
+            ),
+        )
+        .withColumnRenamed("src", group_col)
+    )
+
+
 def word_freq(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Corpus-level top-k word frequency (vocabulary head).  Explode →
     partial-aggregated count (map-side combine) → global top-k; ties break

@@ -4465,3 +4465,31 @@ ORACLES["q_live_ingest_dedup"] = """
            'urn:s' || CAST(i % 5 AS VARCHAR) AS subject,
            CAST(i AS VARCHAR) AS object
     FROM range(1, 41) r(i)"""
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (volume, length, language spread,
+    dominant language + share); see datapipe/text.py::corpus_report."""
+    from janus_spark.datapipe.text import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_report(docs)
+
+
+QUERIES["q_corpus_report"] = q_corpus_report
+ORACLES["q_corpus_report"] = f"""
+    WITH d AS (SELECT source, lang,
+                      len({_TOKS}) AS ntok, length(text) AS nchr
+               FROM documents),
+         bl AS (SELECT source, lang, COUNT(*) AS docs,
+                       SUM(ntok) AS toks, SUM(nchr) AS chrs
+                FROM d GROUP BY source, lang)
+    SELECT source,
+           CAST(SUM(docs) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           ROUND(SUM(chrs) / SUM(docs), 6) AS avg_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           MAX(struct_pack(docs := docs, lang := lang)).lang AS top_lang,
+           ROUND(MAX(struct_pack(docs := docs, lang := lang)).docs
+                 / SUM(docs), 6) AS top_lang_share
+    FROM bl GROUP BY source"""

@@ -767,3 +767,18 @@ def test_ivfadc_residual_helps_with_trained_centroids(spark, embs):
         return len(truth & {(r["query_id"], r["vec_id"]) for r in out}) / len(truth)
 
     assert recall(True) >= recall(False)
+
+
+def test_corpus_report_dominant_language(spark):
+    from janus_spark.datapipe.text import corpus_report
+
+    rows = [
+        (1, "a b c", "en", "web"), (2, "d e", "en", "web"), (3, "f", "de", "web"),
+        (4, "g h i j", "fr", "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["source"]: r for r in corpus_report(df).collect()}
+    web = out["web"]
+    assert web["n_docs"] == 3 and web["total_tokens"] == 6 and web["n_langs"] == 2
+    assert web["top_lang"] == "en" and abs(web["top_lang_share"] - 2 / 3) < 1e-6
+    assert out["books"]["top_lang_share"] == 1.0
