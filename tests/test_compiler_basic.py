@@ -455,3 +455,23 @@ def test_filter_precedence_in_and_negation(spark):
     assert res("?v IN (1, -3)") == ["urn:a", "urn:c"]
     assert res("?v NOT IN (1, -3)") == ["urn:b"]
     assert res("-?v > 2") == ["urn:c"]
+
+
+def test_aggregates_skip_unbound(spark):
+    """COUNT(?x) skips unbound; COUNT(*) counts solutions; an unbound
+    grouping key forms its own (null) group; AVG ignores unbound."""
+    rows = [("urn:a", "urn:p:name", "alice"), ("urn:b", "urn:p:name", "bob"),
+            ("urn:a", "urn:p:age", "30")]
+    q = spark.createDataFrame(
+        [(s, p, o, 0, "") for s, p, o in rows],
+        "subject string, predicate string, object string, ts long, graph string",
+    )
+    body = "?s <urn:p:name> ?x . OPTIONAL { ?s <urn:p:age> ?age . }"
+
+    def res(text):
+        return sorted([tuple(r) for r in run(q, text).collect()], key=str)
+
+    assert res(f"SELECT (COUNT(?age) AS ?c) (COUNT(*) AS ?n) WHERE {{ {body} }}") == [(1, 2)]
+    assert res(f"SELECT ?age (COUNT(*) AS ?n) WHERE {{ {body} }} GROUP BY ?age") == [
+        ("30", 1), (None, 1)]
+    assert res(f"SELECT (AVG(?age) AS ?m) WHERE {{ {body} }}") == [(30.0,)]
