@@ -154,6 +154,9 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
     ``array<float>`` compatible with the similarity/ANN operators — the
     full multimodal near-dup pipeline (decode → features → LSH/IVF) is
     exercisable end-to-end."""
+    import hashlib
+    import math
+
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -164,10 +167,25 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
                 )
             embs = []
             for payload in pdf["payload"]:
-                seed = zlib.crc32(payload or b"") & 0xFFFFFFFF
-                rng = np.random.default_rng(seed)
-                v = rng.standard_normal(dim)
-                embs.append((v / np.linalg.norm(v)).astype("float32"))
+                # md5 hash family (component i from md5(payload || ':i')) —
+                # the cross-engine coin: a SQL oracle reproduces the
+                # embedding bit-for-bit, so multimodal→ANN is gateable
+                # EXACT.  Sequential float ops only (no numpy pairwise
+                # summation) for the same reason.
+                p = payload or b""
+                comps = [
+                    int(hashlib.md5(p + b":" + str(i).encode()).hexdigest()[:8], 16)
+                    / 4294967296.0
+                    - 0.5
+                    for i in range(dim)
+                ]
+                sq = 0.0
+                for c in comps:
+                    sq += c * c
+                norm = math.sqrt(sq)
+                if norm == 0.0:
+                    norm = 1.0
+                embs.append(np.array([c / norm for c in comps], dtype="float32"))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

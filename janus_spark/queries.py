@@ -4493,3 +4493,48 @@ ORACLES["q_corpus_report"] = f"""
            ROUND(MAX(struct_pack(docs := docs, lang := lang)).docs
                  / SUM(docs), 6) AS top_lang_share
     FROM bl GROUP BY source"""
+
+
+def q_multimodal_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end under ONE oracle: binary payloads →
+    Arrow-batched feature extraction (md5-hash-family fake encoder —
+    deterministic AND SQL-reproducible) → brute-force cosine top-5.  The
+    composition gate for decode→features→ANN; see
+    datapipe/multimodal.py::extract_features."""
+    from janus_spark.datapipe.multimodal import documents_as_media, extract_features
+    from janus_spark.datapipe.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(documents_as_media(docs), dim=8)
+    embs = feats.select(F.col("media_id").alias("vec_id"), "embedding")
+    out = cosine_topk(embs, embs.where("vec_id < 3"), k=5)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+QUERIES["q_multimodal_ann"] = q_multimodal_ann
+ORACLES["q_multimodal_ann"] = """
+    WITH raw AS (SELECT doc_id AS vec_id,
+                        list_transform(range(0, 8),
+                            i -> ('0x' || substr(md5(coalesce(text, '') || ':' || i), 1, 8))::BIGINT
+                                 / 4294967296.0 - 0.5) AS c
+                 FROM documents),
+         nrm AS (SELECT vec_id, c,
+                        sqrt(list_sum(list_transform(c, x -> x * x))) AS n
+                 FROM raw),
+         e AS (SELECT vec_id,
+                      list_transform(c, x -> CAST(CAST(x / CASE WHEN n = 0 THEN 1 ELSE n END AS FLOAT) AS DOUBLE)) AS v
+               FROM nrm),
+         sims AS (SELECT q.vec_id AS query_id, t.vec_id,
+                         list_cosine_similarity(q.v, t.v) AS sim
+                  FROM (SELECT * FROM e WHERE vec_id < 3) q
+                  CROSS JOIN e t
+                  WHERE t.vec_id <> q.vec_id),
+         ranked AS (SELECT query_id, vec_id, sim,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY sim DESC, vec_id) AS rank
+                    FROM sims)
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5"""
