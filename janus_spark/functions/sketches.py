@@ -51,3 +51,109 @@ def approx_quantiles(
     return df.groupBy(*by).agg(
         F.percentile_approx(value_col, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)).alias("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (engine-portable) HLL over the shared md5 hash family.
+#
+# The Datasketches wrappers above are the production path (fastest, JVM
+# binary sketches).  The ``hll_det_*`` family below is a full HyperLogLog
+# whose every step is reproducible by ANY engine that has md5 — the
+# sketch state is plain (register, max_rank) ROWS, not an opaque binary,
+# so it can be written to parquet and merged/estimated later by DuckDB,
+# Trino, or plain SQL.  That portability is also what lets the driver's
+# DuckDB oracle verify the ESTIMATE itself exactly (q_hll_distinct /
+# q_sliding_hll_distinct), not just an error band.
+#
+# Determinism notes (why the estimate hash-matches across engines):
+#  * hash = shared_hash64: first 15 md5 hex chars -> 60-bit integer
+#    (identical bytes on both engines for string input).
+#  * rank uses length(bin(w)) -- integer bit-length, no floating log2.
+#  * the register sum is computed as EXACT bigints (sum of 1<<(50-rank)),
+#    so partial-sum ORDER cannot perturb it -- the only float ops are one
+#    literal division (raw estimate) or m*ln(m/V) (linear counting),
+#    identical single operations on both engines, rounded to 4 dp.
+# ---------------------------------------------------------------------------
+
+_HLL_SCALE_BITS = 50  # sum of 2^(50-rank) over <= 2^p registers fits a bigint
+
+
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_det_partials(df: DataFrame, value_col: str, by: list[str], p: int = 12) -> DataFrame:
+    """Mergeable deterministic-HLL state: one row per (group, register)
+    holding the max rank.  Merge = groupBy(register).max(rank); at most
+    ``2^p`` rows per group ever cross a shuffle regardless of input size."""
+    m = 1 << p
+    wbits = 60 - p
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast("long")
+    w = F.shiftright(h, p)
+    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+    return (
+        df.select(*by, (h % m).alias("reg"), rank.alias("rank"))
+        .groupBy(*by, "reg")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_det_estimate(partials: DataFrame, by: list[str], p: int = 12) -> DataFrame:
+    """Finish a deterministic-HLL estimate from (register, max_rank) rows:
+    exact-bigint register sum, then the standard HLL raw estimate with
+    small-range linear counting (Flajolet et al. 2007)."""
+    m = 1 << p
+    a_num = _hll_alpha(m) * m * m * float(1 << _HLL_SCALE_BITS)
+    term = F.expr(f"shiftleft(cast(1 as bigint), {_HLL_SCALE_BITS} - max_rank)")
+    agg = partials.groupBy(*by).agg(
+        F.sum(term).alias("s_present"), F.count(F.lit(1)).alias("n_present")
+    )
+    total = F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(1 << _HLL_SCALE_BITS)
+    raw = F.lit(a_num) / total.cast("double")
+    v = (F.lit(m) - F.col("n_present")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(*by, F.round(est, 4).alias("approx_distinct"))
+
+
+def hll_det_distinct(df: DataFrame, value_col: str, by: list[str], p: int = 12) -> DataFrame:
+    """Deterministic HLL distinct count per group — same plan shape as
+    :func:`hll_distinct` (one partial-merging aggregation; the shuffle
+    carries at most 2^p register rows per group, never values)."""
+    return hll_det_estimate(hll_det_partials(df, value_col, by, p), by, p)
+
+
+def hll_det_oracle_sql(value_expr: str, group_expr: str, from_sql: str, p: int = 12) -> str:
+    """The ANSI-SQL twin of :func:`hll_det_distinct` (DuckDB dialect is
+    plain here) — used by the driver gates; kept next to the Spark code so
+    the two stay in lockstep."""
+    m = 1 << p
+    wbits = 60 - p
+    a_num = repr(_hll_alpha(m) * m * m * float(1 << _HLL_SCALE_BITS))
+    return f"""
+    WITH h AS (
+      SELECT {group_expr} AS grp,
+             ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM {from_sql}
+    ),
+    r AS (
+      SELECT grp, hv % {m} AS reg,
+             CASE WHEN (hv >> {p}) = 0 THEN {wbits + 1}
+                  ELSE {wbits + 1} - length(bin(hv >> {p})) END AS rank
+      FROM h
+    ),
+    regs AS (SELECT grp, reg, MAX(rank) AS max_rank FROM r GROUP BY grp, reg),
+    agg AS (
+      SELECT grp,
+             SUM(1::BIGINT << ({_HLL_SCALE_BITS} - max_rank)) AS s_present,
+             COUNT(*) AS n_present
+      FROM regs GROUP BY grp
+    )
+    SELECT grp,
+           ROUND(CASE WHEN {a_num} / CAST(s_present + ({m} - n_present) * (1::BIGINT << {_HLL_SCALE_BITS}) AS DOUBLE) <= {2.5 * m}
+                       AND ({m} - n_present) > 0
+                      THEN {float(m)} * ln({float(m)} / CAST({m} - n_present AS DOUBLE))
+                      ELSE {a_num} / CAST(s_present + ({m} - n_present) * (1::BIGINT << {_HLL_SCALE_BITS}) AS DOUBLE)
+                 END, 4) AS approx_distinct
+    FROM agg"""

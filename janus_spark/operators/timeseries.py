@@ -257,6 +257,45 @@ def pane_sliding_distinct(
     )
 
 
+def pane_sliding_distinct_det(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+    range_ms: int = 6 * 3_600_000,
+    step_ms: int = 3_600_000,
+    p: int = 12,
+) -> DataFrame:
+    """:func:`pane_sliding_distinct` over the deterministic md5-HLL
+    (functions/sketches.hll_det_*) instead of Datasketches binaries.
+
+    Same pane pattern — sketch per (key, pane), replicated into the
+    ``range/step`` windows, merged — but the sketch state is plain
+    (register, max_rank) rows, so the merge is ``max(rank)`` per
+    register and the whole computation (estimate included) is
+    reproducible in ANSI SQL: the gate is oracle-EXACT, and the pane
+    partials are portable (any engine can roll them up from parquet).
+    Shuffle bound: ≤ 2^p register rows per (key, pane) — heavier than a
+    2^lgK-byte binary by a small constant, same asymptotics.
+    """
+    from janus_spark.functions.sketches import hll_det_estimate, hll_det_partials
+
+    if range_ms % step_ms != 0:
+        raise ValueError("range_ms must be a multiple of step_ms (pane = step)")
+    n_panes = range_ms // step_ms
+    pane = F.floor(F.col(ts_col) / F.lit(step_ms)).cast("long")
+    tagged = df.select(*key_cols, F.col(value_col).alias("__v"), pane.alias("pane"))
+    partials = hll_det_partials(tagged, "__v", [*key_cols, "pane"], p)
+    win = F.explode(F.sequence(F.col("pane") - F.lit(n_panes - 1), F.col("pane"))).alias("w")
+    merged = (
+        partials.select(*key_cols, win, "reg", "max_rank")
+        .groupBy(*key_cols, "w", "reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    out = hll_det_estimate(merged, [*key_cols, "w"], p)
+    return out.withColumn("window_start", (F.col("w") * F.lit(step_ms)).cast("long")).drop("w")
+
+
 def pane_sliding_percentile(
     df: DataFrame,
     key_cols: list[str],

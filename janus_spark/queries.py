@@ -1517,15 +1517,17 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct users per event type (rows-only: sketch
-    estimates are engine-specific; error bound pinned in
-    tests/test_sketches.py, exact baseline in q_percentiles/n)."""
-    from janus_spark.functions.sketches import hll_distinct
+    """HyperLogLog approximate distinct users per event type — the
+    deterministic md5-family HLL (functions/sketches.hll_det_*), so the
+    ESTIMATE itself is oracle-EXACT in DuckDB, not just error-banded.
+    The Datasketches production wrapper (hll_distinct) keeps its own
+    error-contract test in tests/test_sketches.py."""
+    from janus_spark.functions.sketches import hll_det_distinct
     from janus_spark.sources.melt import read_events
 
     ev = read_events(spark, sf_dir)
-    return hll_distinct(ev, "user_id", ["event_type"]).select(
-        "event_type", F.col("approx_distinct").cast("long").alias("approx_distinct")
+    return hll_det_distinct(ev, "user_id", ["event_type"]).select(
+        "event_type", "approx_distinct"
     )
 
 
@@ -1783,6 +1785,14 @@ QUERIES.update(
         "q_gapfill": q_gapfill,
     }
 )
+def _hll_oracle(value_expr: str, group_expr: str, group_alias: str, from_sql: str) -> str:
+    from janus_spark.functions.sketches import hll_det_oracle_sql
+
+    inner = hll_det_oracle_sql(value_expr, group_expr, from_sql)
+    return f"SELECT grp AS {group_alias}, approx_distinct FROM ({inner})"
+
+
+ORACLES["q_hll_distinct"] = _hll_oracle("user_id", "event_type", "event_type", "events")
 ORACLES["q_rollup"] = """
     SELECT COALESCE(event_type, 'ALL') AS event_type,
            COALESCE(user_id % 4, -1) AS bucket,
@@ -3086,11 +3096,12 @@ ORACLES["q_jaccard_prefix"] = ORACLES["q_jaccard_pairs"]
 
 def q_sliding_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sliding distinct users via pane HLL sketches — the
-    scale form of q_sliding_distinct (same 6h/1h geometry).  Rows-only:
-    DataSketches HLL estimates are not reproducible in DuckDB's HLL;
-    the error contract vs the exact path is pinned in
-    test_timeseries.py."""
-    from janus_spark.operators.timeseries import pane_sliding_distinct
+    scale form of q_sliding_distinct (same 6h/1h geometry), over the
+    deterministic md5-family HLL so the pane→window sketch merge AND the
+    estimate are oracle-EXACT in DuckDB (the Datasketches pane variant
+    pane_sliding_distinct keeps its error-contract test in
+    test_timeseries.py)."""
+    from janus_spark.operators.timeseries import pane_sliding_distinct_det
     from janus_spark.sources.melt import read_events
 
     ev = read_events(spark, sf_dir).select(
@@ -3098,16 +3109,31 @@ def q_sliding_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("corpus"),
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
     )
-    out = pane_sliding_distinct(
+    out = pane_sliding_distinct_det(
         ev, ["corpus"], ts_col="ts_ms", value_col="user_id",
         range_ms=_PANE_RANGE_MS, step_ms=_PANE_STEP_MS,
     )
-    return out.select(
-        "window_start", F.col("approx_distinct").cast("long").alias("approx_distinct")
-    )
+    return out.select("window_start", "approx_distinct")
 
 
 QUERIES["q_sliding_hll_distinct"] = q_sliding_hll_distinct
+from janus_spark.functions.sketches import hll_det_oracle_sql as _hll_det_oracle_sql
+
+_SLH_PANES = _PANE_RANGE_MS // _PANE_STEP_MS
+ORACLES["q_sliding_hll_distinct"] = (
+    f"SELECT grp * {_PANE_STEP_MS} AS window_start, approx_distinct FROM ("
+    + _hll_det_oracle_sql(
+        "user_id",
+        "w",
+        f"""(
+      SELECT user_id, unnest(generate_series(pane - {_SLH_PANES - 1}, pane)) AS w
+      FROM (SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   CAST(FLOOR({_TSM} / {_PANE_STEP_MS}) AS BIGINT) AS pane
+            FROM events)
+    )""",
+    )
+    + ")"
+)
 
 
 def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,3 +66,61 @@ def test_approx_quantiles_close_to_exact(events):
         spread = max(abs(p95), 1.0)
         assert abs(approx[k][0] - p50) < 0.05 * spread
         assert abs(approx[k][1] - p95) < 0.05 * spread
+
+
+def test_hll_det_error_bound(events):
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.hll_det_distinct(events, "user_id", ["event_type"]).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05
+
+
+def test_hll_det_partials_survive_storage_and_merge(events, tmp_path):
+    """Portable-rollup pattern: persist per-(type, bucket) register rows,
+    read back, merge to per-type via max(rank) — estimates must equal the
+    direct path exactly (register-max merge is lossless and the state is
+    plain rows, so ANY engine could have done the rollup)."""
+    per_bucket = sketches.hll_det_partials(
+        events.withColumn("bucket", F.col("user_id") % 7), "user_id", ["event_type", "bucket"]
+    )
+    path = str(tmp_path / "hll_det_rollup")
+    per_bucket.write.parquet(path)
+    merged = (
+        events.sparkSession.read.parquet(path)
+        .groupBy("event_type", "reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    rolled = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.hll_det_estimate(merged, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.hll_det_distinct(events, "user_id", ["event_type"]).collect()
+    }
+    assert rolled == direct
+
+
+def test_hll_det_matches_duckdb_estimate(events, sf_dir):
+    """The portability claim itself: DuckDB running hll_det_oracle_sql on
+    the same parquet reproduces the Spark estimate bit-for-bit."""
+    import duckdb
+
+    spark_est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.hll_det_distinct(events, "user_id", ["event_type"]).collect()
+    }
+    sql = sketches.hll_det_oracle_sql(
+        "user_id", "event_type", f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    duck_est = {k: v for k, v in duckdb.sql(sql).fetchall()}
+    assert spark_est == duck_est
