@@ -479,3 +479,81 @@ def scd2_intervals(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+    target: float | None = None,
+    drift: float = 0.0,
+    threshold: float | None = None,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change detection (Page 1954) as ONE window pass.
+
+    The textbook recursion ``S⁺_i = max(0, S⁺_{i−1} + (x_i − μ − κ))`` is
+    sequential, but it has a prefix closed form: with ``P_i = Σ_{j≤i}
+    (x_j − μ − κ)``, ``S⁺_i = P_i − min(0, min_{j≤i} P_j)`` — a running
+    sum plus a running min, both single ordered-window aggregates, so
+    the operator distributes (one sort per key partition, no recursion,
+    no self-join).  Same construction mirrored for S⁻.
+
+    ``target=None`` uses the per-key mean (one unordered window AVG).
+    ``threshold`` (in the same units; classic choice 4–5σ) adds a
+    boolean ``alarm`` column.  Outputs round to 6 dp — prefix sums are
+    order-deterministic (ordered-frame aggregation is sequential in any
+    engine), so an ANSI-SQL oracle reproduces them exactly.
+    """
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.col(value_col).cast("double")
+    mu = F.lit(float(target)) if target is not None else F.avg(v).over(Window.partitionBy(*key_cols))
+    d_pos = v - mu - F.lit(drift)
+    d_neg = mu - v - F.lit(drift)
+    keep = [*key_cols, ts_col, value_col] + ([order_tiebreak] if order_tiebreak else [])
+    # window-of-window isn't a thing: materialize the prefix sums, then
+    # take the running min in a second projection (Catalyst plans both
+    # over the SAME shuffle+sort — one exchange total)
+    staged = df.select(
+        *keep, F.sum(d_pos).over(run).alias("__pp"), F.sum(d_neg).over(run).alias("__pn")
+    )
+    s_pos = F.col("__pp") - F.least(F.lit(0.0), F.min("__pp").over(run))
+    s_neg = F.col("__pn") - F.least(F.lit(0.0), F.min("__pn").over(run))
+    out = staged.select(
+        *keep,
+        F.round(s_pos, 6).alias("s_pos"),
+        F.round(s_neg, 6).alias("s_neg"),
+    )
+    if threshold is not None:
+        out = out.withColumn(
+            "alarm", (F.col("s_pos") > F.lit(threshold)) | (F.col("s_neg") > F.lit(threshold))
+        )
+    return out
+
+
+def autocorr(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+    lags: tuple[int, ...] = (1, 2, 3),
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key lag-k autocorrelation: Pearson corr(x_i, x_{i−k}) over the
+    ts-ordered series, one window pass to materialize the lags plus one
+    aggregation for all requested lags together.  Null pairs (series
+    head, null values) drop out of each corr, matching SQL CORR.  Seasonal
+    structure shows up as peaks at the season's lag; the companion of the
+    EWMA/MAD anomaly family for periodicity discovery."""
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    v = F.col(value_col).cast("double")
+    lagged = df.select(
+        *key_cols, v.alias("__v"), *[F.lag(v, k).over(w).alias(f"__l{k}") for k in lags]
+    )
+    return lagged.groupBy(*key_cols).agg(
+        *[F.round(F.corr("__v", f"__l{k}"), 6).alias(f"ac{k}") for k in lags]
+    )

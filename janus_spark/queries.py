@@ -4564,3 +4564,115 @@ ORACLES["q_multimodal_ann"] = """
                     FROM sims)
     SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
     FROM ranked WHERE rank <= 5"""
+
+
+# ---------------------------------------------------------------------------
+# Round 3: CUSUM change detection, autocorrelation, Bloom-pruned join
+# ---------------------------------------------------------------------------
+
+_CUSUM_DRIFT = 0.5
+_CUSUM_H = 25.0
+_CUSUM_TARGET = 50.0
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection on event values per user — the
+    sequential Page recursion as a prefix-sum/prefix-min closed form,
+    one window pass (operators/timeseries.py::cusum)."""
+    from janus_spark.operators.timeseries import cusum
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    # a literal target keeps the prefix sums bitwise-identical across
+    # engines (sequential ordered adds); the adaptive target=None path is
+    # pinned against a Python reference in tests/test_timeseries.py
+    out = cusum(
+        ev, ["user_id"], ts_col="ts_ms", value_col="value",
+        target=_CUSUM_TARGET, drift=_CUSUM_DRIFT, threshold=_CUSUM_H, order_tiebreak="event_id",
+    )
+    return out.select("user_id", "event_id", "ts_ms", "s_pos", "s_neg", "alarm")
+
+
+QUERIES["q_cusum"] = q_cusum
+ORACLES["q_cusum"] = f"""
+    WITH e AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS v, {_TSM} AS ts_ms
+               FROM events),
+         p AS (SELECT user_id, event_id, ts_ms,
+                      SUM(v - {_CUSUM_TARGET} - {_CUSUM_DRIFT}) OVER w AS pp,
+                      SUM({_CUSUM_TARGET} - v - {_CUSUM_DRIFT}) OVER w AS pn
+               FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                            ROWS UNBOUNDED PRECEDING)),
+         s AS (SELECT user_id, event_id, ts_ms,
+                      ROUND(pp - LEAST(0.0, MIN(pp) OVER w), 6) AS s_pos,
+                      ROUND(pn - LEAST(0.0, MIN(pn) OVER w), 6) AS s_neg
+               FROM p
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                            ROWS UNBOUNDED PRECEDING))
+    SELECT user_id, event_id, ts_ms, s_pos, s_neg,
+           (s_pos > {_CUSUM_H} OR s_neg > {_CUSUM_H}) AS alarm
+    FROM s"""
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1/2/3 autocorrelation of event values (periodicity
+    discovery; operators/timeseries.py::autocorr)."""
+    from janus_spark.operators.timeseries import autocorr
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return autocorr(
+        ev, ["user_id"], ts_col="ts_ms", value_col="value",
+        lags=(1, 2, 3), order_tiebreak="event_id",
+    )
+
+
+QUERIES["q_autocorr"] = q_autocorr
+ORACLES["q_autocorr"] = f"""
+    WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
+                      LAG(CAST(value AS DOUBLE), 1) OVER w AS l1,
+                      LAG(CAST(value AS DOUBLE), 2) OVER w AS l2,
+                      LAG(CAST(value AS DOUBLE), 3) OVER w AS l3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY {_TSM}, event_id))
+    SELECT user_id,
+           ROUND(CORR(v, l1), 6) AS ac1,
+           ROUND(CORR(v, l2), 6) AS ac2,
+           ROUND(CORR(v, l3), 6) AS ac3
+    FROM e GROUP BY user_id"""
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by supplier for one nation's suppliers, with the lineitem
+    scan Bloom-pruned MAP-SIDE before the join shuffle — the
+    dim-too-big-to-broadcast scale path (operators/bloomjoin.py; result
+    is exact, the bloom only cuts shuffle volume; false positives are
+    removed by the actual join)."""
+    from janus_spark.operators.bloomjoin import bloom_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .where(F.col("s_nationkey") == 3)
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    )
+    out = bloom_join(li, sup, on="l_suppkey")
+    return out.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+    )
+
+
+QUERIES["q_bloom_join"] = q_bloom_join
+ORACLES["q_bloom_join"] = """
+    SELECT s_name, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey = 3
+    GROUP BY s_name"""

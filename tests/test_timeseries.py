@@ -349,3 +349,55 @@ def test_winsorize_broadcasts_bounds(spark):
     )
     plan = winsorize(df, ["event_type"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The prefix closed form must equal the textbook sequential
+    recursion S+_i = max(0, S+_{i-1} + (x_i - mu - k)), including the
+    adaptive per-key-mean target the oracle gate avoids."""
+    import itertools
+
+    from janus_spark.operators.timeseries import cusum
+
+    vals = [10.0, 12.0, 9.0, 30.0, 31.0, 29.5, 8.0, 11.0]
+    rows = [("a", i, v) for i, v in enumerate(vals)] + [("b", i, v * 2) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts_ms long, value double")
+    out = {
+        (r["k"], r["ts_ms"]): (r["s_pos"], r["s_neg"])
+        for r in cusum(df, ["k"], target=None, drift=1.0).collect()
+    }
+    for key, scale in (("a", 1.0), ("b", 2.0)):
+        xs = [v * scale for v in vals]
+        mu = sum(xs) / len(xs)
+        sp = sn = 0.0
+        for i, x in enumerate(xs):
+            sp = max(0.0, sp + (x - mu - 1.0))
+            sn = max(0.0, sn + (mu - x - 1.0))
+            got = out[(key, i)]
+            assert abs(got[0] - sp) < 1e-6 and abs(got[1] - sn) < 1e-6, (key, i, got, sp, sn)
+
+
+def test_cusum_alarm_fires_on_shift(spark):
+    from janus_spark.operators.timeseries import cusum
+
+    # mean ~10 for 20 rows, then a +5 level shift: alarm must fire after
+    # the shift and not before
+    rows = [("a", i, 10.0 + (i % 2) * 0.2) for i in range(20)]
+    rows += [("a", 20 + i, 15.0 + (i % 2) * 0.2) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, ts_ms long, value double")
+    out = sorted(
+        cusum(df, ["k"], target=10.1, drift=0.5, threshold=10.0).collect(),
+        key=lambda r: r["ts_ms"],
+    )
+    assert not any(r["alarm"] for r in out[:20])
+    assert any(r["alarm"] for r in out[25:])
+
+
+def test_autocorr_detects_period(spark):
+    from janus_spark.operators.timeseries import autocorr
+
+    # period-2 alternating series: ac1 strongly negative, ac2 strongly positive
+    rows = [("a", i, float(i % 2)) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, ts_ms long, value double")
+    r = autocorr(df, ["k"], lags=(1, 2)).collect()[0]
+    assert r["ac1"] < -0.9 and r["ac2"] > 0.9
