@@ -152,3 +152,44 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .unionByName(tri.select(F.col("v2").alias("id")))
     )
     return members.groupBy("id").agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_hops: int = 20,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any seed to every
+    reachable node.  Returns ``(id, hops)`` with seeds at 0.
+
+    Frontier iteration, not closure materialization: each round joins
+    only the NEW frontier against the edge list (one shuffle on src),
+    anti-joins out already-visited nodes, and stops early when the
+    frontier empties — O(diameter) rounds, per-round shuffle bounded by
+    the frontier size, never the full reachability set, which is what
+    separates this from the `p+` closure operator
+    (compiler property-path closure) at 100 TB.  ``localCheckpoint``
+    per round caps lineage growth (same treatment as pagerank).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    visited = seeds.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "hops", F.lit(0).cast("long")
+    ).localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.src, "inner")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("hops", F.lit(hop).cast("long"))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

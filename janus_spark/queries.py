@@ -4676,3 +4676,113 @@ ORACLES["q_bloom_join"] = """
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     WHERE s_nationkey = 3
     GROUP BY s_name"""
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-path BFS shortest hops from the root over a DAG with two
+    parent families (doc//2 and doc//3 edges) — min-hop semantics, not
+    just tree depth; frontier iteration in operators/graph.py::bfs_hops,
+    recursive-CTE MIN oracle."""
+    from janus_spark.operators.graph import bfs_hops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    e2 = docs.where("doc_id >= 1").select(
+        (F.col("doc_id") / 2).cast("long").alias("src"), F.col("doc_id").alias("dst")
+    )
+    e3 = docs.where("doc_id >= 1").select(
+        (F.col("doc_id") / 3).cast("long").alias("src"), F.col("doc_id").alias("dst")
+    )
+    edges = e2.unionByName(e3).where(F.col("src") != F.col("dst"))
+    seeds = spark.createDataFrame([(0,)], "id long")
+    return bfs_hops(edges, seeds, max_hops=24).select("id", "hops")
+
+
+QUERIES["q_bfs_hops"] = q_bfs_hops
+ORACLES["q_bfs_hops"] = """
+    WITH RECURSIVE e AS (
+        SELECT doc_id // 2 AS src, doc_id AS dst FROM documents WHERE doc_id >= 1
+        UNION
+        SELECT doc_id // 3 AS src, doc_id AS dst FROM documents WHERE doc_id >= 1
+    ),
+    r AS (
+        SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS hops
+        UNION
+        SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id
+        WHERE r.hops < 24 AND e.src <> e.dst
+    )
+    SELECT id, MIN(hops) AS hops FROM r GROUP BY id"""
+
+
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+    Plan: lineitem filtered on returnflag at the scan (pushed), joined to
+    orders (shuffle on orderkey), then customer (shuffle on custkey),
+    nation broadcast; deterministic tiebreak on custkey for the top-20."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_returnflag") == "R")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+QUERIES["q_tpch_returned_items"] = q_tpch_returned_items
+ORACLES["q_tpch_returned_items"] = """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20"""
+
+
+def q_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (total quantity > 250) with
+    their customers.  The HAVING subquery is ONE aggregation over
+    lineitem reused as a semi-filter — Catalyst plans the self-use
+    without a second scan via exchange reuse; the customer join
+    shuffles on custkey only for qualifying orders."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+    )
+
+
+QUERIES["q_tpch_large_orders"] = q_tpch_large_orders
+ORACLES["q_tpch_large_orders"] = """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(l_quantity) > 250"""

@@ -88,3 +88,31 @@ def test_personalized_pagerank_localizes_mass(spark):
     # uniform teleport spreads across both components
     uni = {r["id"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
     assert all(uni[v] > 0 for v in "abcxyz")
+
+
+def test_bfs_hops_takes_min_path(spark):
+    from janus_spark.operators.graph import bfs_hops
+
+    # two routes to d: a->b->c->d (3 hops) and a->x->d (2 hops)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "x"), ("x", "d"), ("z", "q")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "id string")
+    got = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
+    assert got == {"a": 0, "b": 1, "x": 1, "c": 2, "d": 2}
+    # unreachable nodes (z, q from a different component... q IS reachable
+    # from z only) are absent
+
+
+def test_bfs_hops_multi_seed_and_bound(spark):
+    from janus_spark.operators.graph import bfs_hops
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (7,)], "id long")
+    got = {r["id"]: r["hops"] for r in bfs_hops(chain, seeds, max_hops=2).collect()}
+    # node 8 is 8 hops from seed 0 but 1 hop from seed 7 -> min wins;
+    # max_hops=2 truncates the frontier at distance 2
+    assert got[8] == 1 and got[9] == 2 and got[2] == 2 and 3 not in got
