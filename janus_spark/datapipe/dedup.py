@@ -318,6 +318,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (a, b) candidate pairs — the
     verification stage decoupled so any candidate generator plugs in."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
     j = (
         candidate_pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), on="a")
@@ -391,6 +392,10 @@ def jaccard_prefix_candidates(
     skewed corpora (the quantity that explodes without the filter)."""
     from pyspark.sql import Window as W
 
+    # shingle construction is CPU-bound; don't let it inherit the file
+    # layout's partition count (a handful of row groups would serialize
+    # the tokenize+zip work onto a few cores)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
     posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
     dfreq = posts.groupBy("gram").agg(F.count("*").alias("gdf"))
@@ -400,10 +405,18 @@ def jaccard_prefix_candidates(
     )
     plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     prefix = ranked.where(F.col("rk") <= plen)
+    # AllPairs length filter: J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ⇒ min(n) ≥ t·max(n),
+    # so any candidate with nb outside [t·na, na/t] provably cannot reach
+    # the threshold — applied inside the candidate join it cuts the
+    # verify workload by orders of magnitude on same-vocabulary corpora
     return (
-        prefix.select("gram", F.col("id").alias("a"))
-        .join(prefix.select("gram", F.col("id").alias("b")), "gram")
-        .where(F.col("a") < F.col("b"))
+        prefix.select("gram", F.col("id").alias("a"), F.col("n").alias("na"))
+        .join(prefix.select("gram", F.col("id").alias("b"), F.col("n").alias("nb")), "gram")
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.col("nb") * F.lit(threshold) <= F.col("na"))
+            & (F.col("na") * F.lit(threshold) <= F.col("nb"))
+        )
         .select("a", "b")
         .distinct()
     )
