@@ -683,3 +683,44 @@ def minhash_lsh_join(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("corpus_id", "ref_id", "jaccard")
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup decision with QUALITY-AWARE canonical selection: within each
+    near-dup cluster keep the highest-``score_col`` member (ties → min
+    id) instead of blindly keeping the minimum id.  This is what corpus
+    curation actually wants — when a page was crawled five times, keep
+    the longest/cleanest capture, not the lexicographically first URL.
+
+    ``score_col``: a Column evaluated against ``df``.  Returns
+    ``(id_col, keep_id, keep)`` like :func:`dedup_keep_list`.
+
+    Plan: cluster resolution is the same O(log diameter) label
+    propagation; canonical pick is ONE window (partition by cluster,
+    order by score desc / id asc) over cluster members only — documents
+    in no pair never enter the shuffle.
+    """
+    from pyspark.sql.window import Window as W
+
+    scored = df.select(F.col(id_col).alias("id"), score_col.alias("__score"))
+    clusters = dedup_clusters(pairs)  # (id, keep_id=min-id cluster label)
+    members = clusters.join(scored, "id")
+    w = W.partitionBy("keep_id").orderBy(F.col("__score").desc(), F.col("id").asc())
+    canon = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__canon", F.first("id").over(w))
+        .select("id", F.col("__canon").alias("best_id"))
+    )
+    return (
+        scored.join(canon, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("best_id"), F.col("id")).alias("keep_id"),
+            (F.coalesce(F.col("best_id"), F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )

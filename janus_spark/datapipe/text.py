@@ -426,3 +426,44 @@ def pack_token_stream(
             & (F.col("n_tokens") > 0)
         ).alias("straddles"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    vocab_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document vocabulary coverage / OOV rate against a token vocab.
+
+    ``vocab``: a single-column ``word`` DataFrame (e.g. a tokenizer's
+    wordlist).  ``vocab=None`` induces it from the corpus itself — the
+    top-``vocab_size`` tokens by frequency (ties → word asc,
+    deterministic), i.e. the head a wordpiece trainer would start from.
+    High OOV rate flags encoding junk, rare-language or garbled docs
+    that will fragment into bytes at tokenization time.
+
+    Plan: the vocab is tiny → broadcast; per-doc aggregation is one
+    shuffle on doc id with map-side combine.  Returns
+    ``(id_col, n_tokens, n_oov, oov_rate)`` for docs with ≥1 token.
+    """
+    if vocab is None:
+        vocab = word_freq(df, text_col=text_col, k=vocab_size).select("word")
+    words = df.select(F.col(id_col).alias("id"), F.explode(clean_tokens(F.col(text_col))).alias("word"))
+    flagged = words.join(
+        F.broadcast(vocab.withColumn("__in_v", F.lit(1))), "word", "left"
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 9).alias("oov_rate"),
+        )
+    )

@@ -193,3 +193,63 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    id_col: str = "id",
+    max_hops: int = 20,
+) -> DataFrame:
+    """Multi-source weighted shortest paths (distributed Bellman-Ford):
+    min total edge weight from any seed, hop-bounded.  Returns
+    ``(id, dist)`` for reachable nodes, seeds at 0.0.
+
+    Per round: relax every edge out of nodes whose distance improved
+    last round (the "active" frontier, the standard Bellman-Ford
+    work-skipping refinement), min-merge into the distance table — two
+    shuffles per round (join on src, min-groupBy on id); stops early
+    when no distance improves.  Negative edges are rejected (with a
+    hop bound they would still terminate, but "shortest" then needs the
+    bound as part of the contract; corpus graphs are non-negative).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).cast("double").alias("w")
+    )
+    if e.where(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("shortest_paths requires non-negative edge weights")
+    dist = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint()
+    )
+    active = dist
+    for _ in range(max_hops):
+        cand = (
+            active.join(e, active.id == e.src, "inner")
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        # a node is active next round iff its distance strictly improved
+        active = (
+            merged.alias("m")
+            .join(dist.alias("d"), "id", "left")
+            .where(F.col("d.dist").isNull() | (F.col("m.dist") < F.col("d.dist")))
+            .select("id", F.col("m.dist").alias("dist"))
+            .localCheckpoint()
+        )
+        if active.isEmpty():
+            return merged
+        dist = merged
+    return dist

@@ -4786,3 +4786,148 @@ ORACLES["q_tpch_large_orders"] = """
     JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
     HAVING SUM(l_quantity) > 250"""
+
+
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (Bellman-Ford) from the root over the
+    two-parent doc DAG with integer edge weights (exact double sums) —
+    a cheaper long-hop route must beat an expensive short-hop one;
+    recursive-CTE MIN oracle.  operators/graph.py::shortest_paths."""
+    from janus_spark.operators.graph import shortest_paths
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    e2 = docs.where("doc_id >= 1").select(
+        (F.col("doc_id") / 2).cast("long").alias("src"),
+        F.col("doc_id").alias("dst"),
+        ((F.col("doc_id") % 5) + 1).cast("double").alias("w"),
+    )
+    e3 = docs.where("doc_id >= 1").select(
+        (F.col("doc_id") / 3).cast("long").alias("src"),
+        F.col("doc_id").alias("dst"),
+        ((F.col("doc_id") % 3) + 1).cast("double").alias("w"),
+    )
+    edges = e2.unionByName(e3).where(F.col("src") != F.col("dst"))
+    seeds = spark.createDataFrame([(0,)], "id long")
+    return shortest_paths(edges, seeds, max_hops=24).select("id", "dist")
+
+
+QUERIES["q_shortest_paths"] = q_shortest_paths
+ORACLES["q_shortest_paths"] = """
+    WITH RECURSIVE e AS (
+        SELECT doc_id // 2 AS src, doc_id AS dst,
+               CAST(doc_id % 5 + 1 AS DOUBLE) AS w
+        FROM documents WHERE doc_id >= 1 AND doc_id // 2 <> doc_id
+        UNION ALL
+        SELECT doc_id // 3 AS src, doc_id AS dst,
+               CAST(doc_id % 3 + 1 AS DOUBLE) AS w
+        FROM documents WHERE doc_id >= 1 AND doc_id // 3 <> doc_id
+    ),
+    r AS (
+        SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS DOUBLE) AS dist
+        UNION
+        SELECT e.dst, r.dist + e.w FROM r JOIN e ON e.src = r.id
+        WHERE r.dist < 200
+    )
+    SELECT id, MIN(dist) AS dist FROM r GROUP BY id"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (type), (bucket), (type, bucket), and
+    grand total in one aggregation pass (completes the rollup/cube
+    family).  Spark: groupingSets on the Dataset API."""
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("bucket", F.col("user_id") % 4)
+    out = (
+        ev.groupingSets(
+            [["event_type"], ["bucket"], ["event_type", "bucket"], []],
+            "event_type", "bucket",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_v"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("bucket"), F.lit(-1)).alias("bucket"),
+            "n", "sum_v",
+        )
+    )
+    return out
+
+
+QUERIES["q_grouping_sets"] = q_grouping_sets
+ORACLES["q_grouping_sets"] = """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(user_id % 4, -1) AS bucket,
+           COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_v
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 4), (event_type, user_id % 4), ())"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: within each duplicate cluster keep the
+    highest-scoring member (deterministic synthetic score doc_id % 7,
+    ties min id) — canonical selection joins curation quality into the
+    dedup decision (datapipe/dedup.py::dedup_keep_best)."""
+    from janus_spark.datapipe.dedup import dedup_keep_best
+    from janus_spark.datapipe.text import normalize
+
+    corpus = _dup_corpus(spark, sf_dir)
+    keyed = corpus.select(F.col("doc_id").alias("id"), F.md5(normalize(F.col("text"))).alias("key"))
+    pairs = (
+        keyed.alias("l")
+        .join(keyed.alias("r"), on="key")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    )
+    out = dedup_keep_best(corpus, pairs, score_col=(F.col("doc_id") % 7).cast("double"))
+    return out.select("doc_id", "keep_id", "keep")
+
+
+QUERIES["q_dedup_keep_best"] = q_dedup_keep_best
+ORACLES["q_dedup_keep_best"] = (
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents),
+    ranked AS (
+      SELECT doc_id,
+             FIRST_VALUE(doc_id) OVER (PARTITION BY """
+    + _NORM_SQL
+    + """ ORDER BY doc_id % 7 DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep_id
+      FROM corpus)
+    SELECT doc_id, keep_id, doc_id = keep_id AS keep FROM ranked"""
+)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus-induced top-100 vocab
+    (datapipe/text.py::vocab_coverage)."""
+    from janus_spark.datapipe.text import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = vocab_coverage(docs, vocab_size=100)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        "oov_rate",
+    )
+
+
+QUERIES["q_vocab_coverage"] = q_vocab_coverage
+_CLEAN_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+ORACLES["q_vocab_coverage"] = f"""
+    WITH t AS (SELECT doc_id, {_CLEAN_TOKS} AS l FROM documents),
+         w AS (SELECT doc_id, unnest(l) AS word FROM t),
+         v AS (SELECT word FROM w GROUP BY word
+               ORDER BY COUNT(*) DESC, word LIMIT 100),
+         a AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                      COUNT(*) FILTER (word NOT IN (SELECT word FROM v)) AS n_oov
+               FROM w GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+           ROUND(n_oov / CAST(n_tokens AS DOUBLE), 9) AS oov_rate
+    FROM a"""

@@ -116,3 +116,27 @@ def test_bfs_hops_multi_seed_and_bound(spark):
     # node 8 is 8 hops from seed 0 but 1 hop from seed 7 -> min wins;
     # max_hops=2 truncates the frontier at distance 2
     assert got[8] == 1 and got[9] == 2 and got[2] == 2 and 3 not in got
+
+
+def test_shortest_paths_prefers_cheaper_long_route(spark):
+    from janus_spark.operators.graph import shortest_paths
+
+    # a->d direct costs 10; a->b->c->d costs 1+1+1
+    edges = spark.createDataFrame(
+        [("a", "d", 10.0), ("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)],
+        "src string, dst string, w double",
+    )
+    seeds = spark.createDataFrame([("a",)], "id string")
+    got = {r["id"]: r["dist"] for r in shortest_paths(edges, seeds).collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0}
+
+
+def test_shortest_paths_rejects_negative_weights(spark):
+    import pytest
+
+    from janus_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame([("a", "b", -1.0)], "src string, dst string, w double")
+    seeds = spark.createDataFrame([("a",)], "id string")
+    with pytest.raises(ValueError):
+        shortest_paths(edges, seeds)
