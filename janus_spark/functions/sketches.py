@@ -157,3 +157,105 @@ def hll_det_oracle_sql(value_expr: str, group_expr: str, from_sql: str, p: int =
                       ELSE {a_num} / CAST(s_present + ({m} - n_present) * (1::BIGINT << {_HLL_SCALE_BITS}) AS DOUBLE)
                  END, 4) AS approx_distinct
     FROM agg"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Count-Min Sketch — same portability story as hll_det_*:
+# the sketch state is plain (row, col, count) ROWS over the shared md5
+# hash family, so partials persist to parquet, merge by summing in any
+# engine, and the driver's DuckDB oracle reproduces point estimates
+# exactly.  Use it for heavy-hitter frequency estimation where exact
+# per-key counts would shuffle the full key universe: the sketch caps
+# shuffle rows at d*w per group regardless of distinct keys, and
+# estimates overcount by at most eN with probability 1-delta
+# (w = ceil(e/eps), d = ceil(ln(1/delta)); Cormode & Muthukrishnan 2005).
+# ---------------------------------------------------------------------------
+
+
+def cms_partials(
+    df: DataFrame, value_col: str, by: list[str], depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Mergeable CMS state: (group..., row, col, cnt) with at most
+    ``depth*width`` rows per group crossing the shuffle.  Merge finer
+    partials to coarser groups with SUM(cnt) on (row, col)."""
+    from janus_spark.datapipe.dedup import shared_hash64
+
+    v = F.col(value_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(F.lit(r).alias("row"), (shared_hash64(v, r) % width).alias("col"))
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(*by, F.explode(pairs).alias("p"))
+        .select(*by, F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+        .groupBy(*by, "row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    partials: DataFrame, probes: DataFrame, probe_col: str, by: list[str],
+    depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for each probe item against each group's
+    sketch: est = min over rows of the probed cell (0 if absent).  The
+    probe side is expected small → broadcast; never an overestimate by
+    less than the true count (CMS never undercounts)."""
+    from janus_spark.datapipe.dedup import shared_hash64
+
+    v = F.col(probe_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).alias("row"), (shared_hash64(v, r) % width).alias("col"))
+            for r in range(depth)
+        ]
+    )
+    probe_cells = probes.select(
+        F.col(probe_col).alias("item"), F.explode(cells).alias("p")
+    ).select("item", F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+    joined = partials.join(F.broadcast(probe_cells), on=["row", "col"], how="inner")
+    # a probed cell no partial touched has count 0 -> the min must see it;
+    # count matched rows and default missing rows to 0
+    agg = joined.groupBy(*by, "item").agg(
+        F.min("cnt").alias("min_cnt"), F.count(F.lit(1)).alias("n_rows")
+    )
+    est = F.when(F.col("n_rows") < depth, F.lit(0)).otherwise(F.col("min_cnt"))
+    return agg.select(*by, "item", est.cast("long").alias("est"))
+
+
+def cms_oracle_sql(
+    value_expr: str, group_expr: str, from_sql: str, probe_sql: str,
+    depth: int = 4, width: int = 1024,
+) -> str:
+    """DuckDB twin of cms_partials + cms_estimate (probe_sql must yield a
+    single column ``item``)."""
+    from janus_spark.datapipe.dedup import shared_hash64_sql
+
+    def cell(expr: str, r: int) -> str:
+        return f"{shared_hash64_sql(expr, r)} % {width}"
+
+    row_cells = " UNION ALL ".join(
+        f"SELECT grp, {r} AS row, {cell('v', r)} AS col FROM base" for r in range(depth)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT item, {r} AS row, {cell('CAST(item AS VARCHAR)', r)} AS col FROM probes"
+        for r in range(depth)
+    )
+    return f"""
+    WITH base AS (SELECT {group_expr} AS grp, CAST({value_expr} AS VARCHAR) AS v
+                  FROM {from_sql}),
+         cells AS ({row_cells}),
+         partials AS (SELECT grp, row, col, COUNT(*) AS cnt
+                      FROM cells GROUP BY grp, row, col),
+         probes AS ({probe_sql}),
+         pc AS ({probe_cells}),
+         j AS (SELECT p.grp, pc.item, pc.row,
+                      COALESCE(pt.cnt, 0) AS cnt
+               FROM (SELECT DISTINCT grp FROM partials) p
+               CROSS JOIN pc
+               LEFT JOIN partials pt
+                 ON pt.grp = p.grp AND pt.row = pc.row AND pt.col = pc.col)
+    SELECT grp, item, CAST(MIN(cnt) AS BIGINT) AS est
+    FROM j GROUP BY grp, item"""

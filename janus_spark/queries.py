@@ -4931,3 +4931,31 @@ ORACLES["q_vocab_coverage"] = f"""
     SELECT doc_id, n_tokens, n_oov,
            ROUND(n_oov / CAST(n_tokens AS DOUBLE), 9) AS oov_rate
     FROM a"""
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch point-frequency estimates: per event type,
+    estimate how often each probed user appears — deterministic md5 CMS
+    (functions/sketches.cms_*), oracle-EXACT including the estimate."""
+    from janus_spark.functions.sketches import cms_estimate, cms_partials
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir)
+    partials = cms_partials(ev, "user_id", ["event_type"], depth=4, width=256)
+    probes = spark.range(10).select(F.col("id").alias("user_id"))
+    out = cms_estimate(partials, probes, "user_id", ["event_type"], depth=4, width=256)
+    return out.select("event_type", F.col("item").cast("long").alias("user_id"), "est")
+
+
+QUERIES["q_cms_counts"] = q_cms_counts
+from janus_spark.functions.sketches import cms_oracle_sql as _cms_oracle_sql
+
+ORACLES["q_cms_counts"] = (
+    "SELECT grp AS event_type, CAST(item AS BIGINT) AS user_id, est FROM ("
+    + _cms_oracle_sql(
+        "user_id", "event_type", "events",
+        "SELECT unnest(range(0, 10)) AS item",
+        depth=4, width=256,
+    )
+    + ")"
+)

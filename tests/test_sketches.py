@@ -124,3 +124,49 @@ def test_hll_det_matches_duckdb_estimate(events, sf_dir):
     )
     duck_est = {k: v for k, v in duckdb.sql(sql).fetchall()}
     assert spark_est == duck_est
+
+
+def test_cms_never_undercounts_and_bounds_error(events):
+    exact = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = {}
+    for (et, _), n in exact.items():
+        n_total[et] = n_total.get(et, 0) + n
+    partials = sketches.cms_partials(events, "user_id", ["event_type"], depth=4, width=256)
+    probes = events.select("user_id").distinct()
+    est = {
+        (r["event_type"], r["item"]): r["est"]
+        for r in sketches.cms_estimate(
+            partials, probes, "user_id", ["event_type"], depth=4, width=256
+        ).collect()
+    }
+    for (et, uid), n in exact.items():
+        e = est[(et, uid)]
+        assert e >= n  # CMS never undercounts
+        # eps = e/width ~ 1% of the group's total mass; generous 3x slack
+        assert e - n <= 3 * 2.718 * n_total[et] / 256
+
+
+def test_cms_partials_merge_across_storage(events, tmp_path):
+    """Persist per-(type, bucket) partials, re-merge to per-type with a
+    plain SUM, estimates must equal the direct build."""
+    fine = sketches.cms_partials(
+        events.withColumn("bucket", F.col("user_id") % 5),
+        "user_id", ["event_type", "bucket"], depth=4, width=256,
+    )
+    path = str(tmp_path / "cms")
+    fine.write.parquet(path)
+    merged = (
+        events.sparkSession.read.parquet(path)
+        .groupBy("event_type", "row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    probes = events.select("user_id").distinct().limit(20)
+    a = sketches.cms_estimate(merged, probes, "user_id", ["event_type"], depth=4, width=256)
+    direct_partials = sketches.cms_partials(events, "user_id", ["event_type"], depth=4, width=256)
+    b = sketches.cms_estimate(direct_partials, probes, "user_id", ["event_type"], depth=4, width=256)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
