@@ -215,14 +215,15 @@ def cms_estimate(
     probe_cells = probes.select(
         F.col(probe_col).alias("item"), F.explode(cells).alias("p")
     ).select("item", F.col("p.row").alias("row"), F.col("p.col").alias("col"))
-    joined = partials.join(F.broadcast(probe_cells), on=["row", "col"], how="inner")
-    # a probed cell no partial touched has count 0 -> the min must see it;
-    # count matched rows and default missing rows to 0
+    # start from the full group × probe-cell grid so an item whose cells
+    # were never touched in a group still gets est = 0 (a cell absent
+    # from the partials means count 0, and the MIN must see it)
+    grid = partials.select(*by).distinct().crossJoin(F.broadcast(probe_cells))
+    joined = grid.join(partials, on=[*by, "row", "col"], how="left")
     agg = joined.groupBy(*by, "item").agg(
-        F.min("cnt").alias("min_cnt"), F.count(F.lit(1)).alias("n_rows")
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
-    est = F.when(F.col("n_rows") < depth, F.lit(0)).otherwise(F.col("min_cnt"))
-    return agg.select(*by, "item", est.cast("long").alias("est"))
+    return agg.select(*by, "item", F.col("est").cast("long").alias("est"))
 
 
 def cms_oracle_sql(

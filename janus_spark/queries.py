@@ -4959,3 +4959,71 @@ ORACLES["q_cms_counts"] = (
     )
     + ")"
 )
+
+
+def q_live_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy-hitter counts over a REAL Structured
+    Streaming run: tumbling 4s windows maintain only the depth×width CMS
+    cell counters as native incremental state (append mode,
+    watermark-closed); point estimates for the probe set read off the
+    sunk cells in batch.  Deterministic md5 CMS → the ESTIMATES are
+    oracle-EXACT.  sf_dir unused: the fixture IS the stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.functions.sketches import cms_estimate
+    from janus_spark.streaming.native_agg import cms_count_stream
+
+    fixture = spark.range(1, 61).select(
+        (F.col("id") * 500).alias("ts"),
+        (F.col("id") % 7).cast("string").alias("user"),
+    )
+    closer = spark.range(1).select(
+        F.lit(95_000).cast("long").alias("ts"), F.lit("z").alias("user")
+    )
+    root = tempfile.mkdtemp(prefix="live_cms_")
+    name = f"live_cms_{uuid.uuid4().hex[:8]}"
+    try:
+        fixture.where("ts <= 15000").coalesce(1).write.parquet(f"{root}/f1.parquet")
+        fixture.where("ts > 15000").coalesce(1).write.parquet(f"{root}/f2.parquet")
+        closer.coalesce(1).write.parquet(f"{root}/f3.parquet")
+        stream = (
+            spark.readStream.schema("ts long, user string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        cells = cms_count_stream(
+            stream, [], ts_col="ts", value_col="user",
+            window_ms=4_000, depth=4, width=64,
+        )
+        q = (
+            cells.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        sunk = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    probes = spark.range(7).select(F.col("id").cast("string").alias("user"))
+    out = cms_estimate(sunk, probes, "user", ["window_start"], depth=4, width=64)
+    return out.select("window_start", F.col("item").alias("user"), "est")
+
+
+QUERIES["q_live_cms"] = q_live_cms
+ORACLES["q_live_cms"] = (
+    "SELECT grp AS window_start, item AS user, est FROM ("
+    + _cms_oracle_sql(
+        "u",
+        "ws",
+        "(SELECT (CAST(id * 500 AS BIGINT) // 4000) * 4000 AS ws,"
+        " CAST(id % 7 AS VARCHAR) AS u FROM range(1, 61) t(id))",
+        "SELECT CAST(unnest(range(0, 7)) AS VARCHAR) AS item",
+        depth=4, width=64,
+    )
+    + ")"
+)

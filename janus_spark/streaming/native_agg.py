@@ -212,3 +212,60 @@ def histogram_quantile_stream(
             "cnt",
         )
     )
+
+
+def cms_count_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_ms: int = 4_000,
+    depth: int = 4,
+    width: int = 256,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Streaming Count-Min-Sketch build: per tumbling event-time window
+    (and key), aggregate the deterministic-CMS cell counts
+    (functions/sketches.cms_partials) as native incremental state —
+    append-mode emission on window close, watermark-evicted.
+
+    Same state-vs-readout split as histogram_quantile_stream: the stream
+    maintains at most ``depth×width`` counter rows per (key, window) no
+    matter the event rate or key-universe size; point-frequency
+    estimates (functions/sketches.cms_estimate) are a cheap batch query
+    over the sunk cells, re-runnable for any probe set.  This is the
+    scale shape for "how often did X occur in window W" over
+    unbounded key universes — exact per-key streaming counts would grow
+    state with distinct keys; the sketch caps it.
+    """
+    from janus_spark.datapipe.dedup import shared_hash64
+
+    v = F.col(value_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).alias("row"), (shared_hash64(v, r) % width).alias("col"))
+            for r in range(depth)
+        ]
+    )
+    ev = (
+        stream.withColumn("__evt", F.timestamp_millis(F.col(ts_col).cast("long")))
+        .withWatermark("__evt", watermark)
+        .where(F.col(value_col).isNotNull())
+        .select("__evt", *key_cols, F.explode(cells).alias("p"))
+    )
+    return (
+        ev.groupBy(
+            F.window("__evt", f"{window_ms} milliseconds"),
+            *key_cols,
+            F.col("p.row").alias("row"),
+            F.col("p.col").alias("col"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start"),
+            *key_cols,
+            "row",
+            "col",
+            "cnt",
+        )
+    )
