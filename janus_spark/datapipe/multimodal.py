@@ -195,3 +195,72 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
             )
 
     return df.mapInPandas(fn, schema=FEATURES_SCHEMA)
+
+
+def audio_window_features(
+    df: DataFrame,
+    frame: int = 100,
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Audio analysis plumbing: fake-decode a PCM sample stream per media
+    row (deterministic md5 hash family — the cross-engine coin, so the
+    whole operator is oracle-EXACT), then compute per-frame features:
+    RMS level, peak, and zero-crossing count — the standard silence/
+    speech-activity triage signals that decide which audio survives into
+    a training mix.
+
+    ``fake=False`` raises NotImplementedError, marking where a real
+    decoder (ffmpeg/librosa) slots in; everything AFTER the sample
+    array — framing, per-frame aggregation, the explode shape — is the
+    real distributed plan (all JVM-side higher-order array ops, one
+    narrow projection + explode, no shuffle at all until a caller
+    aggregates).
+
+    Sample model: ``n = 200 + h(id) % 300`` samples in [-0.5, 0.5),
+    sample i = md5(id || ':s' || i) scaled.  Frames are non-overlapping
+    ``frame``-sized windows; a trailing partial frame is kept (its
+    aggregates run over the remainder).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires codecs not present in this container"
+        )
+    sid = F.col(id_col).cast("string")
+    hv = F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("long")
+    n = (F.lit(200) + (hv % 300)).cast("int")
+    samples = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat(sid, F.lit(":s"), i.cast("string"))), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+        - F.lit(0.5),
+    )
+    base = df.select(F.col(id_col).alias("media_id"), samples.alias("__s"), n.alias("__n"))
+    n_frames = F.ceil(F.col("__n") / F.lit(frame)).cast("int")
+    framed = base.select(
+        "media_id",
+        "__s",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).withColumn("__f", F.slice(F.col("__s"), F.col("frame_idx") * frame + 1, frame))
+    sq_sum = F.aggregate(
+        F.col("__f"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    peak = F.array_max(F.transform(F.col("__f"), lambda x: F.abs(x)))
+    # zero crossings: sign changes between consecutive samples
+    signs = F.transform(F.col("__f"), lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(-1)))
+    zc = F.aggregate(
+        F.zip_with(signs, F.slice(signs, 2, F.greatest(F.size(signs) - 1, F.lit(1))),
+                   lambda a, b: F.when(a != b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0)),
+    )
+    return framed.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.size("__f").cast("long").alias("n_samples"),
+        F.round(F.sqrt(sq_sum / F.size("__f")), 6).alias("rms"),
+        F.round(peak, 6).alias("peak"),
+        zc.cast("long").alias("zero_crossings"),
+    )

@@ -5027,3 +5027,45 @@ ORACLES["q_live_cms"] = (
     )
     + ")"
 )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio features (RMS / peak / zero-crossings) over
+    fake-decoded PCM — deterministic md5 sample model, so framing AND
+    float feature arithmetic are oracle-EXACT
+    (datapipe/multimodal.py::audio_window_features)."""
+    from janus_spark.datapipe.multimodal import audio_window_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    audio = docs.where(F.col("doc_id") % 3 == 1).select(F.col("doc_id").alias("media_id"))
+    return audio_window_features(audio, frame=100)
+
+
+QUERIES["q_audio_features"] = q_audio_features
+ORACLES["q_audio_features"] = """
+    WITH m AS (SELECT doc_id AS media_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+               FROM documents WHERE doc_id % 3 = 1),
+         s AS (SELECT media_id, CAST(200 + hv % 300 AS INT) AS n,
+                      list_transform(range(0, CAST(200 + hv % 300 AS INT)),
+                          i -> ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':s' || i), 1, 8))::BIGINT
+                               / 4294967296.0 - 0.5) AS smp
+               FROM m),
+         fr AS (SELECT media_id, n, smp,
+                       unnest(range(0, CAST(ceil(n / 100.0) AS INT))) AS frame_idx
+                FROM s),
+         fx AS (SELECT media_id, frame_idx,
+                       smp[frame_idx * 100 + 1 : frame_idx * 100 + 100] AS f
+                FROM fr),
+         sg AS (SELECT media_id, frame_idx, f,
+                       list_transform(f, x -> CASE WHEN x >= 0 THEN 1 ELSE -1 END) AS signs
+                FROM fx)
+    SELECT media_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(len(f) AS BIGINT) AS n_samples,
+           ROUND(sqrt(list_sum(list_transform(f, x -> x * x)) / len(f)), 6) AS rms,
+           ROUND(list_max(list_transform(f, x -> abs(x))), 6) AS peak,
+           CAST(coalesce(list_sum(list_transform(range(1, len(signs)),
+                    i -> CASE WHEN signs[i] <> signs[i + 1] THEN 1 ELSE 0 END)), 0) AS BIGINT)
+               AS zero_crossings
+    FROM sg"""
