@@ -29,22 +29,68 @@ def asof_join(
     by: Sequence[str] = ("user_id",),
     value_cols: Sequence[str] = ("value",),
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of-backward join.  Returns all left columns plus
+    """Left as-of join.  Returns all left columns plus
     ``<value_col><suffix>`` for each requested right column (null when no
-    right row at-or-before exists for the key).  A right row whose value
-    is null is treated as no observation (carried past, not matched)."""
+    matching right row exists for the key).  A right row whose value
+    is null is treated as no observation (carried past, not matched).
+
+    ``direction``:
+      * ``"backward"`` (default) — most recent right row at-or-before.
+      * ``"forward"`` — first right row at-or-after.
+      * ``"nearest"`` — the closer of the two by |Δts|, ties → backward.
+
+    All three are the same ONE-shuffle union+window plan (forward adds a
+    mirrored window over the same sort — Catalyst reuses the exchange
+    and sort, still a single shuffle); equal timestamps match in every
+    direction (right sorts inside the frame at the same instant).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     out_cols = [f"{c}{suffix}" for c in value_cols]
     rt = right.select(
-        *by, ts_col, *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)]
+        *by,
+        ts_col,
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
     ).withColumn("__is_left", F.lit(0))
     lt = left.withColumn("__is_left", F.lit(1))
     both = lt.unionByName(rt, allowMissingColumns=True)
-    w = (
+    order = [F.col(ts_col).asc(), F.col("__is_left").asc()]
+    back = (
         Window.partitionBy(*by)
-        .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for o in out_cols:
-        both = both.withColumn(o, F.last(o, ignorenulls=True).over(w))
-    return both.where(F.col("__is_left") == 1).drop("__is_left")
+    # forward must see right rows AT the same instant, which sort before
+    # the left row — a RANGE frame on ts defines "at-or-after" by value,
+    # not row position
+    fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    rts = F.when(F.col("__is_left") == 0, F.col(ts_col))
+    if direction in ("backward", "nearest"):
+        both = both.withColumn("__bts", F.last(rts, ignorenulls=True).over(back))
+        for o in out_cols:
+            both = both.withColumn(f"__b_{o}", F.last(o, ignorenulls=True).over(back))
+    if direction in ("forward", "nearest"):
+        both = both.withColumn("__fts", F.first(rts, ignorenulls=True).over(fwd))
+        for o in out_cols:
+            both = both.withColumn(f"__f_{o}", F.first(o, ignorenulls=True).over(fwd))
+    if direction == "backward":
+        picks = {o: F.col(f"__b_{o}") for o in out_cols}
+    elif direction == "forward":
+        picks = {o: F.col(f"__f_{o}") for o in out_cols}
+    else:
+        d_b = F.col(ts_col) - F.col("__bts")
+        d_f = F.col("__fts") - F.col(ts_col)
+        use_b = F.col("__fts").isNull() | (F.col("__bts").isNotNull() & (d_b <= d_f))
+        picks = {o: F.when(use_b, F.col(f"__b_{o}")).otherwise(F.col(f"__f_{o}")) for o in out_cols}
+    out = both.where(F.col("__is_left") == 1)
+    for o, c in picks.items():
+        out = out.withColumn(o, c)
+    helper = ["__is_left", "__bts", "__fts"]
+    helper += [f"__b_{o}" for o in out_cols] + [f"__f_{o}" for o in out_cols]
+    return out.drop(*[c for c in helper if c in out.columns])

@@ -5069,3 +5069,38 @@ ORACLES["q_audio_features"] = """
                     i -> CASE WHEN signs[i] <> signs[i + 1] THEN 1 ELSE 0 END)), 0) AS BIGINT)
                AS zero_crossings
     FROM sg"""
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click picks up the FIRST purchase value
+    at-or-after it (same single-shuffle union+window plan as backward;
+    DuckDB native ASOF with <= as the oracle)."""
+    from janus_spark.operators.asof import asof_join
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts_ms", "value")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts_ms", "value")
+    out = asof_join(
+        clicks, purchases, ts_col="ts_ms", by=("user_id",), value_cols=("value",),
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_ms",
+        F.round("value", 6).alias("click_value"),
+        F.round("value_asof", 6).alias("purchase_value"),
+    )
+
+
+QUERIES["q_asof_forward"] = q_asof_forward
+ORACLES["q_asof_forward"] = f"""
+    WITH e AS (SELECT event_id, user_id, event_type, value, {_TSM} AS ts_ms FROM events),
+         c AS (SELECT event_id, user_id, ts_ms, value FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts_ms, value FROM e WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts_ms,
+           ROUND(c.value, 6) AS click_value,
+           ROUND(p.value, 6) AS purchase_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts_ms <= p.ts_ms"""

@@ -42,3 +42,37 @@ def test_asof_single_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, "one shuffle on the key, no range join"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_forward_and_nearest_hand_computed(spark):
+    from janus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 10, 1), ("u", 25, 2), ("u", 40, 3)], "user_id string, ts long, event int"
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 100.0), ("u", 30, 300.0)], "user_id string, ts long, value double"
+    )
+    fwd = {
+        r["event"]: r["value_asof"]
+        for r in asof_join(left, right, ts_col="ts", direction="forward").collect()
+    }
+    # equal instant matches forward too; nothing at-or-after 40
+    assert fwd == {1: 100.0, 2: 300.0, 3: None}
+    near = {
+        r["event"]: r["value_asof"]
+        for r in asof_join(left, right, ts_col="ts", direction="nearest").collect()
+    }
+    # 25 is 15 from 10 and 5 from 30 -> forward; 40 -> backward to 30
+    assert near == {1: 100.0, 2: 300.0, 3: 300.0}
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    from janus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u", 20, 1)], "user_id string, ts long, event int")
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 30, 2.0)], "user_id string, ts long, value double"
+    )
+    r = asof_join(left, right, ts_col="ts", direction="nearest").collect()[0]
+    assert r["value_asof"] == 1.0
