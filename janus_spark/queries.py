@@ -5104,3 +5104,140 @@ ORACLES["q_asof_forward"] = f"""
            ROUND(p.value, 6) AS purchase_value
     FROM c ASOF LEFT JOIN p
       ON c.user_id = p.user_id AND c.ts_ms <= p.ts_ms"""
+
+
+def q_tpch_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: order-priority counts by return flag class — one
+    shuffle join orders⋈lineitem on orderkey with the lineitem filter
+    pushed to the scan, conditional aggregation after."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") >= F.lit("1995-01-01")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+QUERIES["q_tpch_shipmode"] = q_tpch_shipmode
+ORACLES["q_tpch_shipmode"] = """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= '1995-01-01'
+    GROUP BY l_returnflag"""
+
+
+def q_tpch_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — broadcast the part dim,
+    one conditional-aggregate pass over the fact; decimal(18,2) cents
+    keep the ratio engine-exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    # decimal(18,4): the 4th decimal of the price product sits ~5 orders
+    # of magnitude above double ulp, so both engines round identically
+    # (a ,2 cast lands ON half-cent boundaries and diverges)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.col("p_type").startswith("PROMO")
+    out = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("promo_rev"),
+            F.sum(rev).alias("total_rev"),
+        )
+        .select(
+            F.col("promo_rev").cast("double").alias("promo_rev"),
+            F.col("total_rev").cast("double").alias("total_rev"),
+            F.round(F.lit(100.0) * F.col("promo_rev").cast("double") / F.col("total_rev").cast("double"), 6).alias("promo_pct"),
+        )
+    )
+    return out
+
+
+QUERIES["q_tpch_promo"] = q_tpch_promo
+ORACLES["q_tpch_promo"] = """
+    WITH s AS (
+      SELECT SUM(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_rev,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT CAST(promo_rev AS DOUBLE) AS promo_rev,
+           CAST(total_rev AS DOUBLE) AS total_rev,
+           ROUND(100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS promo_pct
+    FROM s"""
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence (market-basket pairs): for each unordered
+    type pair, in how many users' histories both appear.  Inverted
+    per-user postings self-joined on user — candidate space is
+    per-user-distinct-types², never events², and the type universe is
+    tiny so the pair aggregation is trivially bounded."""
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir)
+    types = ev.select("user_id", "event_type").distinct()
+    a = types.select("user_id", F.col("event_type").alias("t1"))
+    b = types.select("user_id", F.col("event_type").alias("t2"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+QUERIES["q_cooccurrence"] = q_cooccurrence
+ORACLES["q_cooccurrence"] = """
+    WITH t AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_users
+    FROM t a JOIN t b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2"""
+
+
+def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: z-score against the
+    (event_type, hour-of-day) profile instead of the global mean — the
+    standard fix for time-of-day effects masking real anomalies.  One
+    unordered window per profile key (no sort), map-only after."""
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "event_type", "value",
+        F.hour(F.col("ts").cast("timestamp")).alias("hod"),
+    )
+    from pyspark.sql.window import Window as W
+
+    prof = W.partitionBy("event_type", "hod")
+    mu = F.avg("value").over(prof)
+    sd = F.stddev_samp("value").over(prof)
+    z = F.when(sd > 0, (F.col("value") - mu) / sd).otherwise(F.lit(0.0))
+    return (
+        ev.withColumn("z", F.round(z, 4))
+        .where(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "hod", F.round("value", 6).alias("value"), "z")
+    )
+
+
+QUERIES["q_seasonal_outliers"] = q_seasonal_outliers
+ORACLES["q_seasonal_outliers"] = """
+    WITH p AS (
+      SELECT event_id, event_type, EXTRACT(hour FROM ts) AS hod, value,
+             AVG(value) OVER w AS mu, STDDEV_SAMP(value) OVER w AS sd
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, EXTRACT(hour FROM ts)))
+    SELECT event_id, event_type, CAST(hod AS INT) AS hod,
+           ROUND(value, 6) AS value,
+           ROUND(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END, 4) AS z
+    FROM p
+    WHERE ABS(ROUND(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END, 4)) > 3.0"""
