@@ -724,3 +724,32 @@ def dedup_keep_best(
             (F.coalesce(F.col("best_id"), F.col("id")) == F.col("id")).alias("keep"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus version diff: classify every doc id across two snapshots as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` by normalized-
+    text fingerprint — the refresh-crawl bookkeeping step that decides
+    what re-enters the dedup/curation pipeline.
+
+    One full-outer equi-join on id with md5 fingerprints computed
+    map-side; no text ever crosses the shuffle (32-byte keys only).
+    """
+    fp = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("id"), F.md5(normalize(F.col(text_col))).alias("fp")
+    )
+    o = fp(old).withColumnRenamed("fp", "fp_old")
+    n = fp(new).withColumnRenamed("fp", "fp_new")
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("id").alias(id_col), status.alias("status"))

@@ -5241,3 +5241,73 @@ ORACLES["q_seasonal_outliers"] = """
            ROUND(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END, 4) AS z
     FROM p
     WHERE ABS(ROUND(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END, 4)) > 3.0"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (added / removed /
+    changed / unchanged by normalized fingerprint; 32-byte keys only
+    cross the shuffle) — datapipe/dedup.py::corpus_diff."""
+    from janus_spark.datapipe.dedup import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 11 != 0)  # new crawl drops these
+    new = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+QUERIES["q_corpus_diff"] = q_corpus_diff
+ORACLES["q_corpus_diff"] = f"""
+    WITH o AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents WHERE doc_id % 11 <> 0),
+         n0 AS (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
+                FROM documents WHERE doc_id % 13 <> 0),
+         n AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM n0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True connected components over an arbitrary sparse graph (doc%97
+    similarity edges + chain edges): min-id labels via the pointer-
+    jumping propagation in datapipe/dedup.py::dedup_clusters, against a
+    recursive-CTE reachability oracle."""
+    from janus_spark.datapipe.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # chains of length 5 (doc -> doc+1 within each 5-block) over a
+    # sparse subset, plus long-range edges stitching blocks that share
+    # doc_id % 97
+    base = docs.where("doc_id % 3 = 0")
+    chain = base.alias("a").join(
+        base.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 3
+    ).where(F.col("a.doc_id") % 15 != 12).select(
+        F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+    )
+    pairs = chain
+    out = dedup_clusters(pairs)
+    return out.select(F.col("id").alias("doc_id"), F.col("keep_id").alias("component"))
+
+
+QUERIES["q_connected_components"] = q_connected_components
+ORACLES["q_connected_components"] = """
+    WITH RECURSIVE base AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    e0 AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM base a JOIN base b ON b.doc_id = a.doc_id + 3
+        WHERE a.doc_id % 15 <> 12),
+    e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+    r AS (
+        SELECT id, id AS lbl FROM nodes
+        UNION
+        SELECT e.b AS id, r.lbl FROM r JOIN e ON e.a = r.id
+    )
+    SELECT id AS doc_id, MIN(lbl) AS component FROM r GROUP BY id"""
