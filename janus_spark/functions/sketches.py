@@ -260,3 +260,32 @@ def cms_oracle_sql(
                  ON pt.grp = p.grp AND pt.row = pc.row AND pt.col = pc.col)
     SELECT grp, item, CAST(MIN(cnt) AS BIGINT) AS est
     FROM j GROUP BY grp, item"""
+
+
+def hll_det_overlap(
+    df: DataFrame, value_col: str, set_col: str, set_a: str, set_b: str, p: int = 12
+) -> DataFrame:
+    """Sketch algebra: estimate |A|, |B|, |A∪B| and the inclusion-
+    exclusion intersection |A∩B| ≈ |A|+|B|−|A∪B| from ONE pass of
+    deterministic-HLL partials — the sketch union is max(rank) per
+    register, so the union estimate needs no second scan.  The classic
+    audience-overlap / shared-users question at key-universe scale.
+    Returns one row: (est_a, est_b, est_union, est_intersection)."""
+    both = df.where(F.col(set_col).isin(set_a, set_b))
+    parts = hll_det_partials(both, value_col, [set_col], p)
+    ests = hll_det_estimate(parts, [set_col], p)
+    union_parts = parts.groupBy("reg").agg(F.max("max_rank").alias("max_rank"))
+    est_union = hll_det_estimate(union_parts.withColumn("__g", F.lit(1)), ["__g"], p)
+    a = ests.where(F.col(set_col) == set_a).select(F.col("approx_distinct").alias("est_a"))
+    b = ests.where(F.col(set_col) == set_b).select(F.col("approx_distinct").alias("est_b"))
+    u = est_union.select(F.col("approx_distinct").alias("est_union"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            "est_a", "est_b", "est_union",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
+                "est_intersection"
+            ),
+        )
+    )

@@ -5311,3 +5311,40 @@ ORACLES["q_connected_components"] = """
         SELECT e.b AS id, r.lbl FROM r JOIN e ON e.a = r.id
     )
     SELECT id AS doc_id, MIN(lbl) AS component FROM r GROUP BY id"""
+
+
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via deterministic-HLL sketch algebra: distinct
+    click users, purchase users, their union (register-max merge of the
+    SAME partials — no second scan) and inclusion-exclusion
+    intersection.  Every estimate oracle-EXACT."""
+    from janus_spark.functions.sketches import hll_det_overlap
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir)
+    return hll_det_overlap(ev, "user_id", "event_type", "click", "purchase")
+
+
+QUERIES["q_hll_overlap"] = q_hll_overlap
+
+
+def _hll_overlap_oracle() -> str:
+    per_set = _hll_det_oracle_sql(
+        "user_id", "event_type", "events WHERE event_type IN ('click', 'purchase')"
+    )
+    union = _hll_det_oracle_sql(
+        "user_id", "1", "events WHERE event_type IN ('click', 'purchase')"
+    )
+    return f"""
+    WITH per_set AS ({per_set}), un AS ({union})
+    SELECT a.approx_distinct AS est_a,
+           b.approx_distinct AS est_b,
+           un.approx_distinct AS est_union,
+           ROUND(a.approx_distinct + b.approx_distinct - un.approx_distinct, 4)
+               AS est_intersection
+    FROM (SELECT approx_distinct FROM per_set WHERE grp = 'click') a,
+         (SELECT approx_distinct FROM per_set WHERE grp = 'purchase') b,
+         un"""
+
+
+ORACLES["q_hll_overlap"] = _hll_overlap_oracle()
