@@ -5348,3 +5348,68 @@ def _hll_overlap_oracle() -> str:
 
 
 ORACLES["q_hll_overlap"] = _hll_overlap_oracle()
+
+
+def q_live_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous funnel detection under the EXACT gate: a deterministic
+    50-user fixture (view → click → purchase journeys with pre-step
+    noise events, duplicate conversions, and dead ends) streams through
+    a real applyInPandasWithState run in three micro-batches — per-user
+    progress state crosses every boundary, and exactly the u%6==0 users
+    complete, emitted once at their purchase instant.  sf_dir unused:
+    the fixture IS the stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.streaming.stateful import streaming_funnel
+
+    u = spark.range(0, 50)
+    views = u.selectExpr("CAST(id AS STRING) AS user", "CAST(100*id + 10 AS DOUBLE) AS ts", "'view' AS event")
+    early_clicks = u.selectExpr(
+        "CAST(id AS STRING) AS user", "CAST(100*id + 5 AS DOUBLE) AS ts", "'click' AS event"
+    )  # before the view: must NOT count
+    clicks = u.where("id % 2 = 0").selectExpr(
+        "CAST(id AS STRING) AS user", "CAST(100*id + 20 AS DOUBLE) AS ts", "'click' AS event"
+    )
+    purchases = u.where("id % 3 = 0").selectExpr(
+        "CAST(id AS STRING) AS user", "CAST(100*id + 30 AS DOUBLE) AS ts", "'purchase' AS event"
+    )
+    dup_purchases = u.where("id % 6 = 0").selectExpr(
+        "CAST(id AS STRING) AS user", "CAST(100*id + 40 AS DOUBLE) AS ts", "'purchase' AS event"
+    )  # second conversion: must not double-emit
+    batch1 = early_clicks.unionByName(views)
+    batch2 = clicks
+    batch3 = purchases.unionByName(dup_purchases)
+    root = tempfile.mkdtemp(prefix="live_funnel_")
+    name = f"live_funnel_{uuid.uuid4().hex[:8]}"
+    try:
+        batch1.coalesce(1).write.parquet(f"{root}/b0.parquet")
+        batch2.coalesce(1).write.parquet(f"{root}/b1.parquet")
+        batch3.coalesce(1).write.parquet(f"{root}/b2.parquet")
+        stream = (
+            spark.readStream.schema("user string, ts double, event string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/b*.parquet")
+        )
+        out = streaming_funnel(stream, ["view", "click", "purchase"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res.select("user", "t1", "completed_at")
+
+
+QUERIES["q_live_funnel"] = q_live_funnel
+ORACLES["q_live_funnel"] = """
+    SELECT CAST(id AS VARCHAR) AS user,
+           CAST(100 * id + 10 AS DOUBLE) AS t1,
+           CAST(100 * id + 30 AS DOUBLE) AS completed_at
+    FROM range(0, 50) t(id) WHERE id % 6 = 0"""

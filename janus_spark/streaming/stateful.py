@@ -134,3 +134,85 @@ def streaming_comparator(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("k", LongType(), True),      # steps completed so far
+        StructField("t1", DoubleType(), True),   # step-1 time
+        StructField("tk", DoubleType(), True),   # last completed step time
+        StructField("done", LongType(), True),   # 1 after emission
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user", StringType(), False),
+        StructField("t1", DoubleType(), False),
+        StructField("completed_at", DoubleType(), False),
+    ]
+)
+
+
+def streaming_funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user",
+    ts_col: str = "ts",
+    event_col: str = "event",
+    within_ms: int | None = None,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Continuous ordered-funnel detection: per user, advance through
+    ``steps`` (strictly increasing timestamps; optional ``within_ms``
+    completion window anchored at step 1) and EMIT one row the moment
+    the user completes the funnel — the streaming form of
+    ``operators/analytics.funnel`` with the same earliest-completion
+    greedy semantics.
+
+    State per user is three scalars (step index, step-1 time, last step
+    time) — constant regardless of history length, checkpoint-recoverable
+    like the comparator.  Events must arrive in per-user timestamp order
+    across micro-batches (the ingest contract the comparator also
+    assumes); within a batch rows are folded in ts order.
+    """
+    n_steps = len(steps)
+    if n_steps == 0:
+        raise ValueError("steps must be non-empty")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            k, t1, tk, done = state.get
+        else:
+            k, t1, tk, done = 0, None, None, 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, r in pdf.iterrows():
+                if done:
+                    break
+                t, e = float(r[ts_col]), r[event_col]
+                if k == 0:
+                    if e == steps[0]:
+                        k, t1, tk = 1, t, t
+                else:
+                    if (
+                        e == steps[k]
+                        and t > tk
+                        and (within_ms is None or t <= t1 + within_ms)
+                    ):
+                        k, tk = k + 1, t
+                if k == n_steps and not done:
+                    done = 1
+                    rows.append((key[0], t1, tk))
+        state.update((k, t1, tk, done))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user", "t1", "completed_at"])
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

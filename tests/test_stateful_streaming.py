@@ -73,3 +73,79 @@ def test_streaming_keys_isolated(spark, tmp_path):
     b_last = [r for r in got if r["key"] == "b"][-1]
     assert "TrendDivergence" in a_last["anomalies"]
     assert list(b_last["anomalies"]) == []
+
+
+def test_streaming_funnel_matches_batch_funnel_counts(spark, tmp_path):
+    """Streaming completions must agree with the batch funnel's final
+    step count on the same events (same earliest-completion greedy),
+    with state crossing micro-batch boundaries."""
+    import uuid
+
+    from janus_spark.operators.analytics import funnel
+    from janus_spark.streaming.stateful import streaming_funnel
+
+    u = spark.range(0, 30)
+    ev = (
+        u.selectExpr("CAST(id AS STRING) AS user", "CAST(10*id + 1 AS DOUBLE) AS ts", "'a' AS event")
+        .unionByName(u.where("id % 2 = 0").selectExpr(
+            "CAST(id AS STRING) AS user", "CAST(10*id + 2 AS DOUBLE) AS ts", "'b' AS event"))
+        .unionByName(u.where("id % 5 = 0").selectExpr(
+            "CAST(id AS STRING) AS user", "CAST(10*id + 3 AS DOUBLE) AS ts", "'c' AS event"))
+    )
+    root = str(tmp_path / "funnel_stream")
+    ev.where("event = 'a'").coalesce(1).write.parquet(f"{root}/b0.parquet")
+    ev.where("event = 'b'").coalesce(1).write.parquet(f"{root}/b1.parquet")
+    ev.where("event = 'c'").coalesce(1).write.parquet(f"{root}/b2.parquet")
+    stream = (
+        spark.readStream.schema("user string, ts double, event string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/b*.parquet")
+    )
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_funnel(stream, ["a", "b", "c"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    completions = spark.table(name).collect()
+    batch = funnel(
+        ev.withColumn("ts_ms", ev.ts.cast("long")),
+        ["a", "b", "c"], user_col="user", ts_col="ts_ms", event_col="event",
+    ).collect()
+    final = {r["step"]: r["n_users"] for r in batch}[3]
+    assert len(completions) == final
+    assert {r["user"] for r in completions} == {str(i) for i in range(0, 30, 10)}
+
+
+def test_streaming_funnel_within_window_rejects_slow_completion(spark, tmp_path):
+    import uuid
+
+    from janus_spark.streaming.stateful import streaming_funnel
+
+    rows = spark.createDataFrame(
+        [("fast", 0.0, "a"), ("fast", 5.0, "b"),
+         ("slow", 0.0, "a"), ("slow", 50.0, "b")],
+        "user string, ts double, event string",
+    )
+    root = str(tmp_path / "funnel_w")
+    rows.coalesce(1).write.parquet(f"{root}/b0.parquet")
+    stream = (
+        spark.readStream.schema("user string, ts double, event string")
+        .parquet(f"{root}/b*.parquet")
+    )
+    name = f"funnelw_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_funnel(stream, ["a", "b"], within_ms=10)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["user"] for r in spark.table(name).collect()}
+    assert got == {"fast"}
