@@ -321,14 +321,15 @@ def pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     codes = []
     for j, cb in enumerate(codebooks):
         sub = F.slice(vec, j * d + 1, d)
-        entries = [
-            F.struct(
-                _l2sq(sub, F.array(*[F.lit(x) for x in c])).alias("dist"),
-                F.lit(i).alias("code"),
-            )
-            for i, c in enumerate(cb)
-        ]
-        codes.append(F.array_min(F.array(*entries))["code"])
+        cb_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb])
+        # ONE transform lambda over a nested-array literal instead of
+        # k_codes unrolled struct branches: identical argmin (ties →
+        # first position = lowest code, same as the (dist, code) struct
+        # ordering) but the codegen tree shrinks ~k_codes× — the
+        # unrolled form cost ~4 s of analysis/compile per query at
+        # m=4, k=16 before a single row moved
+        dists = F.transform(cb_lit, lambda c: _l2sq(sub, c))
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return F.array(*codes)
 
 
