@@ -137,17 +137,19 @@ def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of (sim, cell) structs — cosine of ``vec`` against every
     centroid, as pure Column expressions (centroids are literals, so the
     assignment is map-only: NO shuffle, no Python)."""
-    entries = []
-    for i, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        entries.append(
-            F.struct(
-                # zero-norm vectors get sim -2 so struct-compare stays total
-                F.coalesce(cosine(vec, arr), F.lit(-2.0)).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-        )
-    return F.array(*entries)
+    cb = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # one indexed transform over a nested-array literal instead of
+    # n_cells unrolled struct branches — identical (sim, cell) structs in
+    # identical order, ~n_cells× smaller codegen tree (same fix as
+    # pq_codes; the unrolled form spent seconds in analysis/compile)
+    return F.transform(
+        cb,
+        lambda c, i: F.struct(
+            # zero-norm vectors get sim -2 so struct-compare stays total
+            F.coalesce(cosine(vec, c), F.lit(-2.0)).alias("sim"),
+            i.alias("cell"),
+        ),
+    )
 
 
 def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
