@@ -188,3 +188,91 @@ def test_recover_after_sigkill(spark, tmp_path):
     pg = _run_phase(golden)
     assert pg.returncode == 0, pg.stderr[-2000:]
     assert _sink_rows(spark, crash) == _sink_rows(spark, golden)
+
+
+FUNNEL_RUNNER = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+from janus_spark.streaming.stateful import streaming_funnel
+
+root = sys.argv[1]
+schema = StructType([
+    StructField("user", StringType()),
+    StructField("ts", DoubleType()),
+    StructField("event", StringType()),
+])
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("funnel-ckpt")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    .getOrCreate()
+)
+stream = (
+    spark.readStream.schema(schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(root + "/src/b*")
+)
+out = streaming_funnel(stream, ["a", "b", "c"])
+q = (
+    out.writeStream.format("parquet")
+    .option("path", root + "/sink")
+    .option("checkpointLocation", root + "/ckpt")
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination(300)
+spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_funnel_state_recovers_across_process_restart(spark, tmp_path):
+    """Per-user funnel progress (step index + step-1 time) must survive a
+    real process restart: users start the funnel in phase A and complete
+    it in phase B — a completion is only detectable with recovered state."""
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("user", StringType()),
+            StructField("ts", DoubleType()),
+            StructField("event", StringType()),
+        ]
+    )
+    crash = tmp_path / "crash"
+    (crash / "src").mkdir(parents=True)
+    b0 = [(f"u{i}", float(10 * i + 1), "a") for i in range(6)]
+    b1 = [(f"u{i}", float(10 * i + 2), "b") for i in range(0, 6, 2)]
+    b2 = [(f"u{i}", float(10 * i + 3), "c") for i in range(0, 6, 3)]
+    for i, rows in enumerate((b0, b1)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(crash / "src" / f"b{i}"))
+    pa = subprocess.run(
+        [sys.executable, "-c", FUNNEL_RUNNER.format(repo=REPO), str(crash)],
+        timeout=300, capture_output=True, text=True,
+    )
+    assert pa.returncode == 0, pa.stderr[-2000:]
+    # no completions yet: step 3 events haven't arrived
+    import glob as _glob
+
+    sunk = spark.read.parquet(str(crash / "sink")) if _glob.glob(str(crash / "sink") + "/*.parquet") else None
+    assert sunk is None or sunk.count() == 0
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(crash / "src" / "b2"))
+    pb = subprocess.run(
+        [sys.executable, "-c", FUNNEL_RUNNER.format(repo=REPO), str(crash)],
+        timeout=300, capture_output=True, text=True,
+    )
+    assert pb.returncode == 0, pb.stderr[-2000:]
+    rows = spark.read.parquet(str(crash / "sink")).collect()
+    # u0 (a@1,b@2,c@3) and... u3 has no b (3 % 2 != 0) -> only u0 completes
+    # among i%3==0: i=0 yes, i=3 lacks step b
+    got = {(r["user"], r["t1"], r["completed_at"]) for r in rows}
+    assert got == {("u0", 1.0, 3.0)}
