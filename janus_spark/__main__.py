@@ -124,7 +124,13 @@ def cmd_datapipe(args) -> int:
     survivors = kept.join(
         exact_dedup(kept).select(F.col("keep_id").alias("doc_id")), "doc_id"
     )
-    keep = dedup_keep_list(survivors, minhash_lsh_pairs(survivors))
+    pairs = minhash_lsh_pairs(survivors)
+    if args.keep_best:
+        from janus_spark.datapipe.dedup import dedup_keep_best
+
+        keep = dedup_keep_best(survivors, pairs, score_col=F.col("q_score"))
+    else:
+        keep = dedup_keep_list(survivors, pairs)
     curated = survivors.join(keep.select("doc_id", "keep_id", "keep"), "doc_id")
     summary = {
         "input_docs": docs.count(),
@@ -215,6 +221,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="fraction tagged 'eval' in the stable train/eval split")
     sd.add_argument("--chunk-tokens", type=int, default=0,
                     help="also emit <out>_chunks parquet of N-token training chunks (0 = off)")
+    sd.add_argument("--keep-best", action="store_true",
+                    help="near-dup clusters keep the highest-q_score member instead of the lowest id")
 
     args = p.parse_args(argv)
     return {
