@@ -5413,3 +5413,54 @@ ORACLES["q_live_funnel"] = """
            CAST(100 * id + 10 AS DOUBLE) AS t1,
            CAST(100 * id + 30 AS DOUBLE) AS completed_at
     FROM range(0, 50) t(id) WHERE id % 6 = 0"""
+
+
+def q_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (trend = centered moving average,
+    seasonal = hour-of-day mean minus grand mean, residual = remainder)
+    per user — operators/timeseries.py::decompose.
+    Exact integer-unit arithmetic end-to-end (no double is ever
+    rounded), so the gate is bit-exact at any scale — see the operator
+    docstring."""
+    from janus_spark.operators.timeseries import decompose
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    out = decompose(ev, ["user_id"], trend_window=5, order_tiebreak="event_id")
+    return out.select(
+        "user_id", "event_id", "ts_ms",
+        F.col("period_bucket").cast("int").alias("period_bucket"),
+        "trend", "seasonal", "residual",
+    )
+
+
+QUERIES["q_decompose"] = q_decompose
+ORACLES["q_decompose"] = f"""
+    WITH e AS (SELECT user_id, event_id, {_TSM} AS ts_ms,
+                      EXTRACT(hour FROM ts) AS hod,
+                      CAST(ROUND(value * 100, 0) AS BIGINT) AS u
+               FROM events),
+         t AS (SELECT *,
+                      SUM(u) OVER w AS tn, COUNT(u) OVER w AS tc,
+                      SUM(u) OVER ws AS sn, COUNT(u) OVER ws AS sc,
+                      SUM(u) OVER wu AS gn, COUNT(u) OVER wu AS gc
+               FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                            ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING),
+                      ws AS (PARTITION BY user_id, hod),
+                      wu AS (PARTITION BY user_id)),
+         z AS (SELECT user_id, event_id, ts_ms, hod, u,
+                      (tn * 200 + tc) // (2 * tc) AS t4,
+                      CASE WHEN sn * gc - gn * sc >= 0
+                           THEN ((sn * gc - gn * sc) * 200 + sc * gc) // (2 * sc * gc)
+                           ELSE -(((gn * sc - sn * gc) * 200 + sc * gc) // (2 * sc * gc))
+                      END AS s4
+               FROM t)
+    SELECT user_id, event_id, ts_ms, CAST(hod AS INT) AS period_bucket,
+           t4 / 10000.0 AS trend,
+           s4 / 10000.0 AS seasonal,
+           (u * 100 - t4 - s4) / 10000.0 AS residual
+    FROM z"""

@@ -401,3 +401,30 @@ def test_autocorr_detects_period(spark):
     df = spark.createDataFrame(rows, "k string, ts_ms long, value double")
     r = autocorr(df, ["k"], lags=(1, 2)).collect()[0]
     assert r["ac1"] < -0.9 and r["ac2"] > 0.9
+
+
+def test_decompose_identities(spark):
+    """trend+seasonal+residual == value exactly (integer units), and
+    seasonal components sum to ~0 per key."""
+    from janus_spark.operators.timeseries import decompose
+
+    rows = [(1, i * 3_600_000, float(10 + (i % 24) + 0.25 * (i % 3))) for i in range(72)]
+    df = spark.createDataFrame(rows, "k int, ts_ms long, value double")
+    out = decompose(df, ["k"], trend_window=3).collect()
+    for r in out:
+        assert abs((r["trend"] + r["seasonal"] + r["residual"]) - r["value"]) < 1e-9
+    per_bucket = {}
+    for r in out:
+        per_bucket.setdefault(r["period_bucket"], []).append(r["seasonal"])
+    # seasonal is constant within a bucket by construction
+    for vals in per_bucket.values():
+        assert max(vals) - min(vals) < 1e-9
+
+
+def test_decompose_flat_series_has_zero_seasonal_and_residual(spark):
+    from janus_spark.operators.timeseries import decompose
+
+    rows = [(1, i * 1000, 5.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "k int, ts_ms long, value double")
+    for r in decompose(df, ["k"], trend_window=4).collect():
+        assert r["trend"] == 5.0 and r["seasonal"] == 0.0 and r["residual"] == 0.0
