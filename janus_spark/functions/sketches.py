@@ -289,3 +289,28 @@ def hll_det_overlap(
             ),
         )
     )
+
+
+def cms_join_size(
+    pa: DataFrame, pb: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Join-cardinality estimate from two Count-Min sketches (Cormode &
+    Muthukrishnan): |A ⋈_k B| = Σ_k f_A(k)·f_B(k) ≈ min over rows of the
+    cell-wise inner product.  Never an underestimate; error ≤
+    e·N_A·N_B/width w.p. 1−e^−depth.  The planning primitive: estimate a
+    join's output size from two d×w sketches — built in one pass each,
+    mergeable across partitions/days — without touching either table
+    again.  Input frames are ``cms_partials`` outputs (ungrouped: by=[]).
+    Returns one row: (est_join_size)."""
+    a = pa.select("row", "col", F.col("cnt").alias("ca"))
+    b = pb.select("row", "col", F.col("cnt").alias("cb"))
+    per_row = (
+        a.join(b, ["row", "col"])  # cells empty in either side contribute 0
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    # a row with NO shared non-empty cells has inner product 0
+    n_rows = per_row.count()
+    if n_rows < depth:
+        return pa.sparkSession.range(1).select(F.lit(0).cast("long").alias("est_join_size"))
+    return per_row.agg(F.min("ip").cast("long").alias("est_join_size"))

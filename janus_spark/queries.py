@@ -5464,3 +5464,35 @@ ORACLES["q_decompose"] = f"""
            s4 / 10000.0 AS seasonal,
            (u * 100 - t4 - s4) / 10000.0 AS residual
     FROM z"""
+
+
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from two Count-Min sketches (orders ⋈
+    lineitem on orderkey) — the sketch inner product, one pass per
+    table, never an underestimate; deterministic md5 CMS so the
+    ESTIMATE is oracle-EXACT (functions/sketches.cms_join_size)."""
+    from janus_spark.functions.sketches import cms_join_size, cms_partials
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pa = cms_partials(orders, "o_orderkey", [], depth=4, width=4096)
+    pb = cms_partials(li, "l_orderkey", [], depth=4, width=4096)
+    return cms_join_size(pa, pb, depth=4)
+
+
+QUERIES["q_cms_join_size"] = q_cms_join_size
+ORACLES["q_cms_join_size"] = """
+    WITH ca AS (
+      SELECT row, col, COUNT(*) AS ca FROM (
+        SELECT r AS row,
+               ('0x' || substr(md5(r || ':' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 4096 AS col
+        FROM orders, unnest(range(0, 4)) t(r)) GROUP BY row, col),
+    cb AS (
+      SELECT row, col, COUNT(*) AS cb FROM (
+        SELECT r AS row,
+               ('0x' || substr(md5(r || ':' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 4096 AS col
+        FROM lineitem, unnest(range(0, 4)) t(r)) GROUP BY row, col),
+    ip AS (SELECT ca.row, SUM(ca.ca * cb.cb) AS ip
+           FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
+           GROUP BY ca.row)
+    SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip"""

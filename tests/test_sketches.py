@@ -170,3 +170,29 @@ def test_cms_partials_merge_across_storage(events, tmp_path):
     direct_partials = sketches.cms_partials(events, "user_id", ["event_type"], depth=4, width=256)
     b = sketches.cms_estimate(direct_partials, probes, "user_id", ["event_type"], depth=4, width=256)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cms_join_size_bounds(spark, sf_dir):
+    from janus_spark.functions.sketches import cms_join_size, cms_partials
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    true = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    pa = cms_partials(orders, "o_orderkey", [], depth=4, width=4096)
+    pb = cms_partials(li, "l_orderkey", [], depth=4, width=4096)
+    est = cms_join_size(pa, pb, depth=4).collect()[0]["est_join_size"]
+    n_a, n_b = orders.count(), li.count()
+    assert true <= est <= true + 3 * 2.718 * n_a * n_b / 4096
+
+
+def test_cms_join_size_disjoint_keys_is_small(spark):
+    from pyspark.sql import functions as F
+
+    from janus_spark.functions.sketches import cms_join_size, cms_partials
+
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(10000, 12000).select(F.col("id").alias("k"))
+    pa = cms_partials(a, "k", [], depth=4, width=4096)
+    pb = cms_partials(b, "k", [], depth=4, width=4096)
+    est = cms_join_size(pa, pb, depth=4).collect()[0]["est_join_size"]
+    assert est <= 3 * 2.718 * 2000 * 2000 / 4096  # collision noise only
