@@ -590,3 +590,49 @@ def tfidf_topk_pairs(
     if round_sim is not None:
         pairs = pairs.withColumn("sim", F.round("sim", round_sim))
     return pairs.orderBy(F.desc("sim"), F.asc("a"), F.asc("b")).limit(k)
+
+
+def pq_permutation(
+    corpus: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """OPQ-lite: a dimension permutation that balances variance across
+    the ``m`` PQ subspaces (the parametric goal of OPQ's rotation,
+    restricted to permutations — no matrix math, deterministic, and the
+    inverse transform is free).  Contiguous subspace splits quantize
+    badly when signal concentrates in a few dimensions (all the energy
+    lands in one codebook); snake-assigning dimensions by variance rank
+    equalizes per-subspace energy, which is the first-order term of the
+    OPQ objective (Ge et al. 2013).
+
+    One aggregation over the corpus (per-dimension variance via
+    posexplode → groupBy pos), then a driver-side sort of ``dim``
+    floats.  Returns ``perm`` such that permuted[i] = vec[perm[i]];
+    apply with :func:`apply_permutation` to corpus AND queries before
+    any pq_* call (inner products are permutation-invariant, so ranking
+    semantics are unchanged — only quantization error drops).
+    """
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.var_samp(F.col("x").cast("double")).alias("v"))
+        .collect()
+    )
+    dim = len(rows)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    order = [r["pos"] for r in sorted(rows, key=lambda r: (-(r["v"] or 0.0), r["pos"]))]
+    groups: list[list[int]] = [[] for _ in range(m)]
+    for r in range(dim // m):
+        idxs = range(m) if r % 2 == 0 else range(m - 1, -1, -1)
+        for gi, j in enumerate(idxs):
+            groups[j].append(order[r * m + gi])
+    return [p for g in groups for p in g]
+
+
+def apply_permutation(df: DataFrame, perm: list[int], vec_col: str = "embedding"):
+    """Reorder a vector column by ``perm`` — map-only element gathers."""
+    gathered = F.array(*[F.element_at(F.col(vec_col), int(p) + 1) for p in perm])
+    return df.withColumn(vec_col, gathered)

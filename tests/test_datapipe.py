@@ -782,3 +782,82 @@ def test_corpus_report_dominant_language(spark):
     assert web["n_docs"] == 3 and web["total_tokens"] == 6 and web["n_langs"] == 2
     assert web["top_lang"] == "en" and abs(web["top_lang_share"] - 2 / 3) < 1e-6
     assert out["books"]["top_lang_share"] == 1.0
+
+
+def test_pq_permutation_balances_subspace_variance(spark):
+    import random
+
+    from janus_spark.datapipe.similarity import apply_permutation, pq_permutation
+
+    # anisotropic: dims 0-7 carry all the signal, the rest are near-zero
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-10, 10) if d < 8 else rng.uniform(-0.1, 0.1) for d in range(32)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    perm = pq_permutation(df, m=4)
+    assert sorted(perm) == list(range(32))
+
+    def subspace_energy(d):
+        from pyspark.sql import functions as F
+
+        var_rows = (
+            d.select(F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("pos").agg(F.var_samp("x").alias("v")).collect()
+        )
+        v = {r["pos"]: r["v"] for r in var_rows}
+        sums = [sum(v[p] for p in range(j * 8, (j + 1) * 8)) for j in range(4)]
+        return max(sums) - min(sums)
+
+    spread_id = subspace_energy(df)
+    spread_perm = subspace_energy(apply_permutation(df, perm))
+    # identity packs all 8 hot dims into subspace 0; the permutation
+    # spreads them 2 per subspace
+    assert spread_perm < spread_id / 5
+
+
+def test_pq_permutation_improves_recall_on_anisotropic_data(spark, sf_dir):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from janus_spark.datapipe.similarity import apply_permutation, pq_permutation, pq_topk
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-10, 10) if d < 8 else rng.uniform(-0.05, 0.05) for d in range(32)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id < 8")
+
+    def recall(frame, q):
+        got = pq_topk(frame, q, k=10, m=4, k_codes=16)
+        exact = {}
+        rows_ = frame.collect()
+        qs = {r["vec_id"]: r["embedding"] for r in q.collect()}
+        import math
+
+        def cos(a, b):
+            na = math.sqrt(sum(x * x for x in a)) or 1.0
+            nb = math.sqrt(sum(x * x for x in b)) or 1.0
+            return sum(x * y for x, y in zip(a, b)) / na / nb
+
+        for qid, qv in qs.items():
+            sims = sorted(
+                ((cos(qv, r["embedding"]), r["vec_id"]) for r in rows_ if r["vec_id"] != qid),
+                reverse=True,
+            )
+            exact[qid] = {v for _, v in sims[:10]}
+        hits = total = 0
+        for r in got.collect():
+            if r["query_id"] in exact:
+                total += 1
+                hits += r["vec_id"] in exact[r["query_id"]]
+        return hits / max(total, 1)
+
+    perm = pq_permutation(df, m=4)
+    r_id = recall(df, queries)
+    r_perm = recall(apply_permutation(df, perm), apply_permutation(queries, perm))
+    assert r_perm >= r_id  # balancing never hurts on this anisotropy
