@@ -5496,3 +5496,44 @@ ORACLES["q_cms_join_size"] = """
            FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
            GROUP BY ca.row)
     SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip"""
+
+
+def q_path_alt_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure over an ALTERNATION path ((p1|p2)+): composes the alt and
+    plus operators — the union relation is closed, not each branch
+    separately (doc//2 edges are p1, doc//3 edges are p2, so mixed-label
+    paths exist); recursive-CTE oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id >= 1 AND doc_id < 200")
+    e1 = docs.select(
+        F.lit(0).alias("ts"),
+        F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias("subject"),
+        F.lit("urn:tree:p1").alias("predicate"),
+        F.concat(F.lit("urn:doc:"), (F.col("doc_id") / 2).cast("long").cast("string")).alias("object"),
+        F.lit("g").alias("graph"),
+    )
+    e2 = docs.where("doc_id >= 3").select(
+        F.lit(0).alias("ts"),
+        F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias("subject"),
+        F.lit("urn:tree:p2").alias("predicate"),
+        F.concat(F.lit("urn:doc:"), (F.col("doc_id") / 3).cast("long").cast("string")).alias("object"),
+        F.lit("g").alias("graph"),
+    )
+    q = "SELECT ?d ?a WHERE { ?d (<urn:tree:p1>|<urn:tree:p2>)+ ?a . }"
+    return _run(e1.unionByName(e2), q, path_max_hops=12)
+
+
+QUERIES["q_path_alt_closure"] = q_path_alt_closure
+ORACLES["q_path_alt_closure"] = """
+    WITH RECURSIVE e AS (
+        SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS c,
+               'urn:doc:' || CAST(doc_id // 2 AS VARCHAR) AS p
+        FROM documents WHERE doc_id >= 1 AND doc_id < 200
+        UNION
+        SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR),
+               'urn:doc:' || CAST(doc_id // 3 AS VARCHAR)
+        FROM documents WHERE doc_id >= 3 AND doc_id < 200),
+    r AS (
+        SELECT c, p FROM e
+        UNION
+        SELECT r.c, e.p FROM r JOIN e ON r.p = e.c)
+    SELECT c AS d, p AS a FROM r"""
