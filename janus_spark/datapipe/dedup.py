@@ -763,3 +763,49 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col("id").alias(id_col), status.alias("status"))
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingestion exact dedup against a PERSISTENT fingerprint
+    store: the arriving batch is deduplicated within itself (min id per
+    fingerprint), anti-joined against every fingerprint ever seen, and
+    the survivors' fingerprints are appended to the store — so the next
+    batch dedups against all history without rescanning any corpus.
+
+    Returns the fresh (never-seen) rows of ``new_docs``.  The store is
+    an append-only parquet of (fp_md5, first_id) — 48 bytes/doc, i.e.
+    ~50 GB of store per 10^9 documents; the anti-join is one shuffle on
+    the 32-byte key (or a broadcast while the store is small).  Restart-
+    safe by construction: state lives in the store files, not in memory.
+    """
+    from pyspark.sql.window import Window as W
+
+    spark = new_docs.sparkSession
+    fp = F.md5(normalize(F.col(text_col)))
+    batch = (
+        new_docs.withColumn("__fp", fp)
+        .withColumn(
+            "__rn", F.row_number().over(W.partitionBy("__fp").orderBy(F.col(id_col)))
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    try:
+        seen = spark.read.parquet(store_path).select("fp_md5")
+        have_store = True
+    except Exception:
+        have_store = False
+    if have_store:
+        batch = batch.join(
+            seen, batch["__fp"] == seen["fp_md5"], "left_anti"
+        )
+    batch = batch.localCheckpoint(eager=True)
+    batch.select(
+        F.col("__fp").alias("fp_md5"), F.col(id_col).alias("first_id")
+    ).write.mode("append").parquet(store_path)
+    return batch.drop("__fp")

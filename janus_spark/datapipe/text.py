@@ -467,3 +467,41 @@ def vocab_coverage(
             F.round(F.col("n_oov") / F.col("n_tokens"), 9).alias("oov_rate"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 200,
+    min_rank: int = 5,
+) -> DataFrame:
+    """Zipf power-law fit of the corpus token distribution: OLS slope of
+    ``ln f ~ ln rank`` over ranks [min_rank, top_k] (the head deviates
+    from the power law, hence min_rank).  A healthy natural corpus fits
+    slope ≈ −1; crawl junk / template spam shows up as a flat or broken
+    slope — the single-number distributional health check next to
+    token_entropy's per-document one.
+
+    One explode+count aggregation, one top-k window, one tiny
+    regression aggregate (regr_slope/regr_intercept/regr_r2 are
+    order-free enough at ~200 rows to round at 6 dp).
+    Returns one row: (n_ranks, slope, intercept, r2).
+    """
+    from pyspark.sql.window import Window as W
+
+    counts = (
+        df.select(F.explode(clean_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n"), F.asc("word")))
+    ).where((F.col("rank") >= min_rank) & (F.col("rank") <= top_k))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

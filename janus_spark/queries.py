@@ -5537,3 +5537,25 @@ ORACLES["q_path_alt_closure"] = """
         UNION
         SELECT r.c, e.p FROM r JOIN e ON r.p = e.c)
     SELECT c AS d, p AS a FROM r"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus vocabulary (ln f ~ ln rank OLS over
+    ranks 5..200) — distributional health check
+    (datapipe/text.py::zipf_fit)."""
+    from janus_spark.datapipe.text import zipf_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_fit(docs)
+
+
+QUERIES["q_zipf_fit"] = q_zipf_fit
+ORACLES["q_zipf_fit"] = f"""
+    WITH w AS (SELECT unnest({_CLEAN_TOKS}) AS word FROM documents),
+         c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+         r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank FROM c)
+    SELECT COUNT(*) AS n_ranks,
+           ROUND(REGR_SLOPE(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS slope,
+           ROUND(REGR_INTERCEPT(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS intercept,
+           ROUND(REGR_R2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS r2
+    FROM r WHERE rank BETWEEN 5 AND 200"""

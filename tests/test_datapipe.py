@@ -861,3 +861,30 @@ def test_pq_permutation_improves_recall_on_anisotropic_data(spark, sf_dir):
     r_id = recall(df, queries)
     r_perm = recall(apply_permutation(df, perm), apply_permutation(queries, perm))
     assert r_perm >= r_id  # balancing never hurts on this anisotropy
+
+
+def test_incremental_dedup_across_batches_and_restart(spark, sf_dir, tmp_path):
+    from janus_spark.datapipe.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = str(tmp_path / "fp_store")
+    b1 = docs.where("doc_id < 100")
+    fresh1 = incremental_dedup(b1, store)
+    n1 = fresh1.count()
+    assert n1 <= 100  # in-batch dupes collapse too
+    # batch 2 overlaps batch 1 (same texts, shifted ids) + genuinely new docs
+    b2 = docs.where("doc_id < 150").withColumn("doc_id", F.col("doc_id") + 10_000)
+    fresh2 = incremental_dedup(b2, store)
+    ids2 = {r["doc_id"] for r in fresh2.select("doc_id").collect()}
+    # everything with text already in the store is dropped; only texts of
+    # docs 100-149 (modulo in-corpus dupes) survive
+    texts1 = {r["text"] for r in b1.select("text").collect()}
+    surviving_texts = {
+        r["text"] for r in docs.where("doc_id >= 100 AND doc_id < 150").collect()
+        if r["text"] not in texts1
+    }
+    assert len(ids2) <= len(surviving_texts) + 1
+    # replay batch 2 wholesale (a restart / at-least-once redelivery):
+    # nothing is fresh anymore
+    fresh3 = incremental_dedup(b2, store)
+    assert fresh3.count() == 0
