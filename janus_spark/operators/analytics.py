@@ -15,7 +15,7 @@ MAD is two grouped exact percentiles broadcast back map-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -143,4 +143,113 @@ def mad_outliers(
         *df.columns,
         robust_z.alias("robust_z"),
         F.coalesce(F.abs(robust_z) > F.lit(k), F.lit(False)).alias("is_outlier"),
+    )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    order_cols: list[str] | None = None,
+    round_p: int | None = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key ordered event
+    sequences: P(next_state | state) estimated from adjacent pairs.
+
+    The sequence model behind session-flow analysis ("after `view`,
+    42% of events are `click`") and synthetic-trace generation.
+
+    Plan: ONE window pass per key for the lead (shuffle on ``key_col``),
+    then a grouped count on (state, next_state); the per-state total is a
+    second small aggregate broadcast back onto the pair counts, so the
+    event table is never self-joined.  At 100 TB the only big shuffle is
+    the per-key sort the lead needs — the pair-count frame is at most
+    |states|² rows.
+
+    Exactness: the probability is ONE division of two exact counts
+    (order-free), so a 6-dp round is engine-reproducible.
+
+    Returns (state, next_state, n_pairs, n_from, p).
+    """
+    order_cols = order_cols or ["ts_ms", "event_id"]
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = (
+        df.withColumn("__next", F.lead(F.col(state_col)).over(w))
+        .where(F.col("__next").isNotNull())
+        .groupBy(F.col(state_col).alias("state"), F.col("__next").alias("next_state"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    totals = pairs.groupBy("state").agg(F.sum("n_pairs").alias("n_from"))
+    p = F.col("n_pairs").cast("double") / F.col("n_from").cast("double")
+    if round_p is not None:
+        p = F.round(p, round_p)
+    return pairs.join(F.broadcast(totals), "state").select(
+        "state", "next_state", "n_pairs", "n_from", p.alias("p")
+    )
+
+
+def skyline2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_grid: int = 64,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, minimize both dims): the points not
+    dominated by any other point (``b.x <= a.x AND b.y <= a.y`` with at
+    least one strict).  The multi-objective "best tradeoffs" operator
+    (cheapest-and-smallest part, fastest-and-freshest supplier).
+
+    Plan — grid prune, then exact frontier:
+      1. Bucket x into ``n_grid`` equi-width cells (map-only; bounds from
+         one scalar agg).  Per-cell min-y is a tiny aggregate; the
+         running min over cells strictly to the left gives a broadcast
+         dominance threshold per cell.
+      2. Map-side filter: drop every point with ``y >= threshold(cell)``
+         — any such point is dominated by the cell-min witness to its
+         left.  At 100 TB this discards almost everything without a
+         shuffle of the full table (survivors are O(frontier × grid
+         resolution), not O(n)).
+      3. Exact pass on the survivors: per-x min-y, then a single ordered
+         running-min over distinct x (frontier-sized, fits one task).
+
+    Equal points tie-break: duplicates of a frontier point are all kept
+    (neither strictly dominates); within an x group only min-y rows
+    survive.  Returns DISTINCT frontier points (x, y).
+    """
+    pts = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y")).where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    b = pts.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    span = (hi - lo) or 1
+    cell = F.least(
+        F.lit(n_grid - 1), F.floor((F.col("x") - F.lit(lo)) * n_grid / F.lit(span))
+    ).cast("long")
+    cells = (
+        pts.groupBy(cell.alias("c"))
+        .agg(F.min("y").alias("cy"))
+        .collect()
+    )
+    # running min of cell-min-y over cells strictly left of c → per-cell
+    # dominance threshold (a point in cell c with y >= thr[c] is dominated
+    # by some point in a strictly-smaller cell, hence strictly smaller x).
+    run, thr = None, {}
+    for row in sorted(cells, key=lambda r: r["c"]):
+        thr[row["c"]] = run
+        run = row["cy"] if run is None else min(run, row["cy"])
+    if any(v is not None for v in thr.values()):
+        thr_map = F.create_map(
+            *[F.lit(v) for kv in thr.items() if kv[1] is not None for v in kv]
+        )
+        thr_col = F.element_at(thr_map, cell)
+        keep = thr_col.isNull() | (F.col("y") < thr_col)
+        survivors = pts.where(keep)
+    else:
+        survivors = pts
+    per_x = survivors.groupBy("x").agg(F.min("y").alias("y"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        per_x.withColumn("__pm", F.min("y").over(w))
+        .where(F.col("__pm").isNull() | (F.col("y") < F.col("__pm")))
+        .select("x", "y")
     )

@@ -639,3 +639,66 @@ def decompose(
         (F.col("__s4") / F.lit(scale)).alias("seasonal"),
         (res_u / F.lit(scale)).alias("residual"),
     )
+
+
+def linreg_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str = "ts_ms",
+    value_col: str = "value",
+    round_out: int = 6,
+    slope_unit: int = 1,
+) -> DataFrame:
+    """Per-key OLS trend line of ``value`` over ``x`` (slope, intercept,
+    r²) in ONE grouped aggregate — the closed-form normal equations, no
+    iteration, no window.
+
+    Exactness contract (cross-engine bit-reproducible): ``x`` must be an
+    integer column (epoch ms, already rebased by the caller if needed)
+    and ``value`` exact at 2 decimals.  All five moment sums
+    (Σx, Σy, Σxy, Σx², Σy²) are accumulated as DECIMAL(38,0) integers —
+    value in cents via an exact decimal cast — so the sums are
+    order-free; slope/intercept/r² are then a fixed tree of double ops
+    over identical integer operands in both engines, rounded once.
+
+    Scale: one map-side-combinable shuffle on the key; the output is one
+    row per key.  This is the distributed form of the reference's
+    per-window regression (src/query/window_stats.rs) without the
+    per-window re-scan.
+
+    Returns key_cols + (n, slope, intercept, r2); slope is in value
+    units per ``slope_unit`` x-units (pass 86_400_000 for per-day slopes
+    over epoch-ms x — an epoch-ms slope rounds to 0 at 6 dp otherwise).
+    Degenerate keys (n < 2 or zero x-variance) yield NULL
+    slope/intercept/r2.
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(x_col).cast(d38)
+    y = (F.col(value_col).cast("decimal(18,2)") * 100).cast(d38)  # cents
+    g = df.where(F.col(value_col).isNotNull()).groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    # exact integer covariance/variance numerators (×n), then doubles
+    covn = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    vxn = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vyn = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    nd = F.col("__n").cast("double")
+    slope_c = covn / vxn  # cents per x-unit
+    ok = (F.col("__n") >= 2) & (vxn > 0)
+    slope = F.when(ok, F.round(slope_c * F.lit(float(slope_unit)) / 100, round_out))
+    intercept = F.when(
+        ok, F.round((F.col("__sy").cast("double") - slope_c * F.col("__sx").cast("double")) / nd / 100, round_out)
+    )
+    r2 = F.when(ok & (vyn > 0), F.round(covn * covn / (vxn * vyn), round_out))
+    return g.select(
+        *key_cols,
+        F.col("__n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from janus_spark.compiler import compile_sparql, parse_sparql
@@ -5559,3 +5559,382 @@ ORACLES["q_zipf_fit"] = f"""
            ROUND(REGR_INTERCEPT(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS intercept,
            ROUND(REGR_R2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS r2
     FROM r WHERE rank BETWEEN 5 AND 200"""
+
+
+# ---- round-3 batch 3: adapted TPC-H shapes, retrieval, frontier ----------
+
+
+def q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join so zero-order customers survive, with the order predicate on the
+    join's right side (pre-filtered before the join ≡ ON-clause
+    predicate), then a double aggregation.  One shuffle join on custkey
+    + two small aggs."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+QUERIES["q_tpch_custdist"] = q_tpch_custdist
+ORACLES["q_tpch_custdist"] = """
+    WITH pc AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist FROM pc GROUP BY c_count"""
+
+
+def q_tpch_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three brand/size/quantity
+    conjunctions.  The join key predicate (partkey) is conjunctive, so
+    Catalyst still plans a broadcast hash join on part and pushes the
+    common l_quantity bound to the lineitem scan; the disjunction is
+    evaluated post-join.  Money in exact decimals."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+    c1 = (F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & qty.between(1, 11)
+    c2 = (F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 25) & qty.between(10, 20)
+    c3 = (F.col("p_brand") == "Brand#33") & F.col("p_size").between(1, 35) & qty.between(20, 30)
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return j.where(c1 | c2 | c3).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(rev.cast("double"), 2).alias("revenue"),
+    )
+
+
+QUERIES["q_tpch_disjunctive"] = q_tpch_disjunctive
+ORACLES["q_tpch_disjunctive"] = """
+    SELECT COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""
+
+
+def q_tpch_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS chain): suppliers who were
+    the ONLY supplier with a returned line ('R') on a finished
+    multi-supplier order.  Both correlated subqueries lower to semi/anti
+    joins on the orderkey with a non-equi supplier guard — three scans of
+    lineitem, each aggregated/deduped before joining, never row×row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")).distinct()
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+        .distinct()
+    )
+    cand = l1.join(
+        l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
+    )
+    lone = cand.join(
+        l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti"
+    )
+    return (
+        lone.join(F.broadcast(sup), lone.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+QUERIES["q_tpch_lone_returner"] = q_tpch_lone_returner
+ORACLES["q_tpch_lone_returner"] = """
+    WITH l1 AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R' AND o_orderstatus = 'F')
+    SELECT s_name, COUNT(*) AS numwait
+    FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+    GROUP BY s_name"""
+
+
+def q_tpch_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers richer than the positive-balance
+    average with no RECENT order (the lapsed-high-value segment).  The
+    scalar AVG threshold is compared by integer cross-multiplication
+    (acctbal_cents · n_pos > total_pos_cents) so the boundary is exact in
+    both engines; the no-recent-orders test is a left-anti join."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select("o_custkey")
+    )
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    c = cust.withColumn("__cents", cents)
+    pos = c.where(F.col("__cents") > 0).agg(
+        F.count(F.lit(1)).alias("np"), F.sum("__cents").alias("tot")
+    ).collect()[0]
+    n_pos, tot = int(pos["np"]), int(pos["tot"])
+    rich = c.where(F.col("__cents") * F.lit(n_pos) > F.lit(tot))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy(F.col("c_nationkey").alias("cntry")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round((F.sum("__cents") / F.lit(100.0)), 2).alias("totacctbal"),
+    )
+
+
+QUERIES["q_tpch_idle_rich"] = q_tpch_idle_rich
+ORACLES["q_tpch_idle_rich"] = """
+    WITH c AS (SELECT *, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               FROM customer),
+         p AS (SELECT COUNT(*) AS np, SUM(cents) AS tot FROM c WHERE cents > 0)
+    SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+           ROUND(SUM(cents) / 100.0, 2) AS totacctbal
+    FROM c
+    WHERE cents * (SELECT np FROM p) > (SELECT tot FROM p)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c_nationkey"""
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user session stream
+    (operators/analytics.py::markov_transitions)."""
+    from janus_spark.operators.analytics import markov_transitions
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return markov_transitions(ev, key_col="user_id", state_col="event_type",
+                              order_cols=["ts_ms", "event_id"])
+
+
+QUERIES["q_markov_transitions"] = q_markov_transitions
+ORACLES["q_markov_transitions"] = f"""
+    WITH s AS (SELECT user_id, event_type, {_TSM} AS ts_ms, event_id FROM events),
+         p AS (SELECT event_type AS state,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts_ms, event_id) AS next_state
+               FROM s),
+         cnt AS (SELECT state, next_state, COUNT(*) AS n_pairs
+                 FROM p WHERE next_state IS NOT NULL GROUP BY state, next_state),
+         tot AS (SELECT state, SUM(n_pairs) AS n_from FROM cnt GROUP BY state)
+    SELECT state, next_state, n_pairs, n_from,
+           ROUND(CAST(n_pairs AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p
+    FROM cnt JOIN tot USING (state)"""
+
+
+def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS value trend (slope per day, intercept, r²) via
+    order-free DECIMAL(38) moment sums
+    (operators/timeseries.py::linreg_trend)."""
+    from janus_spark.operators.timeseries import linreg_trend
+
+    lo, _hi = _events_ts_bounds(spark, sf_dir)
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        (F.unix_millis(F.col("ts").cast("timestamp")) - F.lit(lo)).alias("ts_ms"),
+        "value",
+    )
+    return linreg_trend(ev, ["event_type"], slope_unit=86_400_000)
+
+
+QUERIES["q_linreg_trend"] = q_linreg_trend
+ORACLES["q_linreg_trend"] = f"""
+    WITH e AS (SELECT event_type,
+                      CAST({_TSM} - (SELECT MIN({_TSM}) FROM events) AS HUGEINT) AS x,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+               FROM events WHERE value IS NOT NULL),
+         g AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                      SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                      SUM(x*x) AS sxx, SUM(y*y) AS syy
+               FROM e GROUP BY event_type),
+         d AS (SELECT event_type, n,
+                      CAST(n*sxy - sx*sy AS DOUBLE) AS covn,
+                      CAST(n*sxx - sx*sx AS DOUBLE) AS vxn,
+                      CAST(n*syy - sy*sy AS DOUBLE) AS vyn,
+                      CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                      CAST(n AS DOUBLE) AS nd
+               FROM g)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 AND vxn > 0
+                THEN ROUND(covn / vxn * 86400000.0 / 100, 6) END AS slope,
+           CASE WHEN n >= 2 AND vxn > 0
+                THEN ROUND((syd - covn / vxn * sxd) / nd / 100, 6) END AS intercept,
+           CASE WHEN n >= 2 AND vxn > 0 AND vyn > 0
+                THEN ROUND(covn * covn / (vxn * vyn), 6) END AS r2
+    FROM d"""
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts minimizing (retailprice, size) — grid
+    prune + exact frontier pass (operators/analytics.py::skyline2d)."""
+    from janus_spark.operators.analytics import skyline2d
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = skyline2d(part, "p_retailprice", "p_size")
+    return out.select(F.col("x").alias("price"), F.col("y").cast("long").alias("size"))
+
+
+QUERIES["q_skyline"] = q_skyline
+ORACLES["q_skyline"] = """
+    WITH p AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part)
+    SELECT price, CAST(size AS BIGINT) AS size FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price <= a.price AND b.size <= a.size
+        AND (b.price < a.price OR b.size < a.size))"""
+
+
+_BM25_QUERIES = [
+    ("q1", "spark window stream"),
+    ("q2", "merge hash batch"),
+    ("q3", "customer query table sort"),
+]
+
+
+def _bm25_query_df(spark: SparkSession):
+    return spark.createDataFrame(_BM25_QUERIES, ["query_id", "qtext"])
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for three probe queries over the corpus
+    inverted index (datapipe/retrieval.py::bm25_topk)."""
+    from janus_spark.datapipe.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, _bm25_query_df(spark), k=10)
+
+
+_BM25_SQL_CORE = f"""
+    toks AS (SELECT doc_id AS id, {{toks}} AS tk FROM documents),
+    dl AS (SELECT id, len(tk) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    tf AS (SELECT id, t, COUNT(*) AS tf
+           FROM (SELECT id, unnest(tk) AS t FROM toks) GROUP BY id, t),
+    dft AS (SELECT t, COUNT(*) AS dft FROM tf GROUP BY t),
+    qt AS (SELECT DISTINCT query_id,
+                  unnest(list_filter(string_split_regex(trim(lower(qtext)), '\\s+'),
+                                     x -> x <> '')) AS t
+           FROM ({{qsrc}}) AS q(query_id, qtext)),
+    scored AS (
+      SELECT qt.query_id, tf.id,
+             ROUND(SUM(
+               ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - dft + 0.5) / (dft + 0.5))
+               * CAST(tf AS DOUBLE) * 2.2
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl * (SELECT n_docs FROM stats) AS DOUBLE)
+                                  / CAST((SELECT total_len FROM stats) AS DOUBLE)))), 6) AS score
+      FROM tf JOIN qt USING (t) JOIN dft USING (t) JOIN dl USING (id)
+      GROUP BY qt.query_id, tf.id),
+    ranked AS (SELECT query_id, id AS doc_id, score,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, id) AS rank
+               FROM scored)"""
+
+_BM25_QVALS = "VALUES " + ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+QUERIES["q_bm25_topk"] = q_bm25_topk
+ORACLES["q_bm25_topk"] = (
+    "WITH "
+    + _BM25_SQL_CORE.format(toks=_TOKS, qsrc=_BM25_QVALS)
+    + """
+    SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM ranked WHERE rank <= 10"""
+)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a BM25 lexical ranker
+    (query = text of docs 0-2) and a dense cosine ranker (query =
+    embeddings 0-2, same ids) — the two-tower RAG first stage
+    (datapipe/retrieval.py::rrf_fuse).  Self-hits excluded from both
+    rankers."""
+    from janus_spark.datapipe.retrieval import bm25_topk, rrf_fuse
+    from janus_spark.datapipe.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdocs = docs.where("doc_id < 3").select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("query_id"),
+        F.col("doc_id").alias("__self"),
+        F.col("text").alias("qtext"),
+    )
+    lex = (
+        bm25_topk(docs, qdocs, k=20)
+        .join(qdocs.select("query_id", "__self"), "query_id")
+        .where(F.col("doc_id") != F.col("__self"))
+    )
+    # re-rank after the self-hit drop so ranks are 1..k-contiguous
+    wl = Window.partitionBy("query_id").orderBy("rank")
+    lex = lex.select("query_id", "doc_id", F.row_number().over(wl).alias("rank"))
+    den = cosine_topk(embs, embs.where("vec_id < 3"), k=20).select(
+        F.concat(F.lit("d"), F.col("query_id")).alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse(lex, den, k=10)
+
+
+QUERIES["q_hybrid_rrf"] = q_hybrid_rrf
+ORACLES["q_hybrid_rrf"] = (
+    "WITH "
+    + _BM25_SQL_CORE.format(
+        toks=_TOKS,
+        qsrc="SELECT 'd' || CAST(doc_id AS VARCHAR), text FROM documents WHERE doc_id < 3",
+    )
+    + """,
+    lex AS (SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank) AS rank
+            FROM ranked
+            WHERE rank <= 20 AND doc_id <> CAST(substr(query_id, 2) AS BIGINT)),
+    dsims AS (SELECT 'd' || CAST(q.vec_id AS VARCHAR) AS query_id, e.vec_id AS doc_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+              WHERE e.vec_id <> q.vec_id),
+    den AS (SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, doc_id) AS rank
+            FROM dsims QUALIFY rank <= 20),
+    fused AS (
+      SELECT COALESCE(lex.query_id, den.query_id) AS query_id,
+             COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+             ROUND((CASE WHEN lex.rank IS NOT NULL
+                         THEN 1.0 / (60.0 + CAST(lex.rank AS DOUBLE)) ELSE 0.0 END)
+                   + (CASE WHEN den.rank IS NOT NULL
+                           THEN 1.0 / (60.0 + CAST(den.rank AS DOUBLE)) ELSE 0.0 END), 6) AS score
+      FROM lex FULL OUTER JOIN den
+        ON lex.query_id = den.query_id AND lex.doc_id = den.doc_id)
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           score
+    FROM fused QUALIFY rank <= 10"""
+)

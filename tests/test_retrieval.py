@@ -1,0 +1,125 @@
+"""Tests for datapipe/retrieval.py (BM25, RRF) and the round-3 frontier/
+sequence operators (skyline2d, markov_transitions, linreg_trend)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from janus_spark.datapipe.retrieval import bm25_topk, rrf_fuse
+from janus_spark.operators.analytics import markov_transitions, skyline2d
+from janus_spark.operators.timeseries import linreg_trend
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+    )
+    q = spark.createDataFrame([("q", "apple cherry")], ["query_id", "qtext"])
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, q, k=10, round_score=None).collect()
+    }
+    n, total = 3, 3 + 2 + 4
+    def idf(df):
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def term(tf, dl, df):
+        return idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl * n) / total))
+    assert out[1] == pytest.approx(term(2, 3, 1), rel=1e-12)  # apple in doc1
+    assert out[2] == pytest.approx(term(1, 2, 2), rel=1e-12)  # cherry in doc2
+    assert out[3] == pytest.approx(term(3, 4, 2), rel=1e-12)  # cherry in doc3
+
+
+def test_bm25_duplicate_query_terms_count_once(spark):
+    docs = _docs(spark, [(1, "apple"), (2, "pear")])
+    q1 = spark.createDataFrame([("q", "apple")], ["query_id", "qtext"])
+    q2 = spark.createDataFrame([("q", "apple apple apple")], ["query_id", "qtext"])
+    s1 = bm25_topk(docs, q1, round_score=None).collect()[0]["score"]
+    s2 = bm25_topk(docs, q2, round_score=None).collect()[0]["score"]
+    assert s1 == s2
+
+
+def test_rrf_missing_ranker_contributes_zero(spark):
+    a = spark.createDataFrame([("q", 1, 1), ("q", 2, 2)], ["query_id", "doc_id", "rank"])
+    b = spark.createDataFrame([("q", 1, 1), ("q", 3, 2)], ["query_id", "doc_id", "rank"])
+    out = {r["doc_id"]: r["score"] for r in rrf_fuse(a, b, k=10, round_score=None).collect()}
+    assert out[1] == pytest.approx(2 / 61)
+    assert out[2] == pytest.approx(1 / 62)
+    assert out[3] == pytest.approx(1 / 62)
+    ranks = {r["doc_id"]: r["rank"] for r in rrf_fuse(a, b, k=10).collect()}
+    assert ranks[1] == 1 and ranks[2] == 2 and ranks[3] == 3  # tie → id asc
+
+
+def test_skyline2d_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(300)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {(r["x"], r["y"]) for r in skyline2d(df, "x", "y", n_grid=8).collect()}
+    distinct = set(pts)
+    expect = {
+        (x, y)
+        for x, y in distinct
+        if not any(
+            bx <= x and by <= y and (bx < x or by < y) for bx, by in distinct
+        )
+    }
+    assert got == expect
+
+
+def test_skyline2d_constant_x_and_duplicates(spark):
+    df = spark.createDataFrame([(5, 3), (5, 3), (5, 9)], ["x", "y"])
+    assert {(r["x"], r["y"]) for r in skyline2d(df, "x", "y").collect()} == {(5, 3)}
+
+
+def test_markov_rows_sum_to_one(spark):
+    ev = spark.createDataFrame(
+        [(1, i, t, i * 10) for i, t in enumerate("abacabab")]
+        + [(2, i, t, i * 10) for i, t in enumerate("bcbc")],
+        ["user_id", "event_id", "event_type", "ts_ms"],
+    )
+    out = markov_transitions(ev, order_cols=["ts_ms", "event_id"], round_p=None)
+    sums = out.groupBy("state").agg(F.sum("p").alias("s")).collect()
+    for r in sums:
+        assert r["s"] == pytest.approx(1.0)
+    m = {(r["state"], r["next_state"]): r["n_pairs"] for r in out.collect()}
+    # user1 pairs: ab,ba,ac,ca,ab,ba,ab ; user2: bc,cb,bc
+    assert m[("a", "b")] == 3 and m[("b", "a")] == 2 and m[("a", "c")] == 1
+    assert m[("b", "c")] == 2 and m[("c", "b")] == 1 and m[("c", "a")] == 1
+
+
+def test_linreg_trend_matches_closed_form(spark):
+    rows = [("k", x, 2.5 * x + 7 + (0.25 if x % 2 else -0.25)) for x in range(20)]
+    df = spark.createDataFrame(rows, ["k", "ts_ms", "value"])
+    out = linreg_trend(df, ["k"]).collect()[0]
+    import numpy as np
+
+    xs = np.array([r[1] for r in rows], dtype=float)
+    ys = np.array([r[2] for r in rows], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert out["slope"] == pytest.approx(slope, abs=1e-6)
+    assert out["intercept"] == pytest.approx(intercept, abs=1e-6)
+    assert 0.99 < out["r2"] <= 1.0
+    assert out["n"] == 20
+
+
+def test_linreg_trend_degenerate_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("one", 5, 1.0), ("zerovar", 3, 1.0), ("zerovar", 3, 2.0),
+         ("nulls", 1, 4.0), ("nulls", 2, None), ("nulls", 3, 8.0)],
+        ["k", "ts_ms", "value"],
+    )
+    out = {r["k"]: r for r in linreg_trend(df, ["k"]).collect()}
+    assert out["one"]["slope"] is None and out["one"]["n"] == 1
+    assert out["zerovar"]["slope"] is None
+    assert out["nulls"]["n"] == 2 and out["nulls"]["slope"] == pytest.approx(2.0)
