@@ -702,3 +702,65 @@ def linreg_trend(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def cross_corr(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+    bucket_ms: int = 3_600_000,
+    round_out: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation between per-key value series, aligned
+    on a common time bucket (inner alignment: buckets where BOTH series
+    have data).  "Do temperature and pressure move together?" across
+    sensor streams.
+
+    Plan: ONE aggregation of the raw table to per-(key, bucket) sums,
+    then a self-join of that aggregate frame on the bucket with
+    ``key_a < key_b`` — the joined frame is (n_buckets × n_keys)-sized,
+    i.e. tiny relative to the event table at any scale; the raw scan is
+    never self-joined.  Moment sums over the pairs are DECIMAL(38,0)
+    integers (values in exact cents), so the whole pipeline is order-free
+    and the final correlation is one fixed double tree — cross-engine
+    exact at 6 dp.
+
+    Returns (key_a, key_b, n_buckets, corr); degenerate pairs (fewer
+    than 2 common buckets or a zero-variance side) yield NULL corr.
+    """
+    d38 = "decimal(38,0)"
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(d38)
+    h = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("k"),
+            (F.col(ts_col).cast("long") / F.lit(bucket_ms)).cast("long").alias("b"),
+        )
+        .agg(F.sum(cents).alias("s"))
+    )
+    a, bdf = h.alias("a"), h.alias("b")
+    pairs = a.join(
+        bdf, (F.col("a.b") == F.col("b.b")) & (F.col("a.k") < F.col("b.k"))
+    ).select(
+        F.col("a.k").alias("key_a"),
+        F.col("b.k").alias("key_b"),
+        F.col("a.s").alias("x"),
+        F.col("b.s").alias("y"),
+    )
+    g = pairs.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    covn = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vxn = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vyn = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    ok = (F.col("n") >= 2) & (vxn > 0) & (vyn > 0)
+    corr = F.when(ok, F.round(covn / F.sqrt(vxn * vyn), round_out))
+    return g.select(
+        "key_a", "key_b", F.col("n").cast("long").alias("n_buckets"), corr.alias("corr")
+    )

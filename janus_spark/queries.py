@@ -5938,3 +5938,38 @@ ORACLES["q_hybrid_rrf"] = (
            score
     FROM fused QUALIFY rank <= 10"""
 )
+
+
+def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-correlation of event-type value series on an
+    hourly grid via exact integer moment sums
+    (operators/timeseries.py::cross_corr)."""
+    from janus_spark.operators.timeseries import cross_corr
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "value",
+    )
+    return cross_corr(ev)
+
+
+QUERIES["q_cross_corr"] = q_cross_corr
+ORACLES["q_cross_corr"] = f"""
+    WITH h AS (SELECT event_type AS k, {_TSM} // 3600000 AS b,
+                      SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         p AS (SELECT a.k AS key_a, b.k AS key_b, CAST(COUNT(*) AS HUGEINT) AS n,
+                      SUM(a.s) AS sx, SUM(b.s) AS sy, SUM(a.s * b.s) AS sxy,
+                      SUM(a.s * a.s) AS sxx, SUM(b.s * b.s) AS syy
+               FROM h a JOIN h b ON a.b = b.b AND a.k < b.k
+               GROUP BY 1, 2),
+         d AS (SELECT key_a, key_b, n,
+                      CAST(n*sxy - sx*sy AS DOUBLE) AS covn,
+                      CAST(n*sxx - sx*sx AS DOUBLE) AS vxn,
+                      CAST(n*syy - sy*sy AS DOUBLE) AS vyn
+               FROM p)
+    SELECT key_a, key_b, CAST(n AS BIGINT) AS n_buckets,
+           CASE WHEN n >= 2 AND vxn > 0 AND vyn > 0
+                THEN ROUND(covn / sqrt(vxn * vyn), 6) END AS corr
+    FROM d"""

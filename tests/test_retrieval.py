@@ -123,3 +123,32 @@ def test_linreg_trend_degenerate_and_nulls(spark):
     assert out["one"]["slope"] is None and out["one"]["n"] == 1
     assert out["zerovar"]["slope"] is None
     assert out["nulls"]["n"] == 2 and out["nulls"]["slope"] == pytest.approx(2.0)
+
+
+def test_cross_corr_exact_signs(spark):
+    from janus_spark.operators.timeseries import cross_corr
+
+    rows = []
+    for b in range(12):
+        rows.append(("up", b * 1000, float(b)))        # increasing
+        rows.append(("up2", b * 1000, float(2 * b)))   # same direction
+        rows.append(("down", b * 1000, float(24 - b))) # opposite
+        rows.append(("flat", b * 1000, 3.0))           # zero variance
+    df = spark.createDataFrame(rows, ["event_type", "ts_ms", "value"])
+    out = {(r["key_a"], r["key_b"]): r for r in cross_corr(df, bucket_ms=1000).collect()}
+    assert out[("up", "up2")]["corr"] == pytest.approx(1.0)
+    assert out[("down", "up")]["corr"] == pytest.approx(-1.0)
+    assert out[("flat", "up")]["corr"] is None  # zero-variance side
+    assert out[("up", "up2")]["n_buckets"] == 12
+
+
+def test_cross_corr_inner_alignment(spark):
+    from janus_spark.operators.timeseries import cross_corr
+
+    rows = [("a", b * 1000, float(b)) for b in range(10)] + [
+        ("b", b * 1000, float(b)) for b in range(5, 15)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts_ms", "value"])
+    out = cross_corr(df, bucket_ms=1000).collect()[0]
+    assert out["n_buckets"] == 5  # only the overlapping buckets
+    assert out["corr"] == pytest.approx(1.0)
