@@ -5973,3 +5973,50 @@ ORACLES["q_cross_corr"] = f"""
            CASE WHEN n >= 2 AND vxn > 0 AND vyn > 0
                 THEN ROUND(covn / sqrt(vxn * vyn), 6) END AS corr
     FROM d"""
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained rollup: three batch updates into a
+    versioned partial-agg store ≡ one full recompute (count/sum/avg/
+    min/max in exact cents + det-HLL distinct users)
+    (operators/incremental.py::IncrementalAgg)."""
+    import shutil
+    import tempfile
+
+    from janus_spark.operators.incremental import IncrementalAgg
+
+    ev = read_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="janus_incr_")
+    try:
+        inc = IncrementalAgg(
+            spark, f"{root}/rollup", ["event_type"], value_col="value",
+            distinct_col="user_id",
+        )
+        for i in range(3):
+            inc.update(ev.where(F.col("event_id") % 3 == i))
+        out = inc.read()
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES["q_incremental_agg"] = q_incremental_agg
+ORACLES["q_incremental_agg"] = (
+    """
+    WITH c AS (SELECT event_type,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents,
+                      value
+               FROM events WHERE value IS NOT NULL),
+         base AS (SELECT event_type, COUNT(*) AS n,
+                         SUM(cents) AS sc,
+                         MIN(value) AS min_v, MAX(value) AS max_v
+                  FROM c GROUP BY event_type)
+    SELECT b.event_type, CAST(b.n AS BIGINT) AS n,
+           ROUND(CAST(b.sc AS DOUBLE) / 100, 2) AS sum_v,
+           ROUND(CAST(b.sc AS DOUBLE) / CAST(b.n AS DOUBLE) / 100, 6) AS avg_v,
+           b.min_v, b.max_v, h.approx_distinct
+    FROM base b JOIN ("""
+    + _hll_oracle("user_id", "event_type", "grp", "events")
+    + """) h ON b.event_type = h.grp"""
+)
