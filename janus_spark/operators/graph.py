@@ -253,3 +253,71 @@ def shortest_paths(
             return merged
         dist = merged
     return dist
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_hops: int = 12,
+    round_out: int = 6,
+) -> DataFrame:
+    """Sampled harmonic centrality: C(v) = Σ_{s∈S, d(s,v)≥1} 1/d(s,v)
+    over a SOURCE SAMPLE S — the standard scalable estimator (Eppstein &
+    Wang 2004-style pivot sampling); exact when S is all nodes.
+
+    One KEYED multi-source BFS: the frontier carries (source, node)
+    pairs, so all |S| traversals share every round's single shuffle
+    instead of looping per source — per-round cost is one join of the
+    combined frontier against the edge list, bounded by
+    Σ frontier sizes, never |S| × |V|.
+
+    Exactness: 1/d summed per node is an UNORDERED double sum (last-ulp
+    trap); instead each term is the integer lcm(1..max_hops)/d, summed
+    as exact bigints and divided by the lcm ONCE — bit-reproducible in
+    any engine.  ``max_hops`` ≤ 42 keeps the lcm in a bigint.
+
+    Returns (id, n_reached, harmonic) for every node reached by ≥1
+    source (sources themselves appear when reached by ANOTHER source).
+    """
+    import math
+
+    if max_hops > 42:
+        raise ValueError("max_hops > 42 overflows the exact lcm trick")
+    lcm = math.lcm(*range(1, max_hops + 1))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    visited = (
+        sources.select(F.col(id_col).alias("source"))
+        .distinct()
+        .select("source", F.col("source").alias("id"), F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.src, "inner")
+            .select("source", F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, ["source", "id"], "left_anti")
+            .withColumn("hops", F.lit(hop).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    reached = visited.where(F.col("hops") > 0)
+    return (
+        reached.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(F.expr(f"{lcm} div hops")).alias("__s"),  # exact: lcm % hops == 0
+        )
+        .select(
+            "id",
+            "n_reached",
+            F.round(F.col("__s").cast("double") / F.lit(float(lcm)), round_out).alias("harmonic"),
+        )
+    )

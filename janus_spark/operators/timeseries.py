@@ -683,6 +683,24 @@ def linreg_trend(
         F.sum(x * x).alias("__sxx"),
         F.sum(y * y).alias("__syy"),
     )
+    return ols_from_moments(g, key_cols, slope_unit=slope_unit, round_out=round_out)
+
+
+def ols_from_moments(
+    moments: DataFrame,
+    keep_cols: list[str],
+    slope_unit: int = 1,
+    round_out: int = 6,
+) -> DataFrame:
+    """Finish an OLS fit from exact integer moment sums — the shared
+    tail of the batch (`linreg_trend`) and streaming
+    (`streaming.native_agg.moment_stream`) regression paths.
+
+    Expects columns ``__n __sx __sy __sxy __sxx __syy`` (DECIMAL(38,0),
+    y in cents).  Because the moments are order-free integers and this
+    finisher is a fixed tree of double ops, slope/intercept/r² are
+    engine-exact at ``round_out`` dp.
+    """
     # exact integer covariance/variance numerators (×n), then doubles
     covn = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
     vxn = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
@@ -695,8 +713,8 @@ def linreg_trend(
         ok, F.round((F.col("__sy").cast("double") - slope_c * F.col("__sx").cast("double")) / nd / 100, round_out)
     )
     r2 = F.when(ok & (vyn > 0), F.round(covn * covn / (vxn * vyn), round_out))
-    return g.select(
-        *key_cols,
+    return moments.select(
+        *keep_cols,
         F.col("__n").cast("long").alias("n"),
         slope.alias("slope"),
         intercept.alias("intercept"),

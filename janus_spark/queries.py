@@ -6020,3 +6020,128 @@ ORACLES["q_incremental_agg"] = (
     + _hll_oracle("user_id", "event_type", "grp", "events")
     + """) h ON b.event_type = h.grp"""
 )
+
+
+def q_live_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live windowed OLS over a REAL Structured Streaming run: tumbling
+    4s windows accumulate exact DECIMAL(38) moment sums as native
+    incremental state (append mode, watermark-closed); slope/intercept/
+    r² finish in batch off the sink (streaming/native_agg.py::
+    moment_stream + operators/timeseries.py::ols_from_moments).
+    sf_dir unused: the fixture IS the stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.operators.timeseries import ols_from_moments
+    from janus_spark.streaming.native_agg import moment_stream
+
+    fixture = spark.range(1, 61).select(
+        (F.col("id") * 500).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("sensor"),
+        (20.0 + (F.col("id") % 10)).alias("value"),
+    )
+    closer = spark.range(1).select(
+        F.lit(95_000).cast("long").alias("ts"),
+        F.lit("9").alias("sensor"),
+        F.lit(25.0).alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="live_ols_")
+    name = f"live_ols_{uuid.uuid4().hex[:8]}"
+    try:
+        fixture.where("ts <= 15000").coalesce(1).write.parquet(f"{root}/f1.parquet")
+        fixture.where("ts > 15000").coalesce(1).write.parquet(f"{root}/f2.parquet")
+        closer.coalesce(1).write.parquet(f"{root}/f3.parquet")
+        stream = (
+            spark.readStream.schema("ts long, sensor string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        mom = moment_stream(stream, ["sensor"], window_ms=4_000)
+        q = (
+            mom.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        sunk = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return ols_from_moments(sunk, ["window_start", "sensor"], slope_unit=1000)
+
+
+QUERIES["q_live_linreg"] = q_live_linreg
+ORACLES["q_live_linreg"] = """
+    WITH e AS (SELECT i * 500 AS ts, CAST(i % 3 AS VARCHAR) AS sensor,
+                      20 + (i % 10) AS value
+               FROM range(1, 61) r(i)),
+         m AS (SELECT (ts // 4000) * 4000 AS window_start, sensor,
+                      CAST(COUNT(*) AS HUGEINT) AS n,
+                      SUM(CAST(ts AS HUGEINT)) AS sx,
+                      SUM(CAST(value * 100 AS HUGEINT)) AS sy,
+                      SUM(CAST(ts AS HUGEINT) * CAST(value * 100 AS HUGEINT)) AS sxy,
+                      SUM(CAST(ts AS HUGEINT) * CAST(ts AS HUGEINT)) AS sxx,
+                      SUM(CAST(value * 100 AS HUGEINT) * CAST(value * 100 AS HUGEINT)) AS syy
+               FROM e GROUP BY 1, 2),
+         d AS (SELECT window_start, sensor, n,
+                      CAST(n*sxy - sx*sy AS DOUBLE) AS covn,
+                      CAST(n*sxx - sx*sx AS DOUBLE) AS vxn,
+                      CAST(n*syy - sy*sy AS DOUBLE) AS vyn,
+                      CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                      CAST(n AS DOUBLE) AS nd
+               FROM m)
+    SELECT window_start, sensor, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 AND vxn > 0
+                THEN ROUND(covn / vxn * 1000.0 / 100, 6) END AS slope,
+           CASE WHEN n >= 2 AND vxn > 0
+                THEN ROUND((syd - covn / vxn * sxd) / nd / 100, 6) END AS intercept,
+           CASE WHEN n >= 2 AND vxn > 0 AND vyn > 0
+                THEN ROUND(covn * covn / (vxn * vyn), 6) END AS r2
+    FROM d"""
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality over the doc//2 ∪ doc//3 DAG from 5
+    pivot sources — keyed multi-source BFS, exact lcm-rational 1/d sums
+    (operators/graph.py::harmonic_centrality)."""
+    from janus_spark.operators.graph import harmonic_centrality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").where(
+        "doc_id < 400"
+    )
+    e2 = docs.where("doc_id >= 1").select(
+        (F.col("doc_id") / 2).cast("long").alias("src"), F.col("doc_id").alias("dst")
+    )
+    e3 = docs.where("doc_id >= 1").select(
+        (F.col("doc_id") / 3).cast("long").alias("src"), F.col("doc_id").alias("dst")
+    )
+    edges = e2.unionByName(e3).where(F.col("src") != F.col("dst"))
+    sources = spark.createDataFrame([(0,), (1,), (2,), (3,), (5,)], "id long")
+    return harmonic_centrality(edges, sources, max_hops=12)
+
+
+QUERIES["q_harmonic_centrality"] = q_harmonic_centrality
+ORACLES["q_harmonic_centrality"] = """
+    WITH RECURSIVE e AS (
+        SELECT doc_id // 2 AS src, doc_id AS dst FROM documents
+        WHERE doc_id >= 1 AND doc_id < 400
+        UNION
+        SELECT doc_id // 3 AS src, doc_id AS dst FROM documents
+        WHERE doc_id >= 1 AND doc_id < 400
+    ),
+    s(source) AS (VALUES (0), (1), (2), (3), (5)),
+    r AS (
+        SELECT CAST(source AS BIGINT) AS source, CAST(source AS BIGINT) AS id,
+               CAST(0 AS BIGINT) AS hops
+        FROM s
+        UNION
+        SELECT r.source, e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id
+        WHERE r.hops < 12 AND e.src <> e.dst
+    ),
+    d AS (SELECT source, id, MIN(hops) AS hops FROM r GROUP BY source, id)
+    SELECT id, COUNT(*) AS n_reached,
+           ROUND(CAST(SUM(27720 // hops) AS DOUBLE) / 27720.0, 6) AS harmonic
+    FROM d WHERE hops > 0 GROUP BY id"""

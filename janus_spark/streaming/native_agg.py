@@ -269,3 +269,53 @@ def cms_count_stream(
             "cnt",
         )
     )
+
+
+def moment_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_ms: int = 4_000,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Streaming per-window OLS regression state: tumbling event-time
+    windows accumulate the five exact integer moment sums
+    (Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0), y in cents) with Spark's
+    native incremental aggregation — constant state per (key, window),
+    watermark-evicted, append-mode emission on close.
+
+    The finish (slope/intercept/r²) is a batch read over the sunk
+    moments via ``operators.timeseries.ols_from_moments`` — the same
+    split as ``histogram_quantile_stream``: the stream maintains ONLY
+    mergeable state, finishing math replays for free.  Because the
+    moments are order-free integers, a restart/replay of the stream
+    produces bit-identical fits.
+
+    ``ts_col`` holds epoch milliseconds; x is the raw epoch-ms value
+    (rebase in the finisher's slope_unit if the magnitudes matter).
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(ts_col).cast("long").cast(d38)
+    y = (F.col(value_col).cast("decimal(18,2)") * 100).cast(d38)
+    ev = (
+        stream.withColumn("__evt", F.timestamp_millis(F.col(ts_col).cast("long")))
+        .withWatermark("__evt", watermark)
+        .where(F.col(value_col).isNotNull())
+    )
+    return (
+        ev.groupBy(F.window("__evt", f"{window_ms} milliseconds"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("__n"),
+            F.sum(x).alias("__sx"),
+            F.sum(y).alias("__sy"),
+            F.sum(x * y).alias("__sxy"),
+            F.sum(x * x).alias("__sxx"),
+            F.sum(y * y).alias("__syy"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start"),
+            *key_cols,
+            "__n", "__sx", "__sy", "__sxy", "__sxx", "__syy",
+        )
+    )

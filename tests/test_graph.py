@@ -140,3 +140,30 @@ def test_shortest_paths_rejects_negative_weights(spark):
     seeds = spark.createDataFrame([("a",)], "id string")
     with pytest.raises(ValueError):
         shortest_paths(edges, seeds)
+
+
+def test_harmonic_centrality_hand_check(spark):
+    from janus_spark.operators.graph import harmonic_centrality
+
+    # path graph 0→1→2→3 plus shortcut 0→2
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2)], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(0,), (1,)], "id long")
+    out = {r["id"]: r for r in harmonic_centrality(edges, sources).collect()}
+    # d(0,1)=1; d(0,2)=1, d(1,2)=1; d(0,3)=2, d(1,3)=2
+    assert out[1]["harmonic"] == 1.0 and out[1]["n_reached"] == 1
+    assert out[2]["harmonic"] == 2.0 and out[2]["n_reached"] == 2
+    assert out[3]["harmonic"] == 1.0 and out[3]["n_reached"] == 2
+    assert 0 not in out  # no source reaches node 0
+
+
+def test_harmonic_centrality_lcm_guard(spark):
+    import pytest
+
+    from janus_spark.operators.graph import harmonic_centrality
+
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    sources = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(ValueError):
+        harmonic_centrality(edges, sources, max_hops=43)
