@@ -253,3 +253,69 @@ def skyline2d(
         .where(F.col("__pm").isNull() | (F.col("y") < F.col("__pm")))
         .select("x", "y")
     )
+
+
+def attribution(
+    df: DataFrame,
+    conversion_type: str,
+    touch_type: str,
+    campaign_col: str = "campaign",
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    lookback_ms: int | None = None,
+    model: str = "last",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Marketing touch attribution: credit each conversion's value to a
+    touch event's campaign — ``model='last'`` (most recent touch at or
+    before the conversion, optionally within ``lookback_ms``) or
+    ``'first'`` (the user's earliest touch before the conversion).
+
+    ONE window pass over the per-user ordered stream (running
+    last/first of a (ts, campaign) struct with ignorenulls) — no
+    touch×conversion self-join, so a user's cost is a sort run, never a
+    cross product; the grouped credit rollup after it is
+    campaign-cardinality-sized.  Conversions with no qualifying touch
+    are credited to campaign NULL ("unattributed") rather than dropped.
+
+    Returns (campaign, n_conversions, revenue) with revenue an exact
+    cents sum finished once.
+    """
+    if model not in ("last", "first"):
+        raise ValueError(f"unknown attribution model: {model}")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(tie_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col(type_col) == touch_type,
+        F.struct(F.col(ts_col).alias("t"), F.col(campaign_col).alias("c")),
+    )
+    picked = F.last(touch, ignorenulls=True) if model == "last" else F.first(
+        touch, ignorenulls=True
+    )
+    ev = df.where(F.col(type_col).isin(conversion_type, touch_type))
+    conv = (
+        ev.withColumn("__touch", picked.over(w))
+        .where(F.col(type_col) == conversion_type)
+    )
+    qualified = F.col("__touch").isNotNull()
+    if lookback_ms is not None:
+        qualified = qualified & (
+            F.col(ts_col) - F.col("__touch.t") <= F.lit(lookback_ms)
+        )
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    return (
+        conv.select(
+            F.when(qualified, F.col("__touch.c")).alias("campaign"),
+            cents.alias("__cents"),
+        )
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("__cents").cast("double") / 100, 2).alias("revenue"),
+        )
+    )

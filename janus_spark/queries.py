@@ -6145,3 +6145,109 @@ ORACLES["q_harmonic_centrality"] = """
     SELECT id, COUNT(*) AS n_reached,
            ROUND(CAST(SUM(27720 // hops) AS DOUBLE) / 27720.0, 6) AS harmonic
     FROM d WHERE hops > 0 GROUP BY id"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the most
+    recent click's campaign (props.k mod 5) within a 3-day lookback —
+    ONE window pass, no touch×conversion join
+    (operators/analytics.py::attribution)."""
+    from janus_spark.operators.analytics import attribution
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        (F.get_json_object(F.col("props"), "$.k").cast("long") % 5).alias("campaign"),
+    )
+    return attribution(
+        ev, "purchase", "click", lookback_ms=3 * 24 * 3_600_000, model="last"
+    )
+
+
+QUERIES["q_attribution"] = q_attribution
+ORACLES["q_attribution"] = f"""
+    WITH e AS (SELECT event_id, user_id, event_type, value, {_TSM} AS ts_ms,
+                      CAST(props->>'k' AS BIGINT) % 5 AS campaign
+               FROM events),
+         conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         pick AS (
+           SELECT c.value, t.campaign AS tc, t.ts_ms AS tt, c.ts_ms AS ct
+           FROM conv c LEFT JOIN LATERAL (
+              SELECT campaign, ts_ms FROM e
+              WHERE event_type = 'click' AND user_id = c.user_id
+                AND (ts_ms < c.ts_ms OR (ts_ms = c.ts_ms AND event_id < c.event_id))
+              ORDER BY ts_ms DESC, event_id DESC LIMIT 1) t ON TRUE)
+    SELECT CASE WHEN tt IS NOT NULL AND ct - tt <= {3 * 24 * 3_600_000}
+                THEN tc END AS campaign,
+           COUNT(*) AS n_conversions,
+           ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS DOUBLE) / 100, 2) AS revenue
+    FROM pick GROUP BY 1"""
+
+
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) join: purchases joined to the user's state
+    interval valid at purchase time — scd2_intervals compacts the state
+    stream, and the as-of join on valid_from IS interval containment
+    (pinned by the inequality-join oracle).  Same-instant state ties
+    dedup to the latest event id first, so the history is deterministic."""
+    from janus_spark.operators.asof import asof_join
+    from janus_spark.operators.timeseries import scd2_intervals
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    w = Window.partitionBy("user_id", "ts_ms").orderBy(F.desc("event_id"))
+    states = (
+        ev.where(F.col("event_type") != "purchase")
+        .withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+    )
+    hist = scd2_intervals(
+        states, ["user_id"], "event_type", ts_col="ts_ms", tie_cols=["event_id"]
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms", "value"
+    )
+    joined = asof_join(
+        facts,
+        hist.select("user_id", F.col("valid_from").alias("ts_ms"), "state"),
+        ts_col="ts_ms",
+        by=("user_id",),
+        value_cols=("state",),
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    return joined.groupBy(F.col("state_asof").alias("state")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(cents).cast("double") / 100, 2).alias("revenue"),
+    )
+
+
+QUERIES["q_temporal_join"] = q_temporal_join
+ORACLES["q_temporal_join"] = f"""
+    WITH e AS (SELECT event_id, user_id, event_type, value, {_TSM} AS ts_ms
+               FROM events),
+         st AS (SELECT user_id, event_type AS state, ts_ms, event_id
+                FROM e WHERE event_type <> 'purchase'
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts_ms
+                                           ORDER BY event_id DESC) = 1),
+         ch AS (SELECT *, LAG(state) OVER (PARTITION BY user_id
+                                           ORDER BY ts_ms, event_id) AS prev
+                FROM st),
+         iv AS (SELECT user_id, state, ts_ms AS valid_from,
+                       LEAD(ts_ms) OVER (PARTITION BY user_id
+                                         ORDER BY ts_ms) AS valid_to
+                FROM ch WHERE prev IS NULL OR state <> prev),
+         p AS (SELECT user_id, ts_ms, value FROM e WHERE event_type = 'purchase')
+    SELECT iv.state, COUNT(*) AS n_purchases,
+           ROUND(CAST(SUM(CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS DOUBLE) / 100, 2) AS revenue
+    FROM p LEFT JOIN iv ON p.user_id = iv.user_id
+         AND iv.valid_from <= p.ts_ms
+         AND (iv.valid_to IS NULL OR p.ts_ms < iv.valid_to)
+    GROUP BY 1"""

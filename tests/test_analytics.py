@@ -69,3 +69,64 @@ def test_mad_outliers_zero_mad_yields_null_scores(spark):
     out = mad_outliers(df, ["event_type"]).collect()
     assert all(r["robust_z"] is None for r in out)       # MAD = 0 → try_divide null
     assert all(r["is_outlier"] is False for r in out)
+
+
+def test_attribution_last_first_lookback(spark):
+    from janus_spark.operators.analytics import attribution
+
+    rows = [
+        # user 1: click c1@100, click c2@200, purchase 10.00@250, purchase 5.00@900
+        (1, 1, "click", 0.0, 100, "c1"),
+        (2, 1, "click", 0.0, 200, "c2"),
+        (3, 1, "purchase", 10.0, 250, None),
+        (4, 1, "purchase", 5.0, 900, None),   # outside lookback 300
+        # user 2: purchase with no touch at all
+        (5, 2, "purchase", 2.5, 50, None),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts_ms", "campaign"]
+    )
+    last = {
+        r["campaign"]: r
+        for r in attribution(df, "purchase", "click", lookback_ms=300, model="last").collect()
+    }
+    assert last["c2"]["n_conversions"] == 1 and last["c2"]["revenue"] == 10.0
+    assert last[None]["n_conversions"] == 2 and last[None]["revenue"] == 7.5
+    first = {
+        r["campaign"]: r
+        for r in attribution(df, "purchase", "click", model="first").collect()
+    }
+    # no lookback: both user-1 purchases credit the FIRST touch c1
+    assert first["c1"]["n_conversions"] == 2 and first["c1"]["revenue"] == 15.0
+    assert first[None]["n_conversions"] == 1
+
+
+def test_attribution_same_ts_tiebreak(spark):
+    from janus_spark.operators.analytics import attribution
+
+    rows = [
+        (1, 1, "click", 0.0, 100, "early"),
+        (3, 1, "click", 0.0, 100, "late"),     # same ts, higher event_id
+        (2, 1, "purchase", 1.0, 100, None),    # between the two ids
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts_ms", "campaign"]
+    )
+    out = {r["campaign"]: r["n_conversions"] for r in
+           attribution(df, "purchase", "click", model="last").collect()}
+    # (ts, event_id) order: only event_id 1 precedes the purchase
+    assert out == {"early": 1}
+
+
+def test_attribution_rejects_unknown_model(spark):
+    import pytest
+
+    from janus_spark.operators.analytics import attribution
+
+    df = spark.createDataFrame(
+        [(1, 1, "x", 0.0, 0, None)],
+        "event_id long, user_id long, event_type string, value double, "
+        "ts_ms long, campaign string",
+    )
+    with pytest.raises(ValueError):
+        attribution(df, "purchase", "click", model="linear")
