@@ -42,7 +42,7 @@ def cosine(a: Column, b: Column) -> Column:
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
+    k: int | None = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_self: bool = False,
@@ -51,7 +51,9 @@ def cosine_topk(
 
     Returns (query_id, vec_id, rank, sim).  The join is a broadcast
     nested-loop (queries broadcast), then one shuffle for the per-query
-    top-k window.  Deterministic: ties break by vec_id.
+    top-k window.  Deterministic: ties break by vec_id.  ``k=None``
+    returns ALL ranked candidates (downstream operators — e.g.
+    hard-negative mining — apply their own filtered cut).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
@@ -64,11 +66,10 @@ def cosine_topk(
         cosine(F.col("qv"), F.col("cv")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", "sim")
-    )
+    ranked = sims.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        ranked = ranked.where(F.col("rank") <= k)
+    return ranked.select("query_id", "vec_id", "rank", "sim")
 
 
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:

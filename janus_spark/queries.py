@@ -6251,3 +6251,136 @@ ORACLES["q_temporal_join"] = f"""
          AND iv.valid_from <= p.ts_ms
          AND (iv.valid_to IS NULL OR p.ts_ms < iv.valid_to)
     GROUP BY 1"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor
+    embedding, the top-5 most cosine-similar vectors with a DIFFERENT
+    label (the informative negatives; same-label hits are positives and
+    excluded).  Broadcast anchors over the corpus — the exact
+    brute-force form; the LSH/IVF variants scale it the same way as the
+    ANN gates."""
+    from janus_spark.datapipe.similarity import cosine_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = embs.where("vec_id < 5")
+    sims = cosine_topk(embs, anchors, k=None)  # all ranked candidates
+    labels = embs.select("vec_id", "label")
+    a_lab = anchors.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("a_label")
+    )
+    out = (
+        sims.join(F.broadcast(a_lab), "query_id")
+        .join(labels, "vec_id")
+        .where(F.col("label") != F.col("a_label"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        out.withColumn("nrank", F.row_number().over(w))
+        .where("nrank <= 5")
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("nrank").cast("long").alias("nrank"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+QUERIES["q_hard_negatives"] = q_hard_negatives
+ORACLES["q_hard_negatives"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS a_label
+               FROM embeddings WHERE vec_id < 5),
+         sims AS (
+           SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id AND e.label <> q.a_label),
+         ranked AS (
+           SELECT query_id, vec_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS nrank
+           FROM sims)
+    SELECT query_id, vec_id, CAST(nrank AS BIGINT) AS nrank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE nrank <= 5"""
+
+
+def q_live_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous last-touch attribution under the EXACT gate: per-user
+    last-touch state crosses three real micro-batches (clicks in b1,
+    early purchases in b2 + a campaign switch for u%3==0, late purchases
+    in b3 falling outside the 100ms lookback).  sf_dir unused: the
+    fixture IS the stream (streaming/stateful.py::streaming_attribution)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.streaming.stateful import streaming_attribution
+
+    u = spark.range(0, 40)
+    b1 = u.selectExpr(
+        "CAST(id AS STRING) AS user", "CAST(100*id + 10 AS DOUBLE) AS ts",
+        "'click' AS event", "'c' || CAST(id % 3 AS STRING) AS campaign",
+        "CAST(NULL AS DOUBLE) AS value",
+    )
+    b2 = u.where("id % 2 = 0").selectExpr(
+        "CAST(id AS STRING) AS user", "CAST(100*id + 20 AS DOUBLE) AS ts",
+        "'purchase' AS event", "CAST(NULL AS STRING) AS campaign",
+        "CAST(12.5 AS DOUBLE) AS value",
+    ).unionByName(
+        u.where("id % 3 = 0").selectExpr(
+            "CAST(id AS STRING) AS user", "CAST(100*id + 30 AS DOUBLE) AS ts",
+            "'click' AS event", "'x' AS campaign", "CAST(NULL AS DOUBLE) AS value",
+        )
+    )
+    b3 = u.where("id % 4 = 0").selectExpr(
+        "CAST(id AS STRING) AS user", "CAST(100*id + 40 AS DOUBLE) AS ts",
+        "'purchase' AS event", "CAST(NULL AS STRING) AS campaign",
+        "CAST(3.25 AS DOUBLE) AS value",
+    ).unionByName(
+        u.where("id % 7 = 0").selectExpr(
+            "CAST(id AS STRING) AS user", "CAST(100*id + 100000 AS DOUBLE) AS ts",
+            "'purchase' AS event", "CAST(NULL AS STRING) AS campaign",
+            "CAST(1.0 AS DOUBLE) AS value",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="live_attr_")
+    name = f"live_attr_{uuid.uuid4().hex[:8]}"
+    try:
+        for i, b in enumerate([b1, b2, b3]):
+            b.coalesce(1).write.parquet(f"{root}/b{i}.parquet")
+        stream = (
+            spark.readStream.schema(
+                "user string, ts double, event string, campaign string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/b*.parquet")
+        )
+        out = streaming_attribution(stream, "purchase", "click", lookback_ms=100.0)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res.select("user", "ts", "campaign", "value")
+
+
+QUERIES["q_live_attribution"] = q_live_attribution
+ORACLES["q_live_attribution"] = """
+    SELECT CAST(id AS VARCHAR) AS user, CAST(100*id + 20 AS DOUBLE) AS ts,
+           'c' || CAST(id % 3 AS VARCHAR) AS campaign, CAST(12.5 AS DOUBLE) AS value
+    FROM range(0, 40) t(id) WHERE id % 2 = 0
+    UNION ALL
+    SELECT CAST(id AS VARCHAR), CAST(100*id + 40 AS DOUBLE),
+           CASE WHEN id % 3 = 0 THEN 'x' ELSE 'c' || CAST(id % 3 AS VARCHAR) END,
+           CAST(3.25 AS DOUBLE)
+    FROM range(0, 40) t(id) WHERE id % 4 = 0
+    UNION ALL
+    SELECT CAST(id AS VARCHAR), CAST(100*id + 100000 AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(1.0 AS DOUBLE)
+    FROM range(0, 40) t(id) WHERE id % 7 = 0"""

@@ -216,3 +216,73 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+ATTR_STATE_SCHEMA = StructType(
+    [
+        StructField("lt", DoubleType()),  # last touch ts
+        StructField("lc", StringType()),  # last touch campaign
+    ]
+)
+ATTR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user", StringType()),
+        StructField("ts", DoubleType()),
+        StructField("campaign", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def streaming_attribution(
+    df: DataFrame,
+    conversion_type: str,
+    touch_type: str,
+    lookback_ms: float | None = None,
+    user_col: str = "user",
+    ts_col: str = "ts",
+    event_col: str = "event",
+    campaign_col: str = "campaign",
+    value_col: str = "value",
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Continuous last-touch attribution: per user, remember the most
+    recent touch (two scalars of state — constant regardless of history)
+    and emit each conversion the moment it arrives, credited to that
+    touch's campaign when it is within ``lookback_ms`` (NULL campaign
+    otherwise — unattributed conversions are reported, not dropped).
+
+    The streaming form of ``operators/analytics.attribution(model=
+    'last')``: state crosses micro-batch boundaries and survives restart
+    via the checkpoint, so a click in batch 1 credits a purchase in
+    batch 30.  Events must arrive in per-user timestamp order across
+    micro-batches (the ingest contract shared by the comparator and
+    funnel); within a batch rows are folded in ts order.
+    """
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        lt, lc = state.get if state.exists else (None, None)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for _, r in pdf.iterrows():
+                t, e = float(r[ts_col]), r[event_col]
+                if e == touch_type:
+                    lt, lc = t, r[campaign_col]
+                elif e == conversion_type:
+                    ok = lt is not None and (lookback_ms is None or t - lt <= lookback_ms)
+                    v = r[value_col]
+                    rows.append(
+                        (key[0], t, lc if ok else None, None if pd.isna(v) else float(v))
+                    )
+        state.update((lt, lc))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user", "ts", "campaign", "value"])
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

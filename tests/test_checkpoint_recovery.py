@@ -276,3 +276,86 @@ def test_funnel_state_recovers_across_process_restart(spark, tmp_path):
     # among i%3==0: i=0 yes, i=3 lacks step b
     got = {(r["user"], r["t1"], r["completed_at"]) for r in rows}
     assert got == {("u0", 1.0, 3.0)}
+
+
+ATTR_RUNNER = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+from janus_spark.streaming.stateful import streaming_attribution
+
+root = sys.argv[1]
+schema = StructType([
+    StructField("user", StringType()),
+    StructField("ts", DoubleType()),
+    StructField("event", StringType()),
+    StructField("campaign", StringType()),
+    StructField("value", DoubleType()),
+])
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("attr-ckpt")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    .getOrCreate()
+)
+stream = (
+    spark.readStream.schema(schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(root + "/src/b*")
+)
+out = streaming_attribution(stream, "purchase", "click", lookback_ms=1000.0)
+q = (
+    out.writeStream.format("parquet")
+    .option("path", root + "/sink")
+    .option("checkpointLocation", root + "/ckpt")
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination(300)
+spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_attribution_state_recovers_across_process_restart(spark, tmp_path):
+    """The last-touch (ts, campaign) per user must survive a real process
+    restart: clicks land in phase A, purchases in phase B — a correct
+    campaign credit is only possible with recovered state."""
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("user", StringType()),
+            StructField("ts", DoubleType()),
+            StructField("event", StringType()),
+            StructField("campaign", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    crash = tmp_path / "crash"
+    (crash / "src").mkdir(parents=True)
+    b0 = [(f"u{i}", float(10 * i + 1), "click", f"cmp{i % 2}", None) for i in range(4)]
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(str(crash / "src" / "b0"))
+    pa = subprocess.run(
+        [sys.executable, "-c", ATTR_RUNNER.format(repo=REPO), str(crash)],
+        timeout=300, capture_output=True, text=True,
+    )
+    assert pa.returncode == 0, pa.stderr[-2000:]
+
+    b1 = [(f"u{i}", float(10 * i + 5), "purchase", None, 2.5) for i in range(4)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(crash / "src" / "b1"))
+    pb = subprocess.run(
+        [sys.executable, "-c", ATTR_RUNNER.format(repo=REPO), str(crash)],
+        timeout=300, capture_output=True, text=True,
+    )
+    assert pb.returncode == 0, pb.stderr[-2000:]
+    rows = spark.read.parquet(str(crash / "sink")).collect()
+    got = {(r["user"], r["campaign"], r["value"]) for r in rows}
+    assert got == {(f"u{i}", f"cmp{i % 2}", 2.5) for i in range(4)}
