@@ -174,6 +174,29 @@ def _compile_call(e: ECall, rec, registry) -> Column:
         return F.regexp_replace(rec(a[0], "str"), _lit_str(a[1]), _lit_str(a[2]))
     if name == "REGEX":
         return rec(a[0], "str").rlike(_lit_str(a[1]))
+    if name == "MD5":
+        return F.md5(rec(a[0], "str"))
+    if name == "SHA1":
+        return F.sha1(rec(a[0], "str"))
+    if name in ("SHA256", "SHA384", "SHA512"):
+        return F.sha2(rec(a[0], "str"), int(name[3:]))
+    if name == "ENCODE_FOR_URI":
+        # RFC 3986 unreserved set; url_encode also escapes space as '+'
+        s = F.url_encode(rec(a[0], "str"))
+        return F.regexp_replace(s, r"\+", "%20")
+    if name in ("IRI", "URI"):
+        return rec(a[0], "str")
+    if name == "LANG":
+        # datatype/lang annotations are stripped at ingest
+        # (sources/nquads.py:7-9); SPARQL's LANG returns "" for a
+        # literal without a language tag
+        s = rec(a[0], "str")
+        return F.when(s.isNotNull(), F.lit("")).otherwise(F.lit(None).cast("string"))
+    if name == "DATATYPE":
+        s = rec(a[0], "str")
+        return F.when(is_iri(s), F.lit(None).cast("string")).otherwise(
+            F.lit("http://www.w3.org/2001/XMLSchema#string")
+        )
     if name == "IF":
         return F.when(rec(a[0], "bool"), rec(a[1])).otherwise(rec(a[2]))
     if name == "COALESCE":

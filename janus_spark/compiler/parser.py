@@ -46,7 +46,8 @@ BUILTIN_FNS = {
     "CONTAINS", "STRSTARTS", "STRENDS", "SUBSTR", "REPLACE", "REGEX", "IF",
     "COALESCE", "BOUND", "ISIRI", "ISURI", "ISLITERAL", "ISNUMERIC", "ISBLANK",
     "SAMETERM", "RAND", "NOW", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
-    "MD5", "SHA1", "SHA256", "STRBEFORE", "STRAFTER", "DATATYPE", "LANG",
+    "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "STRBEFORE", "STRAFTER",
+    "DATATYPE", "LANG", "ENCODE_FOR_URI", "IRI", "URI",
 }
 
 DEFAULT_PREFIXES = {

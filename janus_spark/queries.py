@@ -6384,3 +6384,21 @@ ORACLES["q_live_attribution"] = """
     SELECT CAST(id AS VARCHAR), CAST(100*id + 100000 AS DOUBLE),
            CAST(NULL AS VARCHAR), CAST(1.0 AS DOUBLE)
     FROM range(0, 40) t(id) WHERE id % 7 = 0"""
+
+
+def q_expr_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 hash/term builtins (MD5, SHA256, LANG, DATATYPE) as
+    projected expressions — the remaining Oxigraph-inherited function
+    surface (compiler/expressions.py)."""
+    q = """SELECT ?e (MD5(?t) AS ?h_md5) (SHA256(?t) AS ?h_sha)
+                  (LANG(?t) AS ?lang_tag) (DATATYPE(?t) AS ?dt)
+           WHERE { ?e <urn:col:event_type> ?t . }"""
+    df = _run(_events_quads(spark, sf_dir), q, _events_ptr(spark, sf_dir))
+    return df.select("e", "h_md5", "h_sha", "lang_tag", "dt")
+
+
+QUERIES["q_expr_hash"] = q_expr_hash
+ORACLES["q_expr_hash"] = f"""
+    SELECT {_EV} AS e, md5(event_type) AS h_md5, sha256(event_type) AS h_sha,
+           '' AS lang_tag, 'http://www.w3.org/2001/XMLSchema#string' AS dt
+    FROM events"""

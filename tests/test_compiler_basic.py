@@ -475,3 +475,34 @@ def test_aggregates_skip_unbound(spark):
     assert res(f"SELECT ?age (COUNT(*) AS ?n) WHERE {{ {body} }} GROUP BY ?age") == [
         ("30", 1), (None, 1)]
     assert res(f"SELECT (AVG(?age) AS ?m) WHERE {{ {body} }}") == [(30.0,)]
+
+
+def test_hash_and_uri_builtins(spark):
+    """MD5/SHA1/SHA256/SHA512 match hashlib; ENCODE_FOR_URI is RFC 3986
+    percent-encoding with %20 for space; IRI round-trips its argument."""
+    import hashlib
+
+    from janus_spark.compiler import compile_sparql, parse_sparql
+    from janus_spark.sources.melt import melt_events
+
+    ev = spark.createDataFrame(
+        [(1, "a b/c", 1.0)], ["event_id", "event_type", "value"]
+    ).selectExpr(
+        "CAST(event_id AS STRING) AS subject_id", "event_type", "value"
+    )
+    quads = spark.createDataFrame(
+        [(0, "urn:e:1", "urn:col:t", "a b/c", "g")],
+        ["ts", "subject", "predicate", "object", "graph"],
+    )
+    q = """SELECT (MD5(?t) AS ?m) (SHA1(?t) AS ?s1) (SHA256(?t) AS ?s2)
+                  (SHA512(?t) AS ?s5) (ENCODE_FOR_URI(?t) AS ?enc)
+                  (IRI(?t) AS ?iri)
+           WHERE { ?e <urn:col:t> ?t . }"""
+    row = compile_sparql(parse_sparql(q), quads).collect()[0]
+    raw = b"a b/c"
+    assert row["m"] == hashlib.md5(raw).hexdigest()
+    assert row["s1"] == hashlib.sha1(raw).hexdigest()
+    assert row["s2"] == hashlib.sha256(raw).hexdigest()
+    assert row["s5"] == hashlib.sha512(raw).hexdigest()
+    assert row["enc"] == "a%20b%2Fc"
+    assert row["iri"] == "a b/c"
