@@ -505,3 +505,92 @@ def zipf_fit(
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+def char_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int | None = None,
+) -> DataFrame:
+    """Adjacent character-pair frequencies within words across the
+    corpus — the counting step of BPE tokenizer training (the first
+    merge candidate table).  One explode of (word, offset) positions,
+    one grouped count; no UDFs (substring over a position sequence), so
+    the scan is a single map+aggregate at any corpus size.
+
+    Returns (pair, n) — the top ``k`` by (n desc, pair) when given.
+    """
+    words = df.select(F.explode(clean_tokens(F.col(text_col))).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.expr("substring(w, i, 2)").alias("pair"))
+    out = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    if k is not None:
+        from pyspark.sql.window import Window as W
+
+        out = (
+            out.withColumn(
+                "__r", F.row_number().over(W.orderBy(F.desc("n"), F.asc("pair")))
+            )
+            .where(F.col("__r") <= k)
+            .drop("__r")
+        )
+    return out
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    sep: str = "\x00",
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges over the corpus: repeatedly count
+    adjacent SYMBOL pairs (symbols start as characters, separated by
+    ``sep``) and merge the most frequent pair everywhere (ties: lexical
+    order, deterministic).  Each merge is ONE distributed
+    count+regexp_replace pass over the working column — k merges = k
+    passes, which is exactly how distributed BPE trainers work; the
+    corpus is never collected.
+
+    Returns the learned merge list [(left, right), ...].
+    """
+    import re as _re
+
+    sep_re = _re.escape(sep)
+    work = df.select(F.explode(clean_tokens(F.col(text_col))).alias("w")).select(
+        # (?<=.) splits after every char — including the last, so drop
+        # the trailing empty element before joining
+        F.concat_ws(sep, F.array_remove(F.split(F.col("w"), r"(?<=.)"), "")).alias("s")
+    )
+    work = work.localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        sym = F.split(F.col("s"), sep_re)
+        pair_col = F.transform(
+            F.sequence(F.lit(1), F.size(sym) - 1),
+            lambda i: F.concat(
+                F.element_at(sym, i), F.lit(sep), F.element_at(sym, i + 1)
+            ),
+        )
+        counts = (
+            work.where(F.size(sym) >= 2)
+            .select(F.explode(pair_col).alias("p"))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not counts:
+            break
+        left, right = counts[0]["p"].split(sep)
+        merges.append((left, right))
+        pat = _re.escape(left + sep + right)
+        # Java replacement-string escaping: backslash and dollar are special
+        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        work = work.withColumn(
+            "s", F.regexp_replace(F.col("s"), pat, repl)
+        ).localCheckpoint()
+    return merges

@@ -6402,3 +6402,24 @@ ORACLES["q_expr_hash"] = f"""
     SELECT {_EV} AS e, md5(event_type) AS h_md5, sha256(event_type) AS h_sha,
            '' AS lang_tag, 'http://www.w3.org/2001/XMLSchema#string' AS dt
     FROM events"""
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training prep: top-30 adjacent character pairs
+    within corpus words (datapipe/text.py::char_pair_counts) — the first
+    merge-candidate table; one map+aggregate pass, no UDFs."""
+    from janus_spark.datapipe.text import char_pair_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return char_pair_counts(docs, k=30)
+
+
+QUERIES["q_bpe_pairs"] = q_bpe_pairs
+ORACLES["q_bpe_pairs"] = f"""
+    WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
+         p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+               FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+               WHERE len(w) >= 2),
+         c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair)
+    SELECT pair, n FROM c
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, pair) <= 30"""

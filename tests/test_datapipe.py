@@ -888,3 +888,51 @@ def test_incremental_dedup_across_batches_and_restart(spark, sf_dir, tmp_path):
     # nothing is fresh anymore
     fresh3 = incremental_dedup(b2, store)
     assert fresh3.count() == 0
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    """Distributed BPE merge learning reproduces a plain-Python reference
+    implementation (same tie rule: max count, then lexical pair order)."""
+    from janus_spark.datapipe.text import bpe_learn_merges
+
+    corpus = ["low lower lowest", "new newer newest", "low new low"]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+
+    # reference implementation
+    def ref_merges(texts, k):
+        words = [list(w) for t in texts for w in t.lower().split()]
+        out = []
+        for _ in range(k):
+            counts = {}
+            for w in words:
+                for a, b in zip(w, w[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x00" + kv[0][1]))[0]
+            out.append(best)
+            merged = []
+            for w in words:
+                nw, i = [], 0
+                while i < len(w):
+                    if i + 1 < len(w) and (w[i], w[i + 1]) == best:
+                        nw.append(w[i] + w[i + 1])
+                        i += 2
+                    else:
+                        nw.append(w[i])
+                        i += 1
+                merged.append(nw)
+            words = merged
+        return out
+
+    got = bpe_learn_merges(df, 6)
+    assert got == ref_merges(corpus, 6)
+
+
+def test_char_pair_counts_hand_check(spark):
+    from janus_spark.datapipe.text import char_pair_counts
+
+    df = spark.createDataFrame([("aba ab x",)], ["text"])
+    out = {r["pair"]: r["n"] for r in char_pair_counts(df).collect()}
+    # 'aba' -> ab, ba ; 'ab' -> ab ; 'x' too short
+    assert out == {"ab": 2, "ba": 1}
