@@ -196,7 +196,14 @@ def main() -> None:
     # round-over-round totals stay comparable): near-dup sweep, PQ ANN,
     # prefix-filtered Jaccard, novelty sweep
     datapipe: dict[str, float] = {}
-    for name in ("q_dedup_minhash", "q_ann_pq", "q_jaccard_prefix", "q_novelty"):
+    for name in (
+        "q_dedup_minhash",
+        "q_ann_pq",
+        "q_jaccard_prefix",
+        "q_novelty",
+        "q_bm25_topk",
+        "q_hybrid_rrf",
+    ):
         fn = QUERIES[name]
         best, n = None, 0
         for _ in range(2):
