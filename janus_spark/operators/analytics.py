@@ -319,3 +319,65 @@ def attribution(
             F.round(F.sum("__cents").cast("double") / 100, 2).alias("revenue"),
         )
     )
+
+
+def skyline(
+    df: DataFrame,
+    cols: list[str],
+    max_frontier: int = 100_000,
+) -> DataFrame:
+    """d-dimensional skyline (minimize every column in ``cols``): points
+    not dominated by any other (all coords ≤, at least one <).
+
+    Plan — sample-witness prune, then exact pairwise pass on survivors:
+      1. A single scalar agg picks the strongest witness point (argmin of
+         the SUM of per-dimension min-max-normalized coords — the point
+         most likely to dominate broadly).  Its coords broadcast as plan
+         literals; every point it strictly dominates is discarded
+         MAP-SIDE.  On anything but adversarial data this removes the
+         overwhelming bulk (everything "inside" the frontier).
+      2. The survivors are checked exactly with a NOT-EXISTS-style
+         left-anti self-join.  Survivor count is frontier-scale, not
+         corpus-scale, so the quadratic step runs on a frame that fits
+         broadcast; ``max_frontier`` guards the assumption and raises
+         rather than silently running an O(n²) join on corpus-sized
+         survivors (raise the cap deliberately, or pre-reduce dims).
+
+    For d=2 prefer :func:`skyline2d` (fully linear, no pairwise step).
+    Returns DISTINCT frontier points.
+    """
+    pts = df.select(*[F.col(c) for c in cols]).where(
+        F.lit(True) & F.expr(" AND ".join(f"{c} IS NOT NULL" for c in cols))
+    ).distinct()
+    b = pts.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    score = None
+    for c in cols:
+        lo, hi = float(b[f"lo_{c}"]), float(b[f"hi_{c}"])
+        span = (hi - lo) or 1.0
+        t = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+        score = t if score is None else score + t
+    witness = pts.orderBy(score.asc(), *[F.col(c) for c in cols]).limit(1).collect()[0]
+    dominated = F.lit(True)
+    strict = F.lit(False)
+    for c in cols:
+        w = F.lit(witness[c])
+        dominated = dominated & (w <= F.col(c))
+        strict = strict | (w < F.col(c))
+    survivors = pts.where(~(dominated & strict))
+    n = survivors.count()
+    if n > max_frontier:
+        raise ValueError(
+            f"{n} prune survivors exceed max_frontier={max_frontier}; "
+            "raise the cap or reduce dimensions"
+        )
+    a = survivors.alias("a")
+    bdf = F.broadcast(survivors.alias("b"))
+    dom = F.lit(True)
+    st = F.lit(False)
+    for c in cols:
+        dom = dom & (F.col(f"b.{c}") <= F.col(f"a.{c}"))
+        st = st | (F.col(f"b.{c}") < F.col(f"a.{c}"))
+    return a.join(bdf, dom & st, "left_anti").select(*cols)

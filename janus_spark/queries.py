@@ -6423,3 +6423,38 @@ ORACLES["q_bpe_pairs"] = f"""
          c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair)
     SELECT pair, n FROM c
     QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, pair) <= 30"""
+
+
+def q_skyline3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D Pareto frontier over per-part sourcing stats (minimize size,
+    min unit price, min quantity-weighted discount rank): sample-witness
+    map-side prune → exact anti-join on frontier-scale survivors
+    (operators/analytics.py::skyline)."""
+    from janus_spark.operators.analytics import skyline
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    stats = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.min("l_discount").alias("min_disc"),
+    )
+    pts = part.join(stats, part.p_partkey == stats.l_partkey).select(
+        F.col("p_size").cast("long").alias("size"), "min_price", "min_disc"
+    )
+    return skyline(pts, ["size", "min_price", "min_disc"])
+
+
+QUERIES["q_skyline3d"] = q_skyline3d
+ORACLES["q_skyline3d"] = """
+    WITH s AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price,
+                      MIN(l_discount) AS min_disc
+               FROM lineitem GROUP BY l_partkey),
+         p AS (SELECT DISTINCT CAST(p_size AS BIGINT) AS size, min_price, min_disc
+               FROM part JOIN s ON p_partkey = l_partkey)
+    SELECT size, min_price, min_disc FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.size <= a.size AND b.min_price <= a.min_price
+        AND b.min_disc <= a.min_disc
+        AND (b.size < a.size OR b.min_price < a.min_price
+             OR b.min_disc < a.min_disc))"""

@@ -152,3 +152,34 @@ def test_cross_corr_inner_alignment(spark):
     out = cross_corr(df, bucket_ms=1000).collect()[0]
     assert out["n_buckets"] == 5  # only the overlapping buckets
     assert out["corr"] == pytest.approx(1.0)
+
+
+def test_skyline_ddim_matches_bruteforce(spark):
+    import random
+
+    from janus_spark.operators.analytics import skyline
+
+    rng = random.Random(11)
+    pts = [(rng.randint(0, 20), rng.randint(0, 20), rng.randint(0, 20)) for _ in range(250)]
+    df = spark.createDataFrame(pts, ["x", "y", "z"])
+    got = {(r["x"], r["y"], r["z"]) for r in skyline(df, ["x", "y", "z"]).collect()}
+    distinct = set(pts)
+    expect = {
+        p
+        for p in distinct
+        if not any(
+            all(qc <= pc for qc, pc in zip(q, p)) and q != p for q in distinct
+        )
+    }
+    assert got == expect
+
+
+def test_skyline_max_frontier_guard(spark):
+    import pytest
+
+    from janus_spark.operators.analytics import skyline
+
+    # anti-diagonal: every point is on the frontier, nothing prunes
+    df = spark.createDataFrame([(i, 100 - i) for i in range(101)], ["x", "y"])
+    with pytest.raises(ValueError):
+        skyline(df, ["x", "y"], max_frontier=10)
