@@ -6458,3 +6458,44 @@ ORACLES["q_skyline3d"] = """
         AND b.min_disc <= a.min_disc
         AND (b.size < a.size OR b.min_price < a.min_price
              OR b.min_disc < a.min_disc))"""
+
+
+def q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-change detection over the fake-decoded corpus
+    (doc_id%3==2 are 'videos', doc_id<30): frame-delta threshold cuts →
+    per-scene summaries (datapipe/multimodal.py::scene_changes).
+    Feature model is the shared md5 hash family, so the gate is EXACT."""
+    from janus_spark.datapipe.multimodal import decode_media, documents_as_media, scene_changes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 30")
+    decoded = decode_media(documents_as_media(docs)).where(
+        F.col("media_type") == "video"
+    )
+    return scene_changes(decoded)
+
+
+QUERIES["q_scene_changes"] = q_scene_changes
+ORACLES["q_scene_changes"] = f"""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS mt,
+                      CAST(1 + {_MM_H} % 300 AS BIGINT) AS nf
+               FROM documents WHERE doc_id < 30),
+         fr AS (SELECT media_id,
+                       CAST(unnest(generate_series(0, nf - 1)) AS BIGINT) AS frame_index
+                FROM m WHERE mt = 2),
+         lu AS (SELECT media_id, frame_index,
+                       (('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' ||
+                                        CAST(frame_index AS VARCHAR)), 1, 15))::BIGINT
+                        % 1000) / 1000.0 AS lum
+                FROM fr),
+         c AS (SELECT media_id, frame_index,
+                      CASE WHEN LAG(lum) OVER w IS NULL THEN 0
+                           WHEN ABS(lum - LAG(lum) OVER w) > 0.4 THEN 1
+                           ELSE 0 END AS cut
+               FROM lu WINDOW w AS (PARTITION BY media_id ORDER BY frame_index)),
+         s AS (SELECT media_id, frame_index,
+                      1 + SUM(cut) OVER (PARTITION BY media_id ORDER BY frame_index
+                                         ROWS UNBOUNDED PRECEDING) AS scene_id
+               FROM c)
+    SELECT media_id, CAST(scene_id AS BIGINT) AS scene_id,
+           MIN(frame_index) AS start_frame, COUNT(*) AS n_frames
+    FROM s GROUP BY media_id, scene_id"""
