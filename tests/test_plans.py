@@ -305,3 +305,47 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_attribution_plan_has_no_self_join(spark):
+    """attribution must be ONE window pass over the event frame — a
+    touch×conversion join would re-scan/broadcast the big table."""
+    from janus_spark.operators.analytics import attribution
+
+    df = spark.createDataFrame(
+        [(1, 1, "click", 0.0, 100, "c")],
+        "event_id long, user_id long, event_type string, value double, "
+        "ts_ms long, campaign string",
+    )
+    plan = plan_of(attribution(df, "purchase", "click"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Window") == 1, "exactly one window pass over events"
+
+
+def test_cross_corr_self_joins_only_the_aggregate(spark):
+    """cross_corr's pair join must consume the per-(key,bucket) AGGREGATE
+    on both sides — the raw table is aggregated before any join."""
+    from janus_spark.operators.timeseries import cross_corr
+
+    df = spark.createDataFrame(
+        [("a", 1000, 1.0), ("b", 1000, 2.0)], ["event_type", "ts_ms", "value"]
+    )
+    plan = plan_of(cross_corr(df))
+    assert "CartesianProduct" not in plan
+    # join inputs are aggregates: the HashAggregate count must cover the
+    # pre-join partial/final pairs on both branches plus the moment agg
+    join_pos = plan.find("SortMergeJoin") if "SortMergeJoin" in plan else plan.find("Join")
+    assert join_pos != -1
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_temporal_join_uses_union_window_not_range_join(spark):
+    """asof_join lowers to union+window — no inequality (nested-loop)
+    join anywhere in the temporal-join plan."""
+    from janus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, 1.0)], ["user_id", "ts_ms", "value"])
+    right = spark.createDataFrame([(1, 50, "s")], ["user_id", "ts_ms", "state"])
+    out = asof_join(left, right, ts_col="ts_ms", by=("user_id",), value_cols=("state",))
+    plan = plan_of(out)
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
