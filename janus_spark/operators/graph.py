@@ -45,7 +45,15 @@ def pagerank(
     a huge seed set swap the membership test for a broadcast semi-join
     flag.  ``seeds=None`` keeps the uniform teleport (global PageRank,
     bit-identical to the previous formulation)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        # materialize ONCE: every round re-joins e, and an expression-
+        # bearing edge plan gets constraint-inference re-applied per
+        # round, composing the pushed-down scan filter exponentially
+        # (64KB codegen blowup); an RDD-backed e keeps rounds O(1)
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -174,7 +182,15 @@ def bfs_hops(
     (compiler property-path closure) at 100 TB.  ``localCheckpoint``
     per round caps lineage growth (same treatment as pagerank).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        # materialize ONCE: every round re-joins e, and an expression-
+        # bearing edge plan gets constraint-inference re-applied per
+        # round, composing the pushed-down scan filter exponentially
+        # (64KB codegen blowup); an RDD-backed e keeps rounds O(1)
+        .localCheckpoint()
+    )
     visited = seeds.select(F.col(id_col).alias("id")).distinct().withColumn(
         "hops", F.lit(0).cast("long")
     ).localCheckpoint()
@@ -218,7 +234,7 @@ def shortest_paths(
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).cast("double").alias("w")
-    )
+    ).localCheckpoint()  # materialize once: see bfs_hops edge note
     if e.where(F.col("w") < 0).limit(1).count() > 0:
         raise ValueError("shortest_paths requires non-negative edge weights")
     dist = (
@@ -287,7 +303,15 @@ def harmonic_centrality(
     if max_hops > 42:
         raise ValueError("max_hops > 42 overflows the exact lcm trick")
     lcm = math.lcm(*range(1, max_hops + 1))
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        # materialize ONCE: every round re-joins e, and an expression-
+        # bearing edge plan gets constraint-inference re-applied per
+        # round, composing the pushed-down scan filter exponentially
+        # (64KB codegen blowup); an RDD-backed e keeps rounds O(1)
+        .localCheckpoint()
+    )
     visited = (
         sources.select(F.col(id_col).alias("source"))
         .distinct()
