@@ -56,11 +56,17 @@ def bm25_topk(
     toks = docs.select(
         F.col(id_col).alias("id"), clean_tokens(F.col(text_col)).alias("__toks")
     )
-    dl = toks.select("id", F.size("__toks").alias("dl"))
+    # dl feeds the corpus-stats scalar AND the score join; tf feeds the
+    # document-frequency aggregate AND the postings join — lazily
+    # checkpoint both so the tokenize+count pass over the corpus runs
+    # ONCE instead of once per consumer (this is "materialize the
+    # inverted index", the obvious thing to persist at 100 TB)
+    dl = toks.select("id", F.size("__toks").alias("dl")).localCheckpoint(eager=False)
     tf = (
         toks.select("id", F.explode("__toks").alias("t"))
         .groupBy("id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
