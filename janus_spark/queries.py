@@ -6499,3 +6499,72 @@ ORACLES["q_scene_changes"] = f"""
     SELECT media_id, CAST(scene_id AS BIGINT) AS scene_id,
            MIN(frame_index) AS start_frame, COUNT(*) AS n_frames
     FROM s GROUP BY media_id, scene_id"""
+
+
+def q_live_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live OHLC bars over a REAL Structured Streaming run: tumbling 4s
+    windows maintain open/high/low/close as native incremental state
+    (min_by/max_by witness structs, append mode, watermark-closed) —
+    the continuous form of q_ohlc_resample
+    (streaming/native_agg.py::ohlc_stream).  sf_dir unused."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.streaming.native_agg import ohlc_stream
+
+    fixture = spark.range(1, 61).select(
+        (F.col("id") * 500).alias("ts"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("sensor"),
+        (20.0 + ((F.col("id") * 7) % 13)).alias("value"),
+    )
+    closer = spark.range(1).select(
+        F.lit(95_000).cast("long").alias("ts"),
+        F.lit(999).alias("event_id"),
+        F.lit("9").alias("sensor"),
+        F.lit(25.0).alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="live_ohlc_")
+    name = f"live_ohlc_{uuid.uuid4().hex[:8]}"
+    try:
+        fixture.where("ts <= 15000").coalesce(1).write.parquet(f"{root}/f1.parquet")
+        fixture.where("ts > 15000").coalesce(1).write.parquet(f"{root}/f2.parquet")
+        closer.coalesce(1).write.parquet(f"{root}/f3.parquet")
+        stream = (
+            spark.readStream.schema("ts long, event_id long, sensor string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        bars = ohlc_stream(stream, ["sensor"], window_ms=4_000)
+        q = (
+            bars.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res.select("window_start", "sensor", "n", "open", "high", "low", "close")
+
+
+QUERIES["q_live_ohlc"] = q_live_ohlc
+ORACLES["q_live_ohlc"] = """
+    WITH e AS (SELECT i * 500 AS ts, i AS event_id, CAST(i % 3 AS VARCHAR) AS sensor,
+                      20.0 + ((i * 7) % 13) AS value
+               FROM range(1, 61) r(i)),
+         b AS (SELECT *, (ts // 4000) * 4000 AS ws,
+                      ROW_NUMBER() OVER (PARTITION BY sensor, ts // 4000
+                                         ORDER BY ts, event_id) AS ra,
+                      ROW_NUMBER() OVER (PARTITION BY sensor, ts // 4000
+                                         ORDER BY ts DESC, event_id DESC) AS rd
+               FROM e)
+    SELECT ws AS window_start, sensor, COUNT(*) AS n,
+           MIN(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MIN(CASE WHEN rd = 1 THEN value END) AS close
+    FROM b GROUP BY ws, sensor"""

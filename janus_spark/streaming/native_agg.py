@@ -319,3 +319,42 @@ def moment_stream(
             "__n", "__sx", "__sy", "__sxy", "__sxx", "__syy",
         )
     )
+
+
+def ohlc_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    window_ms: int = 4_000,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Streaming OHLC bars: per tumbling event-time window and key,
+    open/high/low/close via native incremental aggregation — open/close
+    are ``min_by``/``max_by`` over the (ts, tie) ordering struct, so the
+    state per (key, window) is four scalars + two witness structs,
+    watermark-evicted, append-mode emission on close.  The continuous
+    form of the batch resampler (`queries.py::q_ohlc_resample`), same
+    deterministic tie rule (earliest/latest by (ts, tie))."""
+    order = F.struct(F.col(ts_col).cast("long").alias("t"), F.col(tie_col).alias("k"))
+    ev = (
+        stream.withColumn("__evt", F.timestamp_millis(F.col(ts_col).cast("long")))
+        .withWatermark("__evt", watermark)
+        .where(F.col(value_col).isNotNull())
+    )
+    return (
+        ev.groupBy(F.window("__evt", f"{window_ms} milliseconds"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by(F.col(value_col), order).alias("open"),
+            F.max(F.col(value_col)).alias("high"),
+            F.min(F.col(value_col)).alias("low"),
+            F.max_by(F.col(value_col), order).alias("close"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start"),
+            *key_cols,
+            "n", "open", "high", "low", "close",
+        )
+    )
