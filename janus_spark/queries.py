@@ -6568,3 +6568,69 @@ ORACLES["q_live_ohlc"] = """
            MAX(value) AS high, MIN(value) AS low,
            MIN(CASE WHEN rd = 1 THEN value END) AS close
     FROM b GROUP BY ws, sensor"""
+
+
+def q_live_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live windowed approx-distinct over a REAL Structured Streaming
+    run: det-HLL registers maintained as native incremental MAX state
+    (append mode, watermark-closed); estimates finish in batch off the
+    sink and are oracle-EXACT because the sketch is the engine-portable
+    md5-family one (streaming/native_agg.py::hll_register_stream).
+    sf_dir unused."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.functions.sketches import hll_det_estimate
+    from janus_spark.streaming.native_agg import hll_register_stream
+
+    fixture = spark.range(1, 61).select(
+        (F.col("id") * 500).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("sensor"),
+        (F.col("id") % 7).cast("string").alias("value"),
+    )
+    closer = spark.range(1).select(
+        F.lit(95_000).cast("long").alias("ts"),
+        F.lit("9").alias("sensor"),
+        F.lit("z").alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="live_hll_")
+    name = f"live_hll_{uuid.uuid4().hex[:8]}"
+    try:
+        fixture.where("ts <= 15000").coalesce(1).write.parquet(f"{root}/f1.parquet")
+        fixture.where("ts > 15000").coalesce(1).write.parquet(f"{root}/f2.parquet")
+        closer.coalesce(1).write.parquet(f"{root}/f3.parquet")
+        stream = (
+            spark.readStream.schema("ts long, sensor string, value string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        regs = hll_register_stream(stream, ["sensor"], window_ms=4_000)
+        q = (
+            regs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        sunk = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return hll_det_estimate(sunk, ["window_start", "sensor"])
+
+
+QUERIES["q_live_hll"] = q_live_hll
+
+
+from janus_spark.functions.sketches import hll_det_oracle_sql as _hll_sql_live
+
+ORACLES["q_live_hll"] = (
+    "WITH est AS ("
+    + _hll_sql_live("v", "ws || '|' || sensor", '(SELECT (i*500 // 4000) * 4000 AS ws, CAST(i % 3 AS VARCHAR) AS sensor, CAST(i % 7 AS VARCHAR) AS v FROM range(1, 61) r(i))')
+    + """)
+    SELECT CAST(string_split(grp, '|')[1] AS BIGINT) AS window_start,
+           string_split(grp, '|')[2] AS sensor, approx_distinct
+    FROM est"""
+)

@@ -358,3 +358,49 @@ def ohlc_stream(
             "n", "open", "high", "low", "close",
         )
     )
+
+
+def hll_register_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_ms: int = 4_000,
+    p: int = 12,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Streaming deterministic-HLL build: per tumbling event-time window
+    (and key), maintain the (register, max_rank) rows of the det-HLL
+    sketch (functions/sketches.hll_det_partials' algebra) as native
+    incremental MAX state — append-mode emission on window close.
+
+    The distinct-count sibling of ``cms_count_stream``: state per
+    (key, window) is at most 2^p register rows regardless of event rate
+    or value universe; the estimate
+    (functions/sketches.hll_det_estimate) is a batch read over the sunk
+    registers, and because the sketch is the engine-portable md5-family
+    one, the whole streaming pipeline stays oracle-EXACT.
+    """
+    m = 1 << p
+    wbits = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, p)
+    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+    ev = (
+        stream.withColumn("__evt", F.timestamp_millis(F.col(ts_col).cast("long")))
+        .withWatermark("__evt", watermark)
+        .where(F.col(value_col).isNotNull())
+        .select("__evt", *key_cols, (h % m).alias("reg"), rank.alias("rank"))
+    )
+    return (
+        ev.groupBy(F.window("__evt", f"{window_ms} milliseconds"), *key_cols, "reg")
+        .agg(F.max("rank").alias("max_rank"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start"),
+            *key_cols,
+            "reg",
+            "max_rank",
+        )
+    )
