@@ -83,6 +83,7 @@ class JanusEngine:
         self.quads = quads
         self.path_max_hops = path_max_hops
         self.registry: dict[str, RegisteredQuery] = {}
+        self._runners: dict[str, object] = {}  # qid -> LiveQueryRunner (foreachBatch path)
         self.max_queries = max_queries
         # star-join elimination registry matching `quads` (sources.melt.
         # property_registry); windowed executors re-slice it per window
@@ -201,7 +202,28 @@ class JanusEngine:
             self.spark, rq.parsed, buffer_path, static_quads=static, sink=sink
         )
         rq.status = RUNNING
+        self._runners[query_id] = runner
         return runner
+
+    def query_metrics(self, query_id: str) -> dict:
+        """Runtime observability for a registered query: lifecycle state +
+        the live runner's counters (batches, rows in, window fires, last
+        batch wall time) when the foreachBatch path is active.  Counters
+        ride aggregates each batch already runs — reading them costs
+        nothing.  (Native-path queries expose Spark's own progress via
+        ``StreamingQuery.lastProgress``; callers hold that handle.)"""
+        rq = self.registry[query_id]
+        out = {
+            "query_id": query_id,
+            "status": rq.status,
+            "execution_count": rq.execution_count,
+            "registered_at": rq.registered_at,
+        }
+        runner = self._runners.get(query_id)
+        if runner is not None:
+            out.update(runner.metrics)
+            out["buffered_chunks"] = len(runner._chunks)
+        return out
 
     def explain_live(self, query_id: str) -> dict:
         """Which live execution mode a registered query would get and why.

@@ -17,6 +17,8 @@ Mirrors the reference's route surface (src/http/server.rs:273-289):
                                       browser EventSource consumers — the
                                       closest zero-dependency stand-in for
                                       the reference's WS, server.rs:473-545)
+    GET    /api/queries/<id>/metrics  runtime counters (batches, rows in,
+                                      window fires, last batch wall time)
     POST   /api/replay/start          replay a quads source into live queries
     POST   /api/replay/stop           stop an in-flight replay (server.rs:548+)
     GET    /api/replay/status
@@ -193,6 +195,12 @@ def create_app(engine: JanusEngine, buffer_root: str = "/tmp/janus_spark_live") 
         engine.stop_query(qid)
         runners.pop(qid, None)
         return jsonify({"query_id": qid, "status": engine.get_query(qid).status})
+
+    @app.get("/api/queries/<qid>/metrics")
+    def query_metrics(qid):
+        if qid not in engine.registry:
+            return jsonify({"error": f"unknown query {qid}"}), 404
+        return jsonify(engine.query_metrics(qid))
 
     def _drain(qid, timeout, max_results):
         """Yield (kind, payload) result/lag items from the hub queue —

@@ -99,18 +99,29 @@ class LiveQueryRunner:
         # since the previous close, DStream only rows that disappeared
         self.operator = (parsed.operator or "RStream").upper()
         self._prev_rows: dict[str, list] = {}
+        # runtime observability (served by /api/queries/<id>/metrics):
+        # counters ride the aggregates each batch already runs — no
+        # extra jobs
+        self.metrics: dict = {
+            "n_batches": 0,
+            "rows_in": 0,
+            "windows_fired": 0,
+            "last_fire_window_end": None,
+            "last_batch_wall_ms": None,
+        }
 
     # ------------------------------------------------------------ buffer
     def _append_buffer(self, batch_df: DataFrame) -> int | None:
         """Append micro-batch to the retention buffer; returns batch max ts."""
-        agg = batch_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
-        if agg is None:
+        agg = batch_df.agg(F.max("ts").alias("m"), F.count(F.lit(1)).alias("n")).collect()[0]
+        self.metrics["rows_in"] += int(agg["n"])
+        if agg["m"] is None:
             return None
         sub = f"c{self._chunk_no:08d}"
         self._chunk_no += 1
         batch_df.write.mode("overwrite").parquet(str(self.buffer_path / sub))
-        self._chunks[sub] = int(agg)
-        return int(agg)
+        self._chunks[sub] = int(agg["m"])
+        return int(agg["m"])
 
     def _prune_buffer(self) -> None:
         """Drop chunks entirely older than any window can still need."""
@@ -126,12 +137,16 @@ class LiveQueryRunner:
 
     # ------------------------------------------------------------- fire
     def on_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        t0 = time.perf_counter()
+        self.metrics["n_batches"] += 1
         m = self._append_buffer(batch_df.select("ts", "subject", "predicate", "object", "graph"))
         if m is None:
+            self.metrics["last_batch_wall_ms"] = round((time.perf_counter() - t0) * 1000, 1)
             return
         self.max_ts = max(self.max_ts, m)
         self._fire_closed_windows(self.max_ts)
         self._prune_buffer()
+        self.metrics["last_batch_wall_ms"] = round((time.perf_counter() - t0) * 1000, 1)
 
     def close(self, final_ts: int | None = None) -> None:
         """W5 sentinel: force-close every window up to final_ts
@@ -162,6 +177,8 @@ class LiveQueryRunner:
                 ws.last_fired_end = e
 
     def _evaluate_window(self, ws: _WindowState, buffer: DataFrame, s: int, e: int) -> None:
+        self.metrics["windows_fired"] += 1
+        self.metrics["last_fire_window_end"] = e
         # W4 cross-window merge: union every live window's active slice at
         # time e (the firing window's own slice is [s, e))
         slices = [buffer.where((F.col("ts") >= s) & (F.col("ts") < e))]

@@ -181,8 +181,18 @@ def test_hybrid_lifecycle_end_to_end(client):
     assert client.post("/api/replay/stop").get_json()["ok"]
     assert client.get("/api/replay/status").get_json()["stopped"] is True
 
+    # runtime metrics reflect the replay that just ran
+    m = client.get(f"/api/queries/{qid}/metrics").get_json()
+    assert m["status"] == "Running" and m["n_batches"] > 0
+    assert m["rows_in"] > 0 and m["windows_fired"] > 0
+    assert m["last_batch_wall_ms"] is not None
+
     stopped = client.post(f"/api/queries/{qid}/stop").get_json()
     assert stopped["status"] == "Stopped"
+
+
+def test_metrics_unknown_query_404(client):
+    assert client.get("/api/queries/nope/metrics").status_code == 404
 
 
 def test_replay_stop_interrupts_inflight(client):
