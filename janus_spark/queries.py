@@ -6667,3 +6667,73 @@ ORACLES["q_match_pattern"] = f"""
     SELECT user_id, n_events,
            CAST(len(regexp_extract_all(str, 'vc+p')) AS INT) AS n_matches
     FROM s WHERE len(regexp_extract_all(str, 'vc+p')) > 0"""
+
+
+def q_live_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous CEP under the EXACT gate: view→click+→purchase runs
+    complete ACROSS three real micro-batches (clicks land one per
+    batch; per-user suffix state carries the partial match)
+    (streaming/stateful.py::streaming_match_pattern).  sf_dir unused."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.streaming.stateful import streaming_match_pattern
+
+    u = spark.range(0, 20)
+    b1 = u.selectExpr(
+        "CAST(id AS STRING) AS user", "CAST(10 AS DOUBLE) AS ts", "'view' AS event"
+    ).unionByName(
+        u.where("id % 2 = 0").selectExpr(
+            "CAST(id AS STRING) AS user", "CAST(20 AS DOUBLE) AS ts", "'click' AS event"
+        )
+    )
+    b2 = u.where("id % 2 = 0").selectExpr(
+        "CAST(id AS STRING) AS user", "CAST(30 AS DOUBLE) AS ts", "'click' AS event"
+    ).unionByName(
+        u.where("id % 4 = 0").selectExpr(
+            "CAST(id AS STRING) AS user", "CAST(40 AS DOUBLE) AS ts", "'purchase' AS event"
+        )
+    )
+    b3 = u.where("id % 4 = 2").selectExpr(
+        "CAST(id AS STRING) AS user", "CAST(50 AS DOUBLE) AS ts", "'purchase' AS event"
+    ).unionByName(
+        u.where("id % 2 = 1").selectExpr(
+            "CAST(id AS STRING) AS user", "CAST(60 AS DOUBLE) AS ts", "'purchase' AS event"
+        )  # no click ever: must NOT match
+    )
+    root = tempfile.mkdtemp(prefix="live_cep_")
+    name = f"live_cep_{uuid.uuid4().hex[:8]}"
+    try:
+        for i, b in enumerate([b1, b2, b3]):
+            b.coalesce(1).write.parquet(f"{root}/b{i}.parquet")
+        stream = (
+            spark.readStream.schema("user string, ts double, event string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/b*.parquet")
+        )
+        out = streaming_match_pattern(
+            stream, "vc+p", {"view": "v", "click": "c", "purchase": "p"}
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res.select("user", "ts", "n_new", "n_total")
+
+
+QUERIES["q_live_match_pattern"] = q_live_match_pattern
+ORACLES["q_live_match_pattern"] = """
+    SELECT CAST(id AS VARCHAR) AS user, CAST(40 AS DOUBLE) AS ts,
+           CAST(1 AS BIGINT) AS n_new, CAST(1 AS BIGINT) AS n_total
+    FROM range(0, 20) t(id) WHERE id % 4 = 0
+    UNION ALL
+    SELECT CAST(id AS VARCHAR), CAST(50 AS DOUBLE), 1, 1
+    FROM range(0, 20) t(id) WHERE id % 4 = 2"""

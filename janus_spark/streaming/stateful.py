@@ -286,3 +286,88 @@ def streaming_attribution(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+CEP_STATE_SCHEMA = StructType(
+    [
+        StructField("suffix", StringType()),   # unconsumed symbol tail
+        StructField("n_matches", LongType()),  # total matches so far
+    ]
+)
+CEP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user", StringType()),
+        StructField("ts", DoubleType()),
+        StructField("n_new", LongType()),
+        StructField("n_total", LongType()),
+    ]
+)
+
+
+def streaming_match_pattern(
+    df: DataFrame,
+    pattern: str,
+    symbols: dict[str, str],
+    user_col: str = "user",
+    ts_col: str = "ts",
+    event_col: str = "event",
+    max_suffix: int = 10_000,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Continuous CEP: the streaming form of
+    ``operators/analytics.match_pattern`` — per user, maintain the
+    UNCONSUMED symbol suffix and total match count; each micro-batch
+    appends its symbols, counts new non-overlapping matches, and emits a
+    row when new matches appear (ts = batch max ts for the user).
+
+    Equivalence contract with the batch operator: matches never span a
+    consumed prefix (non-overlapping), and the suffix after the last
+    match is kept so a pattern may complete across ANY number of
+    micro-batch boundaries.  ``max_suffix`` caps per-user state (longest
+    believable pattern span); events outside ``symbols`` append the
+    unmatchable gap char exactly like the batch form.
+
+    Batch/stream equivalence requires the pattern to END in a definite
+    symbol (``vc+p``), not an unbounded quantifier (``vc+``): a
+    trailing-greedy match is claimed as soon as a batch closes, while
+    the batch operator would keep extending it.
+
+    State per user: one bounded string + one counter —
+    checkpoint-recoverable like the funnel/attribution operators.
+    """
+    import re as _re
+
+    rx = _re.compile(pattern)
+    gap = "\x01"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        suffix, total = state.get if state.exists else ("", 0)
+        new, last_ts = 0, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for _, r in pdf.iterrows():
+                suffix += symbols.get(r[event_col], gap)
+                last_ts = float(r[ts_col])
+        end = 0
+        for m in rx.finditer(suffix):
+            new += 1
+            end = m.end()
+        if new:
+            suffix = suffix[end:]
+            total += new
+        if len(suffix) > max_suffix:
+            suffix = suffix[-max_suffix:]
+        state.update((suffix, total))
+        if new and last_ts is not None:
+            yield pd.DataFrame(
+                [(key[0], last_ts, new, total)],
+                columns=["user", "ts", "n_new", "n_total"],
+            )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
