@@ -6737,3 +6737,79 @@ ORACLES["q_live_match_pattern"] = """
     UNION ALL
     SELECT CAST(id AS VARCHAR), CAST(50 AS DOUBLE), 1, 1
     FROM range(0, 20) t(id) WHERE id % 4 = 2"""
+
+
+def q_live_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained materialized rollup: a real Structured
+    Streaming run folds each micro-batch into the versioned
+    IncrementalAgg store via foreachBatch — the streaming MV pattern
+    (state = the mergeable partial table itself, not executor memory;
+    restart-safe because update() is idempotent per version and
+    associative across batches).  Final read() ≡ full recompute, which
+    is what the oracle checks.  sf_dir unused: the fixture IS the
+    stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.operators.incremental import IncrementalAgg
+
+    fixture = spark.range(1, 61).select(
+        (F.col("id") * 500).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("sensor"),
+        (20.0 + (F.col("id") % 10)).alias("value"),
+        (F.col("id") % 7).alias("user_id"),
+    )
+    root = tempfile.mkdtemp(prefix="live_mv_")
+    name = f"live_mv_{uuid.uuid4().hex[:8]}"
+    try:
+        for i, cond in enumerate(["ts <= 10000", "ts > 10000 AND ts <= 20000", "ts > 20000"]):
+            fixture.where(cond).coalesce(1).write.parquet(f"{root}/b{i}.parquet")
+        inc = IncrementalAgg(
+            spark, f"{root}/rollup", ["sensor"], value_col="value",
+            distinct_col="user_id",
+        )
+        stream = (
+            spark.readStream.schema("ts long, sensor string, value double, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/b*.parquet")
+        )
+        q = (
+            stream.writeStream.foreachBatch(lambda df, _id: inc.update(df))
+            .option("checkpointLocation", f"{root}/ck")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = inc.read()
+        return spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES["q_live_rollup"] = q_live_rollup
+ORACLES["q_live_rollup"] = (
+    """
+    WITH e AS (SELECT CAST(i % 3 AS VARCHAR) AS sensor,
+                      20.0 + (i % 10) AS value,
+                      i % 7 AS user_id
+               FROM range(1, 61) r(i)),
+         c AS (SELECT sensor, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents,
+                      value, user_id FROM e),
+         base AS (SELECT sensor, COUNT(*) AS n, SUM(cents) AS sc,
+                         MIN(value) AS min_v, MAX(value) AS max_v
+                  FROM c GROUP BY sensor)
+    SELECT b.sensor, CAST(b.n AS BIGINT) AS n,
+           ROUND(CAST(b.sc AS DOUBLE) / 100, 2) AS sum_v,
+           ROUND(CAST(b.sc AS DOUBLE) / CAST(b.n AS DOUBLE) / 100, 6) AS avg_v,
+           b.min_v, b.max_v, h.approx_distinct
+    FROM base b JOIN ("""
+    + _hll_oracle(
+        "user_id",
+        "sensor",
+        "grp",
+        "(SELECT CAST(i % 3 AS VARCHAR) AS sensor, i % 7 AS user_id FROM range(1, 61) r(i))",
+    )
+    + """) h ON b.sensor = h.grp"""
+)
