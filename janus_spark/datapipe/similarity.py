@@ -637,3 +637,40 @@ def apply_permutation(df: DataFrame, perm: list[int], vec_col: str = "embedding"
     """Reorder a vector column by ``perm`` — map-only element gathers."""
     gathered = F.array(*[F.element_at(F.col(vec_col), int(p) + 1) for p in perm])
     return df.withColumn(vec_col, gathered)
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_sim: int | None = 6,
+) -> DataFrame:
+    """Embedding-based decontamination: corpus vectors whose cosine
+    similarity to ANY benchmark vector reaches ``threshold`` — the
+    semantic complement of the exact/n-gram decontamination pair
+    (datapipe/dedup.py): paraphrased or reformatted eval items that
+    share no n-grams still collide in embedding space.
+
+    The benchmark side is broadcast (eval sets are small); the corpus
+    is scanned ONCE map-side — per corpus vector the max similarity
+    over benchmark vectors folds inside the join before any shuffle, so
+    at 100 TB this is a single pass with a benchmark-sized hash table
+    per executor.  Returns (vec_id, max_sim, matched_benchmark_id) for
+    flagged vectors; ties on max_sim break to the lowest benchmark id.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    b = benchmark.select(F.col(id_col).alias("bench_id"), F.col(vec_col).alias("bv"))
+    sims = c.crossJoin(F.broadcast(b)).select(
+        "vec_id", "bench_id", cosine(F.col("cv"), F.col("bv")).alias("sim")
+    )
+    if round_sim is not None:
+        sims = sims.withColumn("sim", F.round("sim", round_sim))
+    best = sims.groupBy("vec_id").agg(
+        F.max("sim").alias("max_sim"),
+        F.min_by("bench_id", F.struct((-F.col("sim")).alias("s"), F.col("bench_id").alias("b"))).alias(
+            "matched_benchmark_id"
+        ),
+    )
+    return best.where(F.col("max_sim") >= F.lit(threshold))

@@ -6813,3 +6813,36 @@ ORACLES["q_live_rollup"] = (
     )
     + """) h ON b.sensor = h.grp"""
 )
+
+
+def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors within cosine
+    0.3 of any held-out 'benchmark' vector (ids ≥ max-5) — the
+    paraphrase-robust complement of the exact/n-gram decontamination
+    gates (datapipe/similarity.py::semantic_contamination).  Benchmark
+    broadcast, corpus scanned once map-side."""
+    from janus_spark.datapipe.similarity import semantic_contamination
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = embs.agg(F.max("vec_id")).collect()[0][0]
+    bench = embs.where(F.col("vec_id") > mx - 5)
+    corpus = embs.where(F.col("vec_id") <= mx - 5)
+    return semantic_contamination(corpus, bench, threshold=0.3)
+
+
+QUERIES["q_contamination_semantic"] = q_contamination_semantic
+ORACLES["q_contamination_semantic"] = """
+    WITH mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+         b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings
+               WHERE vec_id > (SELECT m FROM mx) - 5),
+         c AS (SELECT vec_id, embedding AS cv FROM embeddings
+               WHERE vec_id <= (SELECT m FROM mx) - 5),
+         s AS (SELECT c.vec_id, b.bench_id,
+                      ROUND(list_cosine_similarity(CAST(c.cv AS DOUBLE[]),
+                                                   CAST(b.bv AS DOUBLE[])), 6) AS sim
+               FROM c CROSS JOIN b),
+         best AS (SELECT vec_id, sim AS max_sim, bench_id AS matched_benchmark_id
+                  FROM s
+                  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY sim DESC, bench_id) = 1)
+    SELECT vec_id, max_sim, matched_benchmark_id FROM best WHERE max_sim >= 0.3"""
