@@ -149,3 +149,59 @@ def test_streaming_funnel_within_window_rejects_slow_completion(spark, tmp_path)
     q.awaitTermination(300)
     got = {r["user"] for r in spark.table(name).collect()}
     assert got == {"fast"}
+
+
+def test_streaming_cep_equals_batch_on_random_splits(spark, tmp_path):
+    """Batch/stream equivalence: for a terminal-symbol pattern, total
+    streaming match counts equal the batch operator's, regardless of
+    where micro-batch boundaries fall."""
+    import random
+    import uuid
+
+    from janus_spark.operators.analytics import match_pattern
+    from janus_spark.streaming.stateful import streaming_match_pattern
+
+    rng = random.Random(3)
+    rows = []
+    for u in range(6):
+        for i in range(30):
+            rows.append((str(u), float(i * 10), rng.choice(["view", "click", "purchase", "error"])))
+    # batch reference
+    bdf = spark.createDataFrame(
+        [(int(u), i, e, int(t)) for i, (u, t, e) in enumerate(rows)],
+        ["user_id", "event_id", "event_type", "ts_ms"],
+    )
+    want = {
+        str(r["user_id"]): r["n_matches"]
+        for r in match_pattern(
+            bdf, "vc+p", {"view": "v", "click": "c", "purchase": "p"}
+        ).collect()
+    }
+    # stream the same rows in 4 random-boundary batches (per-user ts order
+    # preserved because rows are globally ts-sorted per user already)
+    cuts = sorted(rng.sample(range(1, len(rows)), 3))
+    batches = [rows[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])]
+    src = tmp_path / "src"
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, "user string, ts double, event string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("user string, ts double, event string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = streaming_match_pattern(stream, "vc+p", {"view": "v", "click": "c", "purchase": "p"})
+    name = f"cep_eq_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {}
+    for r in spark.table(name).collect():
+        got[r["user"]] = got.get(r["user"], 0) + r["n_new"]
+    assert got == want
