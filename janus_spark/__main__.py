@@ -170,6 +170,28 @@ def cmd_datapipe(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """BM25 retrieval over the documents corpus — "grep for your
+    corpus": prints one JSON line per hit (doc_id, rank, score,
+    snippet)."""
+    from pyspark.sql import functions as F
+
+    from janus_spark.datapipe.retrieval import bm25_topk
+
+    spark = _spark()
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    qdf = spark.createDataFrame([("q", args.query)], ["query_id", "qtext"])
+    hits = (
+        bm25_topk(docs, qdf, k=args.k)
+        .join(docs.select("doc_id", F.substring("text", 1, 120).alias("snippet")), "doc_id")
+        .orderBy("rank")
+    )
+    for r in hits.collect():
+        print(json.dumps({"doc_id": r["doc_id"], "rank": r["rank"],
+                          "score": r["score"], "snippet": r["snippet"]}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -224,6 +246,11 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--keep-best", action="store_true",
                     help="near-dup clusters keep the highest-q_score member instead of the lowest id")
 
+    sf = sub.add_parser("search")
+    sf.add_argument("query")
+    sf.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sf.add_argument("--k", type=int, default=10)
+
     args = p.parse_args(argv)
     return {
         "parse": cmd_parse,
@@ -231,6 +258,7 @@ def main(argv: list[str] | None = None) -> int:
         "serve": cmd_serve,
         "replay": cmd_replay,
         "bench": cmd_bench,
+        "search": cmd_search,
         "datapipe": cmd_datapipe,
     }[args.cmd](args)
 

@@ -37,3 +37,17 @@ def test_cli_parse_rejects_garbage(capsys):
     except (SystemExit, SyntaxError, ValueError):
         return
     raise AssertionError("expected a parse failure")
+
+
+def test_cli_search(spark, capsys):
+    import json as _json
+
+    from janus_spark.__main__ import main
+
+    rc = main(["search", "spark window stream", "--sf-dir", "/root/testdata/sf0.001", "--k", "3"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    hits = [_json.loads(l) for l in lines]
+    assert len(hits) == 3
+    assert [h["rank"] for h in hits] == [1, 2, 3]
+    assert all(h["score"] > 0 and "snippet" in h for h in hits)
