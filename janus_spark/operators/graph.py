@@ -32,6 +32,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 8,
     seeds: list | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Iterate PageRank on a directed graph given as an edge list.
     Returns ``(id, rank)`` with ranks summing to 1.  Duplicate edges are
@@ -44,16 +45,31 @@ def pagerank(
     Seeds are embedded as an ``isin`` literal — fine to thousands; for
     a huge seed set swap the membership test for a broadcast semi-join
     flag.  ``seeds=None`` keeps the uniform teleport (global PageRank,
-    bit-identical to the previous formulation)."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        # materialize ONCE: every round re-joins e, and an expression-
-        # bearing edge plan gets constraint-inference re-applied per
-        # round, composing the pushed-down scan filter exponentially
-        # (64KB codegen blowup); an RDD-backed e keeps rounds O(1)
-        .localCheckpoint()
-    )
+    bit-identical to the previous formulation).
+
+    ``weight``: column of positive edge weights — each node splits its
+    rank across out-edges ∝ weight (duplicate (src, dst) pairs sum
+    their weights).  ``None`` keeps the unweighted form (duplicate
+    edges collapsed, rank split by out-degree)."""
+    if weight is None:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.lit(1.0).alias("w")
+        ).distinct()
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    # materialize ONCE: every round re-joins e, and an expression-
+    # bearing edge plan gets constraint-inference re-applied per
+    # round, composing the pushed-down scan filter exponentially
+    # (64KB codegen blowup); an RDD-backed e keeps rounds O(1)
+    e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -62,7 +78,9 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-strength: Σw per src (== out-degree when unweighted, exactly —
+    # a sum of 1.0s — so the unweighted gates stay bit-identical)
+    deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     if seeds is None:
         is_seed = F.lit(True)
         n_t = n
@@ -79,7 +97,10 @@ def pagerank(
         contrib = (
             ranks.join(deg, ranks.id == deg.src, "inner")
             .join(e, "src")
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") * F.col("w") / F.col("deg")).alias("c"),
+            )
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )

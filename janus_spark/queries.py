@@ -6846,3 +6846,50 @@ ORACLES["q_contamination_semantic"] = """
                   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                                              ORDER BY sim DESC, bench_id) = 1)
     SELECT vec_id, max_sim, matched_benchmark_id FROM best WHERE max_sim >= 0.3"""
+
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the supplier↔part graph: edge weight =
+    lineitem multiplicity per pair, so heavy trade lanes carry
+    proportionally more rank (operators/graph.py::pagerank with
+    weight=)."""
+    from janus_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fwd = li.groupBy(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).agg(F.count(F.lit(1)).alias("w"))
+    back = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    n = fwd.select("src").unionByName(fwd.select(F.col("dst").alias("src"))).distinct().count()
+    out = pagerank(fwd.unionByName(back), iterations=3, weight="w")
+    return out.select("id", F.round(F.col("rank") * n, 6).alias("rank_x_n"))
+
+
+QUERIES["q_pagerank_weighted"] = q_pagerank_weighted
+_PRW_EDGES = """
+        fwd AS (
+            SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+                   COUNT(*) AS w
+            FROM lineitem GROUP BY 1, 2),
+        edges AS (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM fwd
+                  UNION ALL
+                  SELECT dst, src, CAST(w AS DOUBLE) AS w FROM fwd),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        deg AS (SELECT src AS id, SUM(w) AS deg FROM edges GROUP BY src),
+        c AS (SELECT COUNT(*) AS n FROM nodes)"""
+_PRW_STEP = """
+        r{next} AS (
+            SELECT e.dst AS id,
+                   0.15 / (SELECT n FROM c)
+                   + 0.85 * SUM(r.rank * e.w / d.deg) AS rank
+            FROM edges e
+            JOIN r{cur} r ON r.id = e.src
+            JOIN deg d ON d.id = e.src
+            GROUP BY e.dst)"""
+ORACLES["q_pagerank_weighted"] = (
+    "WITH " + _PRW_EDGES + ","
+    + "r0 AS (SELECT id, 1.0 / (SELECT n FROM c) AS rank FROM nodes),"
+    + ",".join(_PRW_STEP.format(cur=i, next=i + 1) for i in range(3))
+    + " SELECT id, ROUND(rank * (SELECT n FROM c), 6) AS rank_x_n FROM r3"
+)
