@@ -1,0 +1,81 @@
+"""Declarative data-quality validation — the dbt-test / Great-Expectations
+shape: a rule list compiles to ONE pass over the table (conditional
+aggregates), plus one tiny aggregate per uniqueness/foreign-key rule.
+
+Rules (all return (rule, column, n_violations, passed)):
+- ``("not_null", col)``              — null count
+- ``("unique", col)``                — rows beyond the first per value
+- ``("in_range", col, lo, hi)``      — values outside [lo, hi] (nulls pass;
+                                        pair with not_null to reject them)
+- ``("in_set", col, values)``        — values outside the allowed set
+- ``("matches", col, regex)``        — values not fully matching the regex
+- ``("foreign_key", col, other_df, other_col)`` — values with no parent
+                                        (left-anti against DISTINCT keys)
+
+Scale: the row-level rules (not_null/in_range/in_set/matches) share a
+single conditional-aggregate scan regardless of rule count.  ``unique``
+is a groupBy on the column (map-side combinable).  ``foreign_key``
+de-dupes the parent side first, then a left-anti join — broadcast when
+the parent key set is dimension-sized, shuffle otherwise; either way the
+child table is scanned once per FK rule, never self-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ROW_RULES = {"not_null", "in_range", "in_set", "matches"}
+
+
+def validate(df: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Run ``rules`` against ``df``; returns one row per rule:
+    (rule, column, n_violations, passed) — deterministic order-free
+    counts, so the report is engine-exact."""
+    spark = df.sparkSession
+    row_aggs, row_meta = [], []
+    results = []
+    for i, rule in enumerate(rules):
+        kind, col = rule[0], rule[1]
+        if kind == "not_null":
+            cond = F.col(col).isNull()
+        elif kind == "in_range":
+            lo, hi = rule[2], rule[3]
+            cond = F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi))
+        elif kind == "in_set":
+            cond = F.col(col).isNotNull() & ~F.col(col).isin(list(rule[2]))
+        elif kind == "matches":
+            cond = F.col(col).isNotNull() & ~F.col(col).rlike(rule[2])
+        elif kind == "unique":
+            n = (
+                df.where(F.col(col).isNotNull())
+                .groupBy(col)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("v"))
+                .collect()[0]["v"]
+            )
+            results.append((kind, col, int(n)))
+            continue
+        elif kind == "foreign_key":
+            other, other_col = rule[2], rule[3]
+            parents = other.select(F.col(other_col).alias(col)).distinct()
+            n = (
+                df.where(F.col(col).isNotNull())
+                .select(col)
+                .join(parents, col, "left_anti")
+                .count()
+            )
+            results.append((kind, col, int(n)))
+            continue
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        row_aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"__r{i}"))
+        row_meta.append((i, kind, col))
+    if row_aggs:
+        row = df.agg(*row_aggs).collect()[0]
+        for i, kind, col in row_meta:
+            results.append((kind, col, int(row[f"__r{i}"] or 0)))
+    return spark.createDataFrame(
+        [(k, c, n, n == 0) for k, c, n in results],
+        "rule string, column string, n_violations bigint, passed boolean",
+    )

@@ -6893,3 +6893,63 @@ ORACLES["q_pagerank_weighted"] = (
     + ",".join(_PRW_STEP.format(cur=i, next=i + 1) for i in range(3))
     + " SELECT id, ROUND(rank * (SELECT n FROM c), 6) AS rank_x_n FROM r3"
 )
+
+
+def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation report over orders/lineitem
+    (not-null, set membership, range, regex, uniqueness, referential
+    integrity) — one conditional-aggregate scan for the row rules
+    (datapipe/validate.py::validate)."""
+    from janus_spark.datapipe.validate import validate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return validate(
+        lineitem,
+        [
+            ("not_null", "l_orderkey"),
+            ("in_set", "l_returnflag", ["A", "N", "R"]),
+            ("in_range", "l_discount", 0.0, 0.1),
+            ("in_range", "l_quantity", 1, 45),          # planted violations
+            ("matches", "l_linestatus", "^[OF]$"),
+            ("unique", "l_orderkey"),                    # multi-line orders violate
+            ("foreign_key", "l_orderkey", orders, "o_orderkey"),
+        ],
+    )
+
+
+QUERIES["q_validate"] = q_validate
+ORACLES["q_validate"] = """
+    SELECT 'unique' AS rule, 'l_orderkey' AS "column",
+           (SELECT COALESCE(SUM(c - 1), 0) FROM
+              (SELECT COUNT(*) AS c FROM lineitem WHERE l_orderkey IS NOT NULL
+               GROUP BY l_orderkey)) AS n_violations
+    UNION ALL
+    SELECT 'foreign_key', 'l_orderkey',
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'not_null', 'l_orderkey',
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+    UNION ALL
+    SELECT 'in_set', 'l_returnflag',
+           (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NOT NULL
+              AND l_returnflag NOT IN ('A', 'N', 'R'))
+    UNION ALL
+    SELECT 'in_range', 'l_discount',
+           (SELECT COUNT(*) FROM lineitem WHERE l_discount IS NOT NULL
+              AND (l_discount < 0.0 OR l_discount > 0.1))
+    UNION ALL
+    SELECT 'in_range', 'l_quantity',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NOT NULL
+              AND (l_quantity < 1 OR l_quantity > 45))
+    UNION ALL
+    SELECT 'matches', 'l_linestatus',
+           (SELECT COUNT(*) FROM lineitem WHERE l_linestatus IS NOT NULL
+              AND NOT regexp_full_match(l_linestatus, '^[OF]$'))
+"""
+ORACLES["q_validate"] = (
+    "SELECT rule, \"column\", n_violations, n_violations = 0 AS passed FROM ("
+    + ORACLES["q_validate"]
+    + ")"
+)

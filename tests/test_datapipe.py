@@ -936,3 +936,44 @@ def test_char_pair_counts_hand_check(spark):
     out = {r["pair"]: r["n"] for r in char_pair_counts(df).collect()}
     # 'aba' -> ab, ba ; 'ab' -> ab ; 'x' too short
     assert out == {"ab": 2, "ba": 1}
+
+
+def test_validate_rules_hand_check(spark):
+    from janus_spark.datapipe.validate import validate
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0, "x1"), (2, "a", 50.0, "x2"), (None, "q", 7.0, "bad"),
+         (2, None, None, "x3")],
+        "id long, code string, v double, tag string",
+    )
+    parents = spark.createDataFrame([(1,), (3,)], "pid long")
+    out = {
+        (r["rule"], r["column"]): (r["n_violations"], r["passed"])
+        for r in validate(
+            df,
+            [
+                ("not_null", "id"),
+                ("unique", "id"),
+                ("in_set", "code", ["a", "b"]),
+                ("in_range", "v", 0.0, 10.0),
+                ("matches", "tag", "^x[0-9]$"),
+                ("foreign_key", "id", parents, "pid"),
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "id")] == (1, False)
+    assert out[("unique", "id")] == (1, False)          # id=2 twice
+    assert out[("in_set", "code")] == (1, False)        # 'q'
+    assert out[("in_range", "v")] == (1, False)         # 50.0 (null passes)
+    assert out[("matches", "tag")] == (1, False)        # 'bad'
+    assert out[("foreign_key", "id")] == (2, False)     # both id=2 rows
+
+
+def test_validate_rejects_unknown_rule(spark):
+    import pytest
+
+    from janus_spark.datapipe.validate import validate
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        validate(df, [("positive", "id")])
