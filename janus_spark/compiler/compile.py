@@ -108,6 +108,12 @@ class SparqlCompiler:
     # PropertyTable identically or not pass it.  The engine's windowed
     # paths never pass property_tables for exactly this reason.
     property_tables: dict = field(default_factory=dict)
+    # predicate IRI -> quad count (QuadStore.analyze() output, or any
+    # caller-supplied stats).  Refines BGP seeding: among equally-constant
+    # patterns the one over the RAREST predicate goes first, so the
+    # smallest intermediate drives the join chain — the missing
+    # "selectivity notion" the heuristic alone cannot have.
+    predicate_stats: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------ entry
     def compile(self, q) -> DataFrame:
@@ -619,8 +625,17 @@ class SparqlCompiler:
         if len(pats) <= 1:
             return pats
 
-        def score(tp: TriplePattern) -> int:
-            return sum(0 if isinstance(t, Var) else 1 for t in (tp.s, tp.p, tp.o))
+        def score(tp: TriplePattern):
+            const = sum(0 if isinstance(t, Var) else 1 for t in (tp.s, tp.p, tp.o))
+            # among equal constant counts: prefer the rarest predicate per
+            # ANALYZE stats (unknown predicates rank as +inf = least
+            # preferred among stats-known; stable when no stats exist)
+            rarity = 0.0
+            if self.predicate_stats and not isinstance(tp.p, Var):
+                rarity = -float(
+                    self.predicate_stats.get(getattr(tp.p, "value", None), float("inf"))
+                )
+            return (const, rarity)
 
         remaining = list(range(len(pats)))
         seed = max(remaining, key=lambda i: (score(pats[i]), -i))
@@ -741,6 +756,7 @@ def compile_sparql(
     property_tables: dict | None = None,
     reorder_bgp: bool = True,
     path_max_hops: int = 10,
+    predicate_stats: dict | None = None,
 ) -> DataFrame:
     return SparqlCompiler(
         quads,
@@ -750,4 +766,5 @@ def compile_sparql(
         property_tables=property_tables or {},
         reorder_bgp=reorder_bgp,
         path_max_hops=path_max_hops,
+        predicate_stats=predicate_stats or {},
     ).compile(q)

@@ -158,6 +158,33 @@ class QuadStore:
             .drop("ts_bucket")
         )
 
+    # ---------------------------------------------------------- ANALYZE
+    def analyze(self) -> dict[str, int]:
+        """ANALYZE equivalent: per-predicate quad counts, persisted next
+        to the store (``_stats/predicates``) and returned as a dict.
+        The compiler's BGP reordering consumes these to seed joins with
+        the rarest predicate (`compiler/compile.py::predicate_stats`) —
+        one aggregate scan, amortized across every query thereafter."""
+        counts = (
+            self.read()
+            .groupBy("predicate")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        counts.coalesce(1).write.mode("overwrite").parquet(f"{self.path}/_stats/predicates")
+        return {r["predicate"]: int(r["n"]) for r in counts.collect()}
+
+    def predicate_stats(self) -> dict[str, int]:
+        """Load persisted ANALYZE stats ({} when never analyzed)."""
+        import os
+
+        p = f"{self.path}/_stats/predicates"
+        if not os.path.isdir(p):
+            return {}
+        return {
+            r["predicate"]: int(r["n"])
+            for r in self.spark.read.parquet(p).collect()
+        }
+
 
 def write_subject_bucketed(
     spark: SparkSession,

@@ -349,3 +349,39 @@ def test_temporal_join_uses_union_window_not_range_join(spark):
     out = asof_join(left, right, ts_col="ts_ms", by=("user_id",), value_cols=("state",))
     plan = plan_of(out)
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_bgp_reorder_uses_predicate_stats(spark):
+    """ANALYZE stats refine the greedy seed: among equally-constant
+    patterns the rarest predicate goes first."""
+    from janus_spark.compiler.ast import Iri, Var
+    from janus_spark.compiler.compile import SparqlCompiler, TriplePattern
+
+    quads = spark.createDataFrame(
+        [(0, "s", "p", "o", "g")], ["ts", "subject", "predicate", "object", "graph"]
+    )
+    common = TriplePattern(Var("x"), Iri("urn:p:common"), Var("a"))
+    rare = TriplePattern(Var("x"), Iri("urn:p:rare"), Var("b"))
+    # no stats: written order wins the tie
+    c0 = SparqlCompiler(quads)
+    assert c0._order_patterns([common, rare])[0] is common
+    # with stats: the rare predicate seeds the chain
+    c1 = SparqlCompiler(quads, predicate_stats={"urn:p:common": 1_000_000, "urn:p:rare": 10})
+    assert c1._order_patterns([common, rare])[0] is rare
+    # an unknown predicate never beats a stats-known one
+    unknown = TriplePattern(Var("x"), Iri("urn:p:unknown"), Var("c"))
+    assert c1._order_patterns([unknown, rare])[0] is rare
+
+
+def test_quadstore_analyze_roundtrip(spark, tmp_path):
+    from janus_spark.sources.melt import melt_sensor_fixture
+    from janus_spark.sources.quadstore import QuadStore
+
+    store = QuadStore(spark, str(tmp_path / "st"), bucket_ms=10**12)
+    store.write(melt_sensor_fixture(spark, 300), mode="overwrite")
+    stats = store.analyze()
+    assert stats and all(n > 0 for n in stats.values())
+    assert store.predicate_stats() == stats
+    # the _stats dir must not leak into normal reads
+    assert set(store.read().columns) >= {"ts", "subject", "predicate", "object"}
+    assert store.read().count() == sum(stats.values())
