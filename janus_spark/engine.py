@@ -78,10 +78,14 @@ class JanusEngine:
         max_queries: int = 100,
         property_tables: dict | None = None,
         path_max_hops: int = 10,
+        predicate_stats: dict | None = None,
     ):
         self.spark = spark
         self.quads = quads
         self.path_max_hops = path_max_hops
+        # ANALYZE output (QuadStore.analyze / predicate_stats) — seeds
+        # BGP join order with the rarest predicate in every compile
+        self.predicate_stats = predicate_stats or {}
         self.registry: dict[str, RegisteredQuery] = {}
         self._runners: dict[str, object] = {}  # qid -> LiveQueryRunner (foreachBatch path)
         self.max_queries = max_queries
@@ -133,6 +137,7 @@ class JanusEngine:
                 static_quads=static_quads,
                 property_tables=self.property_tables if quads is self.quads else None,
                 path_max_hops=self.path_max_hops,
+                predicate_stats=self.predicate_stats,
             )
         if window.kind == HIST_SLIDING:
             if now is None:
@@ -142,6 +147,7 @@ class JanusEngine:
                 static_quads=static_quads,
                 property_tables=self.property_tables if quads is self.quads else None,
                 path_max_hops=self.path_max_hops,
+                predicate_stats=self.predicate_stats,
             )
         raise ValueError(f"not a historical window: {window.kind}")
 
@@ -273,5 +279,8 @@ class JanusEngine:
         from janus_spark.compiler.compile import compile_sparql
 
         sq = rq.parsed.live_query()
-        df = compile_sparql(sq, window_quads, static_quads=static_quads)
+        df = compile_sparql(
+            sq, window_quads, static_quads=static_quads,
+            predicate_stats=self.predicate_stats,
+        )
         return tag_results(df, query_id, "live")

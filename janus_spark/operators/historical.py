@@ -197,6 +197,7 @@ def run_historical_fixed(
     static_quads: DataFrame | None = None,
     property_tables: dict | None = None,
     path_max_hops: int = 10,
+    predicate_stats: dict | None = None,
 ) -> DataFrame:
     """W1: evaluate over quads with ts in [start, end] inclusive.
 
@@ -210,6 +211,7 @@ def run_historical_fixed(
     return compile_sparql(
         query, window, registry=registry, static_quads=static_quads,
         property_tables=pts, path_max_hops=path_max_hops,
+        predicate_stats=predicate_stats,
     )
 
 
@@ -288,6 +290,7 @@ def run_historical_sliding(
     property_tables: dict | None = None,
     use_panes: bool | None = None,
     path_max_hops: int = 10,
+    predicate_stats: dict | None = None,
 ) -> DataFrame:
     """W2 as ONE distributed plan over all hops.
 
@@ -352,6 +355,7 @@ def run_historical_sliding(
         registry=registry,
         static_quads=static_quads,
         path_max_hops=path_max_hops,
+        predicate_stats=predicate_stats,
     )
     spark = quads.sparkSession
     bdf = spark.createDataFrame(bounds, schema=f"{WINDOW_ID} long, {WINDOW_START} long, {WINDOW_END} long")
