@@ -434,3 +434,52 @@ def match_pattern(
     return per_key.select(
         key_col, "n_events", n.alias("n_matches")
     ).where(F.col("n_matches") > 0)
+
+
+def funnel_times(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    event_col: str = "event_type",
+    probs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Time-to-convert distribution per funnel transition: for users
+    reaching step k under the same earliest-completion greedy semantics
+    as :func:`funnel`, the exact interpolated percentiles of
+    ``t(step k) − t(step k−1)``.
+
+    Same plan shape as the funnel (k−1 chained joins of per-user
+    MIN-aggregate frames, each ≤ |users| rows); one extra grouped exact
+    percentile per transition.  Returns
+    (step, from_step, to_step, n_users, p50_ms, p90_ms) for k ≥ 2.
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least two steps")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(event_col).alias("e"),
+    )
+    reached = ev.where(F.col("e") == steps[0]).groupBy("u").agg(F.min("t").alias("tk"))
+    out = None
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.where(F.col("e") == step)
+            .join(reached.select("u", "tk"), "u")
+            .where(F.col("t") > F.col("tk"))
+            .groupBy("u")
+            .agg(F.min("t").alias("t_next"), F.max("tk").alias("tk_prev"))
+        )
+        deltas = nxt.select("u", (F.col("t_next") - F.col("tk_prev")).alias("d"))
+        row = deltas.agg(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(steps[i - 2]).alias("from_step"),
+            F.lit(step).alias("to_step"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.percentile("d", probs[0]), 6).alias("p50_ms"),
+            F.round(F.percentile("d", probs[1]), 6).alias("p90_ms"),
+        )
+        out = row if out is None else out.unionByName(row)
+        reached = nxt.select("u", F.col("t_next").alias("tk"))
+    return out

@@ -6953,3 +6953,113 @@ ORACLES["q_validate"] = (
     + ORACLES["q_validate"]
     + ")"
 )
+
+
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness / completeness report per event type: expected
+    hourly slots over the observed span vs hours with data — missing
+    hour count, longest gap (hours), and staleness at the observation
+    horizon.  The monitoring view over the same grid machinery as
+    gapfill/LOCF (one aggregate + one per-type grid anti-join on a
+    frame of |types|×|hours| rows, never event-cardinality)."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    hour = 3_600_000
+    b = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")).collect()[0]
+    lo_h, hi_h = b["lo"] // hour, b["hi"] // hour
+    per_type = ev.groupBy("event_type").agg(
+        (F.max("ts_ms")).alias("last_ts"),
+        F.countDistinct(F.expr(f"ts_ms DIV {hour}")).alias("hours_with_data"),
+    )
+    grid = per_type.select("event_type").crossJoin(
+        spark.range(lo_h, hi_h + 1).select(F.col("id").alias("h"))
+    )
+    present = ev.select("event_type", F.expr(f"ts_ms DIV {hour}").alias("h")).distinct()
+    missing = grid.join(present, ["event_type", "h"], "left_anti")
+    w = Window.partitionBy("event_type").orderBy("h")
+    runs = (
+        missing.withColumn("__grp", F.col("h") - F.row_number().over(w))
+        .groupBy("event_type", "__grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("event_type")
+        .agg(F.max("run").alias("longest_gap_hours"), F.sum("run").alias("missing_hours"))
+    )
+    n_slots = int(hi_h - lo_h + 1)
+    return (
+        per_type.join(runs, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("hours_with_data").cast("long").alias("hours_with_data"),
+            F.coalesce(F.col("missing_hours"), F.lit(0)).cast("long").alias("missing_hours"),
+            F.coalesce(F.col("longest_gap_hours"), F.lit(0)).cast("long").alias("longest_gap_hours"),
+            (F.lit(int(b["hi"])) - F.col("last_ts")).alias("staleness_ms"),
+            F.lit(n_slots).cast("long").alias("n_slots"),
+        )
+    )
+
+
+QUERIES["q_freshness"] = q_freshness
+ORACLES["q_freshness"] = f"""
+    WITH e AS (SELECT event_type, {_TSM} AS ts_ms FROM events),
+         b AS (SELECT MIN(ts_ms) // 3600000 AS lo, MAX(ts_ms) // 3600000 AS hi,
+                      MAX(ts_ms) AS hi_ts FROM e),
+         pt AS (SELECT event_type, MAX(ts_ms) AS last_ts,
+                       COUNT(DISTINCT ts_ms // 3600000) AS hours_with_data
+                FROM e GROUP BY event_type),
+         grid AS (SELECT event_type, h
+                  FROM pt, LATERAL (SELECT unnest(generate_series((SELECT lo FROM b),
+                                                                  (SELECT hi FROM b))) AS h) g),
+         present AS (SELECT DISTINCT event_type, ts_ms // 3600000 AS h FROM e),
+         miss AS (SELECT g.event_type, g.h,
+                         g.h - ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.h) AS grp
+                  FROM grid g LEFT JOIN present p
+                    ON g.event_type = p.event_type AND g.h = p.h
+                  WHERE p.h IS NULL),
+         runs AS (SELECT event_type, MAX(run) AS longest_gap_hours,
+                         SUM(run) AS missing_hours
+                  FROM (SELECT event_type, grp, COUNT(*) AS run
+                        FROM miss GROUP BY event_type, grp)
+                  GROUP BY event_type)
+    SELECT pt.event_type, pt.hours_with_data,
+           COALESCE(r.missing_hours, 0) AS missing_hours,
+           COALESCE(r.longest_gap_hours, 0) AS longest_gap_hours,
+           (SELECT hi_ts FROM b) - pt.last_ts AS staleness_ms,
+           (SELECT hi - lo + 1 FROM b) AS n_slots
+    FROM pt LEFT JOIN runs r USING (event_type)"""
+
+
+def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles per funnel transition
+    (view→click→purchase, earliest-completion greedy)
+    (operators/analytics.py::funnel_times)."""
+    from janus_spark.operators.analytics import funnel_times
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return funnel_times(ev, ["view", "click", "purchase"])
+
+
+QUERIES["q_funnel_time"] = q_funnel_time
+ORACLES["q_funnel_time"] = f"""
+    WITH e AS (SELECT user_id AS u, event_type AS ev, {_TSM} AS t FROM events),
+         s1 AS (SELECT u, MIN(t) AS tk FROM e WHERE ev = 'view' GROUP BY u),
+         s2 AS (SELECT e.u, MIN(e.t) AS t_next, MAX(s1.tk) AS tk_prev
+                FROM e JOIN s1 ON e.u = s1.u
+                WHERE e.ev = 'click' AND e.t > s1.tk GROUP BY e.u),
+         s3 AS (SELECT e.u, MIN(e.t) AS t_next, MAX(s2.t_next) AS tk_prev
+                FROM e JOIN s2 ON e.u = s2.u
+                WHERE e.ev = 'purchase' AND e.t > s2.t_next GROUP BY e.u)
+    SELECT CAST(2 AS BIGINT) AS step, 'view' AS from_step, 'click' AS to_step,
+           COUNT(*) AS n_users,
+           ROUND(quantile_cont(t_next - tk_prev, 0.5), 6) AS p50_ms,
+           ROUND(quantile_cont(t_next - tk_prev, 0.9), 6) AS p90_ms
+    FROM s2
+    UNION ALL
+    SELECT 3, 'click', 'purchase', COUNT(*),
+           ROUND(quantile_cont(t_next - tk_prev, 0.5), 6),
+           ROUND(quantile_cont(t_next - tk_prev, 0.9), 6)
+    FROM s3"""
