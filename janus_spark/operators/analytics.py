@@ -483,3 +483,69 @@ def funnel_times(
         out = row if out is None else out.unionByName(row)
         reached = nxt.select("u", F.col("t_next").alias("tk"))
     return out
+
+
+def ab_test(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    round_out: int = 6,
+) -> DataFrame:
+    """Two-sample experiment readout per group: counts, means, mean
+    difference, and the Welch t-statistic for variants 'a' vs 'b' (any
+    two distinct values of ``variant_col``; rows with other values are
+    ignored by the caller's filter).
+
+    Exactness: per-variant (n, Σcents, Σcents²) are DECIMAL(38,0)
+    integer sums pivoted into fixed columns, so every aggregate is
+    order-free and the t statistic is one deterministic double tree —
+    engine-exact at ``round_out`` dp.  ONE map-side-combinable shuffle
+    on the group key.
+
+    Welch: t = (ā − b̄) / sqrt(s²ₐ/nₐ + s²ᵦ/nᵦ) with sample variances
+    (n−1 denominator).  Degenerate sides (n < 2 or zero variance on
+    both) yield NULL t.
+
+    Returns group_cols + (n_a, n_b, mean_a, mean_b, diff, t_stat).
+    """
+    group_cols = group_cols or []
+    d38 = "decimal(38,0)"
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(d38)
+    va = F.col(variant_col) == "a"
+    vb = F.col(variant_col) == "b"
+    zero = F.lit(0).cast(d38)
+    g = (
+        df.where(F.col(value_col).isNotNull() & (va | vb))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.when(va, F.lit(1)).otherwise(F.lit(0))).cast(d38).alias("na"),
+            F.sum(F.when(vb, F.lit(1)).otherwise(F.lit(0))).cast(d38).alias("nb"),
+            F.sum(F.when(va, cents).otherwise(zero)).alias("sa"),
+            F.sum(F.when(vb, cents).otherwise(zero)).alias("sb"),
+            F.sum(F.when(va, cents * cents).otherwise(zero)).alias("qa"),
+            F.sum(F.when(vb, cents * cents).otherwise(zero)).alias("qb"),
+        )
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    sad, sbd = F.col("sa").cast("double"), F.col("sb").cast("double")
+    mean_a = sad / nad / 100
+    mean_b = sbd / nbd / 100
+    # sample variance ×10⁴ (cents²): (n·Σx² − (Σx)²) / (n·(n−1)) — exact
+    # integer numerator cast once
+    van = (F.col("na") * F.col("qa") - F.col("sa") * F.col("sa")).cast("double")
+    vbn = (F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb")).cast("double")
+    var_a = van / (nad * (nad - 1))
+    var_b = vbn / (nbd * (nbd - 1))
+    se = F.sqrt(var_a / nad + var_b / nbd)
+    ok = (F.col("na") >= 2) & (F.col("nb") >= 2) & (se > 0)
+    t = F.when(ok, F.round((sad / nad - sbd / nbd) / se, round_out))
+    return g.select(
+        *group_cols,
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(mean_a, round_out).alias("mean_a"),
+        F.round(mean_b, round_out).alias("mean_b"),
+        F.round(mean_a - mean_b, round_out).alias("diff"),
+        t.alias("t_stat"),
+    )

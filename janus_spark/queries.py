@@ -7063,3 +7063,53 @@ ORACLES["q_funnel_time"] = f"""
            ROUND(quantile_cont(t_next - tk_prev, 0.5), 6),
            ROUND(quantile_cont(t_next - tk_prev, 0.9), 6)
     FROM s3"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout per event type: variant a/b from props.k
+    parity, mean difference + Welch t from order-free integer moments
+    (operators/analytics.py::ab_test)."""
+    from janus_spark.operators.analytics import ab_test
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        F.when(F.get_json_object(F.col("props"), "$.k").cast("long") % 2 == 0, "a")
+        .otherwise("b")
+        .alias("variant"),
+    )
+    return ab_test(ev, "variant", group_cols=["event_type"])
+
+
+QUERIES["q_ab_test"] = q_ab_test
+ORACLES["q_ab_test"] = """
+    WITH e AS (SELECT event_type,
+                      CASE WHEN CAST(props->>'k' AS BIGINT) % 2 = 0
+                           THEN 'a' ELSE 'b' END AS variant,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+               FROM events WHERE value IS NOT NULL),
+         g AS (SELECT event_type,
+                      CAST(COUNT(*) FILTER (variant = 'a') AS HUGEINT) AS na,
+                      CAST(COUNT(*) FILTER (variant = 'b') AS HUGEINT) AS nb,
+                      COALESCE(SUM(c) FILTER (variant = 'a'), 0) AS sa,
+                      COALESCE(SUM(c) FILTER (variant = 'b'), 0) AS sb,
+                      COALESCE(SUM(c * c) FILTER (variant = 'a'), 0) AS qa,
+                      COALESCE(SUM(c * c) FILTER (variant = 'b'), 0) AS qb
+               FROM e GROUP BY event_type),
+         d AS (SELECT event_type, na, nb,
+                      CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                      CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+                      CAST(na * qa - sa * sa AS DOUBLE) AS van,
+                      CAST(nb * qb - sb * sb AS DOUBLE) AS vbn
+               FROM g)
+    SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(sad / nad / 100, 6) AS mean_a,
+           ROUND(sbd / nbd / 100, 6) AS mean_b,
+           ROUND(sad / nad / 100 - sbd / nbd / 100, 6) AS diff,
+           CASE WHEN na >= 2 AND nb >= 2
+                 AND sqrt(van / (nad * (nad - 1)) / nad
+                          + vbn / (nbd * (nbd - 1)) / nbd) > 0
+                THEN ROUND((sad / nad - sbd / nbd)
+                           / sqrt(van / (nad * (nad - 1)) / nad
+                                  + vbn / (nbd * (nbd - 1)) / nbd), 6) END AS t_stat
+    FROM d"""

@@ -163,3 +163,38 @@ def test_match_pattern_rejects_multichar_symbol(spark):
                                ["event_id", "user_id", "event_type", "ts_ms"])
     with pytest.raises(ValueError):
         match_pattern(df, "vv", {"view": "vv"})
+
+
+def test_ab_test_matches_scipy_free_welch(spark):
+    import math
+
+    from janus_spark.operators.analytics import ab_test
+
+    a = [10.0, 12.0, 11.5, 9.5, 10.5]
+    b = [8.0, 8.5, 9.0, 7.5]
+    rows = [("g", "a", v) for v in a] + [("g", "b", v) for v in b] + [("g", "c", 99.0)]
+    df = spark.createDataFrame(rows, ["event_type", "variant", "value"])
+    out = ab_test(df, "variant", group_cols=["event_type"]).collect()[0]
+
+    def welch(x, y):
+        nx, ny = len(x), len(y)
+        mx, my = sum(x) / nx, sum(y) / ny
+        vx = sum((v - mx) ** 2 for v in x) / (nx - 1)
+        vy = sum((v - my) ** 2 for v in y) / (ny - 1)
+        return (mx - my) / math.sqrt(vx / nx + vy / ny)
+
+    assert out["n_a"] == 5 and out["n_b"] == 4  # variant 'c' excluded
+    assert out["mean_a"] == 10.7 and out["mean_b"] == 8.25
+    assert out["diff"] == 2.45
+    assert abs(out["t_stat"] - welch(a, b)) < 1e-6
+
+
+def test_ab_test_degenerate_sides_null_t(spark):
+    from janus_spark.operators.analytics import ab_test
+
+    df = spark.createDataFrame(
+        [("g", "a", 1.0), ("g", "b", 2.0), ("g", "b", 2.0)],
+        ["event_type", "variant", "value"],
+    )
+    out = ab_test(df, "variant", group_cols=["event_type"]).collect()[0]
+    assert out["t_stat"] is None  # n_a < 2 and zero variance on b
