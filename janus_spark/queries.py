@@ -7113,3 +7113,41 @@ ORACLES["q_ab_test"] = """
                            / sqrt(van / (nad * (nad - 1)) / nad
                                   + vbn / (nbd * (nbd - 1)) / nbd), 6) END AS t_stat
     FROM d"""
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink/source round trip: documents → newline-delimited JSON
+    → read back with explicit schema → per-language profile.  The
+    interchange format every training-data pipeline speaks; proves the
+    JSON leg next to parquet and N-Quads.  Exactness: only integer
+    aggregates of round-tripped fields (text length survives JSON
+    escaping; doubles deliberately excluded — JSON float round-trip is
+    a different contract)."""
+    import shutil
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="jsonl_")
+    try:
+        docs.select("doc_id", "text", "lang", "source").coalesce(4).write.mode(
+            "overwrite"
+        ).json(f"{root}/docs")
+        back = spark.read.schema("doc_id long, text string, lang string, source string").json(
+            f"{root}/docs"
+        )
+        out = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(F.col("doc_id")).alias("id_checksum"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES["q_jsonl_roundtrip"] = q_jsonl_roundtrip
+ORACLES["q_jsonl_roundtrip"] = """
+    SELECT lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources, SUM(doc_id) AS id_checksum
+    FROM documents GROUP BY lang"""
