@@ -7151,3 +7151,114 @@ ORACLES["q_jsonl_roundtrip"] = """
     SELECT lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars,
            COUNT(DISTINCT source) AS n_sources, SUM(doc_id) AS id_checksum
     FROM documents GROUP BY lang"""
+
+
+def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending ranking: exponentially time-decayed event counts per
+    type — weight halves per day of age, computed in EXACT integers
+    (count << (max_age − age_days) summed as bigints, one division by
+    2^max_age at the end), so the decay ranking is engine-exact instead
+    of an unordered float-exp sum."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    day = 86_400_000
+    hi = ev.agg(F.max("ts_ms")).collect()[0][0]
+    age = F.expr(f"({hi} - ts_ms) DIV {day}")  # full days of age
+    max_age = 40  # observed span < 40 days; guard the shift width
+    w = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({max_age} - (({hi} - ts_ms) DIV {day}) AS INT))")
+    out = (
+        ev.where(age < max_age)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(w).alias("__s"),
+        )
+    )
+    score = F.round(F.col("__s").cast("double") / F.lit(float(2**max_age)), 6)
+    rank = F.row_number().over(Window.orderBy(F.desc("__s"), F.asc("event_type")))
+    return out.select(
+        "event_type",
+        "n_events",
+        score.alias("decayed_count"),
+        rank.cast("long").alias("rank"),
+    )
+
+
+QUERIES["q_decayed_topk"] = q_decayed_topk
+ORACLES["q_decayed_topk"] = f"""
+    WITH e AS (SELECT event_type, {_TSM} AS ts_ms FROM events),
+         b AS (SELECT MAX(ts_ms) AS hi FROM e),
+         a AS (SELECT event_type,
+                      ((SELECT hi FROM b) - ts_ms) // {86_400_000} AS age
+               FROM e),
+         g AS (SELECT event_type, COUNT(*) AS n_events,
+                      SUM(1::BIGINT << CAST(40 - age AS INT)) AS s
+               FROM a WHERE age < 40 GROUP BY event_type)
+    SELECT event_type, n_events,
+           ROUND(CAST(s AS DOUBLE) / {float(2**40)!r}, 6) AS decayed_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY s DESC, event_type) AS BIGINT) AS rank
+    FROM g"""
+
+
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event-type pairs
+    co-occurring in the same (user, hour) context: ln(P(a,b) /
+    (P(a)·P(b))) over context counts — the association score behind the
+    raw co-occurrence counts (q_cooccurrence).  One ln of a ratio of
+    exact integers, engine-exact at 6 dp."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 3600000").alias("ctx_h"),
+    )
+    ctx = ev.select("user_id", "ctx_h", "event_type").distinct()
+    n_ctx = ctx.select("user_id", "ctx_h").distinct().count()
+    singles = ctx.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ctx.alias("a")
+    b = ctx.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.ctx_h") == F.col("b.ctx_h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.lit(float(n_ctx)))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select("type_a", "type_b", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+    )
+
+
+QUERIES["q_pmi"] = q_pmi
+ORACLES["q_pmi"] = f"""
+    WITH e AS (SELECT DISTINCT user_id, {_TSM} // 3600000 AS ctx_h, event_type
+               FROM events),
+         nc AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, ctx_h FROM e)),
+         s AS (SELECT event_type, COUNT(*) AS n_t FROM e GROUP BY event_type),
+         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      COUNT(*) AS n_ab
+               FROM e a JOIN e b
+                 ON a.user_id = b.user_id AND a.ctx_h = b.ctx_h
+                AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+    SELECT type_a, type_b, n_ab, sa.n_t AS n_a, sb.n_t AS n_b,
+           ROUND(ln(CAST(n_ab AS DOUBLE) * CAST((SELECT n FROM nc) AS DOUBLE)
+                    / (CAST(sa.n_t AS DOUBLE) * CAST(sb.n_t AS DOUBLE))), 6) AS pmi
+    FROM p JOIN s sa ON p.type_a = sa.event_type
+           JOIN s sb ON p.type_b = sb.event_type"""
