@@ -7262,3 +7262,50 @@ ORACLES["q_pmi"] = f"""
                     / (CAST(sa.n_t AS DOUBLE) * CAST(sb.n_t AS DOUBLE))), 6) AS pmi
     FROM p JOIN s sa ON p.type_a = sa.event_type
            JOIN s sb ON p.type_b = sb.event_type"""
+
+
+def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF weight
+    (ln-idf over the corpus, ties on term) for the first 50 docs — the
+    doc-level summary view of the corpus inverted index."""
+    from janus_spark.datapipe.text import clean_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        F.col("doc_id").alias("id"), F.explode(clean_tokens(F.col("text"))).alias("t")
+    )
+    tf = words.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    dft = tf.groupBy("t").agg(F.count(F.lit(1)).alias("dft"))
+    w = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("dft").cast("double")),
+        6,
+    )
+    scored = tf.join(dft, "t").select("id", "t", w.alias("w")).where("id < 50")
+    rk = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.desc("w"), F.asc("t"))
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .where("rank <= 3")
+        .select(F.col("id").alias("doc_id"), F.col("rank").cast("long").alias("rank"),
+                F.col("t").alias("term"), F.col("w").alias("weight"))
+    )
+
+
+QUERIES["q_keywords"] = q_keywords
+ORACLES["q_keywords"] = f"""
+    WITH words AS (SELECT doc_id AS id, unnest({_TOKS}) AS t FROM documents),
+         tf AS (SELECT id, t, COUNT(*) AS tf FROM words GROUP BY id, t),
+         nd AS (SELECT COUNT(*) AS n FROM documents),
+         dft AS (SELECT t, COUNT(*) AS dft FROM tf GROUP BY t),
+         sc AS (SELECT id, t,
+                       ROUND(CAST(tf AS DOUBLE)
+                             * ln(CAST((SELECT n FROM nd) AS DOUBLE) / CAST(dft AS DOUBLE)), 6) AS w
+                FROM tf JOIN dft USING (t) WHERE id < 50),
+         rk AS (SELECT id, t, w,
+                       ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, t) AS rank
+                FROM sc)
+    SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, t AS term, w AS weight
+    FROM rk WHERE rank <= 3"""
