@@ -7309,3 +7309,88 @@ ORACLES["q_keywords"] = f"""
                 FROM sc)
     SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, t AS term, w AS weight
     FROM rk WHERE rank <= 3"""
+
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week reporting: weekly order revenue with absolute and
+    relative deltas vs the previous week (lag over exact decimal sums;
+    the pct change is ONE division of exact cents — engine-exact)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    week = F.expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 604800000")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    weekly = orders.groupBy(week.alias("week")).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum(cents).alias("__c")
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("__c").over(w)
+    return weekly.select(
+        "week",
+        "n_orders",
+        F.round(F.col("__c").cast("double") / 100, 2).alias("revenue"),
+        F.round((F.col("__c") - prev).cast("double") / 100, 2).alias("delta"),
+        F.round(
+            (F.col("__c") - prev).cast("double") / prev.cast("double") * 100, 6
+        ).alias("pct_change"),
+    )
+
+
+QUERIES["q_period_over_period"] = q_period_over_period
+ORACLES["q_period_over_period"] = """
+    WITH w AS (SELECT (epoch_ns(o_orderdate) // 1000000) // 604800000 AS week,
+                      COUNT(*) AS n_orders,
+                      SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS c
+               FROM orders GROUP BY 1)
+    SELECT week, n_orders,
+           ROUND(CAST(c AS DOUBLE) / 100, 2) AS revenue,
+           ROUND(CAST(c - LAG(c) OVER (ORDER BY week) AS DOUBLE) / 100, 2) AS delta,
+           ROUND(CAST(c - LAG(c) OVER (ORDER BY week) AS DOUBLE)
+                 / CAST(LAG(c) OVER (ORDER BY week) AS DOUBLE) * 100, 6) AS pct_change
+    FROM w"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed counts vs the
+    Benford expectation with a χ² statistic — the classic synthetic-vs-
+    organic numeric-distribution check.  χ² is a fixed double tree over
+    exact integer counts (expected probs are Python-float literals
+    identical in both engines) — engine-exact at 6 dp."""
+    import math
+
+    d = F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+    counts = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_totalprice") >= 1)
+        .groupBy(d.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n")).collect()[0][0]
+    probs = {str(k): math.log10(1 + 1 / k) for k in range(1, 10)}
+    p = F.element_at(
+        F.create_map(*[F.lit(x) for kv in probs.items() for x in kv]), F.col("digit")
+    )
+    expected = p * F.lit(float(total))
+    chi = (F.col("n").cast("double") - expected) * (F.col("n").cast("double") - expected) / expected
+    return counts.select(
+        "digit",
+        "n",
+        F.round(expected, 6).alias("expected"),
+        F.round(chi, 6).alias("chi2_term"),
+    )
+
+
+QUERIES["q_benford"] = q_benford
+_BENFORD_PROBS = ", ".join(
+    f"('{k}', {__import__('math').log10(1 + 1 / k)!r})" for k in range(1, 10)
+)
+ORACLES["q_benford"] = f"""
+    WITH c AS (SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS digit,
+                      COUNT(*) AS n
+               FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+         t AS (SELECT SUM(n) AS total FROM c),
+         pr(digit, p) AS (VALUES {_BENFORD_PROBS})
+    SELECT c.digit, c.n,
+           ROUND(pr.p * CAST((SELECT total FROM t) AS DOUBLE), 6) AS expected,
+           ROUND((CAST(c.n AS DOUBLE) - pr.p * CAST((SELECT total FROM t) AS DOUBLE))
+                 * (CAST(c.n AS DOUBLE) - pr.p * CAST((SELECT total FROM t) AS DOUBLE))
+                 / (pr.p * CAST((SELECT total FROM t) AS DOUBLE)), 6) AS chi2_term
+    FROM c JOIN pr ON c.digit = pr.digit"""
