@@ -7394,3 +7394,105 @@ ORACLES["q_benford"] = f"""
                  * (CAST(c.n AS DOUBLE) - pr.p * CAST((SELECT total FROM t) AS DOUBLE))
                  / (pr.p * CAST((SELECT total FROM t) AS DOUBLE)), 6) AS chi2_term
     FROM c JOIN pr ON c.digit = pr.digit"""
+
+
+def q_live_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality monitoring under the EXACT gate: planted
+    nulls / out-of-range / bad-enum rows stream through a real run;
+    per-window violation counts emit on close
+    (streaming/native_agg.py::rule_violation_stream).  sf_dir unused."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.streaming.native_agg import rule_violation_stream
+
+    fixture = spark.range(1, 61).selectExpr(
+        "id * 500 AS ts",
+        "CASE WHEN id % 7 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(20 + id % 10 AS DOUBLE) END AS value",
+        "CASE WHEN id % 11 = 0 THEN 'zz' ELSE CAST(id % 3 AS STRING) END AS sensor",
+    )
+    closer = spark.range(1).selectExpr(
+        "CAST(95000 AS LONG) AS ts", "CAST(25.0 AS DOUBLE) AS value", "'0' AS sensor"
+    )
+    root = tempfile.mkdtemp(prefix="live_dq_")
+    name = f"live_dq_{uuid.uuid4().hex[:8]}"
+    try:
+        fixture.where("ts <= 15000").coalesce(1).write.parquet(f"{root}/f1.parquet")
+        fixture.where("ts > 15000").coalesce(1).write.parquet(f"{root}/f2.parquet")
+        closer.coalesce(1).write.parquet(f"{root}/f3.parquet")
+        stream = (
+            spark.readStream.schema("ts long, value double, sensor string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        out = rule_violation_stream(
+            stream,
+            [("not_null", "value"), ("in_range", "value", 20.0, 27.0),
+             ("in_set", "sensor", ["0", "1", "2"])],
+            window_ms=4_000,
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+QUERIES["q_live_validate"] = q_live_validate
+ORACLES["q_live_validate"] = """
+    WITH e AS (SELECT i * 500 AS ts,
+                      CASE WHEN i % 7 = 0 THEN NULL ELSE 20 + i % 10 END AS value,
+                      CASE WHEN i % 11 = 0 THEN 'zz' ELSE CAST(i % 3 AS VARCHAR) END AS sensor
+               FROM range(1, 61) r(i))
+    SELECT (ts // 4000) * 4000 AS window_start, COUNT(*) AS n_rows,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS v0_not_null_value,
+           SUM(CASE WHEN value IS NOT NULL AND (value < 20.0 OR value > 27.0)
+                    THEN 1 ELSE 0 END) AS v1_in_range_value,
+           SUM(CASE WHEN sensor NOT IN ('0', '1', '2') THEN 1 ELSE 0 END) AS v2_in_set_sensor
+    FROM e GROUP BY 1"""
+
+
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    a max-scalar-subquery over an aggregate view, exact decimal money so
+    the ties-at-max comparison is engine-exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate").between("1996-01-01", "1996-03-31")
+    )
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("__r"))
+    mx = rev.agg(F.max("__r")).collect()[0][0]
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        rev.where(F.col("__r") == F.lit(mx))
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("__r").cast("double"), 4).alias("total_revenue"),
+        )
+    )
+
+
+QUERIES["q_tpch_top_supplier"] = q_tpch_top_supplier
+ORACLES["q_tpch_top_supplier"] = """
+    WITH r AS (SELECT l_suppkey,
+                      SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+               FROM lineitem
+               WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+               GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, ROUND(CAST(rev AS DOUBLE), 4) AS total_revenue
+    FROM r JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev = (SELECT MAX(rev) FROM r)"""

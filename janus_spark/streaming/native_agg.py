@@ -404,3 +404,48 @@ def hll_register_stream(
             "max_rank",
         )
     )
+
+
+def rule_violation_stream(
+    stream: DataFrame,
+    rules: list[tuple],
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    window_ms: int = 4_000,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Continuous data-quality monitoring: per tumbling event-time
+    window (and key), violation counts for the row-level rule subset of
+    ``datapipe/validate.py`` (not_null / in_range / in_set / matches) —
+    all rules fold into ONE native incremental aggregation (conditional
+    sums), append-emitted on window close.  The streaming face of the
+    batch validation suite: same rule tuples, same counting semantics.
+    """
+    key_cols = key_cols or []
+    aggs = []
+    for i, rule in enumerate(rules):
+        kind, col = rule[0], rule[1]
+        if kind == "not_null":
+            cond = F.col(col).isNull()
+        elif kind == "in_range":
+            cond = F.col(col).isNotNull() & ~F.col(col).between(F.lit(rule[2]), F.lit(rule[3]))
+        elif kind == "in_set":
+            cond = F.col(col).isNotNull() & ~F.col(col).isin(list(rule[2]))
+        elif kind == "matches":
+            cond = F.col(col).isNotNull() & ~F.col(col).rlike(rule[2])
+        else:
+            raise ValueError(f"streaming validation supports row rules only, got {kind!r}")
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"v{i}_{kind}_{col}"))
+    ev = stream.withColumn(
+        "__evt", F.timestamp_millis(F.col(ts_col).cast("long"))
+    ).withWatermark("__evt", watermark)
+    return (
+        ev.groupBy(F.window("__evt", f"{window_ms} milliseconds"), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start"),
+            *key_cols,
+            "n_rows",
+            *[f"v{i}_{r[0]}_{r[1]}" for i, r in enumerate(rules)],
+        )
+    )
