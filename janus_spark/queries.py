@@ -7496,3 +7496,56 @@ ORACLES["q_tpch_top_supplier"] = """
     SELECT s_suppkey, s_name, ROUND(CAST(rev AS DOUBLE), 4) AS total_revenue
     FROM r JOIN supplier ON l_suppkey = s_suppkey
     WHERE rev = (SELECT MAX(rev) FROM r)"""
+
+
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: nation-1 suppliers' share of yearly revenue — a
+    conditional-share aggregate over a 3-table join, with the share an
+    exact-cents ratio (one division per year, engine-exact)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(38,4)")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(sup), li.l_suppkey == sup.s_suppkey
+    )
+    zero = F.lit(0).cast("decimal(38,4)")
+    g = j.groupBy("o_year").agg(
+        F.sum(F.when(F.col("s_nationkey") == 1, cents).otherwise(zero)).alias("nat"),
+        F.sum(cents).alias("tot"),
+    )
+    return g.select(
+        "o_year",
+        F.round(F.col("nat").cast("double"), 2).alias("nation_revenue"),
+        F.round(F.col("tot").cast("double"), 2).alias("total_revenue"),
+        F.round(F.col("nat").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+QUERIES["q_tpch_market_share"] = q_tpch_market_share
+ORACLES["q_tpch_market_share"] = """
+    WITH j AS (SELECT EXTRACT(year FROM o_orderdate) AS o_year, s_nationkey,
+                      CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                           AS DECIMAL(38,4)) AS c
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN supplier ON l_suppkey = s_suppkey),
+         g AS (SELECT o_year,
+                      SUM(CASE WHEN s_nationkey = 1 THEN c ELSE CAST(0 AS DECIMAL(38,4)) END) AS nat,
+                      SUM(c) AS tot
+               FROM j GROUP BY o_year)
+    SELECT CAST(o_year AS INT) AS o_year,
+           ROUND(CAST(nat AS DOUBLE), 2) AS nation_revenue,
+           ROUND(CAST(tot AS DOUBLE), 2) AS total_revenue,
+           ROUND(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mkt_share
+    FROM g"""
