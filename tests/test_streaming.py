@@ -462,3 +462,16 @@ def test_interval_join_stream_matches_batch_join(spark):
         .collect()
     )
     assert rows == exp and len(rows) == 24
+
+
+def test_rule_violation_stream_rejects_non_row_rules(spark):
+    import pytest
+
+    from janus_spark.streaming.native_agg import rule_violation_stream
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("CAST(value AS LONG) AS ts", "CAST(value AS DOUBLE) AS v")
+    )
+    with pytest.raises(ValueError):
+        rule_violation_stream(stream, [("unique", "v")])
