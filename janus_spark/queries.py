@@ -7166,7 +7166,12 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = ev.agg(F.max("ts_ms")).collect()[0][0]
     age = F.expr(f"({hi} - ts_ms) DIV {day}")  # full days of age
     max_age = 40  # observed span < 40 days; guard the shift width
-    w = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({max_age} - (({hi} - ts_ms) DIV {day}) AS INT))")
+    # per-row weight fits a bigint (2^40); the SUM is DECIMAL(38,0) so
+    # the aggregate never overflows at any corpus size (2^40·10^12 rows
+    # would overflow a bigint sum at cluster scale)
+    w = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({max_age} - (({hi} - ts_ms) DIV {day}) AS INT))"
+    ).cast("decimal(38,0)")
     out = (
         ev.where(age < max_age)
         .groupBy("event_type")
