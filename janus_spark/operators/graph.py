@@ -358,7 +358,9 @@ def harmonic_centrality(
         reached.groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_reached"),
-            F.sum(F.expr(f"{lcm} div hops")).alias("__s"),  # exact: lcm % hops == 0
+            # exact: lcm % hops == 0; DECIMAL sum — at max_hops 42 the
+            # lcm is ~9.4e17, so a bigint sum overflows past ~9 sources
+            F.sum(F.expr(f"{lcm} div hops").cast("decimal(38,0)")).alias("__s"),
         )
         .select(
             "id",
