@@ -7554,3 +7554,105 @@ ORACLES["q_tpch_market_share"] = """
            ROUND(CAST(tot AS DOUBLE), 2) AS total_revenue,
            ROUND(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mkt_share
     FROM g"""
+
+
+def q_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative purchase revenue per signup-week
+    cohort at each week offset — first-activity cohorts joined to
+    purchase revenue, cumulative window over exact cents (the marketing
+    lifetime-value report)."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 604800000").alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("offset"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"), F.sum(cents).alias("__c"))
+    )
+    w = Window.partitionBy("cohort").orderBy("offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return rev.select(
+        "cohort",
+        "offset",
+        "n_purchases",
+        F.round(F.col("__c").cast("double") / 100, 2).alias("revenue"),
+        F.round(F.sum("__c").over(w).cast("double") / 100, 2).alias("cum_revenue"),
+    )
+
+
+QUERIES["q_ltv_cohort"] = q_ltv_cohort
+ORACLES["q_ltv_cohort"] = f"""
+    WITH e AS (SELECT user_id, event_type, value, {_TSM} // 604800000 AS wk FROM events),
+         f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id),
+         r AS (SELECT f.cohort, e.wk - f.cohort AS "offset",
+                      COUNT(*) AS n_purchases,
+                      SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS c
+               FROM e JOIN f USING (user_id)
+               WHERE e.event_type = 'purchase'
+               GROUP BY 1, 2)
+    SELECT cohort, "offset", n_purchases,
+           ROUND(CAST(c AS DOUBLE) / 100, 2) AS revenue,
+           ROUND(CAST(SUM(c) OVER (PARTITION BY cohort ORDER BY "offset"
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100, 2) AS cum_revenue
+    FROM r"""
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier↔part graph: Pearson
+    correlation of endpoint degrees over edges (Newman 2002) — positive
+    = hubs link hubs.  Exact integer moment sums over (deg_src,
+    deg_dst) pairs; both edge directions included so the coefficient is
+    symmetric."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    e = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    d38 = "decimal(38,0)"
+    pairs = (
+        e.join(deg.select(F.col("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("src").alias("dst"), F.col("d").alias("dy")), "dst")
+        .select(F.col("dx").cast(d38).alias("x"), F.col("dy").cast(d38).alias("y"))
+    )
+    g = pairs.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    covn = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vxn = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vyn = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return g.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(covn / F.sqrt(vxn * vyn), 6).alias("assortativity"),
+    )
+
+
+QUERIES["q_assortativity"] = q_assortativity
+ORACLES["q_assortativity"] = """
+    WITH fwd AS (SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+                 FROM lineitem),
+         e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+         deg AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS d FROM e GROUP BY src),
+         p AS (SELECT dx.d AS x, dy.d AS y
+               FROM e JOIN deg dx ON e.src = dx.src
+                      JOIN deg dy ON e.dst = dy.src),
+         g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                      SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+               FROM p)
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS assortativity
+    FROM g"""
