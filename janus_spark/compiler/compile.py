@@ -628,13 +628,19 @@ class SparqlCompiler:
         def score(tp: TriplePattern):
             const = sum(0 if isinstance(t, Var) else 1 for t in (tp.s, tp.p, tp.o))
             # among equal constant counts: prefer the rarest predicate per
-            # ANALYZE stats (unknown predicates rank as +inf = least
-            # preferred among stats-known; stable when no stats exist)
+            # ANALYZE stats.  A Var predicate matches ALL predicates (the
+            # largest scan) so it ranks least preferred; a constant
+            # predicate absent from stats matched 0 quads at ANALYZE time
+            # (the most selective) so it ranks most preferred.  Stable
+            # (all 0.0) when no stats exist.
             rarity = 0.0
-            if self.predicate_stats and not isinstance(tp.p, Var):
-                rarity = -float(
-                    self.predicate_stats.get(getattr(tp.p, "value", None), float("inf"))
-                )
+            if self.predicate_stats:
+                if isinstance(tp.p, Var):
+                    rarity = float("-inf")
+                else:
+                    rarity = -float(
+                        self.predicate_stats.get(getattr(tp.p, "value", None), 0)
+                    )
             return (const, rarity)
 
         remaining = list(range(len(pats)))

@@ -181,9 +181,14 @@ def _compile_call(e: ECall, rec, registry) -> Column:
     if name in ("SHA256", "SHA384", "SHA512"):
         return F.sha2(rec(a[0], "str"), int(name[3:]))
     if name == "ENCODE_FOR_URI":
-        # RFC 3986 unreserved set; url_encode also escapes space as '+'
+        # RFC 3986 unreserved set (ALPHA/DIGIT/-._~ stay literal,
+        # everything else %-escaped).  Java URL encoding diverges on
+        # three chars: space→'+', '~'→'%7E', and '*' left literal —
+        # patch all three back to the SPARQL 1.1 contract.
         s = F.url_encode(rec(a[0], "str"))
-        return F.regexp_replace(s, r"\+", "%20")
+        s = F.regexp_replace(s, r"\+", "%20")
+        s = F.regexp_replace(s, r"%7E", "~")
+        return F.regexp_replace(s, r"\*", "%2A")
     if name in ("IRI", "URI"):
         return rec(a[0], "str")
     if name == "LANG":

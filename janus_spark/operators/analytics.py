@@ -383,6 +383,29 @@ def skyline(
     return a.join(bdf, dom & st, "left_anti").select(*cols)
 
 
+_CEP_META = set("+*?|(){}[],0123456789^$")
+
+
+def validate_cep_pattern(pattern: str, symbols: dict[str, str]) -> None:
+    """Reject regex constructs that could match the '\\x01' gap char —
+    gaps must stay unmatchable or interleaved undeclared events stop
+    breaking adjacency.  '.', negated classes, and escapes all match
+    arbitrary bytes; every literal char must be a declared symbol."""
+    if "." in pattern:
+        raise ValueError(
+            "CEP pattern must not contain '.': it matches the gap char; "
+            "declare an explicit wildcard symbol instead"
+        )
+    if "[^" in pattern:
+        raise ValueError("negated character classes would match the gap char")
+    if "\\" in pattern:
+        raise ValueError("escape sequences are not allowed in CEP patterns")
+    alphabet = set(symbols.values())
+    bad = sorted(c for c in set(pattern) if c not in alphabet and c not in _CEP_META)
+    if bad:
+        raise ValueError(f"pattern chars {bad!r} are not declared symbols")
+
+
 def match_pattern(
     df: DataFrame,
     pattern: str,
@@ -398,11 +421,13 @@ def match_pattern(
     ``pattern="vc+p"`` with ``symbols={"view": "v", "click": "c",
     "purchase": "p"}`` finds view → one-or-more clicks → purchase runs.
 
-    Events not in ``symbols`` become ``.``-unmatchable gap characters
-    ('\\x01'), so patterns see only the declared alphabet but gaps still
-    break adjacency — ``vc+p`` will NOT match across an interleaved
-    error event.  (Use an explicit wildcard symbol in the pattern if
-    gaps should be allowed.)
+    Events not in ``symbols`` become gap characters ('\\x01') that break
+    literal-symbol adjacency — ``vc+p`` will NOT match across an
+    interleaved error event.  The pattern alphabet is validated to the
+    declared symbols plus quantifiers/grouping: '.', negated classes,
+    and escapes are rejected because they would match the gap char and
+    silently void the adjacency contract.  (Declare an explicit wildcard
+    symbol in ``symbols`` if gaps should be allowed.)
 
     Plan: ONE grouped aggregate per key — collect (ts, tie, sym)
     structs, ``array_sort`` (struct field order gives the (ts, tie)
@@ -416,6 +441,7 @@ def match_pattern(
 
     Returns (key, n_events, n_matches) with n_matches > 0 only.
     """
+    validate_cep_pattern(pattern, symbols)
     sym = F.lit("\x01")
     for name, ch in symbols.items():
         if len(ch) != 1:

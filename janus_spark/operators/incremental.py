@@ -77,13 +77,16 @@ class IncrementalAgg:
         return f"{self.path}/v={v}"
 
     def vacuum_versions(self, keep: int = 1) -> int:
-        """Drop all but the newest ``keep`` versions; returns #removed."""
+        """Drop all but the newest ``keep`` versions (plus any abandoned
+        staging directories from crashed updates); returns #removed."""
         cur = self.current_version()
         removed = 0
         for d in os.listdir(self.path) if os.path.isdir(self.path) else []:
             if (m := re.fullmatch(r"v=(\d+)", d)) and int(m.group(1)) <= cur - keep:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
                 removed += 1
+            elif d.startswith(".staging-v="):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return removed
 
     # -- core algebra -------------------------------------------------------
@@ -113,12 +116,23 @@ class IncrementalAgg:
         )
 
     def update(self, batch: DataFrame) -> int:
-        """Fold one batch into the rollup; returns the new version."""
+        """Fold one batch into the rollup; returns the new version.
+
+        Crash-safe commit: every leg of v=N+1 is written to a
+        dot-prefixed staging directory (invisible to
+        ``current_version()``'s ``v=<N>`` listing) and renamed into
+        place LAST — one atomic directory rename, so a reader racing an
+        in-flight write never sees a half-written version and a failure
+        between the aggs and hll writes leaves only ignorable staging
+        garbage (cleaned by the next update/vacuum), never a version
+        whose ``read()`` throws."""
         cur, nxt = self.current_version(), self.current_version() + 1
+        stage = f"{self.path}/.staging-v={nxt}"
+        shutil.rmtree(stage, ignore_errors=True)
         aggs = self._partial(batch)
         if cur:
             aggs = self._merge(self.spark.read.parquet(f"{self._vdir(cur)}/aggs"), aggs)
-        aggs.coalesce(1).write.mode("overwrite").parquet(f"{self._vdir(nxt)}/aggs")
+        aggs.coalesce(1).write.mode("overwrite").parquet(f"{stage}/aggs")
         if self.distinct_col is not None:
             hll = hll_det_partials(batch, self.distinct_col, self.group_cols, self.p)
             if cur:
@@ -128,7 +142,10 @@ class IncrementalAgg:
                     .groupBy(*self.group_cols, "reg")
                     .agg(F.max("max_rank").alias("max_rank"))
                 )
-            hll.coalesce(1).write.mode("overwrite").parquet(f"{self._vdir(nxt)}/hll")
+            hll.coalesce(1).write.mode("overwrite").parquet(f"{stage}/hll")
+        final = self._vdir(nxt)
+        shutil.rmtree(final, ignore_errors=True)  # torn dir from a pre-fix crash
+        os.rename(stage, final)
         return nxt
 
     def read(self, version: int | None = None) -> DataFrame:

@@ -622,7 +622,13 @@ def decompose(
         .withColumn("__gc", F.count("__u").over(wall))
     )
     # trend_units = round(tn*k/tc); seasonal_units = round((sn*gc - gn*sc)*k/(sc*gc))
-    trend_u = F.expr(f"(__tn * {2 * k} + __tc) div (2 * __tc)")
+    # Sign-aware: `div` truncates toward zero while the oracle's `//`
+    # floors, so keep the round-division numerator non-negative and
+    # negate outside (round-half-away-from-zero, identical cross-engine
+    # for negative-valued series — temperatures, deltas).
+    trend_u = F.when(
+        F.col("__tn") >= 0, F.expr(f"(__tn * {2 * k} + __tc) div (2 * __tc)")
+    ).otherwise(-F.expr(f"((-__tn) * {2 * k} + __tc) div (2 * __tc)"))
     snum = F.col("__sn") * F.col("__gc") - F.col("__gn") * F.col("__sc")
     sden = F.col("__sc") * F.col("__gc")
     seas_u = F.when(

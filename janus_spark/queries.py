@@ -5453,7 +5453,9 @@ ORACLES["q_decompose"] = f"""
                       ws AS (PARTITION BY user_id, hod),
                       wu AS (PARTITION BY user_id)),
          z AS (SELECT user_id, event_id, ts_ms, hod, u,
-                      (tn * 200 + tc) // (2 * tc) AS t4,
+                      CASE WHEN tn >= 0 THEN (tn * 200 + tc) // (2 * tc)
+                           ELSE -(((-tn) * 200 + tc) // (2 * tc))
+                      END AS t4,
                       CASE WHEN sn * gc - gn * sc >= 0
                            THEN ((sn * gc - gn * sc) * 200 + sc * gc) // (2 * sc * gc)
                            ELSE -(((gn * sc - sn * gc) * 200 + sc * gc) // (2 * sc * gc))

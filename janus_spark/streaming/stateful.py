@@ -337,6 +337,9 @@ def streaming_match_pattern(
     """
     import re as _re
 
+    from janus_spark.operators.analytics import validate_cep_pattern
+
+    validate_cep_pattern(pattern, symbols)
     rx = _re.compile(pattern)
     gap = "\x01"
 

@@ -165,6 +165,38 @@ def test_match_pattern_rejects_multichar_symbol(spark):
         match_pattern(df, "vv", {"view": "vv"})
 
 
+def test_match_pattern_rejects_gap_matching_constructs(spark):
+    """'.'/negated classes/escapes would match the '\\x01' gap char and
+    silently void the adjacency-breaking contract — all rejected, along
+    with literal chars outside the declared alphabet; quantifier and
+    grouping metachars stay allowed."""
+    import pytest
+
+    from janus_spark.operators.analytics import match_pattern, validate_cep_pattern
+
+    df = spark.createDataFrame([(1, 1, "view", 0)],
+                               ["event_id", "user_id", "event_type", "ts_ms"])
+    syms = {"view": "v", "click": "c", "purchase": "p"}
+    for bad in ["v.p", "v[^c]p", r"v\wp", "vxp"]:
+        with pytest.raises(ValueError):
+            match_pattern(df, bad, syms)
+    # allowed shapes parse fine (validator only; no execution needed)
+    for ok in ["vc+p", "v(c|p){1,3}p", "vc*p?", "^vc+p$"]:
+        validate_cep_pattern(ok, syms)
+
+
+def test_streaming_match_pattern_rejects_dot(spark):
+    import pytest
+
+    from janus_spark.streaming.stateful import streaming_match_pattern
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS user", "CAST(value AS DOUBLE) AS ts",
+        "'view' AS event")
+    with pytest.raises(ValueError):
+        streaming_match_pattern(df, "v.p", {"view": "v", "purchase": "p"})
+
+
 def test_ab_test_matches_scipy_free_welch(spark):
     import math
 

@@ -506,3 +506,18 @@ def test_hash_and_uri_builtins(spark):
     assert row["s5"] == hashlib.sha512(raw).hexdigest()
     assert row["enc"] == "a%20b%2Fc"
     assert row["iri"] == "a b/c"
+
+
+def test_encode_for_uri_unreserved_edge_chars(spark):
+    """SPARQL 1.1 ENCODE_FOR_URI vs Java URL encoding divergences:
+    '~' stays literal (not %7E), '*' IS escaped (%2A), space is %20
+    (not '+') — pinned against the spec's unreserved set."""
+    from janus_spark.compiler import compile_sparql, parse_sparql
+
+    quads = spark.createDataFrame(
+        [(0, "urn:e:1", "urn:col:t", "~a*b c-d._%7E", "g")],
+        ["ts", "subject", "predicate", "object", "graph"],
+    )
+    q = """SELECT (ENCODE_FOR_URI(?t) AS ?enc) WHERE { ?e <urn:col:t> ?t . }"""
+    row = compile_sparql(parse_sparql(q), quads).collect()[0]
+    assert row["enc"] == "~a%2Ab%20c-d._%257E"

@@ -64,3 +64,36 @@ def test_versions_time_travel_and_vacuum(spark, events):
         assert inc.vacuum_versions(keep=1) == 1
         assert inc.current_version() == 2
         assert sum(r["n"] for r in inc.read().collect()) == 100
+
+
+def test_update_commit_is_atomic_rename(spark, events):
+    """Crash-safety contract: a half-written (staging) version is never
+    visible to current_version()/read(), survives as ignorable garbage
+    after a simulated crash between the aggs and hll writes, and is
+    cleaned by the next successful update + vacuum."""
+    import os
+    import shutil
+
+    with tempfile.TemporaryDirectory() as root:
+        path = f"{root}/r"
+        inc = IncrementalAgg(spark, path, ["event_type"], distinct_col="user_id")
+        v1 = inc.update(events.where(F.col("event_id") < 50))
+        assert v1 == 1 and inc.current_version() == 1
+
+        # simulate a crash mid-update: staging dir with only the aggs leg
+        stage = f"{path}/.staging-v=2"
+        shutil.copytree(f"{path}/v=1/aggs", f"{stage}/aggs")
+        # torn state is invisible: version and read() are unaffected
+        assert inc.current_version() == 1
+        assert inc.read().count() > 0
+
+        # the next update reuses/clears staging and commits atomically
+        v2 = inc.update(events.where(F.col("event_id") >= 50))
+        assert v2 == 2 and inc.current_version() == 2
+        assert os.path.isdir(f"{path}/v=2/hll")  # both legs present
+        assert not os.path.isdir(stage)
+
+        # leftover staging garbage (different version) is vacuumed
+        os.makedirs(f"{path}/.staging-v=9/aggs", exist_ok=True)
+        inc.vacuum_versions(keep=2)
+        assert not os.path.isdir(f"{path}/.staging-v=9")

@@ -368,9 +368,16 @@ def test_bgp_reorder_uses_predicate_stats(spark):
     # with stats: the rare predicate seeds the chain
     c1 = SparqlCompiler(quads, predicate_stats={"urn:p:common": 1_000_000, "urn:p:rare": 10})
     assert c1._order_patterns([common, rare])[0] is rare
-    # an unknown predicate never beats a stats-known one
+    # a constant predicate ABSENT from stats matched 0 quads at ANALYZE
+    # time — the most selective seed, so it beats even the rare one
     unknown = TriplePattern(Var("x"), Iri("urn:p:unknown"), Var("c"))
-    assert c1._order_patterns([unknown, rare])[0] is rare
+    assert c1._order_patterns([unknown, rare])[0] is unknown
+    # a Var predicate matches every predicate (largest scan): with stats
+    # present it never outranks ANY constant predicate, even the common
+    # one, despite the equal constant count
+    varp = TriplePattern(Var("x"), Var("p"), Var("d"))
+    assert c1._order_patterns([varp, common])[0] is common
+    assert c1._order_patterns([varp, rare])[0] is rare
 
 
 def test_quadstore_analyze_roundtrip(spark, tmp_path):

@@ -428,3 +428,33 @@ def test_decompose_flat_series_has_zero_seasonal_and_residual(spark):
     df = spark.createDataFrame(rows, "k int, ts_ms long, value double")
     for r in decompose(df, ["k"], trend_window=4).collect():
         assert r["trend"] == 5.0 and r["seasonal"] == 0.0 and r["residual"] == 0.0
+
+
+def test_decompose_negative_values_round_half_away_from_zero(spark):
+    """Negative-valued series (temperatures, deltas): the trend round
+    division must be sign-aware — truncating `div` on a negative
+    numerator rounds toward zero, not to nearest, which silently broke
+    bit-reproducibility vs a flooring oracle.  Pin trend against the
+    Python round-half-away-from-zero reference, and the additive
+    identity must still hold exactly."""
+    from janus_spark.operators.timeseries import decompose
+
+    # values chosen so trend sums are negative AND hit .5 ulp boundaries
+    vals = [-1.25, -3.75, -2.25, -7.25, -0.25, -5.75, -4.25, -6.75]
+    rows = [(1, i * 3_600_000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, ts_ms long, value double")
+    got = {r["ts_ms"]: r for r in decompose(df, ["k"], trend_window=2).collect()}
+
+    u = [round(v * 100) for v in vals]  # exact integer cents
+    k = 100  # round_dp=4, in_scale=2
+
+    for i in range(len(vals)):
+        lo, hi = max(0, i - 2), min(len(vals) - 1, i + 2)
+        tn, tc = sum(u[lo:hi + 1]), hi - lo + 1
+        expect_units = (
+            (tn * 2 * k + tc) // (2 * tc) if tn >= 0
+            else -(((-tn) * 2 * k + tc) // (2 * tc))
+        )
+        r = got[i * 3_600_000]
+        assert r["trend"] == expect_units / 10000.0, (i, tn, tc)
+        assert abs((r["trend"] + r["seasonal"] + r["residual"]) - vals[i]) < 1e-9
