@@ -20,7 +20,7 @@ Implementation notes (scale-first):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -366,5 +366,181 @@ def harmonic_centrality(
             "id",
             "n_reached",
             F.round(F.col("__s").cast("double") / F.lit(float(lcm)), round_out).alias("harmonic"),
+        )
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: ``2·tri(v) / (deg(v)·
+    (deg(v)−1))`` over the undirected simple graph — how close a node's
+    neighborhood is to a clique.  Spam link farms score near 1, organic
+    citation graphs much lower, which makes this a curation signal on
+    top of :func:`triangle_count` (same oriented-wedge plan, so the
+    O(m^{3/2}) wedge bound carries over; the extra work is one degree
+    aggregate and one join on node id).
+
+    Exactness: tri and deg are integers and the coefficient is ONE
+    division of identical integer operands, so any engine reproduces the
+    double bit-for-bit (no rounding applied — see the exactness
+    playbook: rounding a derived double is the divergence, the raw
+    division is not).
+
+    Returns (id, deg, n_triangles, coeff) for nodes with deg ≥ 2.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    canon = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg") >= 2)
+    )
+    tri = triangle_count(canon, "a", "b")
+    out = deg.join(tri, "id", "left").select(
+        "id",
+        F.col("deg").cast("long").alias("deg"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+    return out.withColumn(
+        "coeff",
+        (F.col("n_triangles") * 2).cast("double")
+        / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+    )
+
+
+def khop_neighbor_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    k: int = 2,
+    seeds: DataFrame | None = None,
+    id_col: str = "id",
+    feat_col: str = "feat",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """K-hop neighborhood feature aggregation — the GraphSAGE-style
+    sampling/aggregation step of a GNN training-data pipeline: for each
+    (seed) node, the count and mean feature of all DISTINCT nodes within
+    ≤k undirected hops (self excluded) that carry a feature row.
+
+    Plan: per hop one equi-join frontier⋈edges + one distinct — the
+    same bounded-frontier shape as :func:`bfs_hops`; the normalized
+    edge list is ``localCheckpoint``-ed ONCE so Catalyst never re-infers
+    constraints through the loop (the exponential-codegen pitfall), and
+    each round's pair set is checkpointed before the next join.  The
+    final aggregate shuffles once on the seed id.
+
+    Exactness: features are summed in integer cents (DECIMAL(38,0)) and
+    the mean is a fixed two-division tree over exact operands —
+    cross-engine bit-identical.
+
+    Returns (id, n_neighbors, mean_feat).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if seeds is not None:
+        pairs = sym.join(
+            seeds.select(F.col(id_col).alias("a")).distinct(), "a", "semi"
+        )
+    else:
+        pairs = sym
+    reach = pairs  # (a=seed, b=node within <=hop hops)
+    for _ in range(k - 1):
+        reach = (
+            reach.select("a", F.col("b").alias("m"))
+            .join(sym.select(F.col("a").alias("m"), "b"), "m")
+            .select("a", "b")
+            .unionByName(reach)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    cents = (F.col(feat_col).cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    feats = features.select(F.col(id_col).alias("b"), cents.alias("__c"))
+    return (
+        reach.join(feats, "b")
+        .groupBy(F.col("a").alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum("__c").alias("__s"),
+        )
+        .select(
+            "id",
+            "n_neighbors",
+            (
+                (F.col("__s").cast("double") / F.col("n_neighbors")) / 100.0
+            ).alias("mean_feat"),
+        )
+    )
+
+
+def negative_edges(
+    edges: DataFrame,
+    dst_nodes: DataFrame,
+    m: int = 5,
+    seed: int = 7,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Deterministic hash-based negative sampling for link prediction:
+    for every distinct source node, propose ``m`` candidate destinations
+    by hashing (seed, src, slot) into the destination index space, then
+    anti-join the real edge set — the negatives every
+    contrastive/link-prediction trainer needs, reproducible across runs
+    and engines (md5 hash family, no RNG).
+
+    Plan: destinations get a dense index via one ROW_NUMBER window
+    (rank order by id — deterministic); candidates are a map-side
+    explode of ``m`` slots per source (no cross join), then two
+    equi-joins: index→node id, and a left-anti against the edge list.
+    Collisions with real edges or self-loops simply drop, so callers
+    asking for exactly-m should over-sample (standard practice).
+
+    Returns (src, dst, slot) — slot identifies the hash draw so
+    downstream shuffles/repartitions can't reorder samples ambiguously.
+    """
+    from janus_spark.datapipe.dedup import shared_hash64
+
+    n = dst_nodes.select(F.col(id_col)).distinct()
+    w = Window.orderBy(F.col(id_col))
+    idx = n.select(
+        F.col(id_col).alias("__dst"), (F.row_number().over(w) - 1).alias("__i")
+    )
+    n_dst = idx.count()
+    if n_dst == 0:
+        raise ValueError("dst_nodes is empty")
+    srcs = edges.select(F.col(src).alias("__src")).distinct()
+    cand = srcs.select(
+        "__src", F.explode(F.array([F.lit(i) for i in range(m)])).alias("slot")
+    ).withColumn(
+        "__i",
+        shared_hash64(
+            F.concat_ws(":", F.lit(seed), F.col("__src"), F.col("slot")), None
+        )
+        % n_dst,
+    )
+    cand = cand.join(idx, "__i").select("__src", "__dst", "slot")
+    real = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).distinct()
+    return (
+        cand.join(real, ["__src", "__dst"], "left_anti")
+        .where(F.col("__src") != F.col("__dst"))
+        .select(
+            F.col("__src").alias("src"), F.col("__dst").alias("dst"), "slot"
         )
     )

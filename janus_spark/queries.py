@@ -7658,3 +7658,295 @@ ORACLES["q_assortativity"] = """
            ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
                  / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS assortativity
     FROM g"""
+
+
+def q_tpch_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped orders of one
+    market segment by revenue.  Plan: customer is a broadcast dim pruned
+    to the segment BEFORE the join; the one real shuffle is
+    lineitem⋈orders on orderkey; the top-10 is a TakeOrdered (no global
+    sort materialization).  Revenue in exact integer price-basis-points
+    (cents × (100−disc_pct)) so the ranking and the emitted doubles are
+    engine-exact — ties impossible under the unique orderkey tiebreak."""
+    cu = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev_u = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    ).cast("decimal(38,0)")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_u).alias("__rev_u"))
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            (F.col("__rev_u").cast("double") / 10000.0).alias("revenue"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_date_ms"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_date_ms"), F.col("order_key"))
+        .limit(10)
+    )
+
+
+QUERIES["q_tpch_ship_priority"] = q_tpch_ship_priority
+ORACLES["q_tpch_ship_priority"] = """
+    SELECT l.l_orderkey AS order_key,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS revenue,
+           (epoch_ns(o.o_orderdate) // 1000000) AS o_date_ms,
+           o.o_orderpriority AS priority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_date_ms, order_key
+    LIMIT 10"""
+
+
+def q_tpch_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders of one quarter
+    with at least one LATE line, counted per priority.  The reference
+    schema's commit/receipt dates are absent from the testdata, so
+    "late" is adapted to `l_shipdate > o_orderdate + 90 days` — the same
+    correlated-EXISTS shape.  Plan: the EXISTS is a left-semi join on
+    orderkey (one shuffle); the date predicate rides the join condition
+    so no post-join filter pass."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_shipdate")
+    return (
+        od.join(
+            li,
+            (od.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > od.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .select(F.col("o_orderpriority").alias("priority"), "n_orders")
+    )
+
+
+QUERIES["q_tpch_late_orders"] = q_tpch_late_orders
+ORACLES["q_tpch_late_orders"] = """
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority"""
+
+
+def q_tpch_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between two nations by
+    ship year, both directions (supplier nation ≠ customer nation).
+    Plan: nation/customer/supplier collapse to broadcast dims carrying
+    the nation name; the one real shuffle is lineitem⋈orders; the
+    two-nation disjunction is a post-broadcast filter.  Revenue in exact
+    integer units as in the Q3 gate."""
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    cu = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    su = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev_u = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    ).cast("decimal(38,0)")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(rev_u).alias("__rev_u"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .select(
+            "supp_nation", "cust_nation",
+            F.col("l_year").cast("int").alias("l_year"),
+            (F.col("__rev_u").cast("double") / 10000.0).alias("revenue"),
+            "n_lines",
+        )
+    )
+
+
+QUERIES["q_tpch_nation_volume"] = q_tpch_nation_volume
+ORACLES["q_tpch_nation_volume"] = """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+      AND nc.n_name IN ('NATION_1', 'NATION_2')
+      AND ns.n_name <> nc.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ns.n_name, nc.n_name, EXTRACT(year FROM l.l_shipdate)"""
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the part co-purchase graph —
+    operators/graph.py::clustering_coefficient (oriented-wedge triangle
+    plan + one degree join; coefficient is a single exact-integer
+    division, emitted unrounded)."""
+    from janus_spark.operators.graph import clustering_coefficient
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lp = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        lp.alias("x")
+        .join(lp.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    out = clustering_coefficient(edges)
+    return out.select(F.col("id").cast("long").alias("id"), "deg", "n_triangles", "coeff")
+
+
+QUERIES["q_clustering_coeff"] = q_clustering_coeff
+ORACLES["q_clustering_coeff"] = """
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT DISTINCT x.p AS a, y.p AS b
+               FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+         deg AS (SELECT id, COUNT(*) AS deg FROM (
+                   SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+                 GROUP BY id HAVING COUNT(*) >= 2),
+         t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e e1
+               JOIN e e2 ON e1.b = e2.a
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         tri AS (SELECT id, COUNT(*) AS n_triangles FROM (
+                   SELECT x AS id FROM t
+                   UNION ALL SELECT y FROM t
+                   UNION ALL SELECT z FROM t) GROUP BY id)
+    SELECT d.id, d.deg,
+           COALESCE(tri.n_triangles, 0) AS n_triangles,
+           CAST(2 * COALESCE(tri.n_triangles, 0) AS DOUBLE)
+             / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS coeff
+    FROM deg d LEFT JOIN tri ON d.id = tri.id"""
+
+
+def q_khop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 2-hop neighborhood feature aggregation: for seed
+    parts (partkey < 100), the count and exact mean retail price of all
+    distinct parts within ≤2 co-purchase hops —
+    operators/graph.py::khop_neighbor_agg (bounded-frontier expansion,
+    integer-cents sums)."""
+    from janus_spark.operators.graph import khop_neighbor_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet")
+    lp = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        lp.alias("x")
+        .join(lp.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    seeds = pa.where(F.col("p_partkey") < 100).select(F.col("p_partkey").alias("id"))
+    feats = pa.select(F.col("p_partkey").alias("id"), F.col("p_retailprice").alias("feat"))
+    out = khop_neighbor_agg(edges, feats, k=2, seeds=seeds)
+    return out.select(F.col("id").cast("long").alias("id"), "n_neighbors", "mean_feat")
+
+
+QUERIES["q_khop_features"] = q_khop_features
+ORACLES["q_khop_features"] = """
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT DISTINCT x.p AS a, y.p AS b
+               FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+         sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         r1 AS (SELECT a, b FROM sym WHERE a IN
+                  (SELECT p_partkey FROM part WHERE p_partkey < 100)),
+         r2 AS (SELECT r1.a, s.b FROM r1 JOIN sym s ON r1.b = s.a
+                WHERE r1.a <> s.b),
+         reach AS (SELECT DISTINCT a, b FROM
+                     (SELECT a, b FROM r1 UNION ALL SELECT a, b FROM r2)),
+         f AS (SELECT p_partkey AS b,
+                      CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS c
+               FROM part)
+    SELECT reach.a AS id, COUNT(*) AS n_neighbors,
+           (CAST(SUM(f.c) AS DOUBLE) / COUNT(*)) / 100.0 AS mean_feat
+    FROM reach JOIN f ON reach.b = f.b
+    GROUP BY reach.a"""
+
+
+def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based negative edge sampling for link prediction on the
+    supplier→part purchase bipartite graph: 5 deterministic non-edge
+    candidates per supplier (md5 family, reproducible cross-engine),
+    anti-joined against the real edges —
+    operators/graph.py::negative_edges."""
+    from janus_spark.operators.graph import negative_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    out = negative_edges(edges, pa.select(F.col("p_partkey").alias("id")), m=5, seed=7)
+    return out.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("slot").cast("int").alias("slot"),
+    )
+
+
+QUERIES["q_negative_edges"] = q_negative_edges
+ORACLES["q_negative_edges"] = """
+    WITH n AS (SELECT DISTINCT p_partkey AS id FROM part),
+         idx AS (SELECT id AS dstid, ROW_NUMBER() OVER (ORDER BY id) - 1 AS i
+                 FROM n),
+         srcs AS (SELECT DISTINCT l_suppkey AS s FROM lineitem),
+         cand AS (SELECT s, CAST(slot AS INT) AS slot,
+                         ('0x' || substr(md5('7:' || CAST(s AS VARCHAR) || ':'
+                                              || CAST(slot AS VARCHAR)), 1, 15))::BIGINT
+                           % (SELECT COUNT(*) FROM n) AS i
+                  FROM srcs, unnest(range(0, 5)) t(slot)),
+         real AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem)
+    SELECT c.s AS src, idx.dstid AS dst, c.slot
+    FROM cand c JOIN idx ON c.i = idx.i
+    WHERE NOT EXISTS (SELECT 1 FROM real r
+                      WHERE r.s = c.s AND r.d = idx.dstid)
+      AND c.s <> idx.dstid"""

@@ -167,3 +167,56 @@ def test_harmonic_centrality_lcm_guard(spark):
     sources = spark.createDataFrame([(0,)], "id long")
     with pytest.raises(ValueError):
         harmonic_centrality(edges, sources, max_hops=43)
+
+
+def test_clustering_coefficient_hand_check(spark):
+    from janus_spark.operators.graph import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 3-4 (duplicate/reverse edges collapse)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1)], ["src", "dst"]
+    )
+    out = {r["id"]: r for r in clustering_coefficient(edges).collect()}
+    assert out[1]["coeff"] == 1.0 and out[1]["deg"] == 2
+    assert out[2]["coeff"] == 1.0
+    # node 3: deg 3, one triangle -> 2*1/(3*2) = 1/3
+    assert out[3]["deg"] == 3 and out[3]["n_triangles"] == 1
+    assert abs(out[3]["coeff"] - 1 / 3) < 1e-15
+    assert 4 not in out  # deg 1 excluded
+
+
+def test_khop_neighbor_agg_path_graph(spark):
+    from janus_spark.operators.graph import khop_neighbor_agg
+
+    # path 1-2-3-4; feats on all nodes
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    feats = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], ["id", "feat"]
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r for r in khop_neighbor_agg(edges, feats, k=2, seeds=seeds).collect()}
+    # within <=2 hops of 1: {2, 3}; self excluded, 4 is 3 hops away
+    assert out[1]["n_neighbors"] == 2
+    assert out[1]["mean_feat"] == 25.0
+    # k=1: only the direct neighbor
+    o1 = khop_neighbor_agg(edges, feats, k=1, seeds=seeds).collect()[0]
+    assert o1["n_neighbors"] == 1 and o1["mean_feat"] == 20.0
+
+
+def test_negative_edges_deterministic_and_disjoint(spark):
+    from janus_spark.operators.graph import negative_edges
+
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (3, 103)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(101, 111)], "id long")
+    a = sorted(tuple(r) for r in negative_edges(edges, nodes, m=4, seed=3).collect())
+    b = sorted(tuple(r) for r in negative_edges(edges, nodes, m=4, seed=3).collect())
+    assert a == b and a  # deterministic, non-empty
+    real = {(1, 101), (1, 102), (2, 101), (3, 103)}
+    assert not (set((s, d) for s, d, _ in a) & real)  # never a real edge
+    assert all(101 <= d <= 110 for _, d, _ in a)  # drawn from the dst universe
+    assert len(a) <= 3 * 4
+    # a different seed gives a different draw
+    c = sorted(tuple(r) for r in negative_edges(edges, nodes, m=4, seed=4).collect())
+    assert c != a
