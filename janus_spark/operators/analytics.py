@@ -575,3 +575,65 @@ def ab_test(
         F.round(mean_a - mean_b, round_out).alias("diff"),
         t.alias("t_stat"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Difference-in-differences point estimate: the 2×2 design
+    (treated/control × pre/post) with
+
+        did = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_control,post − ȳ_control,pre)
+
+    the workhorse causal read-out for launches and experiments with a
+    pre-period.  ``treat_col``/``post_col`` must be boolean columns.
+
+    Plan: ONE grouped aggregate over the four cells (map-side combine)
+    and a single-row finish — no joins, no window.  Cell sums are exact
+    integer cents; each mean is one division of exact operands and the
+    DiD is a fixed-order difference tree over those identical doubles,
+    so the estimate is engine-exact (see ab_test for the inference
+    companion — this operator is the design's point estimate).
+
+    Returns one row: (n_tp, n_tq, n_cp, n_cq, mean_treat_post,
+    mean_treat_pre, mean_control_post, mean_control_pre, did) where
+    q = pre.  Raises if any cell is empty (the design is undefined).
+    """
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    cell = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(treat_col).alias("__t"), F.col(post_col).alias("__p"))
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum(cents).alias("__s"))
+    )
+    wide = cell.agg(
+        *[
+            F.sum(F.when((F.col("__t") == t) & (F.col("__p") == p), F.col(c))).alias(
+                f"{c[2:]}_{'t' if t else 'c'}{'p' if p else 'q'}"
+            )
+            for t in (True, False)
+            for p in (True, False)
+            for c in ("__n", "__s")
+        ]
+    )
+
+    def mean(tag):
+        return (F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}").cast("double")) / 100.0
+
+    out = wide.select(
+        *[F.col(f"n_{t}").cast("long").alias(f"n_{t}") for t in ("tp", "tq", "cp", "cq")],
+        mean("tp").alias("mean_treat_post"),
+        mean("tq").alias("mean_treat_pre"),
+        mean("cp").alias("mean_control_post"),
+        mean("cq").alias("mean_control_pre"),
+        (
+            (mean("tp") - mean("tq")) - (mean("cp") - mean("cq"))
+        ).alias("did"),
+    )
+    row = out.collect()[0]
+    if any(row[f"n_{t}"] in (None, 0) for t in ("tp", "tq", "cp", "cq")):
+        raise ValueError("diff_in_diff: every treat×period cell must be non-empty")
+    spark = df.sparkSession
+    return spark.createDataFrame([row], out.schema)

@@ -1,0 +1,91 @@
+"""Spatial radius join via grid bucketing — distributed
+"find all points within distance r of each query point" without a cross
+join.
+
+The standard plane-sweep alternative for clusters: snap every point to a
+square grid of cell size r, replicate each QUERY point into its 3×3 cell
+neighborhood (a map-side explode of the small side only), equi-join on
+the cell key, then apply the exact distance predicate.  Any point within
+distance r of a query is in one of those 9 cells, so the candidate set
+is provably complete; candidate volume is bounded by local density, not
+|points|·|queries|.
+
+Scale notes:
+- The explode lands on the query side (assumed the smaller relation —
+  geofences, POIs, probe sets).  9 rows per query, then ONE equi-join on
+  (cell_x, cell_y); skewed cells (urban cores) are ordinary join skew —
+  AQE splits them.
+- Coordinates are integers (micro-degrees / millimeters — caller's
+  choice of unit).  The distance test is exact 64-bit arithmetic
+  (dx² + dy² ≤ r²), no floats anywhere, so results are engine-exact and
+  boundary points never flap.  Coordinates must be non-negative so that
+  truncating and flooring integer division agree across engines (shift
+  your frame if needed); inputs are validated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grid_radius_join(
+    points: DataFrame,
+    queries: DataFrame,
+    radius: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """All (query, point) pairs with squared distance ≤ ``radius``²,
+    excluding self-pairs (same id).  ``points`` and ``queries`` carry
+    integer, non-negative ``x_col``/``y_col``; ``radius`` is in the same
+    unit.  Returns (q_id, p_id, dist2).
+    """
+    if radius <= 0:
+        raise ValueError("radius must be a positive integer")
+    qid = query_id_col or id_col
+    r = F.lit(int(radius)).cast("long")
+
+    def coord(c):
+        # non-negativity contract baked into the projection (keeps `div`
+        # == floor-div cross-engine); a pruned side-column check would
+        # never evaluate, so the guard rides the value itself
+        v = F.col(c).cast("long")
+        return F.when(
+            v < 0, F.raise_error(F.lit(f"negative coordinate in {c}"))
+        ).otherwise(v)
+
+    pts = points.select(
+        F.col(id_col).alias("p_id"),
+        coord(x_col).alias("px"),
+        coord(y_col).alias("py"),
+    )
+    qs = queries.select(
+        F.col(qid).alias("q_id"),
+        coord(x_col).alias("qx"),
+        coord(y_col).alias("qy"),
+    )
+
+    cell = pts.withColumn("cx", F.expr(f"px div {int(radius)}")).withColumn(
+        "cy", F.expr(f"py div {int(radius)}")
+    )
+    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    qcells = (
+        qs.withColumn("__dx", F.explode(off))
+        .withColumn("__dy", F.explode(off))
+        .select(
+            "q_id", "qx", "qy",
+            (F.expr(f"qx div {int(radius)}") + F.col("__dx")).alias("cx"),
+            (F.expr(f"qy div {int(radius)}") + F.col("__dy")).alias("cy"),
+        )
+    )
+    dx = F.col("px") - F.col("qx")
+    dy = F.col("py") - F.col("qy")
+    return (
+        qcells.join(cell, ["cx", "cy"])
+        .where(F.col("p_id") != F.col("q_id"))
+        .where(dx * dx + dy * dy <= r * r)
+        .select("q_id", "p_id", (dx * dx + dy * dy).alias("dist2"))
+    )

@@ -7950,3 +7950,143 @@ ORACLES["q_negative_edges"] = """
     WHERE NOT EXISTS (SELECT 1 FROM real r
                       WHERE r.s = c.s AND r.d = idx.dstid)
       AND c.s <> idx.dstid"""
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against value — the
+    leakage-free categorical encoding (datapipe/features.py::
+    target_encode, smoothing=0): each event gets the mean value of the
+    OTHER events of its type, as one exact-integer division."""
+    from janus_spark.datapipe.features import target_encode
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = target_encode(ev, ["event_type"], "value", smoothing=0)
+    return out.select("event_id", "event_type", "loo_mean")
+
+
+QUERIES["q_target_encoding"] = q_target_encoding
+ORACLES["q_target_encoding"] = """
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+               FROM events),
+         s AS (SELECT event_type, COUNT(*) AS n, SUM(y) AS s
+               FROM e WHERE y IS NOT NULL GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           CASE WHEN e.y IS NOT NULL AND s.n > 1
+                THEN (CAST(s.s - e.y AS DOUBLE) / CAST(s.n - 1 AS DOUBLE)) / 100.0
+           END AS loo_mean
+    FROM e LEFT JOIN s USING (event_type)"""
+
+
+def q_target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes smoothed LOO target encoding (m=10 pseudo-
+    observations toward the global mean), engine-exact via ONE division
+    of a cross-multiplied integer rational (features.py::target_encode)."""
+    from janus_spark.datapipe.features import target_encode
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = target_encode(ev, ["event_type"], "value", smoothing=10)
+    return out.select("event_id", "event_type", "loo_mean")
+
+
+QUERIES["q_target_encoding_smoothed"] = q_target_encoding_smoothed
+ORACLES["q_target_encoding_smoothed"] = """
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+               FROM events),
+         s AS (SELECT event_type, COUNT(*) AS n, SUM(y) AS s
+               FROM e WHERE y IS NOT NULL GROUP BY event_type),
+         g AS (SELECT COUNT(*) AS gn, SUM(y) AS gs FROM e WHERE y IS NOT NULL)
+    SELECT e.event_id, e.event_type,
+           CASE WHEN e.y IS NOT NULL
+                THEN (CAST((s.s - e.y) * g.gn + 10 * g.gs AS DOUBLE)
+                      / CAST((s.n - 1 + 10) * g.gn AS DOUBLE)) / 100.0
+           END AS loo_mean
+    FROM e LEFT JOIN s USING (event_type) CROSS JOIN g"""
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences 2×2 point estimate over the events log
+    (treated = even user ids, post = second half of the month) — ONE
+    grouped aggregate + single-row finish, all means exact-integer
+    divisions (operators/analytics.py::diff_in_diff)."""
+    from janus_spark.operators.analytics import diff_in_diff
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        (F.col("ts").cast("timestamp") >= F.lit("2024-01-16").cast("timestamp")).alias("post"),
+        "value",
+    )
+    return diff_in_diff(ev, "treat", "post")
+
+
+QUERIES["q_diff_in_diff"] = q_diff_in_diff
+ORACLES["q_diff_in_diff"] = """
+    WITH e AS (SELECT (user_id % 2 = 0) AS t, (ts >= TIMESTAMP '2024-01-16') AS p,
+                      CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+               FROM events WHERE value IS NOT NULL),
+         c AS (SELECT t, p, COUNT(*) AS n, SUM(y) AS s FROM e GROUP BY t, p),
+         w AS (SELECT
+                 MAX(CASE WHEN t AND p THEN n END) AS n_tp,
+                 MAX(CASE WHEN t AND NOT p THEN n END) AS n_tq,
+                 MAX(CASE WHEN NOT t AND p THEN n END) AS n_cp,
+                 MAX(CASE WHEN NOT t AND NOT p THEN n END) AS n_cq,
+                 (CAST(MAX(CASE WHEN t AND p THEN s END) AS DOUBLE)
+                  / CAST(MAX(CASE WHEN t AND p THEN n END) AS DOUBLE)) / 100.0 AS mean_treat_post,
+                 (CAST(MAX(CASE WHEN t AND NOT p THEN s END) AS DOUBLE)
+                  / CAST(MAX(CASE WHEN t AND NOT p THEN n END) AS DOUBLE)) / 100.0 AS mean_treat_pre,
+                 (CAST(MAX(CASE WHEN NOT t AND p THEN s END) AS DOUBLE)
+                  / CAST(MAX(CASE WHEN NOT t AND p THEN n END) AS DOUBLE)) / 100.0 AS mean_control_post,
+                 (CAST(MAX(CASE WHEN NOT t AND NOT p THEN s END) AS DOUBLE)
+                  / CAST(MAX(CASE WHEN NOT t AND NOT p THEN n END) AS DOUBLE)) / 100.0 AS mean_control_pre
+               FROM c)
+    SELECT n_tp, n_tq, n_cp, n_cq,
+           mean_treat_post, mean_treat_pre, mean_control_post, mean_control_pre,
+           (mean_treat_post - mean_treat_pre) - (mean_control_post - mean_control_pre) AS did
+    FROM w"""
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed radius join: every (query user, user) pair within
+    200k integer units on a deterministic md5-derived plane — the
+    distributed point-in-radius join with a provably complete 3×3 cell
+    candidate set and an exact 64-bit distance test
+    (operators/spatial.py::grid_radius_join).  The oracle is the DIRECT
+    theta-join, so the gate proves the grid never misses a pair."""
+    from janus_spark.datapipe.dedup import shared_hash64
+    from janus_spark.operators.spatial import grid_radius_join
+    from janus_spark.sources.melt import read_events
+
+    users = read_events(spark, sf_dir).select("user_id").distinct()
+    pts = users.select(
+        F.col("user_id").alias("id"),
+        (shared_hash64(F.concat(F.lit("x:"), F.col("user_id"))) % 2_000_000).alias("x"),
+        (shared_hash64(F.concat(F.lit("y:"), F.col("user_id"))) % 2_000_000).alias("y"),
+    )
+    qs = pts.where(F.col("id") % 7 == 0)
+    out = grid_radius_join(pts, qs, radius=200_000)
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("p_id").cast("long").alias("p_id"),
+        F.col("dist2").cast("long").alias("dist2"),
+    )
+
+
+QUERIES["q_spatial_join"] = q_spatial_join
+ORACLES["q_spatial_join"] = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+         p AS (SELECT user_id AS id,
+                      ('0x' || substr(md5('x:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 2000000 AS x,
+                      ('0x' || substr(md5('y:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 2000000 AS y
+               FROM u),
+         q AS (SELECT * FROM p WHERE id % 7 = 0)
+    SELECT q.id AS q_id, p.id AS p_id,
+           (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS dist2
+    FROM q JOIN p ON p.id <> q.id
+    WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+          <= 200000::BIGINT * 200000::BIGINT"""

@@ -1,0 +1,101 @@
+"""target_encode / diff_in_diff / grid_radius_join hand-checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from janus_spark.datapipe.features import target_encode
+from janus_spark.operators.analytics import diff_in_diff
+from janus_spark.operators.spatial import grid_radius_join
+
+
+def test_target_encode_loo_hand_check(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 5.0), (5, "b", None)],
+        "id long, cat string, value double",
+    )
+    out = {r["id"]: r["loo_mean"] for r in target_encode(df, ["cat"], "value").collect()}
+    assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
+    # 'b' has ONE non-null row: LOO denominator 0 -> null; null target -> null
+    assert out[4] is None and out[5] is None
+
+
+def test_target_encode_smoothed_shrinks_to_global(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 40.0), (4, "b", 50.0)],
+        "id long, cat string, value double",
+    )
+    # exact integer rational in cents: row1 ->
+    # ((s-y)*gn + m*gs) / ((n-1+m)*gn) / 100 = (2000*4 + 2*12000)/(3*4)/100
+    out = {r["id"]: r["loo_mean"] for r in
+           target_encode(df, ["cat"], "value", smoothing=2).collect()}
+    assert out[1] == (2000 * 4 + 2 * 12000) / (3 * 4) / 100  # same division tree
+    # singleton-in-category is no longer null under smoothing
+    one = spark.createDataFrame([(1, "a", 10.0), (2, "b", 30.0)],
+                                "id long, cat string, value double")
+    o = {r["id"]: r["loo_mean"] for r in
+         target_encode(one, ["cat"], "value", smoothing=1).collect()}
+    # row 1: ((0)*2 + 1*40) / ((0+1)*2) / ... -> 40/2 = 20 (the global mean)
+    assert o[1] == 20.0 and o[2] == 20.0
+
+
+def test_target_encode_rejects_negative_smoothing(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, cat string, value double")
+    with pytest.raises(ValueError):
+        target_encode(df, ["cat"], "value", smoothing=-1)
+
+
+def test_diff_in_diff_hand_check(spark):
+    rows = [
+        # control: pre mean 10, post mean 12  (drift +2)
+        (False, False, 9.0), (False, False, 11.0),
+        (False, True, 11.0), (False, True, 13.0),
+        # treated: pre mean 20, post mean 27  (drift +7 -> DiD = +5)
+        (True, False, 19.0), (True, False, 21.0),
+        (True, True, 26.0), (True, True, 28.0),
+    ]
+    df = spark.createDataFrame(rows, "treat boolean, post boolean, value double")
+    r = diff_in_diff(df, "treat", "post").collect()[0]
+    assert (r["n_tp"], r["n_tq"], r["n_cp"], r["n_cq"]) == (2, 2, 2, 2)
+    assert r["mean_treat_post"] == 27.0 and r["mean_control_pre"] == 10.0
+    assert r["did"] == 5.0
+
+
+def test_diff_in_diff_requires_all_cells(spark):
+    df = spark.createDataFrame(
+        [(True, True, 1.0), (True, False, 1.0), (False, True, 1.0)],
+        "treat boolean, post boolean, value double",
+    )
+    with pytest.raises(ValueError):
+        diff_in_diff(df, "treat", "post")
+
+
+def test_grid_radius_join_boundary_and_completeness(spark):
+    # points on a line; radius 10 — the pair at EXACTLY distance 10 is
+    # included (<=), 11 is not; the 3x3 neighborhood spans cell borders
+    pts = spark.createDataFrame(
+        [(1, 100, 100), (2, 110, 100), (3, 111, 100), (4, 95, 100), (5, 3000, 3000)],
+        "id long, x long, y long",
+    )
+    qs = pts.where(F.col("id") == 1)
+    got = {(r["q_id"], r["p_id"]): r["dist2"]
+           for r in grid_radius_join(pts, qs, radius=10).collect()}
+    assert got == {(1, 2): 100, (1, 4): 25}
+    # brute-force parity on a denser fixture (completeness of the grid)
+    import itertools
+    coords = [(i, (i * 37) % 50, (i * 91) % 50) for i in range(40)]
+    pdf = spark.createDataFrame(coords, "id long, x long, y long")
+    out = {(r["q_id"], r["p_id"]) for r in grid_radius_join(pdf, pdf, radius=7).collect()}
+    want = {
+        (a, b)
+        for (a, xa, ya), (b, xb, yb) in itertools.permutations(coords, 2)
+        if (xa - xb) ** 2 + (ya - yb) ** 2 <= 49
+    }
+    assert out == want
+
+
+def test_grid_radius_join_rejects_bad_inputs(spark):
+    pts = spark.createDataFrame([(1, -5, 3)], "id long, x long, y long")
+    with pytest.raises(ValueError):
+        grid_radius_join(pts, pts, radius=0)
+    with pytest.raises(Exception):  # negative coordinate raises at execution
+        grid_radius_join(pts, pts, radius=10).collect()
