@@ -84,3 +84,123 @@ def target_encode(
         )
     drop = ["__y", "__n", "__s"] + (["__gn", "__gs"] if smoothing else [])
     return out.withColumn("loo_mean", enc).drop(*drop)
+
+
+def feature_hash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1 << 12,
+) -> DataFrame:
+    """Signed feature hashing (the "hashing trick", Weinberger et al.
+    2009): map each token to a column index by hash and accumulate ±1
+    signs, giving fixed-width sparse feature vectors with no vocabulary
+    pass, no dictionary state, and unbiased inner products — the
+    constant-memory featurizer for streaming/sharded corpora.
+
+    Plan: tokenize → explode → map-side hash/sign (md5 family, so the
+    vectors are engine- and run-reproducible) → ONE groupBy on
+    (doc, index).  Output is the sparse COO form (doc_id, idx, val),
+    val ≠ 0 — the layout downstream trainers and the ANN operators
+    consume.
+    """
+    if n_features <= 0:
+        raise ValueError("n_features must be positive")
+    from janus_spark.datapipe.dedup import shared_hash64
+    from janus_spark.datapipe.text import clean_tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(clean_tokens(F.col(text_col))).alias("__t")
+    )
+    h = shared_hash64(F.col("__t"))
+    sgn = F.when(shared_hash64(F.col("__t"), 1) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        tok.select(F.col(id_col), (h % n_features).alias("idx"), sgn.alias("__s"))
+        .groupBy(id_col, "idx")
+        .agg(F.sum("__s").cast("long").alias("val"))
+        .where(F.col("val") != 0)
+    )
+
+
+def drift_chi2(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    width_cents: int = 100,
+) -> DataFrame:
+    """Two-sample chi-square drift statistic between a reference and a
+    current batch of a numeric column (exact at 2 decimals) — the
+    distribution-shift tripwire a training pipeline runs before letting
+    a new ingest into the mix.
+
+    Values are floor-binned in integer cents (shared fixed-width bins,
+    no quantile fitting — deterministic across runs); the classic
+    pooled-expectation 2×k chi-square reduces per bin to ONE exact
+    integer rational::
+
+        term_i = (a_i·nb − b_i·na)² / ((a_i + b_i)·na·nb)
+
+    Exactness: a float per-bin term summed across bins would NOT be
+    engine-exact (window cumulative sums reassociate doubles —
+    segment-tree evaluation), so the numerator sum
+    ``Σ round(num_i²·10⁶ / (a_i+b_i))`` is accumulated as exact
+    integers (order-free) and divided by ``na·nb·10⁶`` once at the end
+    — chi2 is deterministic to the documented 1e-6 term quantization.
+    DECIMAL(38) bounds the exact path at roughly 3×10⁶ rows per side
+    (num² ≈ 4n⁴); beyond that ANSI decimal overflow raises rather than
+    silently degrading.  Degrees of freedom = k − 1.
+
+    Returns one row: (n_ref, n_cur, n_bins, chi2).
+    """
+    if width_cents <= 0:
+        raise ValueError("width_cents must be positive")
+    from pyspark.sql import Window
+
+    w = int(width_cents)
+
+    def binned(df, name):
+        c = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+        b = F.when(c >= 0, F.expr(f"__c div {w}")).otherwise(
+            -F.expr(f"((-__c) + {w - 1}) div {w}")
+        )
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .withColumn("__c", c)
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias(name))
+        )
+    a = binned(ref, "a")
+    b = binned(cur, "b")
+    cells = (
+        a.join(b, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("a", F.lit(0)).cast("decimal(38,0)").alias("a"),
+            F.coalesce("b", F.lit(0)).cast("decimal(38,0)").alias("b"),
+        )
+    )
+    tot = Window.partitionBy(F.lit(1))
+    staged = (
+        cells.withColumn("na", F.sum("a").over(tot))
+        .withColumn("nb", F.sum("b").over(tot))
+        .withColumn("__num", F.col("a") * F.col("nb") - F.col("b") * F.col("na"))
+        .withColumn("__ab", F.col("a") + F.col("b"))
+    )
+    # round-half-up integral division of the non-negative num² — exact,
+    # so the cross-bin SUM is order-free (plain `/` on decimals rounds
+    # at a fixed result scale, hence `div`)
+    term_u = F.expr("((__num * __num) * 2000000 + __ab) div (__ab * 2)")
+    agg = staged.groupBy("na", "nb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(term_u.cast(_D38)).alias("__x"),
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_ref"),
+        F.col("nb").cast("long").alias("n_cur"),
+        "n_bins",
+        (
+            F.col("__x").cast("double")
+            / (F.col("na") * F.col("nb")).cast("double")
+            / 1e6
+        ).alias("chi2"),
+    )

@@ -314,3 +314,74 @@ def cms_join_size(
     if n_rows < depth:
         return pa.sparkSession.range(1).select(F.lit(0).cast("long").alias("est_join_size"))
     return per_row.agg(F.min("ip").cast("long").alias("est_join_size"))
+
+
+# ------------------------------------------------ deterministic q-histogram
+def qhist_partials(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    width_cents: int = 100,
+) -> DataFrame:
+    """Mergeable fixed-width histogram partials for distributed quantile
+    estimation WITHOUT a global sort: values (exact at 2 decimals) are
+    floor-binned in integer cents; state is plain ``(by…, bin, cnt)``
+    rows — any engine (or a later run) can merge partials by summing
+    counts, the same portable-parquet contract as the det-HLL/CMS
+    sketches.  Error is bounded by the bin width by construction.
+
+    The bin is a sign-aware integer floor division (no floats), so
+    partials are bit-identical across engines and partitionings.
+    """
+    if width_cents <= 0:
+        raise ValueError("width_cents must be positive")
+    c = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    w = int(width_cents)
+    bin_ = F.when(c >= 0, F.expr(f"__qh_c div {w}")).otherwise(
+        -F.expr(f"((-__qh_c) + {w - 1}) div {w}")
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("__qh_c", c)
+        .groupBy(*by, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def qhist_quantile(
+    partials: DataFrame,
+    by: list[str],
+    q_num: int,
+    q_den: int,
+    width_cents: int = 100,
+) -> DataFrame:
+    """Quantile read-off from (merged) ``qhist_partials``: the value of
+    the smallest bin whose cumulative count reaches rank
+    ``ceil(q_num·n / q_den)`` — rank arithmetic is pure integers (the
+    quantile fraction is a rational, never a float, so 0.95-style
+    ulp-of-a-product rank drift cannot occur), the cumulative count is a
+    sequential ordered prefix sum, and the emitted estimate is one
+    division of exact integers.  Returns (by…, n, q_value) with
+    ``q_value`` = the bin's lower edge in value units.
+    """
+    if not (0 < q_num <= q_den):
+        raise ValueError("need 0 < q_num <= q_den")
+    from pyspark.sql import Window
+
+    wtot = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    wcum = wtot.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        partials.withColumn("__n", F.sum("cnt").over(wtot))
+        .withColumn("__cum", F.sum("cnt").over(wcum))
+        .withColumn(
+            "__rank", F.expr(f"(__n * {int(q_num)} + {int(q_den) - 1}) div {int(q_den)}")
+        )
+    )
+    hit = staged.where(F.col("__cum") >= F.col("__rank")).groupBy(*by).agg(
+        F.min("bin").alias("__bin"), F.max("__n").alias("n")
+    )
+    return hit.select(
+        *by,
+        F.col("n").cast("long").alias("n"),
+        ((F.col("__bin") * width_cents).cast("double") / 100.0).alias("q_value"),
+    )

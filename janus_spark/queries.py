@@ -8090,3 +8090,111 @@ ORACLES["q_spatial_join"] = """
     FROM q JOIN p ON p.id <> q.id
     WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
           <= 200000::BIGINT * 200000::BIGINT"""
+
+
+def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantiles WITHOUT a global sort: mergeable fixed-width
+    histogram partials + integer rank read-off (p50/p95 per event type,
+    bin width 0.50) — functions/sketches.py::qhist_partials/
+    qhist_quantile.  All rank arithmetic is pure integers, so the
+    estimates are engine-exact."""
+    from janus_spark.functions.sketches import qhist_partials, qhist_quantile
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir)
+    parts = qhist_partials(ev, "value", ["event_type"], width_cents=50)
+    p50 = qhist_quantile(parts, ["event_type"], 1, 2, 50).select(
+        "event_type", "n", F.col("q_value").alias("p50")
+    )
+    p95 = qhist_quantile(parts, ["event_type"], 19, 20, 50).select(
+        "event_type", F.col("q_value").alias("p95")
+    )
+    return p50.join(p95, "event_type").select("event_type", "n", "p50", "p95")
+
+
+QUERIES["q_quantile_hist"] = q_quantile_hist
+ORACLES["q_quantile_hist"] = """
+    WITH e AS (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL),
+         p AS (SELECT event_type,
+                      CASE WHEN c >= 0 THEN c // 50 ELSE -(((-c) + 49) // 50) END AS bin,
+                      COUNT(*) AS cnt
+               FROM e GROUP BY 1, 2),
+         s AS (SELECT event_type, bin, cnt,
+                      SUM(cnt) OVER (PARTITION BY event_type) AS n,
+                      SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+               FROM p),
+         q50 AS (SELECT event_type, MIN(bin) AS b, MAX(n) AS n FROM s
+                 WHERE cum >= (n * 1 + 1) // 2 GROUP BY event_type),
+         q95 AS (SELECT event_type, MIN(bin) AS b FROM s
+                 WHERE cum >= (n * 19 + 19) // 20 GROUP BY event_type)
+    SELECT q50.event_type, CAST(q50.n AS BIGINT) AS n,
+           CAST(q50.b * 50 AS DOUBLE) / 100.0 AS p50,
+           CAST(q95.b * 50 AS DOUBLE) / 100.0 AS p95
+    FROM q50 JOIN q95 USING (event_type)"""
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing of document tokens into 4096 columns
+    (sparse COO output) — datapipe/features.py::feature_hash; md5-family
+    index and sign hashes make the vectors engine-reproducible."""
+    from janus_spark.datapipe.features import feature_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = feature_hash(docs, "text", "doc_id", n_features=4096)
+    return out.select("doc_id", F.col("idx").cast("long").alias("idx"), "val")
+
+
+QUERIES["q_feature_hashing"] = q_feature_hashing
+ORACLES["q_feature_hashing"] = """
+    WITH t AS (SELECT doc_id,
+                      unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                         x -> x <> '')) AS tok
+               FROM documents),
+         h AS (SELECT doc_id,
+                      ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS idx,
+                      CASE WHEN ('0x' || substr(md5('1:' || tok), 1, 15))::BIGINT % 2 = 0
+                           THEN 1 ELSE -1 END AS s
+               FROM t)
+    SELECT doc_id, idx, SUM(s) AS val
+    FROM h GROUP BY doc_id, idx HAVING SUM(s) <> 0"""
+
+
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift tripwire: two-sample chi-square between the
+    first half-month of events and the rest (fixed-width value bins;
+    per-bin exact integer rationals; ordered prefix-sum total) —
+    datapipe/features.py::drift_chi2."""
+    from janus_spark.datapipe.features import drift_chi2
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.where(F.col("ts").cast("timestamp") < cut)
+    cur = ev.where(F.col("ts").cast("timestamp") >= cut)
+    return drift_chi2(ref, cur, "value", width_cents=100)
+
+
+QUERIES["q_drift_chi2"] = q_drift_chi2
+ORACLES["q_drift_chi2"] = """
+    WITH e AS (SELECT (ts < TIMESTAMP '2024-01-16') AS is_ref,
+                      CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL),
+         p AS (SELECT CASE WHEN c >= 0 THEN c // 100 ELSE -(((-c) + 99) // 100) END AS bin,
+                      CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+                      CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS HUGEINT) AS b
+               FROM e GROUP BY 1),
+         s AS (SELECT bin, a, b,
+                      SUM(a) OVER () AS na, SUM(b) OVER () AS nb
+               FROM p),
+         t AS (SELECT na, nb,
+                      (((a * nb - b * na) * (a * nb - b * na)) * 2000000 + (a + b))
+                        // ((a + b) * 2) AS tu
+               FROM s),
+         c AS (SELECT na, nb, COUNT(*) AS k, SUM(tu) AS x
+               FROM t GROUP BY na, nb)
+    SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+           CAST(k AS BIGINT) AS n_bins,
+           CAST(x AS DOUBLE) / CAST(na * nb AS DOUBLE) / 1e6 AS chi2
+    FROM c"""

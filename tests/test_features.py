@@ -99,3 +99,83 @@ def test_grid_radius_join_rejects_bad_inputs(spark):
         grid_radius_join(pts, pts, radius=0)
     with pytest.raises(Exception):  # negative coordinate raises at execution
         grid_radius_join(pts, pts, radius=10).collect()
+
+
+def test_feature_hash_matches_python_reference(spark):
+    import hashlib
+
+    from janus_spark.datapipe.features import feature_hash
+
+    docs = [(1, "red fox red Fox"), (2, "  lazy   dog "), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["idx"]): r["val"]
+           for r in feature_hash(df, n_features=64).collect()}
+
+    def h(s, seed=None):
+        x = (f"{seed}:{s}" if seed is not None else s).encode()
+        return int(hashlib.md5(x).hexdigest()[:15], 16)
+
+    want = {}
+    for did, text in docs:
+        for tok in [t for t in text.strip().lower().split() if t]:
+            key = (did, h(tok) % 64)
+            want[key] = want.get(key, 0) + (1 if h(tok, 1) % 2 == 0 else -1)
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
+
+
+def test_qhist_quantiles_and_parquet_merge(spark, tmp_path):
+    from janus_spark.functions.sketches import qhist_partials, qhist_quantile
+
+    rows = [(1, float(v)) for v in range(1, 101)] + [(2, -3.25), (2, -1.75), (2, 4.5)]
+    df = spark.createDataFrame(rows, "k int, value double")
+    parts = qhist_partials(df, "value", ["k"], width_cents=100)
+    q = {r["k"]: r for r in qhist_quantile(parts, ["k"], 1, 2, 100).collect()}
+    # k=1: rank ceil(100/2)=50 -> value 50 is in bin 50 (lower edge 50.0)
+    assert q[1]["n"] == 100 and q[1]["q_value"] == 50.0
+    # k=2: rank 2 of {-3.25, -1.75, 4.5}; bins floor: -4, -2, 4 -> median bin -2
+    assert q[2]["q_value"] == -2.0
+    p95 = {r["k"]: r["q_value"] for r in qhist_quantile(parts, ["k"], 19, 20, 100).collect()}
+    assert p95[1] == 95.0
+    # mergeability: two half-partials written to parquet, re-read, summed
+    h1 = qhist_partials(df.where(F.col("value") <= 40), "value", ["k"], 100)
+    h2 = qhist_partials(df.where(F.col("value") > 40), "value", ["k"], 100)
+    p = str(tmp_path / "qh")
+    h1.unionByName(h2).write.parquet(p)
+    merged = (
+        spark.read.parquet(p).groupBy("k", "bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    q2 = {r["k"]: r["q_value"] for r in qhist_quantile(merged, ["k"], 1, 2, 100).collect()}
+    assert q2 == {k: r["q_value"] for k, r in q.items()}
+
+
+def test_qhist_rejects_bad_fraction(spark):
+    from janus_spark.functions.sketches import qhist_partials, qhist_quantile
+
+    df = spark.createDataFrame([(1, 1.0)], "k int, value double")
+    parts = qhist_partials(df, "value", ["k"])
+    with pytest.raises(ValueError):
+        qhist_quantile(parts, ["k"], 0, 2)
+    with pytest.raises(ValueError):
+        qhist_partials(df, "value", ["k"], width_cents=0)
+
+
+def test_drift_chi2_matches_float_reference(spark):
+    from janus_spark.datapipe.features import drift_chi2
+
+    ref = spark.createDataFrame([(float(v % 7),) for v in range(200)], "value double")
+    cur = spark.createDataFrame([(float(v % 5),) for v in range(150)], "value double")
+    r = drift_chi2(ref, cur, "value", width_cents=100).collect()[0]
+    assert (r["n_ref"], r["n_cur"], r["n_bins"]) == (200, 150, 7)
+    # pure-Python pooled 2xk chi-square; the engine quantizes terms at 1e-6
+    from collections import Counter
+    ca = Counter(v % 7 for v in range(200))
+    cb = Counter(v % 5 for v in range(150))
+    want = 0.0
+    for bin_ in sorted(set(ca) | set(cb)):
+        a, b = ca.get(bin_, 0), cb.get(bin_, 0)
+        want += (a * 150 - b * 200) ** 2 / ((a + b) * 200 * 150)
+    assert r["chi2"] == pytest.approx(want, abs=1e-4)
+    # identical distributions -> chi2 == 0 exactly
+    z = drift_chi2(ref, ref, "value").collect()[0]
+    assert z["chi2"] == 0.0
