@@ -202,6 +202,44 @@ def _compile_call(e: ECall, rec, registry) -> Column:
         return F.when(is_iri(s), F.lit(None).cast("string")).otherwise(
             F.lit("http://www.w3.org/2001/XMLSchema#string")
         )
+    if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+        # xsd:dateTime accessors.  Terms are strings post-ingest: accept
+        # an ISO timestamp lexical form OR the engine's epoch-millis
+        # melt encoding (sources/melt.py:85) — whichever parses.
+        s = rec(a[0], "str")
+        ts = F.coalesce(
+            s.try_cast("timestamp"),
+            F.timestamp_millis(s.try_cast("long")),
+        )
+        if name == "SECONDS":
+            # seconds-within-minute including the fraction (xsd:decimal
+            # per spec; emitted as double) — exact: one division of the
+            # integer micros remainder
+            return (F.unix_micros(ts) % 60_000_000).cast("double") / 1e6
+        fn = {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+              "HOURS": F.hour, "MINUTES": F.minute}[name]
+        return fn(ts)
+    if name == "TZ":
+        # timezone suffix of the literal's lexical form ("Z", "+05:00",
+        # or "" when absent — epoch-millis melt encodings have none)
+        return F.regexp_extract(rec(a[0], "str"), r"(Z|[+-]\d{2}:\d{2})$", 1)
+    if name in ("UUID", "STRUUID"):
+        u = F.expr("uuid()")
+        return F.concat(F.lit("urn:uuid:"), u) if name == "UUID" else u
+    if name == "LANGMATCHES":
+        # language tags are stripped at ingest so LANG yields "" — the
+        # general basic-filtering rule still compiles: "*" matches any
+        # non-empty tag; otherwise exact tag or prefix-with-hyphen,
+        # case-insensitive
+        tag = F.lower(rec(a[0], "str"))
+        rng = F.lower(rec(a[1], "str"))
+        return F.when(rng == "*", tag != "").otherwise(
+            (tag == rng) | tag.startswith(F.concat(rng, F.lit("-")))
+        )
+    if name in ("STRLANG", "STRDT"):
+        # annotations are stripped at ingest (sources/nquads.py:7-9);
+        # constructing an annotated literal keeps the lexical form
+        return rec(a[0], "str")
     if name == "IF":
         return F.when(rec(a[0], "bool"), rec(a[1])).otherwise(rec(a[2]))
     if name == "COALESCE":

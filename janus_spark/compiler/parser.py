@@ -48,6 +48,7 @@ BUILTIN_FNS = {
     "SAMETERM", "RAND", "NOW", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
     "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "STRBEFORE", "STRAFTER",
     "DATATYPE", "LANG", "ENCODE_FOR_URI", "IRI", "URI",
+    "TZ", "UUID", "STRUUID", "LANGMATCHES", "STRLANG", "STRDT",
 }
 
 DEFAULT_PREFIXES = {

@@ -8198,3 +8198,31 @@ ORACLES["q_drift_chi2"] = """
            CAST(k AS BIGINT) AS n_bins,
            CAST(x AS DOUBLE) / CAST(na * nb AS DOUBLE) / 1e6 AS chi2
     FROM c"""
+
+
+def q_expr_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 datetime accessors (YEAR/MONTH/DAY/HOURS/MINUTES/
+    SECONDS) over the engine's epoch-millis term encoding — closes the
+    builtin-function surface alongside q_expr_functions/q_expr_hash."""
+    q = """SELECT ?o (YEAR(?t) AS ?y) (MONTH(?t) AS ?mo) (DAY(?t) AS ?d)
+                  (HOURS(?t) AS ?h) (MINUTES(?t) AS ?mi) (SECONDS(?t) AS ?sec)
+           WHERE { ?o <urn:orders:o_orderdate> ?t . }"""
+    df = _run(_table_quads(spark, sf_dir, "orders"), q)
+    return df.select(
+        "o",
+        F.col("y").cast("int").alias("y"), F.col("mo").cast("int").alias("mo"),
+        F.col("d").cast("int").alias("d"), F.col("h").cast("int").alias("h"),
+        F.col("mi").cast("int").alias("mi"), "sec",
+    )
+
+
+QUERIES["q_expr_datetime"] = q_expr_datetime
+ORACLES["q_expr_datetime"] = """
+    SELECT 'urn:orders:' || o_orderkey AS o,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS d,
+           CAST(EXTRACT(hour FROM o_orderdate) AS INT) AS h,
+           CAST(EXTRACT(minute FROM o_orderdate) AS INT) AS mi,
+           CAST((epoch_ns(o_orderdate) // 1000000) % 60000 AS DOUBLE) / 1000.0 AS sec
+    FROM orders"""

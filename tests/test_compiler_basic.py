@@ -521,3 +521,43 @@ def test_encode_for_uri_unreserved_edge_chars(spark):
     q = """SELECT (ENCODE_FOR_URI(?t) AS ?enc) WHERE { ?e <urn:col:t> ?t . }"""
     row = compile_sparql(parse_sparql(q), quads).collect()[0]
     assert row["enc"] == "~a%2Ab%20c-d._%257E"
+
+
+def test_datetime_tz_uuid_langmatches_builtins(spark):
+    """Remaining SPARQL 1.1 builtins: datetime accessors parse BOTH the
+    ISO lexical form and the engine's epoch-millis melt encoding; TZ
+    extracts the literal's zone suffix; UUID/STRUUID produce fresh
+    urn:uuid IRIs / lexical UUIDs; LANGMATCHES follows basic filtering
+    over the (stripped-at-ingest) LANG value."""
+    import re
+
+    from janus_spark.compiler import compile_sparql, parse_sparql
+
+    quads = spark.createDataFrame(
+        [
+            (0, "urn:e:iso", "urn:col:t", "2024-03-05T07:08:09.250Z", "g"),
+            (0, "urn:e:ms", "urn:col:t", "1709622489250", "g"),  # same instant
+        ],
+        ["ts", "subject", "predicate", "object", "graph"],
+    )
+    q = """SELECT ?e (YEAR(?t) AS ?y) (MONTH(?t) AS ?mo) (DAY(?t) AS ?d)
+                  (HOURS(?t) AS ?h) (MINUTES(?t) AS ?mi) (SECONDS(?t) AS ?sec)
+                  (TZ(?t) AS ?tz) (UUID() AS ?u) (STRUUID() AS ?su)
+                  (LANGMATCHES(LANG(?t), "*") AS ?lm)
+                  (STRLANG(?t, "en") AS ?sl)
+           WHERE { ?e <urn:col:t> ?t . }"""
+    rows = {r["e"]: r for r in compile_sparql(parse_sparql(q), quads).collect()}
+    for e in ("urn:e:iso", "urn:e:ms"):
+        r = rows[e]
+        assert (r["y"], r["mo"], r["d"], r["h"], r["mi"]) == (2024, 3, 5, 7, 8)
+        assert r["sec"] == 9.25
+        assert r["lm"] is False  # language tags stripped at ingest
+    assert rows["urn:e:iso"]["tz"] == "Z" and rows["urn:e:ms"]["tz"] == ""
+    assert rows["urn:e:iso"]["sl"] == "2024-03-05T07:08:09.250Z"
+    u = rows["urn:e:iso"]["u"]
+    assert u.startswith("urn:uuid:") and re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", u[9:]
+    )
+    assert re.fullmatch(r"[0-9a-f-]{36}", rows["urn:e:ms"]["su"])
+    # distinct draws across rows
+    assert rows["urn:e:iso"]["u"] != rows["urn:e:ms"]["u"]
