@@ -204,3 +204,73 @@ def drift_chi2(
             / 1e6
         ).alias("chi2"),
     )
+
+
+def drift_chi2_from_binned(
+    bins: DataFrame,
+    ref: DataFrame,
+    group_cols: list[str],
+    bin_col: str = "bin",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Per-group chi-square drift against a SHARED reference histogram —
+    the batch read-off half of the live drift monitor: the stream only
+    maintains per-window bin counts (bounded state, see
+    streaming/native_agg.histogram_quantile_stream); this finisher
+    scores every closed window against the reference without touching
+    the stream.
+
+    Inputs: ``bins`` = (group…, bin, cnt) per-group histograms; ``ref``
+    = (bin, cnt) the reference histogram (dimension-sized → broadcast).
+    Bins absent on either side count 0.  Same exact integer term
+    algebra and 1e-6 quantization as :func:`drift_chi2`.
+
+    Returns (group…, n_ref, n_cur, n_bins, chi2).
+    """
+    refc = ref.select(
+        F.col(bin_col).alias("__bin"), F.col(cnt_col).cast(_D38).alias("a")
+    )
+    ref_tot = refc.agg(F.sum("a").alias("na"))
+    cur = bins.select(
+        *group_cols, F.col(bin_col).alias("__bin"), F.col(cnt_col).cast(_D38).alias("b")
+    )
+    groups = cur.select(*group_cols).distinct()
+    grid = groups.crossJoin(F.broadcast(refc))
+    cells = (
+        grid.join(cur, [*group_cols, "__bin"], "full")
+        .select(
+            *group_cols,
+            "__bin",
+            F.coalesce("a", F.lit(0)).cast(_D38).alias("a"),
+            F.coalesce("b", F.lit(0)).cast(_D38).alias("b"),
+        )
+        .crossJoin(F.broadcast(ref_tot))
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(*group_cols)
+    staged = (
+        cells.withColumn("nb", F.sum("b").over(wg))
+        .withColumn("__num", F.col("a") * F.col("nb") - F.col("b") * F.col("na"))
+        .withColumn("__ab", F.col("a") + F.col("b"))
+        .where(F.col("__ab") > 0)
+    )
+    term_u = F.expr("((__num * __num) * 2000000 + __ab) div (__ab * 2)")
+    return (
+        staged.groupBy(*group_cols, "na", "nb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum(term_u.cast(_D38)).alias("__x"),
+        )
+        .select(
+            *group_cols,
+            F.col("na").cast("long").alias("n_ref"),
+            F.col("nb").cast("long").alias("n_cur"),
+            "n_bins",
+            (
+                F.col("__x").cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+                / 1e6
+            ).alias("chi2"),
+        )
+    )

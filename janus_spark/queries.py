@@ -8226,3 +8226,94 @@ ORACLES["q_expr_datetime"] = """
            CAST(EXTRACT(minute FROM o_orderdate) AS INT) AS mi,
            CAST((epoch_ns(o_orderdate) // 1000000) % 60000 AS DOUBLE) / 1000.0 AS sec
     FROM orders"""
+
+
+def q_live_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous distribution-drift monitor over a REAL Structured
+    Streaming run: tumbling 4s windows maintain fixed-bin histogram
+    counts as native incremental state (bounded per window — the only
+    thing the stream carries), and every closed window is chi-square
+    scored against a broadcast reference histogram in batch
+    (datapipe/features.py::drift_chi2_from_binned).  Deterministic
+    integer counting + exact integer chi-square terms → EXACT oracle.
+    sf_dir unused: the fixture IS the stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.datapipe.features import drift_chi2_from_binned
+    from janus_spark.streaming.native_agg import histogram_quantile_stream
+
+    fixture = spark.range(1, 61).select(
+        (F.col("id") * 500).alias("ts"),
+        (20.0 + (F.col("id") * F.col("id")) % 10).alias("value"),
+    )
+    closer = spark.range(1).select(
+        F.lit(95_000).cast("long").alias("ts"), F.lit(25.0).alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="live_drift_")
+    name = f"live_drift_{uuid.uuid4().hex[:8]}"
+    try:
+        fixture.where("ts <= 15000").coalesce(1).write.parquet(f"{root}/f1.parquet")
+        fixture.where("ts > 15000").coalesce(1).write.parquet(f"{root}/f2.parquet")
+        closer.coalesce(1).write.parquet(f"{root}/f3.parquet")
+        stream = (
+            spark.readStream.schema("ts long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        hist = histogram_quantile_stream(
+            stream, [], ts_col="ts", value_col="value",
+            window_ms=4_000, vmin=20.0, vmax=30.0, n_bins=10,
+        )
+        q = (
+            hist.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        counts = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    ref = (
+        spark.range(1, 41)
+        .select((F.col("id") % 10).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = drift_chi2_from_binned(counts, ref, ["window_start"])
+    return out.select("window_start", "n_ref", "n_cur", "n_bins", "chi2")
+
+
+QUERIES["q_live_drift"] = q_live_drift
+ORACLES["q_live_drift"] = """
+    WITH e AS (SELECT i * 500 AS ts, (i * i) % 10 AS bin FROM range(1, 61) r(i)),
+         b AS (SELECT (ts // 4000) * 4000 AS window_start, bin,
+                      CAST(COUNT(*) AS HUGEINT) AS b
+               FROM e GROUP BY 1, 2),
+         ref AS (SELECT i % 10 AS bin, CAST(COUNT(*) AS HUGEINT) AS a
+                 FROM range(1, 41) r(i) GROUP BY 1),
+         g AS (SELECT DISTINCT window_start FROM b),
+         grid AS (SELECT g.window_start, ref.bin, ref.a FROM g CROSS JOIN ref),
+         cells AS (SELECT COALESCE(grid.window_start, b.window_start) AS window_start,
+                          COALESCE(grid.bin, b.bin) AS bin,
+                          COALESCE(grid.a, 0) AS a, COALESCE(b.b, 0) AS b
+                   FROM grid FULL JOIN b
+                     ON grid.window_start = b.window_start AND grid.bin = b.bin),
+         s AS (SELECT window_start, a, b,
+                      (SELECT SUM(a) FROM ref) AS na,
+                      SUM(b) OVER (PARTITION BY window_start) AS nb
+               FROM cells),
+         t AS (SELECT window_start, na, nb,
+                      (((a * nb - b * na) * (a * nb - b * na)) * 2000000 + (a + b))
+                        // ((a + b) * 2) AS tu
+               FROM s WHERE a + b > 0),
+         c AS (SELECT window_start, na, nb, COUNT(*) AS k, SUM(tu) AS x
+               FROM t GROUP BY 1, 2, 3)
+    SELECT window_start, CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+           CAST(k AS BIGINT) AS n_bins,
+           CAST(x AS DOUBLE) / CAST(na * nb AS DOUBLE) / 1e6 AS chi2
+    FROM c"""

@@ -179,3 +179,25 @@ def test_drift_chi2_matches_float_reference(spark):
     # identical distributions -> chi2 == 0 exactly
     z = drift_chi2(ref, ref, "value").collect()[0]
     assert z["chi2"] == 0.0
+
+
+def test_drift_chi2_from_binned_matches_two_sample_form(spark):
+    """The binned finisher over a single group must equal drift_chi2 on
+    the raw frames (same bins, same reference)."""
+    from janus_spark.datapipe.features import drift_chi2, drift_chi2_from_binned
+
+    ref = spark.createDataFrame([(float(v % 7),) for v in range(140)], "value double")
+    cur = spark.createDataFrame([(float(v % 4),) for v in range(90)], "value double")
+    want = drift_chi2(ref, cur, "value", width_cents=100).collect()[0]
+
+    def hist(df):
+        return (
+            df.groupBy(F.floor(F.col("value")).cast("long").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    got = drift_chi2_from_binned(
+        hist(cur).withColumn("g", F.lit(1)), hist(ref), ["g"]
+    ).collect()[0]
+    assert (got["n_ref"], got["n_cur"], got["n_bins"]) == (
+        want["n_ref"], want["n_cur"], want["n_bins"])
+    assert got["chi2"] == want["chi2"]
