@@ -142,13 +142,14 @@ def drift_chi2(
 
     Exactness: a float per-bin term summed across bins would NOT be
     engine-exact (window cumulative sums reassociate doubles —
-    segment-tree evaluation), so the numerator sum
-    ``Σ round(num_i²·10⁶ / (a_i+b_i))`` is accumulated as exact
-    integers (order-free) and divided by ``na·nb·10⁶`` once at the end
-    — chi2 is deterministic to the documented 1e-6 term quantization.
-    DECIMAL(38) bounds the exact path at roughly 3×10⁶ rows per side
-    (num² ≈ 4n⁴); beyond that ANSI decimal overflow raises rather than
-    silently degrading.  Degrees of freedom = k − 1.
+    segment-tree evaluation), so each term is quantized at 10⁻⁶ by ONE
+    integral round-division over the FULL denominator —
+    ``round(num_i²·10⁶ / ((a_i+b_i)·na·nb))`` — giving chi2-sized
+    integer quotients (a partial denominator overflows the 64-bit
+    quotient at scale), summed order-free and divided by 10⁶ once.
+    DECIMAL(38) bounds the exact path at roughly 4×10⁷ rows per side
+    (num²·10⁶ ≈ 4n⁴·10⁶); beyond that ANSI decimal overflow raises
+    rather than silently degrading.  Degrees of freedom = k − 1.
 
     Returns one row: (n_ref, n_cur, n_bins, chi2).
     """
@@ -186,10 +187,13 @@ def drift_chi2(
         .withColumn("__num", F.col("a") * F.col("nb") - F.col("b") * F.col("na"))
         .withColumn("__ab", F.col("a") + F.col("b"))
     )
-    # round-half-up integral division of the non-negative num² — exact,
-    # so the cross-bin SUM is order-free (plain `/` on decimals rounds
-    # at a fixed result scale, hence `div`)
-    term_u = F.expr("((__num * __num) * 2000000 + __ab) div (__ab * 2)")
+    # round-half-up integral division of the non-negative num² over the
+    # FULL denominator — quotients are chi2-sized so they fit the
+    # 64-bit `div` result, and the cross-bin SUM is order-free (plain
+    # `/` on decimals rounds at a fixed result scale, hence `div`)
+    term_u = F.expr(
+        "((__num * __num) * 2000000 + __ab * na * nb) div (__ab * na * nb * 2)"
+    )
     agg = staged.groupBy("na", "nb").agg(
         F.count(F.lit(1)).cast("long").alias("n_bins"),
         F.sum(term_u.cast(_D38)).alias("__x"),
@@ -198,11 +202,7 @@ def drift_chi2(
         F.col("na").cast("long").alias("n_ref"),
         F.col("nb").cast("long").alias("n_cur"),
         "n_bins",
-        (
-            F.col("__x").cast("double")
-            / (F.col("na") * F.col("nb")).cast("double")
-            / 1e6
-        ).alias("chi2"),
+        (F.col("__x").cast("double") / 1e6).alias("chi2"),
     )
 
 
@@ -255,7 +255,9 @@ def drift_chi2_from_binned(
         .withColumn("__ab", F.col("a") + F.col("b"))
         .where(F.col("__ab") > 0)
     )
-    term_u = F.expr("((__num * __num) * 2000000 + __ab) div (__ab * 2)")
+    term_u = F.expr(
+        "((__num * __num) * 2000000 + __ab * na * nb) div (__ab * na * nb * 2)"
+    )
     return (
         staged.groupBy(*group_cols, "na", "nb")
         .agg(
@@ -267,10 +269,6 @@ def drift_chi2_from_binned(
             F.col("na").cast("long").alias("n_ref"),
             F.col("nb").cast("long").alias("n_cur"),
             "n_bins",
-            (
-                F.col("__x").cast("double")
-                / (F.col("na") * F.col("nb")).cast("double")
-                / 1e6
-            ).alias("chi2"),
+            (F.col("__x").cast("double") / 1e6).alias("chi2"),
         )
     )

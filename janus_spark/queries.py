@@ -8189,14 +8189,15 @@ ORACLES["q_drift_chi2"] = """
                       SUM(a) OVER () AS na, SUM(b) OVER () AS nb
                FROM p),
          t AS (SELECT na, nb,
-                      (((a * nb - b * na) * (a * nb - b * na)) * 2000000 + (a + b))
-                        // ((a + b) * 2) AS tu
+                      (((a * nb - b * na) * (a * nb - b * na)) * 2000000
+                         + (a + b) * na * nb)
+                        // ((a + b) * na * nb * 2) AS tu
                FROM s),
          c AS (SELECT na, nb, COUNT(*) AS k, SUM(tu) AS x
                FROM t GROUP BY na, nb)
     SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
            CAST(k AS BIGINT) AS n_bins,
-           CAST(x AS DOUBLE) / CAST(na * nb AS DOUBLE) / 1e6 AS chi2
+           CAST(x AS DOUBLE) / 1e6 AS chi2
     FROM c"""
 
 
@@ -8308,12 +8309,13 @@ ORACLES["q_live_drift"] = """
                       SUM(b) OVER (PARTITION BY window_start) AS nb
                FROM cells),
          t AS (SELECT window_start, na, nb,
-                      (((a * nb - b * na) * (a * nb - b * na)) * 2000000 + (a + b))
-                        // ((a + b) * 2) AS tu
+                      (((a * nb - b * na) * (a * nb - b * na)) * 2000000
+                         + (a + b) * na * nb)
+                        // ((a + b) * na * nb * 2) AS tu
                FROM s WHERE a + b > 0),
          c AS (SELECT window_start, na, nb, COUNT(*) AS k, SUM(tu) AS x
                FROM t GROUP BY 1, 2, 3)
     SELECT window_start, CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
            CAST(k AS BIGINT) AS n_bins,
-           CAST(x AS DOUBLE) / CAST(na * nb AS DOUBLE) / 1e6 AS chi2
+           CAST(x AS DOUBLE) / 1e6 AS chi2
     FROM c"""
