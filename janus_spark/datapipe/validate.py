@@ -79,3 +79,49 @@ def validate(df: DataFrame, rules: list[tuple]) -> DataFrame:
         [(k, c, n, n == 0) for k, c, n in results],
         "rule string, column string, n_violations bigint, passed boolean",
     )
+
+
+def profile_table(df, numeric_cols: list[str] | None = None):
+    """Column profile in ONE scan — the data-quality summary every
+    ingest job logs before a table enters the pipeline: per column the
+    row count, null count, exact distinct count, and (for the declared
+    numeric columns) min/max.
+
+    Plan: a single wide aggregate computes every statistic map-side
+    (count/count-null are plain partial aggs; COUNT(DISTINCT col) per
+    column expands via Spark's expand-operator, still one scan), then a
+    stack() melt turns the one-row result into one row per column —
+    no per-column jobs, no driver loop over columns.
+
+    Returns (column, n, n_null, n_distinct, min_v, max_v) with min/max
+    null for non-numeric columns.
+    """
+    from pyspark.sql import functions as F
+
+    numeric_cols = numeric_cols or []
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        if c in numeric_cols:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+    parts = []
+    for c in df.columns:
+        mn = f"__min_{c}" if c in numeric_cols else "NULL"
+        mx = f"__max_{c}" if c in numeric_cols else "NULL"
+        parts += [
+            f"'{c}'", "__n", f"__null_{c}", f"__nd_{c}",
+            f"CAST({mn} AS DOUBLE)", f"CAST({mx} AS DOUBLE)",
+        ]
+    stacked = ", ".join(parts)
+    return one.selectExpr(
+        f"stack({len(df.columns)}, {stacked}) AS (column, n, n_null, n_distinct, min_v, max_v)"
+    ).selectExpr(
+        "column",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(n_null AS BIGINT) AS n_null",
+        "CAST(n_distinct AS BIGINT) AS n_distinct",
+        "min_v", "max_v",
+    )

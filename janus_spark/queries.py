@@ -8319,3 +8319,42 @@ ORACLES["q_live_drift"] = """
            CAST(k AS BIGINT) AS n_bins,
            CAST(x AS DOUBLE) / 1e6 AS chi2
     FROM c"""
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profile of the events table (row/null/exact-
+    distinct counts + numeric min/max) — datapipe/validate.py::
+    profile_table, the ingest-time data-quality summary."""
+    from janus_spark.datapipe.validate import profile_table
+    from janus_spark.sources.melt import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return profile_table(ev, numeric_cols=["event_id", "user_id", "value"])
+
+
+QUERIES["q_profile"] = q_profile
+ORACLES["q_profile"] = """
+    SELECT 'event_id' AS column, COUNT(*) AS n,
+           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           COUNT(DISTINCT event_id) AS n_distinct,
+           CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*),
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*),
+           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT event_type), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*),
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT value),
+           CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE)
+    FROM events"""
