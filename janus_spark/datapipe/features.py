@@ -191,8 +191,18 @@ def drift_chi2(
     # FULL denominator — quotients are chi2-sized so they fit the
     # 64-bit `div` result, and the cross-bin SUM is order-free (plain
     # `/` on decimals rounds at a fixed result scale, hence `div`)
-    term_u = F.expr(
-        "((__num * __num) * 2000000 + __ab * na * nb) div (__ab * na * nb * 2)"
+    # An empty reference or current side (na=0 / nb=0) would zero the
+    # denominator — a raw DIVIDE_BY_ZERO under ANSI, a silent null chi2
+    # otherwise.  Fail in-plan (stays lazy, survives column pruning
+    # because the guard wraps the term itself) with a diagnosable
+    # message: a drift tripwire must never mask a broken feed.
+    term_u = F.when(
+        (F.col("na") == 0) | (F.col("nb") == 0),
+        F.raise_error(
+            F.lit("drift_chi2: empty reference or current batch (na=0 or nb=0)")
+        ).cast(_D38),
+    ).otherwise(
+        F.expr("((__num * __num) * 2000000 + __ab * na * nb) div (__ab * na * nb * 2)")
     )
     agg = staged.groupBy("na", "nb").agg(
         F.count(F.lit(1)).cast("long").alias("n_bins"),
@@ -255,8 +265,18 @@ def drift_chi2_from_binned(
         .withColumn("__ab", F.col("a") + F.col("b"))
         .where(F.col("__ab") > 0)
     )
-    term_u = F.expr(
-        "((__num * __num) * 2000000 + __ab * na * nb) div (__ab * na * nb * 2)"
+    # Same empty-side guard as drift_chi2: a reference histogram with
+    # zero total (na=0) would zero every denominator for every group.
+    term_u = F.when(
+        (F.col("na") == 0) | (F.col("nb") == 0),
+        F.raise_error(
+            F.lit(
+                "drift_chi2_from_binned: empty reference histogram or "
+                "empty group (na=0 or nb=0)"
+            )
+        ).cast(_D38),
+    ).otherwise(
+        F.expr("((__num * __num) * 2000000 + __ab * na * nb) div (__ab * na * nb * 2)")
     )
     return (
         staged.groupBy(*group_cols, "na", "nb")

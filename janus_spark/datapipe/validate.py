@@ -98,21 +98,34 @@ def profile_table(df, numeric_cols: list[str] | None = None):
     """
     from pyspark.sql import functions as F
 
+    # column names are data here, not trusted SQL: backtick-quote every
+    # identifier (escaping embedded backticks) and single-quote-escape
+    # the name literal, so a column named "a b", "x'y" or "z`w"
+    # profiles instead of breaking (or injecting into) the stack() expr.
+    # F.col() parses backticks too, so access goes through _ident as well.
+    def _ident(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def _lit(name: str) -> str:
+        return "'" + name.replace("'", "''") + "'"
+
     numeric_cols = numeric_cols or []
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in df.columns:
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        col = F.col(_ident(c))
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(col).alias(f"__nd_{c}"))
         if c in numeric_cols:
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+            aggs.append(F.min(col).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(col).cast("double").alias(f"__max_{c}"))
     one = df.agg(*aggs)
+
     parts = []
     for c in df.columns:
-        mn = f"__min_{c}" if c in numeric_cols else "NULL"
-        mx = f"__max_{c}" if c in numeric_cols else "NULL"
+        mn = _ident(f"__min_{c}") if c in numeric_cols else "NULL"
+        mx = _ident(f"__max_{c}") if c in numeric_cols else "NULL"
         parts += [
-            f"'{c}'", "__n", f"__null_{c}", f"__nd_{c}",
+            _lit(c), "__n", _ident(f"__null_{c}"), _ident(f"__nd_{c}"),
             f"CAST({mn} AS DOUBLE)", f"CAST({mx} AS DOUBLE)",
         ]
     stacked = ", ".join(parts)

@@ -15,6 +15,8 @@ MAD is two grouped exact percentiles broadcast back map-only.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -383,7 +385,12 @@ def skyline(
     return a.join(bdf, dom & st, "left_anti").select(*cols)
 
 
-_CEP_META = set("+*?|(){}[],0123456789^$")
+_CEP_META = set("+*?|(){}[]^$")
+# digits and ',' are regex meta ONLY inside a {m,n} quantifier; outside
+# braces they are literal chars and must be declared symbols like any
+# other (a stray 'v7p' digit would otherwise pass validation and
+# silently never match)
+_CEP_BRACES = re.compile(r"\{[0-9,]*\}")
 
 
 def validate_cep_pattern(pattern: str, symbols: dict[str, str]) -> None:
@@ -401,7 +408,11 @@ def validate_cep_pattern(pattern: str, symbols: dict[str, str]) -> None:
     if "\\" in pattern:
         raise ValueError("escape sequences are not allowed in CEP patterns")
     alphabet = set(symbols.values())
-    bad = sorted(c for c in set(pattern) if c not in alphabet and c not in _CEP_META)
+    # strip {m,n} quantifiers first so their digits/commas aren't
+    # treated as declared-symbol candidates, then require every
+    # remaining char (digits included) to be declared or structural
+    stripped = _CEP_BRACES.sub("", pattern)
+    bad = sorted(c for c in set(stripped) if c not in alphabet and c not in _CEP_META)
     if bad:
         raise ValueError(f"pattern chars {bad!r} are not declared symbols")
 
@@ -600,7 +611,9 @@ def diff_in_diff(
 
     Returns one row: (n_tp, n_tq, n_cp, n_cq, mean_treat_post,
     mean_treat_pre, mean_control_post, mean_control_pre, did) where
-    q = pre.  Raises if any cell is empty (the design is undefined).
+    q = pre.  Raises at execution time if any cell is empty (the design
+    is undefined) — the returned frame is lazy like every other
+    operator.
     """
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("decimal(38,0)")
     cell = (
@@ -619,11 +632,25 @@ def diff_in_diff(
         ]
     )
 
-    def mean(tag):
-        return (F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}").cast("double")) / 100.0
+    # empty-cell validation happens IN-PLAN (raise_error fires at
+    # execution time), so the operator stays lazy like every other —
+    # callers keep lineage and pay the scan only when they act.  The
+    # guard wraps each output column (not a droppable side column) so
+    # it survives column pruning whichever columns the caller selects.
+    def guarded_n(tag):
+        n = F.col(f"n_{tag}")
+        return F.when(
+            n.isNull() | (n == 0),
+            F.raise_error(
+                F.lit("diff_in_diff: every treat×period cell must be non-empty")
+            ).cast("decimal(38,0)"),
+        ).otherwise(n)
 
-    out = wide.select(
-        *[F.col(f"n_{t}").cast("long").alias(f"n_{t}") for t in ("tp", "tq", "cp", "cq")],
+    def mean(tag):
+        return (F.col(f"s_{tag}").cast("double") / guarded_n(tag).cast("double")) / 100.0
+
+    return wide.select(
+        *[guarded_n(t).cast("long").alias(f"n_{t}") for t in ("tp", "tq", "cp", "cq")],
         mean("tp").alias("mean_treat_post"),
         mean("tq").alias("mean_treat_pre"),
         mean("cp").alias("mean_control_post"),
@@ -632,8 +659,3 @@ def diff_in_diff(
             (mean("tp") - mean("tq")) - (mean("cp") - mean("cq"))
         ).alias("did"),
     )
-    row = out.collect()[0]
-    if any(row[f"n_{t}"] in (None, 0) for t in ("tp", "tq", "cp", "cq")):
-        raise ValueError("diff_in_diff: every treat×period cell must be non-empty")
-    spark = df.sparkSession
-    return spark.createDataFrame([row], out.schema)

@@ -505,26 +505,62 @@ def negative_edges(
     contrastive/link-prediction trainer needs, reproducible across runs
     and engines (md5 hash family, no RNG).
 
-    Plan: destinations get a dense index via one ROW_NUMBER window
-    (rank order by id — deterministic); candidates are a map-side
-    explode of ``m`` slots per source (no cross join), then two
-    equi-joins: index→node id, and a left-anti against the edge list.
-    Collisions with real edges or self-loops simply drop, so callers
-    asking for exactly-m should over-sample (standard practice).
+    Plan: destinations get a dense 0..n-1 index in id-sort order via a
+    DISTRIBUTED two-phase rank — range-partition on id, per-partition
+    ROW_NUMBER (each partition sorts only its slice), then a
+    #partitions-row offset collect + broadcast join.  No global-window
+    single-partition bottleneck: the destination universe scales to the
+    cluster, not to one executor.  The index frame is localCheckpointed
+    once and reused for both the modulo count and the candidate join.
+    Candidates are a map-side explode of ``m`` slots per source (no
+    cross join), then two equi-joins: index→node id, and a left-anti
+    against the edge list.  Collisions with real edges or self-loops
+    simply drop, so callers asking for exactly-m should over-sample
+    (standard practice).
 
     Returns (src, dst, slot) — slot identifies the hash draw so
     downstream shuffles/repartitions can't reorder samples ambiguously.
     """
     from janus_spark.datapipe.dedup import shared_hash64
 
+    spark = edges.sparkSession
     n = dst_nodes.select(F.col(id_col)).distinct()
-    w = Window.orderBy(F.col(id_col))
-    idx = n.select(
-        F.col(id_col).alias("__dst"), (F.row_number().over(w) - 1).alias("__i")
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    # phase 1: range partition (partition p holds smaller ids than p+1)
+    # + per-partition rank.  The output index is offset + local rank, so
+    # it is invariant to where the sampled range boundaries fall.
+    local = (
+        n.repartitionByRange(nparts, F.col(id_col))
+        .select(
+            F.col(id_col).alias("__dst"),
+            F.spark_partition_id().alias("__pid"),
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy(F.col("__dst"))
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
-    n_dst = idx.count()
+    # phase 2: tiny per-partition counts (≤ nparts rows) → cumulative
+    # offsets on the driver → broadcast back.  This is also the only
+    # count job: n_dst falls out of the same collect.
+    pc = sorted(
+        (r["__pid"], r["cnt"])
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n_dst = sum(c for _, c in pc)
     if n_dst == 0:
         raise ValueError("dst_nodes is empty")
+    offsets, acc = [], 0
+    for pid, cnt in pc:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = spark.createDataFrame(offsets, ["__pid", "__off"])
+    idx = local.join(F.broadcast(off), "__pid").select(
+        "__dst", (F.col("__r") - 1 + F.col("__off")).alias("__i")
+    )
     srcs = edges.select(F.col(src).alias("__src")).distinct()
     cand = srcs.select(
         "__src", F.explode(F.array([F.lit(i) for i in range(m)])).alias("slot")

@@ -183,6 +183,13 @@ def test_match_pattern_rejects_gap_matching_constructs(spark):
     # allowed shapes parse fine (validator only; no execution needed)
     for ok in ["vc+p", "v(c|p){1,3}p", "vc*p?", "^vc+p$"]:
         validate_cep_pattern(ok, syms)
+    # digits are meta ONLY inside {m,n}: a stray literal digit outside
+    # braces is an undeclared symbol that would never match — reject it
+    for bad in ["v7p", "v1", "0vp", "vc,p"]:
+        with pytest.raises(ValueError):
+            validate_cep_pattern(bad, syms)
+    validate_cep_pattern("vc{2,3}p", syms)
+    validate_cep_pattern("vc{2}p", syms)
 
 
 def test_streaming_match_pattern_rejects_dot(spark):

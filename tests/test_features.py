@@ -65,8 +65,14 @@ def test_diff_in_diff_requires_all_cells(spark):
         [(True, True, 1.0), (True, False, 1.0), (False, True, 1.0)],
         "treat boolean, post boolean, value double",
     )
-    with pytest.raises(ValueError):
-        diff_in_diff(df, "treat", "post")
+    # lazy contract: constructing the plan is free; the empty-cell
+    # check fires in-plan at execution time
+    out = diff_in_diff(df, "treat", "post")
+    with pytest.raises(Exception, match="non-empty"):
+        out.collect()
+    # and it survives column pruning — selecting only `did` still raises
+    with pytest.raises(Exception, match="non-empty"):
+        out.select("did").collect()
 
 
 def test_grid_radius_join_boundary_and_completeness(spark):
@@ -179,6 +185,39 @@ def test_drift_chi2_matches_float_reference(spark):
     # identical distributions -> chi2 == 0 exactly
     z = drift_chi2(ref, ref, "value").collect()[0]
     assert z["chi2"] == 0.0
+
+
+def test_drift_chi2_empty_side_raises_not_div0(spark):
+    """An empty reference or current batch must fail with a diagnosable
+    message, not a raw DIVIDE_BY_ZERO (or a silent null chi2 under
+    non-ANSI configs) — a drift tripwire must never mask a broken
+    feed."""
+    from janus_spark.datapipe.features import drift_chi2
+
+    ref = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    empty = spark.createDataFrame([], "value double")
+    with pytest.raises(Exception, match="empty reference or current"):
+        drift_chi2(ref, empty, "value").collect()
+    with pytest.raises(Exception, match="empty reference or current"):
+        drift_chi2(empty, ref, "value").collect()
+    # all-null current side behaves like empty
+    nulls = spark.createDataFrame([(None,)], "value double")
+    with pytest.raises(Exception, match="empty reference or current"):
+        drift_chi2(ref, nulls, "value").collect()
+
+
+def test_profile_table_hostile_column_names(spark):
+    """Column names are data: spaces, quotes, and backticks must profile
+    rather than break (or inject into) the stack() expression."""
+    from janus_spark.datapipe.validate import profile_table
+
+    df = spark.range(3).selectExpr(
+        "id AS `a b`", "CAST(id AS STRING) AS `x'y`", "id * 2 AS `z``w`"
+    )
+    rows = {r["column"]: r for r in profile_table(df, numeric_cols=["a b"]).collect()}
+    assert set(rows) == {"a b", "x'y", "z`w"}
+    assert rows["a b"]["n"] == 3 and rows["a b"]["min_v"] == 0.0
+    assert rows["x'y"]["n_distinct"] == 3 and rows["x'y"]["min_v"] is None
 
 
 def test_drift_chi2_from_binned_matches_two_sample_form(spark):
