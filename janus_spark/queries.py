@@ -5904,6 +5904,35 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex, den, k=10)
 
 
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained BM25 inverted index: build from the even-doc-id half,
+    fold in the odd half as a second batch, then score the probe
+    queries against the maintained state — must equal a full rebuild
+    over the whole corpus (datapipe/retrieval.py::IncrementalBM25Index;
+    the reference recomputes per refresh,
+    src/execution/historical_executor.rs — this is the Spark-first
+    maintained alternative)."""
+    import tempfile
+
+    from janus_spark.datapipe.retrieval import IncrementalBM25Index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = IncrementalBM25Index(spark, tempfile.mkdtemp(prefix="bm25_inc_"))
+    idx.update(docs.where("doc_id % 2 = 0"))
+    idx.update(docs.where("doc_id % 2 = 1"))
+    return idx.query(_bm25_query_df(spark), k=7)
+
+
+QUERIES["q_bm25_incremental"] = q_bm25_incremental
+ORACLES["q_bm25_incremental"] = (
+    "WITH "
+    + _BM25_SQL_CORE.format(toks=_TOKS, qsrc=_BM25_QVALS)
+    + """
+    SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM ranked WHERE rank <= 7"""
+)
+
+
 QUERIES["q_hybrid_rrf"] = q_hybrid_rrf
 ORACLES["q_hybrid_rrf"] = (
     "WITH "

@@ -183,3 +183,86 @@ def test_skyline_max_frontier_guard(spark):
     df = spark.createDataFrame([(i, 100 - i) for i in range(101)], ["x", "y"])
     with pytest.raises(ValueError):
         skyline(df, ["x", "y"], max_frontier=10)
+
+
+def _mini_corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a quick brown dog barks at the fox"),
+        (2, "lorem ipsum dolor sit amet"),
+        (3, "the fox and the hound are friends"),
+        (4, "dogs and foxes and wolves"),
+        (5, ""),
+        (6, "quick quick quick brown"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _probe(spark):
+    return spark.createDataFrame(
+        [("qa", "quick fox"), ("qb", "lazy dog")], ["query_id", "qtext"]
+    )
+
+
+def test_incremental_bm25_equals_full_rebuild(spark, tmp_path):
+    from janus_spark.datapipe.retrieval import IncrementalBM25Index
+
+    docs = _mini_corpus(spark)
+    idx = IncrementalBM25Index(spark, str(tmp_path / "idx"))
+    idx.update(docs.where("doc_id < 3"))
+    idx.update(docs.where("doc_id >= 3"))
+    got = sorted(
+        tuple(r) for r in idx.query(_probe(spark), k=5).collect()
+    )
+    want = sorted(tuple(r) for r in bm25_topk(docs, _probe(spark), k=5).collect())
+    assert got == want and len(got) > 0
+
+
+def test_incremental_bm25_skip_existing_is_idempotent(spark, tmp_path):
+    from janus_spark.datapipe.retrieval import IncrementalBM25Index
+
+    docs = _mini_corpus(spark)
+    idx = IncrementalBM25Index(spark, str(tmp_path / "idx"))
+    idx.update(docs.where("doc_id < 4"))
+    idx.update(docs.where("doc_id >= 2"), skip_existing=True)  # overlap 2,3
+    idx.update(docs.where("doc_id >= 2"), skip_existing=True)  # full replay
+    got = sorted(tuple(r) for r in idx.query(_probe(spark), k=5).collect())
+    want = sorted(tuple(r) for r in bm25_topk(docs, _probe(spark), k=5).collect())
+    assert got == want
+    # stats were not double-counted
+    st = spark.read.parquet(f"{idx._vdir(idx.current_version())}/stats").collect()[0]
+    assert st["n_docs"] == 7
+
+
+def test_incremental_bm25_crash_safety(spark, tmp_path):
+    import os
+
+    from janus_spark.datapipe.retrieval import IncrementalBM25Index
+
+    docs = _mini_corpus(spark)
+    path = str(tmp_path / "idx")
+    idx = IncrementalBM25Index(spark, path)
+    idx.update(docs.where("doc_id < 3"))
+    assert idx.current_version() == 1
+    # simulate a crash mid-update: staging dir with only one leg written
+    os.makedirs(f"{path}/.staging-v=2/postings", exist_ok=True)
+    assert idx.current_version() == 1  # invisible
+    v2 = idx.update(docs.where("doc_id >= 3"))
+    assert v2 == 2 and idx.current_version() == 2
+    got = sorted(tuple(r) for r in idx.query(_probe(spark), k=5).collect())
+    want = sorted(tuple(r) for r in bm25_topk(docs, _probe(spark), k=5).collect())
+    assert got == want
+    # vacuum clears old versions and stray staging dirs
+    os.makedirs(f"{path}/.staging-v=9", exist_ok=True)
+    assert idx.vacuum_versions(keep=1) == 1
+    assert not os.path.isdir(f"{path}/.staging-v=9")
+    with pytest.raises(Exception):
+        idx.query(_probe(spark), version=1).collect()
+
+
+def test_incremental_bm25_query_empty_raises(spark, tmp_path):
+    from janus_spark.datapipe.retrieval import IncrementalBM25Index
+
+    idx = IncrementalBM25Index(spark, str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="no committed version"):
+        idx.query(_probe(spark))
