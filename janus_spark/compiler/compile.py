@@ -89,7 +89,11 @@ class SparqlCompiler:
     partition_cols: list[str] = field(default_factory=list)
     registry: dict = field(default_factory=lambda: dict(FUNCTION_REGISTRY))
     static_quads: DataFrame | None = None  # baseline/background triples (broadcast side)
-    path_max_hops: int = 10  # bound for +/* property-path closures
+    # +/* property-path closures iterate to FIXPOINT by default (the
+    # semi-naive anti-join terminates on any finite graph — rounds ≤
+    # longest shortest path); set an int as an explicit safety valve
+    # when a bounded-depth closure is the intended semantics.
+    path_max_hops: int | None = None
     # Greedy BGP join ordering (selectivity + connectivity). The reference
     # delegates join planning to Oxigraph (SURVEY §4); on Spark the
     # written pattern order becomes the initial join order.  Catalyst's
@@ -402,8 +406,9 @@ class SparqlCompiler:
 
         Closures (``+``/``*``) expand by iterative distributed semi-naive
         joins: each round joins the frontier with the base relation and
-        anti-joins already-seen pairs, stopping at fixpoint or
-        ``path_max_hops`` (bounded-depth documented divergence — the
+        anti-joins already-seen pairs, stopping at FIXPOINT (default —
+        complete on any finite graph, any diameter) or after
+        ``path_max_hops`` rounds when a cap is set explicitly (the
         reference never exercises paths at all).
         """
         from janus_spark.compiler.ast import Path
@@ -479,7 +484,8 @@ class SparqlCompiler:
                 base = rel(p.parts[0]).dropDuplicates(["__ps", "__po", *pc]).localCheckpoint(eager=True)
                 acc = base
                 frontier = base
-                for _ in range(self.path_max_hops):
+                hops = 0
+                while True:
                     right = base.select(
                         F.col("__ps").alias("__mid"), F.col("__po").alias("__po2"),
                         *[F.col(c).alias(f"__r_{c}") for c in pc],
@@ -497,6 +503,9 @@ class SparqlCompiler:
                         break
                     acc = acc.unionByName(nxt).localCheckpoint(eager=True)
                     frontier = nxt
+                    hops += 1
+                    if self.path_max_hops is not None and hops >= self.path_max_hops:
+                        break
                 if p.op == "star":
                     # zero-length: identity over nodes of the base relation
                     nodes = (
@@ -761,7 +770,7 @@ def compile_sparql(
     static_quads: DataFrame | None = None,
     property_tables: dict | None = None,
     reorder_bgp: bool = True,
-    path_max_hops: int = 10,
+    path_max_hops: int | None = None,
     predicate_stats: dict | None = None,
 ) -> DataFrame:
     return SparqlCompiler(

@@ -77,7 +77,7 @@ class JanusEngine:
         quads: DataFrame | None = None,
         max_queries: int = 100,
         property_tables: dict | None = None,
-        path_max_hops: int = 10,
+        path_max_hops: int | None = None,
         predicate_stats: dict | None = None,
     ):
         self.spark = spark

@@ -196,7 +196,7 @@ def run_historical_fixed(
     registry: dict | None = None,
     static_quads: DataFrame | None = None,
     property_tables: dict | None = None,
-    path_max_hops: int = 10,
+    path_max_hops: int | None = None,
     predicate_stats: dict | None = None,
 ) -> DataFrame:
     """W1: evaluate over quads with ts in [start, end] inclusive.
@@ -289,7 +289,7 @@ def run_historical_sliding(
     static_quads: DataFrame | None = None,
     property_tables: dict | None = None,
     use_panes: bool | None = None,
-    path_max_hops: int = 10,
+    path_max_hops: int | None = None,
     predicate_stats: dict | None = None,
 ) -> DataFrame:
     """W2 as ONE distributed plan over all hops.

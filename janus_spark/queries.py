@@ -2872,6 +2872,37 @@ ORACLES["q_path_closure"] = """
     SELECT c AS d, p AS a FROM r"""
 
 
+def q_path_deep_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path closure over a diameter-39 CHAIN with the DEFAULT
+    config — pins the fixpoint-until-converged contract: no explicit
+    hop bound, and the longest path (39 hops) far exceeds the old
+    implicit cap of 10, so a silently-truncated closure fails the EXACT
+    gate (compiler/compile.py::_path_relation, path_max_hops=None)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.where("doc_id >= 1 AND doc_id < 40").select(
+        F.lit(0).alias("ts"),
+        F.concat(F.lit("urn:n:"), F.col("doc_id").cast("string")).alias("subject"),
+        F.lit("urn:chain:prev").alias("predicate"),
+        F.concat(F.lit("urn:n:"), (F.col("doc_id") - 1).cast("string")).alias("object"),
+        F.lit("g").alias("graph"),
+    )
+    q = """SELECT ?d ?a WHERE { ?d <urn:chain:prev>+ ?a . }"""
+    return _run(edges, q)
+
+
+QUERIES["q_path_deep_closure"] = q_path_deep_closure
+ORACLES["q_path_deep_closure"] = """
+    WITH RECURSIVE e AS (
+        SELECT 'urn:n:' || CAST(doc_id AS VARCHAR) AS c,
+               'urn:n:' || CAST(doc_id - 1 AS VARCHAR) AS p
+        FROM documents WHERE doc_id >= 1 AND doc_id < 40),
+    r AS (
+        SELECT c, p FROM e
+        UNION
+        SELECT r.c, e.p FROM r JOIN e ON r.p = e.c)
+    SELECT c AS d, p AS a FROM r"""
+
+
 def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 sliding window with a DISTINCT aggregate (unique users per
     hop).  Not pane-decomposable (distinct does not merge), so this pins
