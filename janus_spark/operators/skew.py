@@ -99,3 +99,52 @@ def skew_stats(
         .orderBy(F.desc("n"), *key_cols)
         .limit(top)
     )
+
+
+def auto_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    skew_threshold: float = 8.0,
+    salt_cap: int = 64,
+    stats: DataFrame | None = None,
+    decision: dict | None = None,
+) -> DataFrame:
+    """Stats-driven join dispatch: diagnose the left side's key
+    distribution (``skew_stats``), then pick the physical strategy —
+    ``salted_join`` when the hottest key's skew factor (count ÷ mean
+    count per key) reaches ``skew_threshold``, the plain equi-join
+    otherwise.  Output is identical either way (salting is a pure
+    partitioning change); only the shuffle shape differs.
+
+    This closes the diagnose→mitigate loop: ``skew_stats`` already
+    names the hot keys and the salt that would level them — this
+    feeds that straight into the planner instead of leaving salting
+    opt-in.  The salt is ``min(ceil(top skew factor), salt_cap)`` so a
+    mega-key spreads to its own level, bounded by the replication the
+    small side can afford.
+
+    Cost: ONE map-side-combined count-per-key aggregate over the left
+    keys plus a 1-row collect — narrow rows, cheap next to the join's
+    own shuffle.  Amortize it by passing a precomputed/maintained
+    ``stats`` frame (any frame with a ``skew_factor`` column ordered
+    hottest-first, e.g. a persisted ``skew_stats`` output).
+
+    Pass a dict as ``decision`` to observe the dispatch
+    ({"strategy", "salt", "top_skew"}) — used by the plan-guard tests.
+    """
+    top = (stats if stats is not None else skew_stats(left, on, top=1)).select(
+        "skew_factor"
+    ).limit(1).collect()
+    top_skew = float(top[0]["skew_factor"]) if top else 0.0
+    if top_skew >= skew_threshold and how in ("inner", "left"):
+        salt = max(2, min(salt_cap, int(-(-top_skew // 1))))
+        out = salted_join(left, right, on, salt=salt, how=how)
+        info = {"strategy": "salted", "salt": salt, "top_skew": top_skew}
+    else:
+        out = left.join(right, list(on), how)
+        info = {"strategy": "plain", "salt": 0, "top_skew": top_skew}
+    if decision is not None:
+        decision.update(info)
+    return out

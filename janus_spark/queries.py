@@ -2030,6 +2030,44 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-dispatched skew mitigation (operators/skew.py::auto_join):
+    customer keys remapped so one key carries ~3/4 of orders — the
+    planner must DIAGNOSE that (skew_stats) and salt the join on its
+    own; the oracle is the plain unsalted join, pinning bit-identical
+    results under the mitigated partitioning."""
+    from janus_spark.operators.skew import auto_join
+
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.when(F.col("o_orderkey") % 4 != 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        "o_totalprice",
+    )
+    decision: dict = {}
+    joined = auto_join(od, cu, ["c_custkey"], decision=decision)
+    assert decision["strategy"] == "salted", decision  # planted skew must salt
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("revenue"),
+    )
+
+
+QUERIES["q_skew_auto_join"] = q_skew_auto_join
+ORACLES["q_skew_auto_join"] = """
+    WITH od AS (SELECT CASE WHEN o_orderkey % 4 <> 0 THEN 1 ELSE o_custkey END AS c_custkey,
+                       o_totalprice
+                FROM orders)
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM od JOIN customer USING (c_custkey)
+    GROUP BY c_mktsegment"""
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis,
     deterministic md5-derived uniforms): 500 documents drawn with
@@ -2668,6 +2706,79 @@ def _live_delta_gate(spark: SparkSession, operator: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def q_live_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed RStream delivery under the EXACT gate: the sliding-
+    window fixture flows through a real Structured Streaming run with a
+    ParquetSink — each fired window's FULL result is written parquet by
+    the executors and only manifests reach the driver; the read-back of
+    every manifest must hash-match the all-windows SQL reconstruction
+    (streaming/live.py::ParquetSink — the at-scale alternative to the
+    reference's rows-over-channel contract, src/http/server.rs:473).
+    sf_dir is unused: the fixture IS the stream."""
+    import shutil
+    import tempfile
+
+    from janus_spark.model import QUAD_SCHEMA
+    from janus_spark.parsing import parse_janusql
+    from janus_spark.streaming import LiveQueryRunner, ParquetSink
+
+    text = """
+    PREFIX ex: <http://example.org/>
+    REGISTER RStream <out> AS
+    SELECT ?s ?t
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 4000 STEP 2000]
+    WHERE { WINDOW ex:w { ?s ex:temperature ?t . } }
+    """
+    fixture = spark.range(1, 61).select(
+        (F.col("id") * 500).alias("ts"),
+        F.concat(F.lit("http://example.org/sensor"), (F.col("id") % 3).cast("string")).alias("subject"),
+        F.lit("http://example.org/temperature").alias("predicate"),
+        F.col("id").cast("string").alias("object"),
+        F.lit("g").alias("graph"),
+    )
+    closer = fixture.where("ts = 500").selectExpr(
+        "CAST(35000 AS LONG) AS ts", "subject", "predicate", "object", "graph"
+    )
+    root = tempfile.mkdtemp(prefix="live_psink_")
+    try:
+        fixture.where("ts <= 15000").coalesce(1).write.parquet(f"{root}/f1.parquet")
+        fixture.where("ts > 15000").coalesce(1).write.parquet(f"{root}/f2.parquet")
+        closer.coalesce(1).write.parquet(f"{root}/f3.parquet")
+        stream = (
+            spark.readStream.schema(QUAD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        sink = ParquetSink(f"{root}/out")
+        runner = LiveQueryRunner(spark, parse_janusql(text), f"{root}/buf", sink=sink)
+        q = runner.attach(stream, once=True)
+        q.awaitTermination(300)
+        rows = []
+        for m in sink.manifests:
+            assert m["n_rows"] > 0
+            for r in spark.read.parquet(m["path"]).collect():
+                rows.append((m["window_start"], m["window_end"], r["s"], r["t"]))
+        return spark.createDataFrame(
+            rows, "window_start long, window_end long, s string, t string"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES["q_live_sink_parquet"] = q_live_sink_parquet
+ORACLES["q_live_sink_parquet"] = """
+    WITH f AS (SELECT CAST(r.range * 500 AS BIGINT) AS ts,
+                      'http://example.org/sensor' || CAST(r.range % 3 AS VARCHAR) AS s,
+                      CAST(r.range AS VARCHAR) AS t
+               FROM range(1, 61) r),
+         k AS (SELECT unnest(generate_series(0, 15)) AS k),
+         sol AS (SELECT k.k, f.s, f.t
+                 FROM k JOIN f ON f.ts >= k.k * 2000 AND f.ts < k.k * 2000 + 4000)
+    SELECT CAST(k * 2000 AS BIGINT) AS window_start,
+           CAST(k * 2000 + 4000 AS BIGINT) AS window_end, s, t
+    FROM sol"""
 
 
 def q_live_istream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,7 @@ divergence and keep a configurable allowed lateness instead).
 
 from __future__ import annotations
 
+import re
 import shutil
 import time
 from dataclasses import dataclass, field
@@ -49,6 +50,47 @@ class ListSink:
                 "window_start": window_start,
                 "window_end": window_end,
                 "rows": rows,
+            }
+        )
+
+
+class ParquetSink:
+    """Distributed RStream result delivery — the at-scale escape hatch
+    for ``collect_limit``: each fired window's FULL result is written as
+    parquet by the executors (one directory per fire), and only a
+    manifest row (window bounds, path, row count) crosses to the driver
+    channel.  The reference's results-to-channel contract
+    (src/http/server.rs:473-545) stays intact — consumers follow the
+    manifest to the data instead of receiving the rows inline.
+
+    RStream only: the delta operators (IStream/DStream) maintain
+    driver-side multiset state over the previous emission, which is
+    exactly what a distributed sink exists to avoid; LiveQueryRunner
+    rejects the combination up front.
+    """
+
+    wants_dataframe = True
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.manifests: list[dict] = []
+
+    def write(self, window_name: str, window_start: int, window_end: int,
+              result: DataFrame) -> None:
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", window_name)
+        path = str(self.root / safe / f"w_{window_start}_{window_end}")
+        result.write.mode("overwrite").parquet(path)
+        # count from the written footers (metadata-only scan), not a
+        # second run of the query plan
+        n = result.sparkSession.read.parquet(path).count()
+        self.manifests.append(
+            {
+                "window": window_name,
+                "window_start": window_start,
+                "window_end": window_end,
+                "path": path,
+                "n_rows": n,
             }
         )
 
@@ -98,6 +140,12 @@ class LiveQueryRunner:
         # only mode the reference implements); IStream emits only rows new
         # since the previous close, DStream only rows that disappeared
         self.operator = (parsed.operator or "RStream").upper()
+        if getattr(self.sink, "wants_dataframe", False) and self.operator != "RSTREAM":
+            raise ValueError(
+                "distributed (DataFrame) sinks support RStream only: "
+                f"{self.operator} maintains driver-side multiset state over "
+                "the previous emission"
+            )
         self._prev_rows: dict[str, list] = {}
         # runtime observability (served by /api/queries/<id>/metrics):
         # counters ride the aggregates each batch already runs — no
@@ -199,6 +247,11 @@ class LiveQueryRunner:
             registry=self.registry,
             static_quads=self.static_quads,
         )
+        if getattr(self.sink, "wants_dataframe", False):
+            # distributed delivery: executors write the full result; only
+            # the manifest reaches the driver (no collect_limit bound)
+            self.sink.write(ws.spec.name, s, e, result)
+            return
         rows = result.limit(self.collect_limit).collect()
         if self.operator in ("ISTREAM", "DSTREAM"):
             # bag (multiset) semantics: a solution's multiplicity delta

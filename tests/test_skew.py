@@ -127,3 +127,46 @@ def test_skew_stats_flags_hot_key(spark):
     assert abs(hot["skew_factor"] - 9.1) < 1e-6
     assert hot["suggested_salt"] == 10   # ceil(9.1): levels the key to ~mean
     assert len(out) == 3 and out[1]["n"] == 10
+
+
+def test_auto_join_salts_planted_skew_and_not_uniform(spark):
+    """Plan guard for the diagnose→mitigate loop: the planted-skew
+    fixture must dispatch to the salted join (salt exchange visible in
+    the physical plan), the uniform fixture must stay a plain join —
+    and both must equal the unsalted result."""
+    from janus_spark.operators.skew import auto_join
+
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1000)], ["k", "name"])
+    # uniform: 20 keys x 50 rows (top skew factor 1.0)
+    uni = spark.createDataFrame([(i % 20, i) for i in range(1000)], ["k", "v"])
+    # planted skew: key 0 carries ~90% of rows across ~100 distinct keys
+    # (top skew factor ~90)
+    hot = spark.createDataFrame(
+        [(0 if i % 10 else i, i) for i in range(1000)], ["k", "v"]
+    )
+    d1, d2 = {}, {}
+    out_uni = auto_join(uni, dim, ["k"], decision=d1)
+    out_hot = auto_join(hot, dim, ["k"], decision=d2)
+    assert d1["strategy"] == "plain" and d1["salt"] == 0
+    assert d2["strategy"] == "salted" and d2["salt"] >= 2
+    assert "__salt" not in out_hot.columns  # not leaked
+    plan_hot = out_hot._jdf.queryExecution().executedPlan().toString()
+    plan_uni = out_uni._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan_hot and "__salt" not in plan_uni
+    # identical results either way
+    want_hot = sorted(map(tuple, hot.join(dim, ["k"]).collect()))
+    assert sorted(map(tuple, out_hot.collect())) == want_hot
+    want_uni = sorted(map(tuple, uni.join(dim, ["k"]).collect()))
+    assert sorted(map(tuple, out_uni.collect())) == want_uni
+
+
+def test_auto_join_precomputed_stats_skips_diagnosis(spark):
+    from janus_spark.operators.skew import auto_join, skew_stats
+
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(5)], ["k", "name"])
+    hot = spark.createDataFrame([(0, i) for i in range(100)], ["k", "v"])
+    stats = skew_stats(hot, ["k"], top=1).localCheckpoint()
+    d = {}
+    out = auto_join(hot, dim, ["k"], stats=stats, decision=d)
+    assert d["strategy"] == "plain"  # single key: skew factor == 1.0
+    assert out.count() == 100

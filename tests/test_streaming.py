@@ -475,3 +475,54 @@ def test_rule_violation_stream_rejects_non_row_rules(spark):
     )
     with pytest.raises(ValueError):
         rule_violation_stream(stream, [("unique", "v")])
+
+
+def test_parquet_sink_rejects_delta_operators(spark, tmp_path):
+    """Distributed sinks are RStream-only: the delta operators keep
+    driver-side multiset state over the previous emission, which a
+    DataFrame sink exists to avoid — reject at construction."""
+    import pytest
+
+    from janus_spark.parsing import parse_janusql
+    from janus_spark.streaming import LiveQueryRunner, ParquetSink
+
+    text = """
+    PREFIX ex: <http://example.org/>
+    REGISTER IStream <out> AS
+    SELECT ?s ?t
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 4000 STEP 2000]
+    WHERE { WINDOW ex:w { ?s ex:temperature ?t . } }
+    """
+    sink = ParquetSink(str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="RStream only"):
+        LiveQueryRunner(spark, parse_janusql(text), str(tmp_path / "buf"), sink=sink)
+
+
+def test_parquet_sink_manifest_and_full_rows(spark, tmp_path):
+    """ParquetSink via direct on_batch driving: full window results land
+    distributed; manifests carry exact bounds and counts."""
+    from janus_spark.parsing import parse_janusql
+    from janus_spark.streaming import LiveQueryRunner, ParquetSink
+
+    text = """
+    PREFIX ex: <http://example.org/>
+    REGISTER RStream <out> AS
+    SELECT ?s ?t
+    FROM NAMED WINDOW ex:w ON STREAM ex:sensors [RANGE 2000 STEP 2000]
+    WHERE { WINDOW ex:w { ?s ex:temperature ?t . } }
+    """
+    rows = [(i * 100, "urn:s", "http://example.org/temperature", str(i), "g")
+            for i in range(1, 50)]
+    batch = spark.createDataFrame(
+        rows, "ts long, subject string, predicate string, object string, graph string"
+    )
+    sink = ParquetSink(str(tmp_path / "out"))
+    runner = LiveQueryRunner(spark, parse_janusql(text), str(tmp_path / "buf"), sink=sink)
+    runner.on_batch(batch, 0)
+    # ts up to 4900 -> windows [0,2000) and [2000,4000) closed
+    assert [(m["window_start"], m["window_end"]) for m in sink.manifests] == [
+        (0, 2000), (2000, 4000)
+    ]
+    m0 = sink.manifests[0]
+    got = {r["t"] for r in spark.read.parquet(m0["path"]).collect()}
+    assert got == {str(i) for i in range(1, 20)} and m0["n_rows"] == 19
