@@ -170,21 +170,37 @@ def main() -> None:
     for t in ("orders", "customer"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        # best of 2: the reference's criterion benches report steady-state
-        # medians over warmed runs; run 1 here pays one-time plan
-        # compilation + codegen, run 2 is the comparable measurement
-        best, n = None, 0
-        for _ in range(2):
+    # repetitions: run 1 pays one-time plan compilation + codegen; the
+    # min over the remaining runs is the steady-state number (criterion
+    # style) and the median bounds run-to-run noise — this box shows
+    # ±40% on storage microbenches under background load (NOTES_r3), so
+    # both are reported to make round-over-round deltas interpretable.
+    reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    def timed(fn) -> tuple[list[float], int]:
+        runs, n = [], 0
+        for _ in range(reps):
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            n = fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
+        return runs, n
+
+    def med(runs: list[float]) -> float:
+        s = sorted(runs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        runs, n = timed(QUERIES[name])
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(med(runs), 3)
+        print(
+            f"# {name}: min {timings[name]:.3f}s median {medians[name]:.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
     storage_timings, extra = bench_storage(spark, tempfile.gettempdir())
     timings.update(storage_timings)
@@ -196,6 +212,7 @@ def main() -> None:
     # round-over-round totals stay comparable): near-dup sweep, PQ ANN,
     # prefix-filtered Jaccard, novelty sweep
     datapipe: dict[str, float] = {}
+    datapipe_median: dict[str, float] = {}
     for name in (
         "q_dedup_minhash",
         "q_ann_pq",
@@ -204,15 +221,14 @@ def main() -> None:
         "q_bm25_topk",
         "q_hybrid_rrf",
     ):
-        fn = QUERIES[name]
-        best, n = None, 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = fn(spark, SF_DIR).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        datapipe[name] = round(best, 3)
-        print(f"# datapipe {name}: {datapipe[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs, n = timed(QUERIES[name])
+        datapipe[name] = round(min(runs), 3)
+        datapipe_median[name] = round(med(runs), 3)
+        print(
+            f"# datapipe {name}: min {datapipe[name]:.3f}s median"
+            f" {datapipe_median[name]:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -220,9 +236,16 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
         "throughput": extra,
         "datapipe": datapipe,
+        "datapipe_median": datapipe_median,
+        "bench_reps": reps,
+        # noise floor on this box (NOTES_r3): single runs vary ±40% on
+        # storage microbenches under load; compare BASELINE/round deltas
+        # against the min, use min-vs-median spread as the error bar
+        "noise_note": "min=steady-state, median bounds noise; deltas < min/median spread are noise",
     }
     print(json.dumps(out))
 
