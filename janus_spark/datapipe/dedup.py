@@ -315,6 +315,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (a, b) candidate pairs — the
     verification stage decoupled so any candidate generator plugs in.
@@ -324,12 +325,23 @@ def ngram_jaccard_pairs(
     strings per pair) while the (a, b) frame is only a few bytes per
     row, so AQE's bytes-based coalescing would otherwise pack the whole
     stage onto 1-2 tasks (measured 4.3 s → 1.4 s at sf0.1 from this
-    alone).  The extra round-robin shuffle moves KBs."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    alone).  The extra round-robin shuffle moves KBs.
+
+    ``shingles`` (columns ``id``, ``sh``), if given, is a pre-built —
+    ideally materialized — shingle frame; tokenization is the dominant
+    cost of the whole join, and the two join sides below would each
+    recompute it otherwise (Spark does not reuse exchanges across
+    differently-projected subtrees)."""
     candidate_pairs = candidate_pairs.repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    if shingles is not None:
+        sh = shingles
+    else:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        sh = df.select(
+            F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+        )
     j = (
         candidate_pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), on="a")
         .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), on="b")
@@ -346,6 +358,7 @@ def jaccard_similarity_join(
     shingle_k: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool = True,
+    materialize_shingles: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard similarity self-join (a < b,
     J ≥ threshold) via an inverted shingle index — no LSH, no quadratic
@@ -366,15 +379,22 @@ def jaccard_similarity_join(
     qualify.  Simpler plan (no per-doc ranking pass), right when the
     gram-frequency distribution is known flat.
 
-    Note the self-join tokenizes the corpus twice (Spark does not reuse
-    exchanges across the two differently-projected sides): both passes
-    are map-only scan work that parallelizes linearly, and if the
-    shingle step ever dominates, ``posts.persist(DISK_ONLY)`` (or a
-    staged parquet write) before branching removes the second pass.
+    ``materialize_shingles=True`` tokenizes the corpus once and reuses
+    the frame across every subtree that needs it (tokenization is the
+    dominant cost; Spark does not reuse exchanges across
+    differently-projected sides, so without it the self-join re-shingles
+    the corpus per side).  At cluster scale the same move is a
+    DISK_ONLY persist or a staged parquet write of the shingle frame.
     """
     if prefix_filter:
-        return jaccard_prefix_join(df, text_col, id_col, shingle_k, threshold)
+        return jaccard_prefix_join(
+            df, text_col, id_col, shingle_k, threshold, materialize_shingles
+        )
     sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    if materialize_shingles:
+        sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism).localCheckpoint(
+            eager=True
+        )
     posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
     left = posts.select("gram", F.col("id").alias("a"), F.col("n").alias("na"))
     right = posts.select("gram", F.col("id").alias("b"), F.col("n").alias("nb"))
@@ -396,17 +416,27 @@ def jaccard_prefix_candidates(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (a, b) pairs under the AllPairs/PPJoin prefix lemma —
     exposed separately so tests can pin the candidate-count bound on
-    skewed corpora (the quantity that explodes without the filter)."""
+    skewed corpora (the quantity that explodes without the filter).
+
+    ``shingles`` (columns ``id``, ``sh``): pre-built shingle frame to
+    reuse; see ``jaccard_prefix_join`` for why materializing it once
+    matters."""
     from pyspark.sql import Window as W
 
-    # shingle construction is CPU-bound; don't let it inherit the file
-    # layout's partition count (a handful of row groups would serialize
-    # the tokenize+zip work onto a few cores)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    if shingles is not None:
+        sh = shingles
+    else:
+        # shingle construction is CPU-bound; don't let it inherit the file
+        # layout's partition count (a handful of row groups would serialize
+        # the tokenize+zip work onto a few cores)
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        sh = df.select(
+            F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+        )
     posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
     dfreq = posts.groupBy("gram").agg(F.count("*").alias("gdf"))
     ranked = posts.join(dfreq, "gram").withColumn(
@@ -438,6 +468,7 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    materialize_shingles: bool = True,
 ) -> DataFrame:
     """Prefix-filtered EXACT Jaccard self-join (the AllPairs/PPJoin
     lemma): with shingles globally ordered by (document frequency asc,
@@ -448,9 +479,29 @@ def jaccard_prefix_join(
     postings join while indexing roughly a ``(1−t)`` fraction of the
     postings; rare-first ordering drains the hot grams out of the join
     keys, which is what bounds the candidate blowup at corpus scale.
+
+    ``materialize_shingles=True`` tokenizes the corpus ONCE
+    (localCheckpoint) and reuses the frame across candidate generation
+    (where ``posts`` feeds both the gram-frequency agg and the ranking
+    join) and both verification join sides — without it Catalyst
+    re-evaluates the shingle expression up to ~6× because exchanges are
+    not reused across differently-projected subtrees (measured 2×
+    end-to-end on the sf0.1 gate).  At cluster scale the equivalent
+    move is persisting the shingle frame (DISK_ONLY) or staging it to
+    parquet; localCheckpoint is the single-node form of the same plan.
     """
-    cand = jaccard_prefix_candidates(df, text_col, id_col, shingle_k, threshold)
-    verified = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k)
+    if materialize_shingles:
+        sh = (
+            df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .select(
+                F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        sh = None
+    cand = jaccard_prefix_candidates(df, text_col, id_col, shingle_k, threshold, shingles=sh)
+    verified = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k, shingles=sh)
     return verified.where(F.col("jaccard") >= F.lit(threshold)).select(
         "a", "b", F.round("jaccard", 9).alias("jaccard")
     )
