@@ -546,8 +546,15 @@ def containment_join(
     ``max_df``-style hot-gram drain of ``tfidf_topk_pairs`` plus AQE
     skew-join splitting — shingle document frequency is Zipf-bounded
     for word k-shingles with k ≥ 3.
+
+    The shingle frame is materialized once before the self-join (same
+    tokenize-once rationale as ``jaccard_prefix_join``).
     """
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    sh = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
     left = posts.select("gram", F.col("id").alias("a"), F.col("n").alias("na"))
     right = posts.select("gram", F.col("id").alias("b"), F.col("n").alias("nb"))
