@@ -9,9 +9,12 @@ mapping is:
 - ``kafka://host:port/topic``   → Structured Streaming Kafka source,
   one N-Quads line per message value (the exact payload the reference's
   stream bus publishes, stream_bus.rs:279-298);
-- ``mqtt://host:port/topic``    → same topic via an MQTT→Kafka bridge
-  (connect the bridge's Kafka side; ``parse_mqtt_uri`` supplies the
-  topic name);
+- ``mqtt://host:port/topic``    → native MQTT 3.1.1 subscriber
+  (``sources/mqtt.py``, QoS 1) bridged through an atomically-committed
+  spool directory that Spark's file source tails — the broker feed is
+  made replayable BEFORE Spark sees it; ``mqtt+kafka://host:port/topic``
+  keeps the old external-bridge mapping (Kafka side of an MQTT→Kafka
+  relay);
 - ``socket://host:port``        → Spark's built-in socket text source
   (dev/demo only — not replayable);
 - ``file:///dir`` or bare path  → file stream (``*.parquet`` dirs as
@@ -35,6 +38,10 @@ from pyspark.sql import functions as F
 
 from janus_spark.model import QUAD_SCHEMA
 from janus_spark.sources.nquads import parse_nquads_lines
+
+#: live MqttSpoolBridge instances started by ``open_quad_stream`` —
+#: callers stop them individually (df.mqtt_bridge.stop()) or in bulk.
+active_mqtt_bridges: list = []
 
 
 def decode_kafka_quads(kafka_df: DataFrame, default_ts=None) -> DataFrame:
@@ -68,11 +75,35 @@ def open_quad_stream(
     """Open a streaming quads DataFrame for a stream URI (scheme table
     in the module docstring).  Extra ``options`` pass through to the
     underlying reader (e.g. ``maxFilesPerTrigger``, Kafka consumer
-    settings prefixed ``kafka.``)."""
-    if uri.startswith("kafka://") or uri.startswith("mqtt://"):
+    settings prefixed ``kafka.``).
+
+    The ``mqtt://`` branch starts a native subscriber bridge
+    (``sources/mqtt.py::MqttSpoolBridge``); pass ``spool_dir=`` to pin
+    the spool location (default: a fresh temp dir), and stop the bridge
+    via the ``mqtt_bridge`` attribute of the returned DataFrame (also
+    tracked in ``active_mqtt_bridges``)."""
+    if uri.startswith("mqtt://"):
+        import tempfile
+
+        from janus_spark.engine import parse_mqtt_uri
+        from janus_spark.sources.mqtt import MqttSpoolBridge
+
+        host, port, topic = parse_mqtt_uri(uri)
+        spool = options.pop("spool_dir", None) or tempfile.mkdtemp(prefix="mqtt_spool_")
+        bridge = MqttSpoolBridge(host, port, topic, spool).start()
+        active_mqtt_bridges.append(bridge)
+        reader = spark.readStream
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        out = parse_nquads_lines(reader.text(spool), default_ts=default_ts)
+        out.mqtt_bridge = bridge
+        return out
+    if uri.startswith("kafka://") or uri.startswith("mqtt+kafka://"):
         from janus_spark.engine import parse_mqtt_uri
 
-        host, port, topic = parse_mqtt_uri(uri.replace("kafka://", "mqtt://", 1))
+        host, port, topic = parse_mqtt_uri(
+            "mqtt://" + uri.split("://", 1)[1]
+        )
         if uri.startswith("kafka://") and port == 1883:  # mqtt default never applies
             port = 9092
         reader = (
