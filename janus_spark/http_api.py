@@ -8,15 +8,17 @@ Mirrors the reference's route surface (src/http/server.rs:273-289):
     DELETE /api/queries/<id>          unregister
     POST   /api/queries/<id>/start    run historical windows (+ baseline warm-up)
     POST   /api/queries/<id>/stop     stop
-    GET    /api/queries/<id>/results  result stream (NDJSON; the reference
-                                      uses a WebSocket — this container has
-                                      no WS library, and chunked NDJSON is
-                                      the HTTP-native equivalent)
+    GET    /api/queries/<id>/results  result stream (chunked NDJSON — the
+                                      HTTP-native framing)
+    GET    /api/queries/<id>/results/ws   the reference's WebSocket channel
+                                      (server.rs:473-545), served by the
+                                      from-scratch RFC 6455 layer in
+                                      janus_spark/ws.py (round 5 — no WS
+                                      library exists here, so the protocol
+                                      slice is implemented from the RFC)
     GET    /api/queries/<id>/results/sse  same stream as Server-Sent Events
                                       (text/event-stream: push framing for
-                                      browser EventSource consumers — the
-                                      closest zero-dependency stand-in for
-                                      the reference's WS, server.rs:473-545)
+                                      browser EventSource consumers)
     GET    /api/queries/<id>/metrics  runtime counters (batches, rows in,
                                       window fires, last batch wall time)
     POST   /api/replay/start          replay a quads source into live queries
@@ -229,6 +231,45 @@ def create_app(engine: JanusEngine, buffer_root: str = "/tmp/janus_spark_live") 
                 yield json.dumps(payload, default=str) + "\n"
 
         return Response(gen(), mimetype="application/x-ndjson")
+
+    @app.route("/api/queries/<qid>/results/ws", websocket=True)
+    def results_ws(qid):
+        """The reference's WS result channel (server.rs:473-545), served
+        by the from-scratch RFC 6455 layer (janus_spark/ws.py): werkzeug
+        hands over the raw connection (``werkzeug.socket``), we complete
+        the Upgrade handshake and push the same hub stream as the
+        NDJSON/SSE framings — lag notices become ``{"type": "lag"}``
+        messages, exactly the reference's dropped-results contract."""
+        from janus_spark.ws import WsServerConnection
+
+        sock = request.environ.get("werkzeug.socket")
+        key = request.headers.get("Sec-WebSocket-Key")
+        if sock is None or not key:
+            return jsonify({"error": "not a websocket upgrade request"}), 400
+        timeout = float(request.args.get("timeout", "5"))
+        max_results = int(request.args.get("max", "1000"))
+        conn = WsServerConnection.upgrade(sock, key)
+        try:
+            q = hub.get(qid)
+            n = 0
+            deadline = time.time() + timeout
+            while n < max_results and time.time() < deadline:
+                if not conn.poll_control():  # PING→PONG, client CLOSE
+                    break
+                try:
+                    item = q.get(timeout=0.25)
+                except queue.Empty:
+                    continue
+                if hub.dropped.get(qid):
+                    conn.send_text(json.dumps({"type": "lag", "dropped": hub.dropped[qid]}))
+                    hub.dropped[qid] = 0
+                conn.send_text(json.dumps(item, default=str))
+                n += 1
+        except OSError:
+            pass
+        finally:
+            conn.close()
+        return Response(status=204)
 
     @app.get("/api/queries/<qid>/results/sse")
     def results_sse(qid):
