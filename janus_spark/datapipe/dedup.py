@@ -297,7 +297,11 @@ def simhash_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs with hamming(simhash) <= max_hamming.
     Banding: 4 bytes of the 32-bit hash; pairs agreeing on >= 1 band are
-    candidates (guaranteed to include all pairs with hamming <= 3)."""
+    candidates (guaranteed to include all pairs with hamming <= 3).
+
+    The banded frame is materialized before the self-join (tokenize-once;
+    see ``minhash_lsh_pairs``)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     base = df.select(F.col(id_col).alias("id"), simhash32(F.col(text_col), hash_fn).alias("sh"))
     banded = base.select(
         "id",
@@ -310,7 +314,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bh")
+    ).select("id", "sh", "bb.band", "bb.bh").localCheckpoint(eager=True)
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), on=["band", "bh"])
