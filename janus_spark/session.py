@@ -27,6 +27,10 @@ def get_spark(app_name: str = "janus_spark", shuffle_partitions: int | None = No
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("JANUS_DRIVER_MEM", "8g"))
+        # collect() is only used by harnesses (oracle comparison) and tiny
+        # driver-side manifests; stress sweeps collect multi-GB results for
+        # the value-hash compare, so the cap is env-tunable
+        .config("spark.driver.maxResultSize", os.environ.get("JANUS_MAX_RESULT_SIZE", "2g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # zstd beats snappy ~2.6× on size for quad-shaped string data; at

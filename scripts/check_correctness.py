@@ -19,6 +19,10 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
 os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+# Stress sweeps (sf1/sf10) collect multi-GB results for the value compare;
+# give the driver room unless the caller already chose.
+os.environ.setdefault("JANUS_DRIVER_MEM", "24g")
+os.environ.setdefault("JANUS_MAX_RESULT_SIZE", "8g")
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from janus_spark.session import get_spark  # noqa: E402
@@ -65,6 +69,10 @@ def main():
     spark = get_spark("correctness")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # big-oracle spills (wedge joins at sf10) go to the large volume, not cwd
+    spill = os.environ.get("JANUS_DUCKDB_TMP", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(p):
