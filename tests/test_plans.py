@@ -392,3 +392,52 @@ def test_quadstore_analyze_roundtrip(spark, tmp_path):
     # the _stats dir must not leak into normal reads
     assert set(store.read().columns) >= {"ts", "subject", "predicate", "object"}
     assert store.read().count() == sum(stats.values())
+
+
+def test_dedup_self_joins_tokenize_once(spark, sf_dir):
+    """Round-5 perf contract: the LSH/jaccard self-joins read a
+    materialized (checkpointed) signature frame on BOTH sides — the
+    tokenize/shingle/hash subtree must not appear in the join plan at
+    all, or Catalyst is re-evaluating it per side again."""
+    from janus_spark.datapipe.dedup import (
+        jaccard_prefix_join,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    for build in (
+        lambda: minhash_lsh_pairs(docs, id_col="doc_id", text_col="text"),
+        lambda: simhash_pairs(docs, id_col="doc_id", text_col="text"),
+        lambda: jaccard_prefix_join(docs, id_col="doc_id", text_col="text"),
+    ):
+        plan = plan_of(build())
+        # tokenization hashes live only below the checkpoint boundary
+        assert "xxhash64" not in plan and "md5" not in plan, plan[:800]
+        assert "ExistingRDD" in plan, "expected a materialized signature scan"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grid_radius_join_is_equi_join(spark, sf_dir):
+    """The spatial radius join must plan as an equi-join on cell keys —
+    never a nested-loop/cartesian theta join (the thing it exists to
+    avoid at 100 TB)."""
+    from janus_spark.operators.spatial import grid_radius_join
+
+    pts = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").alias("id"),
+            (F.abs(F.xxhash64("text")) % 1000).alias("x"),
+            (F.abs(F.xxhash64("doc_id")) % 1000).alias("y"),
+        )
+    )
+    plan = plan_of(grid_radius_join(pts, pts.limit(50), radius=100))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
