@@ -50,6 +50,38 @@ def canon(rows, cols):
     return sorted(out, key=repr)
 
 
+# Results bigger than this skip the sorted-list compare (O(n log n) reprs,
+# both sides resident) for a commutative multiset digest — exact, order-
+# insensitive, O(n) and constant extra memory.  Loses example-diff output,
+# which only matters when a mismatch needs debugging at small scale anyway.
+DIGEST_THRESHOLD = int(os.environ.get("JANUS_DIGEST_THRESHOLD", "5000000"))
+
+_DIGEST_MOD = (1 << 128) - 159  # largest 128-bit prime
+
+
+def multiset_digest(rows_iter, cols) -> tuple[int, int]:
+    """(row_count, Σ md5(canonical row) mod p) over an iterable of rows —
+    equal multisets ⇒ equal digests; collisions need md5 preimages."""
+    import hashlib
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    acc, n = 0, 0
+    for r in rows_iter:
+        t = tuple(norm(r[i]) for i in order)
+        h = hashlib.md5(repr(t).encode()).digest()
+        acc = (acc + int.from_bytes(h, "big")) % _DIGEST_MOD
+        n += 1
+    return n, acc
+
+
+def _fetch_chunks(cur, size=1_000_000):
+    while True:
+        chunk = cur.fetchmany(size)
+        if not chunk:
+            return
+        yield from chunk
+
+
 def approx_equal(a, b):
     if len(a) != len(b):
         return False
@@ -103,13 +135,35 @@ def main():
         try:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
         except Exception as e:
             results[name] = f"ORACLE ERROR: {e}"
             progress(name)
             continue
         if sorted(scols) != sorted(ocols):
             results[name] = f"SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
+            progress(name)
+            continue
+        if len(srows) > DIGEST_THRESHOLD:
+            sn, sdig = multiset_digest(srows, scols)
+            srows = []  # free before the oracle side streams in
+            try:
+                on, odig = multiset_digest(_fetch_chunks(cur), ocols)
+            except Exception as e:
+                results[name] = f"ORACLE ERROR: {e}"
+                progress(name)
+                continue
+            if sn != on:
+                results[name] = f"ROWCOUNT MISMATCH spark={sn} oracle={on}"
+            elif sdig == odig:
+                results[name] = f"EXACT ({sn} rows, digest)"
+            else:
+                results[name] = f"VALUE MISMATCH ({sn} rows, digest)"
+            progress(name)
+            continue
+        try:
+            orows = cur.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE ERROR: {e}"
             progress(name)
             continue
         if len(srows) != len(orows):
