@@ -82,6 +82,41 @@ def _fetch_chunks(cur, size=1_000_000):
         yield from chunk
 
 
+def spark_multiset_digest(sdf) -> tuple[int, int]:
+    """Distributed form of ``multiset_digest``: each partition computes
+    (count, Σ md5 mod p) over Arrow batches executor-side and only the
+    32 partials cross to the driver — the harness shape that matches the
+    engine's own no-driver-materialization discipline at stress scale.
+    Canonicalization is identical to the local path (Python objects via
+    Arrow ``to_pylist``, same ``norm``/repr), so digests are comparable
+    with the DuckDB side's."""
+    import pyarrow as pa
+
+    cols = sdf.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    mod = _DIGEST_MOD
+    normf = norm
+
+    def partials(batches):
+        import hashlib
+
+        acc, n = 0, 0
+        for rb in batches:
+            col_vals = [rb.column(i).to_pylist() for i in range(rb.num_columns)]
+            for vals in zip(*col_vals):
+                t = tuple(normf(vals[i]) for i in order)
+                h = hashlib.md5(repr(t).encode()).digest()
+                acc = (acc + int.from_bytes(h, "big")) % mod
+                n += 1
+        yield pa.RecordBatch.from_pydict({"n": [n], "acc": [str(acc)]})
+
+    total_n, total_acc = 0, 0
+    for row in sdf.mapInArrow(partials, "n long, acc string").collect():
+        total_n += row["n"]
+        total_acc = (total_acc + int(row["acc"])) % mod
+    return total_n, total_acc
+
+
 def approx_equal(a, b):
     if len(a) != len(b):
         return False
@@ -117,20 +152,43 @@ def main():
     def progress(name):
         print(f"  .. {name}: {results[name][:120]}", flush=True)
 
+    # JANUS_DISTRIBUTED_DIGEST=1: persist each result, count, and digest
+    # huge results executor-side (only 32 partials cross to the driver) —
+    # the stress-sweep mode; default off so the driver-style small-SF path
+    # is byte-identical to previous rounds.
+    dist_mode = os.environ.get("JANUS_DISTRIBUTED_DIGEST") == "1"
+
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
+        persisted = None
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if dist_mode:
+                from pyspark import StorageLevel
+
+                persisted = sdf.persist(StorageLevel.DISK_ONLY)
+                scount = persisted.count()
+                srows = (
+                    None
+                    if scount > DIGEST_THRESHOLD
+                    else [tuple(r) for r in persisted.collect()]
+                )
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
+                scount = len(srows)
         except Exception as e:
             results[name] = f"SPARK ERROR: {e}"
             progress(name)
+            if persisted is not None:
+                persisted.unpersist()
             continue
         if name not in oracles:
-            results[name] = f"rows-only ({len(srows)} rows)"
+            results[name] = f"rows-only ({scount} rows)"
             progress(name)
+            if persisted is not None:
+                persisted.unpersist()
             continue
         try:
             cur = con.execute(oracles[name])
@@ -138,14 +196,24 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE ERROR: {e}"
             progress(name)
+            if persisted is not None:
+                persisted.unpersist()
             continue
         if sorted(scols) != sorted(ocols):
             results[name] = f"SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
             progress(name)
+            if persisted is not None:
+                persisted.unpersist()
             continue
-        if len(srows) > DIGEST_THRESHOLD:
-            sn, sdig = multiset_digest(srows, scols)
+        if srows is None or len(srows) > DIGEST_THRESHOLD:
+            if srows is None:
+                sn, sdig = spark_multiset_digest(persisted)
+            else:
+                sn, sdig = multiset_digest(srows, scols)
             srows = []  # free before the oracle side streams in
+            if persisted is not None:
+                persisted.unpersist()
+                persisted = None
             try:
                 on, odig = multiset_digest(_fetch_chunks(cur), ocols)
             except Exception as e:
@@ -165,10 +233,14 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE ERROR: {e}"
             progress(name)
+            if persisted is not None:
+                persisted.unpersist()
             continue
         if len(srows) != len(orows):
             results[name] = f"ROWCOUNT MISMATCH spark={len(srows)} oracle={len(orows)}"
             progress(name)
+            if persisted is not None:
+                persisted.unpersist()
             continue
         a = canon(srows, scols)
         b = canon(orows, ocols)
@@ -181,6 +253,8 @@ def main():
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
             results[name] = f"VALUE MISMATCH ({len(srows)} rows) e.g. {diffs}"
         progress(name)
+        if persisted is not None:
+            persisted.unpersist()
 
     width = max(len(n) for n in results)
     fails = 0
