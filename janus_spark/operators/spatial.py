@@ -37,16 +37,30 @@ def grid_radius_join(
     x_col: str = "x",
     y_col: str = "y",
     query_id_col: str | None = None,
+    cell_scale: int = 1,
 ) -> DataFrame:
     """All (query, point) pairs with squared distance ≤ ``radius``²,
     excluding self-pairs (same id).  ``points`` and ``queries`` carry
     integer, non-negative ``x_col``/``y_col``; ``radius`` is in the same
     unit.  Returns (q_id, p_id, dist2).
+
+    ``cell_scale=k`` shrinks the grid cell to ``ceil(radius/k)``: any
+    in-radius point is then ≤ k cells away on each axis, so queries
+    replicate into the (2k+1)² neighborhood instead of 3×3 — the
+    candidate set stays provably complete.  Use k>1 when the radius is
+    large relative to the data extent (coarse grids bottom out at
+    (extent/radius)² cells of join parallelism and 9× candidate
+    over-selection); k² more cells spread hot regions across the
+    cluster and tighten candidates toward the true π·r²·density, at the
+    cost of (2k+1)²/9× more replicas of the (small) query side.
     """
     if radius <= 0:
         raise ValueError("radius must be a positive integer")
+    if cell_scale < 1:
+        raise ValueError("cell_scale must be >= 1")
     qid = query_id_col or id_col
     r = F.lit(int(radius)).cast("long")
+    cell_size = -(-int(radius) // int(cell_scale))  # ceil: k*cell >= radius
 
     def coord(c):
         # non-negativity contract baked into the projection (keeps `div`
@@ -68,17 +82,18 @@ def grid_radius_join(
         coord(y_col).alias("qy"),
     )
 
-    cell = pts.withColumn("cx", F.expr(f"px div {int(radius)}")).withColumn(
-        "cy", F.expr(f"py div {int(radius)}")
+    cell = pts.withColumn("cx", F.expr(f"px div {cell_size}")).withColumn(
+        "cy", F.expr(f"py div {cell_size}")
     )
-    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    k = int(cell_scale)
+    off = F.array(*[F.lit(d) for d in range(-k, k + 1)])
     qcells = (
         qs.withColumn("__dx", F.explode(off))
         .withColumn("__dy", F.explode(off))
         .select(
             "q_id", "qx", "qy",
-            (F.expr(f"qx div {int(radius)}") + F.col("__dx")).alias("cx"),
-            (F.expr(f"qy div {int(radius)}") + F.col("__dy")).alias("cy"),
+            (F.expr(f"qx div {cell_size}") + F.col("__dx")).alias("cx"),
+            (F.expr(f"qy div {cell_size}") + F.col("__dy")).alias("cy"),
         )
     )
     dx = F.col("px") - F.col("qx")

@@ -99,6 +99,33 @@ def test_grid_radius_join_boundary_and_completeness(spark):
     assert out == want
 
 
+def test_grid_radius_join_cell_scale_parity(spark):
+    # finer grids (cell_scale>1) must return exactly the same pairs as
+    # the base 3x3 plan — including radii that don't divide evenly (the
+    # ceil'd cell size keeps k*cell >= radius, so the (2k+1)^2
+    # neighborhood stays complete)
+    import itertools
+
+    coords = [(i, (i * 37) % 60, (i * 91) % 60) for i in range(50)]
+    pdf = spark.createDataFrame(coords, "id long, x long, y long")
+    for radius in (7, 10):
+        want = {
+            (a, b)
+            for (a, xa, ya), (b, xb, yb) in itertools.permutations(coords, 2)
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= radius * radius
+        }
+        for k in (2, 3):
+            out = {
+                (r["q_id"], r["p_id"])
+                for r in grid_radius_join(pdf, pdf, radius=radius, cell_scale=k).collect()
+            }
+            assert out == want, (radius, k)
+    import pytest
+
+    with pytest.raises(ValueError):
+        grid_radius_join(pdf, pdf, radius=10, cell_scale=0)
+
+
 def test_grid_radius_join_rejects_bad_inputs(spark):
     pts = spark.createDataFrame([(1, -5, 3)], "id long, x long, y long")
     with pytest.raises(ValueError):
