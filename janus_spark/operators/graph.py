@@ -141,13 +141,24 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     by O(√m), total wedge volume by O(m^{3/2}), and every triangle is
     enumerated exactly once — no /3 correction, no double counting.
     All joins are equi-joins on node ids (AQE-splittable); the struct
-    comparison for orientation is map-side."""
+    comparison for orientation is map-side.
+
+    The canonical edge list and the oriented edge list are each
+    materialized ONCE (localCheckpoint; DISK_ONLY persist or a staged
+    parquet write is the cluster form): ``canon`` feeds the degree
+    aggregate and the orientation join, ``oriented`` feeds both wedge
+    sides and the closing semi-join — without the checkpoint Catalyst
+    re-evaluates the whole upstream (often an expensive edge-building
+    self-join) once per differently-projected reference, the same
+    pathology fixed for the dedup self-joins."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )
-    canon = e.select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct()
+    canon = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = (
         canon.select(F.col("a").alias("id"))
         .unionByName(canon.select(F.col("b").alias("id")))
@@ -163,7 +174,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(ka < kb, kb).otherwise(ka).alias("kv"),
-    )
+    ).localCheckpoint(eager=True)
     wedges = (
         oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
         .join(oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2")), "u")
@@ -392,9 +403,15 @@ def clustering_coefficient(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )
-    canon = e.select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct()
+    # materialize the canonical edge list once: it feeds the degree
+    # aggregate here AND every reference inside triangle_count — without
+    # this the (often expensive) edge-building upstream re-evaluates per
+    # reference (see triangle_count's scale note)
+    canon = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = (
         canon.select(F.col("a").alias("id"))
         .unionByName(canon.select(F.col("b").alias("id")))

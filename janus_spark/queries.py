@@ -8018,8 +8018,14 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_clustering_coeff"] = q_clustering_coeff
 ORACLES["q_clustering_coeff"] = """
-    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-         e AS (SELECT DISTINCT x.p AS a, y.p AS b
+    WITH lp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS MATERIALIZED (
+           -- the hint only pins evaluation: without it DuckDB inlines
+           -- this CTE into its five references and the recomputation
+           -- spills unboundedly at stress scale (>75 GB at sf10;
+           -- materialized, the whole oracle runs in ~44 s there)
+           SELECT DISTINCT x.p AS a, y.p AS b
                FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
          deg AS (SELECT id, COUNT(*) AS deg FROM (
                    SELECT a AS id FROM e UNION ALL SELECT b FROM e)
