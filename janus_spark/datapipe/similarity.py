@@ -525,11 +525,17 @@ def embedding_near_dup_pairs(
     for b in range(bands):
         ps = planes[b * bits_per_band : (b + 1) * bits_per_band]
         sig_cols.append(F.struct(F.lit(b).alias("band"), lsh_signature(F.col(vec_col), ps).alias("bh")))
-    banded = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(F.array(*sig_cols)).alias("bb"),
-    ).select("id", "v", "bb.band", "bb.bh")
+    banded = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.explode(F.array(*sig_cols)).alias("bb"),
+        )
+        .select("id", "v", "bb.band", "bb.bh")
+        # signatures are computed ONCE: both self-join sides read the
+        # materialized frame (same move as the minhash/simhash joins)
+        .localCheckpoint(eager=True)
+    )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), on=["band", "bh"])
@@ -578,9 +584,16 @@ def tfidf_topk_pairs(
         tf.join(dft, "t")
         .crossJoin(F.broadcast(n_docs))
         .select("id", "t", (F.col("tf") * F.log(F.col("nd") / F.col("dft"))).alias("w"))
+        # tokenize+tf+df happen ONCE: w feeds both the norm aggregate and
+        # the unit projection, and unit feeds both self-join sides
+        .localCheckpoint(eager=True)
     )
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    unit = w.join(norms, "id").select("id", "t", F.try_divide(F.col("w"), F.col("nrm")).alias("u"))
+    unit = (
+        w.join(norms, "id")
+        .select("id", "t", F.try_divide(F.col("w"), F.col("nrm")).alias("u"))
+        .localCheckpoint(eager=True)
+    )
     pairs = (
         unit.alias("l")
         .join(unit.alias("r"), "t")

@@ -163,10 +163,20 @@ def bigram_logprob(
         ),
         lambda s: s["cur"].isNotNull(),
     )
-    occ = df.select(F.col(id_col), F.explode(bgs).alias("bg")).select(
-        id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    # both exploded frames are multiply referenced (occ: bigram counts +
+    # the scoring join; uni: totals + prev + cur lookups) — materialize
+    # once so the tokenize/zip subtree isn't re-evaluated per reference
+    occ = (
+        df.select(F.col(id_col), F.explode(bgs).alias("bg"))
+        .select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        .localCheckpoint(eager=True)
     )
-    uni = df.select(F.explode(toks).alias("w")).groupBy("w").agg(F.count("*").alias("uc"))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("uc"))
+        .localCheckpoint(eager=True)
+    )
     tot = uni.agg(F.sum("uc").alias("tn"))
     bg = occ.groupBy("prev", "cur").agg(F.count("*").alias("bc"))
     scored = (
