@@ -46,8 +46,17 @@ def funnel(
         F.col(ts_col).cast("long").alias("t"),
         F.col(event_col).alias("e"),
     )
-    reached = ev.where(F.col("e") == steps[0]).groupBy("u").agg(F.min("t").alias("t1"))
-    reached = reached.withColumn("tk", F.col("t1"))
+    # each step's reached-state is USER-cardinality — checkpoint it so the
+    # per-step count rows don't re-derive every earlier step's join (the
+    # event scans keep their pushed-down per-step type filters; only the
+    # small state is materialized)
+    reached = (
+        ev.where(F.col("e") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t1"))
+        .withColumn("tk", F.col("t1"))
+        .localCheckpoint(eager=False)
+    )
     counts = [(1, steps[0], reached)]
     for i, step in enumerate(steps[1:], start=2):
         nxt = (
@@ -59,7 +68,7 @@ def funnel(
             nxt = nxt.where(F.col("t") <= F.col("t1") + F.lit(within_ms))
         reached = nxt.groupBy("u").agg(
             F.max("t1").alias("t1"), F.min("t").alias("tk")
-        )
+        ).localCheckpoint(eager=False)
         counts.append((i, step, reached))
     rows = None
     for i, name, frame in counts:
@@ -132,12 +141,21 @@ def mad_outliers(
     Adds ``robust_z`` and ``is_outlier``.
     """
     v = F.col(value_col).cast("double")
-    med = df.groupBy(*key_cols).agg(F.percentile(v, 0.5).alias("__med"))
+    # med/mad are GROUP-cardinality: checkpoint each so the second and
+    # third passes over the corpus don't re-run the earlier percentile
+    # passes (three scans — the exact two-pass-median minimum plus the
+    # final map-only flagging pass — instead of a recomputation tree)
+    med = (
+        df.groupBy(*key_cols)
+        .agg(F.percentile(v, 0.5).alias("__med"))
+        .localCheckpoint(eager=True)
+    )
     with_med = df.join(F.broadcast(med), key_cols)
     mad = (
         with_med.where(v.isNotNull())
         .groupBy(*key_cols)
         .agg(F.percentile(F.abs(v - F.col("__med")), 0.5).alias("__mad"))
+        .localCheckpoint(eager=True)
     )
     out = with_med.join(F.broadcast(mad), key_cols)
     robust_z = F.round(F.try_divide(F.lit(0.6745) * (v - F.col("__med")), F.col("__mad")), 6)
@@ -498,7 +516,12 @@ def funnel_times(
         F.col(ts_col).cast("long").alias("t"),
         F.col(event_col).alias("e"),
     )
-    reached = ev.where(F.col("e") == steps[0]).groupBy("u").agg(F.min("t").alias("tk"))
+    reached = (
+        ev.where(F.col("e") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("tk"))
+        .localCheckpoint(eager=False)  # user-cardinality state, see funnel
+    )
     out = None
     for i, step in enumerate(steps[1:], start=2):
         nxt = (
@@ -507,6 +530,7 @@ def funnel_times(
             .where(F.col("t") > F.col("tk"))
             .groupBy("u")
             .agg(F.min("t").alias("t_next"), F.max("tk").alias("tk_prev"))
+            .localCheckpoint(eager=False)
         )
         deltas = nxt.select("u", (F.col("t_next") - F.col("tk_prev")).alias("d"))
         row = deltas.agg(

@@ -5016,7 +5016,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.datapipe.text import normalize
 
     corpus = _dup_corpus(spark, sf_dir)
-    keyed = corpus.select(F.col("doc_id").alias("id"), F.md5(normalize(F.col("text"))).alias("key"))
+    # normalize+md5 runs once; both self-join sides read the materialized
+    # (id, key) frame — same move as the shingle/signature joins
+    keyed = corpus.select(
+        F.col("doc_id").alias("id"), F.md5(normalize(F.col("text"))).alias("key")
+    ).localCheckpoint(eager=True)
     pairs = (
         keyed.alias("l")
         .join(keyed.alias("r"), on="key")
@@ -6611,8 +6615,12 @@ def q_skyline3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("min_price"),
         F.min("l_discount").alias("min_disc"),
     )
-    pts = part.join(stats, part.p_partkey == stats.l_partkey).select(
-        F.col("p_size").cast("long").alias("size"), "min_price", "min_disc"
+    # part-cardinality stats frame: materialize once so the skyline's
+    # bounds/grid/filter passes don't re-run the lineitem aggregate
+    pts = (
+        part.join(stats, part.p_partkey == stats.l_partkey)
+        .select(F.col("p_size").cast("long").alias("size"), "min_price", "min_disc")
+        .localCheckpoint(eager=True)
     )
     return skyline(pts, ["size", "min_price", "min_disc"])
 
@@ -7390,7 +7398,9 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 3600000").alias("ctx_h"),
     )
-    ctx = ev.select("user_id", "ctx_h", "event_type").distinct()
+    # the distinct context frame feeds the context count, the singles
+    # aggregate, and both self-join sides — materialize it once
+    ctx = ev.select("user_id", "ctx_h", "event_type").distinct().localCheckpoint(eager=True)
     n_ctx = ctx.select("user_id", "ctx_h").distinct().count()
     singles = ctx.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     a = ctx.alias("a")
@@ -7784,10 +7794,17 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg_dst) pairs; both edge directions included so the coefficient is
     symmetric."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    fwd = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-    ).distinct()
+    # materialize the distinct edge list once: it is referenced via both
+    # union branches and three downstream joins — unmaterialized, the
+    # lineitem scan+distinct re-evaluates six times
+    fwd = (
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     d38 = "decimal(38,0)"
