@@ -1,0 +1,96 @@
+"""Plan-wide multi-scan audit: flag gates whose physical plan scans the
+same parquet table many times.
+
+Catalyst reuses exchanges only for byte-identical subplans, so a frame
+referenced under different projections re-evaluates its whole upstream
+per reference — locally masked by page cache, catastrophic against
+object storage at 100 TB.  This audit found q_tfidf_pairs scanning the
+corpus 12x and q_assortativity scanning lineitem 6x (both fixed by
+materializing the shared frame; see docs/SCALE.md round-5 lessons).
+
+A flag is a REVIEW PROMPT, not a failure: correlated TPC-H shapes and
+pushdown-filtered per-step scans legitimately touch a table more than
+once, and at scale a pruned rescan beats materializing a corpus-sized
+intermediate.  The judgment call is whether the repeated subtree
+contains shuffles/aggregates or an expensive expression.
+
+Usage: python scripts/audit_scan_counts.py [sf_dir] [min_per_table]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+MIN_PER_TABLE = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+# streaming/stateful gates start real streams or write state on build —
+# the audit only inspects batch plan shapes
+SKIP_SUBSTRINGS = ("live", "stream", "replay", "incremental", "checkpoint")
+
+# reviewed round 5: these gates legitimately touch a table >= 3 times —
+# inherent multi-pass algorithms (two-pass stats, roundtrips, correlated
+# TPC-H shapes), per-branch pushdown-filtered scans, or tiny tables —
+# and the repeated subtrees are pruned scans, not shuffles/aggregates.
+# A flag on a gate NOT in this list is new and needs a look.
+REVIEWED_OK = {
+    "q_describe",            # melt-per-pattern over the raw table (DESCRIBE)
+    "q_hard_negatives",      # pruned label/anchor rescans; ADC corpus once
+    "q_nquads_roundtrip",    # write→read roundtrip by definition
+    "q_dedup_keep_best",     # pruned id-only corpus refs; md5 key frame cached
+    "q_target_encoding_smoothed",  # LOO stats + prior + apply (3 pruned passes)
+    "q_temperature_mix",     # per-bucket sampler branches
+    "q_hybrid_rrf",          # two retrieval legs + fusion
+    "q_path_zero_or_one",    # nation is 25 rows
+    "q_gapfill",             # bounds pass + fill pass
+    "q_range_join",          # build/probe sides of the range bucketing
+    "q_doc_logprob",         # unigram model pass + scoring pass
+    "q_hll_overlap",         # three audience legs
+    "q_tpch_lone_returner",  # Q21-correlated EXISTS/NOT EXISTS shape
+    "q_freshness",           # per-window recency legs
+    "q_pmi",                 # count + self-join legs over the cached ctx
+}
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+    from janus_spark.session import get_spark
+
+    spark = get_spark("scan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    flagged = []
+    for name, fn in entry_mod.queries().items():
+        if any(s in name for s in SKIP_SUBSTRINGS):
+            continue
+        try:
+            t0 = time.time()
+            plan = (
+                fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as ex:  # noqa: BLE001 - audit must not die per-gate
+            print(f"SKIP {name}: {str(ex)[:100]}", flush=True)
+            continue
+        per = Counter(re.findall(r"(\w+)\.parquet", plan))
+        hot = {t: c for t, c in per.items() if c >= MIN_PER_TABLE}
+        if hot:
+            flagged.append((name, plan.count("Scan parquet"), hot, time.time() - t0))
+    new = 0
+    for name, nscan, hot, dt in sorted(flagged, key=lambda r: -max(r[2].values())):
+        tag = "FLAG(reviewed)" if name in REVIEWED_OK else "FLAG"
+        new += name not in REVIEWED_OK
+        print(f"{tag} {name}: scans={nscan} hot={hot} build={dt:.1f}s", flush=True)
+    print(
+        f"{len(flagged)} gates flagged (>= {MIN_PER_TABLE} scans of one table), "
+        f"{new} NEW (not in REVIEWED_OK)"
+    )
+    return 1 if new else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
