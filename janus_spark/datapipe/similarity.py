@@ -525,26 +525,32 @@ def embedding_near_dup_pairs(
     for b in range(bands):
         ps = planes[b * bits_per_band : (b + 1) * bits_per_band]
         sig_cols.append(F.struct(F.lit(b).alias("band"), lsh_signature(F.col(vec_col), ps).alias("bh")))
+    # signatures are computed ONCE (both self-join sides read the
+    # materialized frame, same move as the minhash/simhash joins) and the
+    # candidate join + dedup shuffle carry ONLY ids — the raw vectors
+    # (the widest column in the pipeline) join back once per side after
+    # the (a, b) set is final, instead of riding every LSH band through
+    # the shuffle
     banded = (
         df.select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
             F.explode(F.array(*sig_cols)).alias("bb"),
         )
-        .select("id", "v", "bb.band", "bb.bh")
-        # signatures are computed ONCE: both self-join sides read the
-        # materialized frame (same move as the minhash/simhash joins)
+        .select("id", "bb.band", "bb.bh")
         .localCheckpoint(eager=True)
     )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), on=["band", "bh"])
         .where(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return (
-        cand.select("a", "b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        cand.join(vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+        .join(vecs.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .where(F.col("sim") >= sim_threshold)
     )
 
