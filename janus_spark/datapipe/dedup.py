@@ -239,13 +239,19 @@ def minhash_lsh_pairs(
     banded = _minhash_banded(
         df, text_col, id_col, num_perm, bands, shingle_k, hash_fn
     ).localCheckpoint(eager=True)
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # candidates shuffle ids only: the shingle-set array (the wide column)
+    # would otherwise ride every band replica through the join + dedup —
+    # it joins back once per side from the per-id frame after the (a, b)
+    # set is final
+    shingle_sets = banded.select("id", "sh").dropDuplicates(["id"])
     cand = (
-        left.join(right, on=["band", "bh"], how="inner")
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band", "bh"], how="inner")
         .where(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
+        .join(shingle_sets.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(shingle_sets.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     union = F.size(F.array_union(F.col("sha"), F.col("shb")))
@@ -750,17 +756,23 @@ def minhash_lsh_join(
     Scale: one shuffle per side on (band, band_hash); hot buckets
     (boilerplate-heavy bands) are AQE-splittable; verification runs on
     the candidate set only, arrays stay JVM-side."""
-    l = _minhash_banded(corpus, text_col, id_col, num_perm, bands, shingle_k, hash_fn).alias("l")
-    r = _minhash_banded(reference, text_col, id_col, num_perm, bands, shingle_k, hash_fn).alias("r")
+    lb = _minhash_banded(
+        corpus, text_col, id_col, num_perm, bands, shingle_k, hash_fn
+    ).localCheckpoint(eager=True)
+    rb = _minhash_banded(
+        reference, text_col, id_col, num_perm, bands, shingle_k, hash_fn
+    ).localCheckpoint(eager=True)
+    # ids only through the band join + dedup; the shingle arrays join
+    # back once per side from the per-id frames (see minhash_lsh_pairs)
+    lsh = lb.select("id", "sh").dropDuplicates(["id"])
+    rsh = rb.select("id", "sh").dropDuplicates(["id"])
     cand = (
-        l.join(r, on=["band", "bh"], how="inner")
-        .select(
-            F.col("l.id").alias("corpus_id"),
-            F.col("r.id").alias("ref_id"),
-            F.col("l.sh").alias("sha"),
-            F.col("r.sh").alias("shb"),
-        )
+        lb.alias("l")
+        .join(rb.alias("r"), on=["band", "bh"], how="inner")
+        .select(F.col("l.id").alias("corpus_id"), F.col("r.id").alias("ref_id"))
         .dropDuplicates(["corpus_id", "ref_id"])
+        .join(lsh.select(F.col("id").alias("corpus_id"), F.col("sh").alias("sha")), "corpus_id")
+        .join(rsh.select(F.col("id").alias("ref_id"), F.col("sh").alias("shb")), "ref_id")
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     union = F.size(F.array_union(F.col("sha"), F.col("shb")))
