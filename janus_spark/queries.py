@@ -1282,9 +1282,14 @@ def q_agg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary through the SPARQL path over
     melted lineitem (classic analytics on the same engine substrate)."""
+    # prices are exact 2-dp decimals stored as doubles: summing them in
+    # CENTS (integers < 2^53 — exact in ANY accumulation order) instead
+    # of summing raw doubles keeps the 2-dp rounding of the total off the
+    # .005 knife edge at stress scale, where Spark's reduce order vs
+    # DuckDB's flipped the last cent (exactness playbook: sum-order class)
     q = """SELECT ?flag ?status (COUNT(?l) AS ?count_order)
                   (SUM(?qty) AS ?sum_qty)
-                  (SUM(?price) AS ?sum_base_price)
+                  (SUM(?pc) AS ?sum_price_cents)
                   (AVG(?disc) AS ?avg_disc)
            WHERE {
              ?l <urn:lineitem:l_returnflag> ?flag .
@@ -1292,6 +1297,7 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
              ?l <urn:lineitem:l_quantity> ?qty .
              ?l <urn:lineitem:l_extendedprice> ?price .
              ?l <urn:lineitem:l_discount> ?disc .
+             BIND(ROUND(?price * 100) AS ?pc)
            }
            GROUP BY ?flag ?status"""
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data; give
@@ -1318,7 +1324,10 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         F.col("count_order").cast("long").alias("count_order"),
         F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
-        F.round(F.col("sum_base_price").cast("double"), 2).alias("sum_base_price"),
+        # exact integer-cents total; ONE final division, identical in any engine
+        (F.col("sum_price_cents").cast("decimal(38,0)") / 100)
+        .cast("double")
+        .alias("sum_base_price"),
         F.round(F.col("avg_disc").cast("double"), 6).alias("avg_disc"),
     )
 
@@ -1343,7 +1352,8 @@ ORACLES.update(
             SELECT l_returnflag AS flag, l_linestatus AS status,
                    COUNT(*) AS count_order,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                        AS DOUBLE) / 100 AS sum_base_price,
                    ROUND(AVG(l_discount), 6) AS avg_disc
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     }
