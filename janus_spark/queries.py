@@ -4235,9 +4235,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    kept = docs.join(keepers, "doc_id")
+    # stage boundaries are materialized, exactly as a production curation
+    # run stages to parquet between steps — without this the dedup
+    # fingerprint subtree re-evaluates under every downstream reference
+    # (12 corpus scans in the fully-lazy composition)
+    kept = docs.join(keepers, "doc_id").localCheckpoint(eager=True)
     rep = repetition_features(kept).where(F.col("uniq_token_ratio") >= 0.3)
-    filtered = kept.join(rep.select("doc_id"), "doc_id")
+    filtered = kept.join(rep.select("doc_id"), "doc_id").localCheckpoint(eager=True)
     mixed = temperature_mix(filtered, budget=_CUR_BUDGET, alpha=0.5)
     out = split_train_eval(mixed, eval_rate=0.1)
     return out.select("doc_id", "source", "split")

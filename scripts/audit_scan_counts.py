@@ -55,6 +55,11 @@ REVIEWED_OK = {
     "q_tpch_lone_returner",  # Q21-correlated EXISTS/NOT EXISTS shape
     "q_freshness",           # per-window recency legs
     "q_pmi",                 # count + self-join legs over the cached ctx
+    # vectors join back per side straight from the pruned (id, vec)
+    # source scan — a deliberate rescan: cheaper at scale than
+    # materializing the widest column (the candidate join itself is
+    # id-only and cached)
+    "q_embedding_near_dup",
 }
 
 
