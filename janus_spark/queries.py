@@ -1080,7 +1080,7 @@ def _ann_ivf_oracle(k: int = 10, n_cells: int = 16, nprobe: int = 4) -> str:
     FROM ranked WHERE rank <= {k}"""
 
 
-def _near_dup_oracle(sim_threshold: float = 0.99, bands: int = 8, bits_per_band: int = 8, dim: int = 64, seed: int = 42) -> str:
+def _near_dup_oracle(sim_threshold: float = 0.99, bands: int = 8, bits_per_band: int = 16, dim: int = 64, seed: int = 42) -> str:
     from janus_spark.datapipe.similarity import hyperplanes
 
     planes = hyperplanes(dim, bits_per_band * bands, seed)
