@@ -383,6 +383,7 @@ def jaccard_similarity_join(
     threshold: float = 0.5,
     prefix_filter: bool = True,
     materialize_shingles: bool = True,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard similarity self-join (a < b,
     J ≥ threshold) via an inverted shingle index — no LSH, no quadratic
@@ -412,13 +413,17 @@ def jaccard_similarity_join(
     """
     if prefix_filter:
         return jaccard_prefix_join(
-            df, text_col, id_col, shingle_k, threshold, materialize_shingles
+            df, text_col, id_col, shingle_k, threshold, materialize_shingles, collapse_exact
         )
     sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
-    if materialize_shingles:
+    if materialize_shingles or collapse_exact:
         sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism).localCheckpoint(
             eager=True
         )
+    membership = reps = None
+    if collapse_exact:
+        membership, reps = _collapse_shingle_groups(sh)
+        sh = sh.join(reps.select("id"), "id").localCheckpoint(eager=True)
     posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
     left = posts.select("gram", F.col("id").alias("a"), F.col("n").alias("na"))
     right = posts.select("gram", F.col("id").alias("b"), F.col("n").alias("nb"))
@@ -429,9 +434,12 @@ def jaccard_similarity_join(
         .agg(F.count("*").alias("inter"))
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return pairs.where(jac >= F.lit(threshold)).select(
-        "a", "b", F.round(jac, 9).alias("jaccard")
-    )
+    out = pairs.where(jac >= F.lit(threshold)).select("a", "b", jac.alias("jaccard"))
+    if collapse_exact:
+        out = _expand_group_pairs(out, membership, reps, ["jaccard"]).unionByName(
+            _within_group_pairs(membership, [F.lit(1.0).alias("jaccard")])
+        )
+    return out.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
 
 
 def jaccard_prefix_candidates(
@@ -486,6 +494,85 @@ def jaccard_prefix_candidates(
     )
 
 
+def _collapse_shingle_groups(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Group documents by IDENTICAL shingle set.
+
+    Set-based similarity (Jaccard, containment) of a document against
+    anything depends only on its shingle SET, so exact duplicates (after
+    tokenization) are interchangeable: compute similarity once per
+    distinct set and expand pairs back through group membership.  On
+    duplicate-heavy corpora — real web crawls are ~50% exact dups, and
+    the sf10 stress corpus is 4,992 distinct texts replicated into
+    groups of up to 200 — this turns a candidate join whose volume grows
+    with (group size)² per posting into one over distinct sets only.
+
+    Input ``sh``: (id, sh) shingle frame (ideally already materialized).
+    Returns ``(membership, reps)``:
+    - membership (id, gk, nsh): group key = md5 over the sorted shingle
+      array ('\\x01'-joined — tokens are whitespace-split so the
+      separator cannot occur), nsh = shingle count (0 for short docs).
+    - reps (gk, id, nsh): one representative (min id) per group.
+
+    Membership is localCheckpoint-materialized: it feeds the reps
+    aggregate, both expansion joins, and the within-group self-join.  At
+    cluster scale the same frame is a DISK_ONLY persist or the staged
+    fingerprint table an incremental dedup keeps anyway.
+    """
+    membership = (
+        sh.select(
+            "id",
+            F.md5(F.array_join(F.array_sort("sh"), "\x01")).alias("gk"),
+            F.size("sh").alias("nsh"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    reps = membership.groupBy("gk").agg(F.min("id").alias("id"), F.min("nsh").alias("nsh"))
+    return membership, reps
+
+
+def _expand_group_pairs(
+    rep_pairs: DataFrame,
+    membership: DataFrame,
+    reps: DataFrame,
+    value_cols: list[str],
+    swap_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """Expand representative-level pairs (a, b, *value_cols) to all
+    member pairs via two joins on the group key.  ``swap_map`` renames
+    value columns when the expanded ids invert the (a < b) orientation —
+    needed for directional measures (containment); symmetric measures
+    pass None."""
+    ga = reps.select(F.col("id").alias("a"), F.col("gk").alias("gka"))
+    gb = reps.select(F.col("id").alias("b"), F.col("gk").alias("gkb"))
+    rp = rep_pairs.join(ga, "a").join(gb, "b").select("gka", "gkb", *value_cols)
+    expanded = rp.join(
+        membership.select(F.col("gk").alias("gka"), F.col("id").alias("ia")), "gka"
+    ).join(membership.select(F.col("gk").alias("gkb"), F.col("id").alias("ib")), "gkb")
+    a = F.least("ia", "ib").alias("a")
+    b = F.greatest("ia", "ib").alias("b")
+    if not swap_map:
+        return expanded.select(a, b, *value_cols)
+    keep = expanded.where(F.col("ia") < F.col("ib")).select(a, b, *value_cols)
+    swapped = expanded.where(F.col("ia") > F.col("ib")).select(
+        a, b, *[F.col(swap_map[c]).alias(c) for c in value_cols]
+    )
+    return keep.unionByName(swapped)
+
+
+def _within_group_pairs(membership: DataFrame, values: list) -> DataFrame:
+    """All (a < b) pairs inside each non-empty-set group, with the
+    constant similarity values identical sets imply (J = 1, containment
+    = 1).  Empty shingle sets share no posting, so the postings-join
+    formulation never pairs them — excluded here to match exactly."""
+    m = membership.where(F.col("nsh") > 0)
+    return (
+        m.alias("l")
+        .join(m.alias("r"), "gk")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), *values)
+    )
+
+
 def jaccard_prefix_join(
     df: DataFrame,
     text_col: str = "text",
@@ -493,6 +580,7 @@ def jaccard_prefix_join(
     shingle_k: int = 3,
     threshold: float = 0.5,
     materialize_shingles: bool = True,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Prefix-filtered EXACT Jaccard self-join (the AllPairs/PPJoin
     lemma): with shingles globally ordered by (document frequency asc,
@@ -513,8 +601,22 @@ def jaccard_prefix_join(
     end-to-end on the sf0.1 gate).  At cluster scale the equivalent
     move is persisting the shingle frame (DISK_ONLY) or staging it to
     parquet; localCheckpoint is the single-node form of the same plan.
+
+    ``collapse_exact=True`` (default) first groups documents with
+    IDENTICAL shingle sets (``_collapse_shingle_groups``), runs the
+    prefix join over one representative per group, and expands pairs
+    back through membership.  Provably the same output: J(x, ·) depends
+    only on x's shingle set, within-group pairs have J = 1 exactly, and
+    empty sets never pair in either formulation.  The prefix lemma alone
+    does NOT bound duplicate blowup — every copy of a duplicated doc
+    carries the same prefix postings, so candidate volume grows with
+    (copies)² per prefix gram; on the sf10 stress corpus (500k docs,
+    4,992 distinct, groups up to 200) the uncollapsed join shuffled
+    billions of candidate occurrences (45+ GB spill, >45 min) while the
+    collapsed form works over 4,992 sets.
     """
-    if materialize_shingles:
+    sh = None
+    if materialize_shingles or collapse_exact:
         sh = (
             df.repartition(df.sparkSession.sparkContext.defaultParallelism)
             .select(
@@ -522,8 +624,16 @@ def jaccard_prefix_join(
             )
             .localCheckpoint(eager=True)
         )
-    else:
-        sh = None
+    if collapse_exact:
+        membership, reps = _collapse_shingle_groups(sh)
+        rep_sh = sh.join(reps.select("id"), "id").localCheckpoint(eager=True)
+        cand = jaccard_prefix_candidates(df, text_col, id_col, shingle_k, threshold, shingles=rep_sh)
+        verified = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k, shingles=rep_sh)
+        rep_pairs = verified.where(F.col("jaccard") >= F.lit(threshold))
+        out = _expand_group_pairs(rep_pairs, membership, reps, ["jaccard"]).unionByName(
+            _within_group_pairs(membership, [F.lit(1.0).alias("jaccard")])
+        )
+        return out.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
     cand = jaccard_prefix_candidates(df, text_col, id_col, shingle_k, threshold, shingles=sh)
     verified = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k, shingles=sh)
     return verified.where(F.col("jaccard") >= F.lit(threshold)).select(
@@ -537,6 +647,7 @@ def containment_join(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs n-gram CONTAINMENT self-join: emit (a, b, a < b)
     where ``max(|A∩B|/|A|, |A∩B|/|B|)`` ≥ threshold — the asymmetric
@@ -565,6 +676,10 @@ def containment_join(
         .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
         .localCheckpoint(eager=True)
     )
+    membership = reps = None
+    if collapse_exact:
+        membership, reps = _collapse_shingle_groups(sh)
+        sh = sh.join(reps.select("id"), "id").localCheckpoint(eager=True)
     posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
     left = posts.select("gram", F.col("id").alias("a"), F.col("n").alias("na"))
     right = posts.select("gram", F.col("id").alias("b"), F.col("n").alias("nb"))
@@ -576,11 +691,38 @@ def containment_join(
     )
     c_ab = F.col("inter") / F.col("na")
     c_ba = F.col("inter") / F.col("nb")
-    return pairs.where(F.greatest(c_ab, c_ba) >= F.lit(threshold)).select(
+    out = pairs.where(F.greatest(c_ab, c_ba) >= F.lit(threshold)).select(
         "a",
         "b",
-        F.round(c_ab, 9).alias("containment_a_in_b"),
-        F.round(c_ba, 9).alias("containment_b_in_a"),
+        c_ab.alias("containment_a_in_b"),
+        c_ba.alias("containment_b_in_a"),
+    )
+    if collapse_exact:
+        # directional: expanding (x, y) with y < x swaps which side is
+        # "contained in" which — _expand_group_pairs renames accordingly
+        out = _expand_group_pairs(
+            out,
+            membership,
+            reps,
+            ["containment_a_in_b", "containment_b_in_a"],
+            swap_map={
+                "containment_a_in_b": "containment_b_in_a",
+                "containment_b_in_a": "containment_a_in_b",
+            },
+        ).unionByName(
+            _within_group_pairs(
+                membership,
+                [
+                    F.lit(1.0).alias("containment_a_in_b"),
+                    F.lit(1.0).alias("containment_b_in_a"),
+                ],
+            )
+        )
+    return out.select(
+        "a",
+        "b",
+        F.round("containment_a_in_b", 9).alias("containment_a_in_b"),
+        F.round("containment_b_in_a", 9).alias("containment_b_in_a"),
     )
 
 

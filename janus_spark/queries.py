@@ -2416,6 +2416,13 @@ QUERIES.update(
         "q_sliding_panes": q_sliding_panes,
     }
 )
+# Set-based Jaccard depends only on each doc's shingle SET, so docs with
+# identical sets are interchangeable: join over one representative per
+# distinct set, expand pairs through membership, and add within-group
+# pairs (identical nonempty sets have J = 1 and always share a posting).
+# Equivalent to the naive postings join over all docs — which at the sf10
+# stress corpus (4,992 distinct texts in 500k docs, groups up to 200)
+# generates billions of candidate occurrences in any engine.
 ORACLES["q_jaccard_pairs"] = r"""
     WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
                FROM documents),
@@ -2424,13 +2431,26 @@ ORACLES["q_jaccard_pairs"] = r"""
                            ELSE list_distinct(list_transform(range(1, len(l) - 1),
                                               i -> array_to_string(l[i:i+2], ' ')))
                       END AS sh FROM t),
-         g AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS gram FROM s),
-         p AS (SELECT l.doc_id AS a, r.doc_id AS b, l.n AS na, r.n AS nb,
+         k AS MATERIALIZED (SELECT doc_id, sh,
+                      md5(array_to_string(list_sort(sh), chr(1))) AS gk FROM s),
+         reps AS (SELECT gk, MIN(doc_id) AS rid FROM k GROUP BY gk),
+         rs AS MATERIALIZED (SELECT r.gk, k.sh FROM reps r
+                             JOIN k ON k.doc_id = r.rid),
+         g AS (SELECT gk, len(sh) AS n, unnest(sh) AS gram FROM rs),
+         p AS (SELECT l.gk AS gka, r.gk AS gkb, l.n AS na, r.n AS nb,
                       COUNT(*) AS inter
-               FROM g l JOIN g r USING (gram) WHERE l.doc_id < r.doc_id
-               GROUP BY 1, 2, 3, 4)
-    SELECT a, b, ROUND(inter / (na + nb - inter), 9) AS jaccard
-    FROM p WHERE inter / (na + nb - inter) >= 0.5"""
+               FROM g l JOIN g r USING (gram) WHERE l.gk < r.gk
+               GROUP BY 1, 2, 3, 4),
+         rp AS (SELECT gka, gkb, inter / (na + nb - inter) AS j
+                FROM p WHERE inter / (na + nb - inter) >= 0.5),
+         crossg AS (SELECT LEAST(ka.doc_id, kb.doc_id) AS a,
+                           GREATEST(ka.doc_id, kb.doc_id) AS b, j
+                    FROM rp JOIN k ka ON ka.gk = rp.gka
+                            JOIN k kb ON kb.gk = rp.gkb),
+         within AS (SELECT l.doc_id AS a, r.doc_id AS b, 1.0 AS j
+                    FROM k l JOIN k r USING (gk) WHERE l.doc_id < r.doc_id)
+    SELECT a, b, ROUND(j, 9) AS jaccard
+    FROM (SELECT * FROM crossg UNION ALL SELECT * FROM within)"""
 ORACLES["q_time_weighted_avg"] = f"""
     WITH e AS (SELECT user_id, event_id, value, {_TSM} AS ts_ms FROM events),
          d AS (SELECT user_id, value,
@@ -3722,6 +3742,9 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_containment_pairs"] = q_containment_pairs
+# Same exact-duplicate collapse as the jaccard oracle; containment is
+# directional, so the expanded values swap sides when the member ids
+# invert the representatives' (a < b) orientation.
 ORACLES["q_containment_pairs"] = r"""
     WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
                FROM documents),
@@ -3730,14 +3753,29 @@ ORACLES["q_containment_pairs"] = r"""
                            ELSE list_distinct(list_transform(range(1, len(l) - 1),
                                               i -> array_to_string(l[i:i+2], ' ')))
                       END AS sh FROM t),
-         g AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS gram FROM s),
-         p AS (SELECT l.doc_id AS a, r.doc_id AS b, l.n AS na, r.n AS nb,
+         k AS MATERIALIZED (SELECT doc_id, sh,
+                      md5(array_to_string(list_sort(sh), chr(1))) AS gk FROM s),
+         reps AS (SELECT gk, MIN(doc_id) AS rid FROM k GROUP BY gk),
+         rs AS MATERIALIZED (SELECT r.gk, k.sh FROM reps r
+                             JOIN k ON k.doc_id = r.rid),
+         g AS (SELECT gk, len(sh) AS n, unnest(sh) AS gram FROM rs),
+         p AS (SELECT l.gk AS gka, r.gk AS gkb, l.n AS na, r.n AS nb,
                       COUNT(*) AS inter
-               FROM g l JOIN g r USING (gram) WHERE l.doc_id < r.doc_id
-               GROUP BY 1, 2, 3, 4)
-    SELECT a, b, ROUND(inter / na, 9) AS containment_a_in_b,
-           ROUND(inter / nb, 9) AS containment_b_in_a
-    FROM p WHERE GREATEST(inter / na, inter / nb) >= 0.8"""
+               FROM g l JOIN g r USING (gram) WHERE l.gk < r.gk
+               GROUP BY 1, 2, 3, 4),
+         rp AS (SELECT gka, gkb, inter / na AS cab, inter / nb AS cba
+                FROM p WHERE GREATEST(inter / na, inter / nb) >= 0.8),
+         crossg AS (SELECT LEAST(ka.doc_id, kb.doc_id) AS a,
+                           GREATEST(ka.doc_id, kb.doc_id) AS b,
+                           CASE WHEN ka.doc_id < kb.doc_id THEN cab ELSE cba END AS cab,
+                           CASE WHEN ka.doc_id < kb.doc_id THEN cba ELSE cab END AS cba
+                    FROM rp JOIN k ka ON ka.gk = rp.gka
+                            JOIN k kb ON kb.gk = rp.gkb),
+         within AS (SELECT l.doc_id AS a, r.doc_id AS b, 1.0 AS cab, 1.0 AS cba
+                    FROM k l JOIN k r USING (gk) WHERE l.doc_id < r.doc_id)
+    SELECT a, b, ROUND(cab, 9) AS containment_a_in_b,
+           ROUND(cba, 9) AS containment_b_in_a
+    FROM (SELECT * FROM crossg UNION ALL SELECT * FROM within)"""
 
 
 _MIX_BUDGET = 200

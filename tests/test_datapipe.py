@@ -584,6 +584,67 @@ def test_containment_asymmetric_where_jaccard_blind(spark):
     assert len(cont) == 1 and cont[0]["containment_b_in_a"] == 1.0
 
 
+def test_collapse_exact_parity_on_duplicated_corpus(spark):
+    """collapse_exact=True must return the EXACT same pair set and values
+    as the uncollapsed formulations on a corpus with heavy exact
+    duplication — including within-group (J=1) pairs, cross-group
+    near-dups, directional containment orientation, and short docs with
+    empty shingle sets (which must never pair)."""
+    from janus_spark.datapipe.dedup import containment_join, jaccard_similarity_join
+
+    base = {
+        "t1": "the quick brown fox jumps over the lazy dog again and again",
+        "t2": "the quick brown fox jumps over the lazy dog again and often",
+        "t3": "entirely different words about completely other topics here now",
+        "sub": "fox jumps over the lazy",  # contained in t1/t2
+        "tiny": "too short",  # < k tokens -> whole text as one shingle
+    }
+    rows = []
+    i = 0
+    for key, text in base.items():
+        copies = {"t1": 4, "t2": 3, "t3": 2, "sub": 3, "tiny": 2}[key]
+        for _ in range(copies):
+            rows.append((i, text))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for kwargs in ({"prefix_filter": True}, {"prefix_filter": False}):
+        fast = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_similarity_join(
+                df, threshold=0.3, collapse_exact=True, **kwargs
+            ).collect()
+        }
+        slow = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_similarity_join(
+                df, threshold=0.3, collapse_exact=False, **kwargs
+            ).collect()
+        }
+        assert fast == slow and len(fast) > 10
+
+    cfast = {
+        (r["a"], r["b"]): (r["containment_a_in_b"], r["containment_b_in_a"])
+        for r in containment_join(df, threshold=0.9, collapse_exact=True).collect()
+    }
+    cslow = {
+        (r["a"], r["b"]): (r["containment_a_in_b"], r["containment_b_in_a"])
+        for r in containment_join(df, threshold=0.9, collapse_exact=False).collect()
+    }
+    assert cfast == cslow and len(cfast) > 10
+    # directional orientation survives expansion: sub (later ids) is
+    # contained in t1 (earlier ids), so b-in-a = 1.0 on those pairs
+    t1_ids, sub_ids = range(0, 4), range(9, 12)
+    for a in t1_ids:
+        for b in sub_ids:
+            assert cfast[(a, b)][1] == 1.0
+    # sub-k-token docs shingle to the whole text, so identical tiny docs
+    # pair with each other (J = 1) but with nothing else
+    tiny_ids = {12, 13}
+    tiny_pairs = {(a, b) for a, b in fast if a in tiny_ids or b in tiny_ids}
+    assert tiny_pairs == {(12, 13)} and fast[(12, 13)] == 1.0
+
+
 def test_temperature_mix_flattens_distribution(spark):
     from janus_spark.datapipe.sampling import temperature_mix
 
