@@ -182,12 +182,22 @@ def _minhash_banded(
     Spreads the input over the full core budget first — signature
     construction is CPU-dense and must not inherit a handful-of-row-
     groups file layout."""
-    rows = num_perm // bands
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    base = df.select(
+    sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm, hash_fn))
+    )
+    return _banded_from_shingles(sh, num_perm, bands, hash_fn)
+
+
+def _banded_from_shingles(
+    sh: DataFrame, num_perm: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """(id, sh, band, bh) from a pre-built (id, sh) shingle frame — split
+    out so callers can collapse exact duplicates BEFORE paying for
+    signature construction (the CPU-dense stage)."""
+    rows = num_perm // bands
+    base = sh.withColumn("sig", minhash_signature(F.col("sh"), num_perm, hash_fn))
 
     def band_key(b: int) -> Column:
         concat = F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])
@@ -216,6 +226,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) with exact shingle-Jaccard >= threshold.
 
@@ -229,6 +240,15 @@ def minhash_lsh_pairs(
     DuckDB oracle reproduces buckets exactly); the default re-hashes the
     band to a compact 8-byte shuffle key.
 
+    ``collapse_exact=True`` (default) groups docs with identical shingle
+    sets first and runs signature + band join over one representative per
+    group (``_collapse_shingle_groups``).  Provably the same output:
+    identical sets share every band key (always collide, J = 1), and a
+    member pair collides in a band iff its representatives do — so even
+    the LSH's false-negative behavior is preserved pair-for-pair.  On a
+    duplicate-heavy corpus this removes the (copies)² term from every
+    band bucket AND skips signature construction for the copies.
+
     The banded frame is materialized (localCheckpoint) before the
     self-join: shingle+signature construction dominates the whole
     pipeline and Catalyst would re-evaluate it per join side (measured
@@ -236,9 +256,24 @@ def minhash_lsh_pairs(
     parquet write of the signature table — which production dedup keeps
     around anyway for incremental runs).
     """
-    banded = _minhash_banded(
-        df, text_col, id_col, num_perm, bands, shingle_k, hash_fn
-    ).localCheckpoint(eager=True)
+    membership = reps = None
+    if collapse_exact:
+        sh = (
+            df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .select(
+                F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+            )
+            .localCheckpoint(eager=True)
+        )
+        membership, reps = _collapse_shingle_groups(sh)
+        rep_sh = sh.join(reps.select("id"), "id")
+        banded = _banded_from_shingles(rep_sh, num_perm, bands, hash_fn).localCheckpoint(
+            eager=True
+        )
+    else:
+        banded = _minhash_banded(
+            df, text_col, id_col, num_perm, bands, shingle_k, hash_fn
+        ).localCheckpoint(eager=True)
     # candidates shuffle ids only: the shingle-set array (the wide column)
     # would otherwise ride every band replica through the join + dedup —
     # it joins back once per side from the per-id frame after the (a, b)
@@ -255,11 +290,16 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     union = F.size(F.array_union(F.col("sha"), F.col("shb")))
-    return (
+    out = (
         cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", "jaccard")
     )
+    if collapse_exact:
+        out = _expand_group_pairs(out, membership, reps, ["jaccard"]).unionByName(
+            _within_group_pairs(membership, [F.lit(1.0).alias("jaccard")])
+        )
+    return out
 
 
 # ---------------------------------------------------------------- simhash
@@ -268,7 +308,13 @@ def simhash32(text_col: Column, hash_fn: str = "xxhash64") -> Column:
     "xxhash64" (default) or "md5" (cross-engine ``shared_hash64`` — the
     oracle-exact gate's family; votes read bits 0..31 of the 60-bit
     value)."""
-    toks = F.array_distinct(tokens(F.lower(text_col)))
+    return _simhash32_from_tokens(F.array_distinct(tokens(F.lower(text_col))), hash_fn)
+
+
+def _simhash32_from_tokens(toks: Column, hash_fn: str = "xxhash64") -> Column:
+    """SimHash from a pre-built distinct-token array — split out so
+    callers can collapse exact duplicates (identical token sets) before
+    paying for the 32-bit vote aggregate."""
     if hash_fn == "md5":
         hashes = F.transform(toks, lambda t: shared_hash64(t))
     else:
@@ -300,15 +346,37 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs with hamming(simhash) <= max_hamming.
     Banding: 4 bytes of the 32-bit hash; pairs agreeing on >= 1 band are
     candidates (guaranteed to include all pairs with hamming <= 3).
 
+    ``collapse_exact=True`` groups docs with identical DISTINCT-TOKEN
+    sets (simhash is a function of that set), computes the signature and
+    band join over one representative per group, and expands pairs back
+    through membership (within-group hamming = 0; empty token sets get a
+    real signature and pair like any other, so they are included).  Same
+    output as the uncollapsed join, pair-for-pair.
+
     The banded frame is materialized before the self-join (tokenize-once;
     see ``minhash_lsh_pairs``)."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    base = df.select(F.col(id_col).alias("id"), simhash32(F.col(text_col), hash_fn).alias("sh"))
+    membership = reps = None
+    if collapse_exact:
+        tk = df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("sh"),
+        ).localCheckpoint(eager=True)
+        membership, reps = _collapse_shingle_groups(tk)
+        base = (
+            tk.join(reps.select("id"), "id")
+            .select("id", _simhash32_from_tokens(F.col("sh"), hash_fn).alias("sh"))
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"), simhash32(F.col(text_col), hash_fn).alias("sh")
+        )
     banded = base.select(
         "id",
         "sh",
@@ -329,7 +397,16 @@ def simhash_pairs(
         .dropDuplicates(["a", "b"])
     )
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.withColumn("hamming", ham).where(ham <= max_hamming).select("a", "b", "hamming")
+    out = cand.withColumn("hamming", ham).where(ham <= max_hamming).select("a", "b", "hamming")
+    if collapse_exact:
+        out = _expand_group_pairs(out, membership, reps, ["hamming"]).unionByName(
+            _within_group_pairs(
+                membership,
+                [F.lit(0).cast("int").alias("hamming")],
+                include_empty=True,
+            )
+        )
+    return out
 
 
 # ------------------------------------------------------------ ngram exact
@@ -559,12 +636,19 @@ def _expand_group_pairs(
     return keep.unionByName(swapped)
 
 
-def _within_group_pairs(membership: DataFrame, values: list) -> DataFrame:
-    """All (a < b) pairs inside each non-empty-set group, with the
-    constant similarity values identical sets imply (J = 1, containment
-    = 1).  Empty shingle sets share no posting, so the postings-join
-    formulation never pairs them — excluded here to match exactly."""
-    m = membership.where(F.col("nsh") > 0)
+def _within_group_pairs(
+    membership: DataFrame, values: list, include_empty: bool = False
+) -> DataFrame:
+    """All (a < b) pairs inside each group, with the constant similarity
+    values identical sets imply (J = 1, containment = 1, hamming = 0).
+
+    ``include_empty``: postings-join formulations never pair empty
+    shingle sets (no posting, excluded by default), but signature
+    formulations (simhash) assign empty sets a real signature that
+    band-joins normally — those callers pass True.  NULL sets (null
+    text) never pair anywhere: their NULL group key fails the equality
+    self-join below, matching the source formulations."""
+    m = membership if include_empty else membership.where(F.col("nsh") > 0)
     return (
         m.alias("l")
         .join(m.alias("r"), "gk")
@@ -885,6 +969,7 @@ def minhash_lsh_join(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Cross-corpus near-duplicate join: pairs (corpus_id, ref_id) whose
     exact shingle-Jaccard >= threshold — the "dedup the new crawl against
@@ -895,15 +980,49 @@ def minhash_lsh_join(
     frames.  Same signature family as ``minhash_lsh_pairs`` — a doc
     banding identically in both calls is the guarantee.
 
+    ``collapse_exact=True`` collapses each side to one representative per
+    distinct shingle set before signatures, and expands the rep-level
+    pairs through both memberships after verification.  No within-group
+    term is needed: a corpus rep and a reference rep with identical sets
+    band identically, so same-set cross-side pairs already appear at rep
+    level.  Exactly the output of the uncollapsed join (collision is a
+    function of the set on each side).
+
     Scale: one shuffle per side on (band, band_hash); hot buckets
     (boilerplate-heavy bands) are AQE-splittable; verification runs on
     the candidate set only, arrays stay JVM-side."""
-    lb = _minhash_banded(
-        corpus, text_col, id_col, num_perm, bands, shingle_k, hash_fn
-    ).localCheckpoint(eager=True)
-    rb = _minhash_banded(
-        reference, text_col, id_col, num_perm, bands, shingle_k, hash_fn
-    ).localCheckpoint(eager=True)
+    lmem = lreps = rmem = rreps = None
+    if collapse_exact:
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        lsh_all = (
+            corpus.repartition(par)
+            .select(
+                F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+            )
+            .localCheckpoint(eager=True)
+        )
+        rsh_all = (
+            reference.repartition(par)
+            .select(
+                F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+            )
+            .localCheckpoint(eager=True)
+        )
+        lmem, lreps = _collapse_shingle_groups(lsh_all)
+        rmem, rreps = _collapse_shingle_groups(rsh_all)
+        lb = _banded_from_shingles(
+            lsh_all.join(lreps.select("id"), "id"), num_perm, bands, hash_fn
+        ).localCheckpoint(eager=True)
+        rb = _banded_from_shingles(
+            rsh_all.join(rreps.select("id"), "id"), num_perm, bands, hash_fn
+        ).localCheckpoint(eager=True)
+    else:
+        lb = _minhash_banded(
+            corpus, text_col, id_col, num_perm, bands, shingle_k, hash_fn
+        ).localCheckpoint(eager=True)
+        rb = _minhash_banded(
+            reference, text_col, id_col, num_perm, bands, shingle_k, hash_fn
+        ).localCheckpoint(eager=True)
     # ids only through the band join + dedup; the shingle arrays join
     # back once per side from the per-id frames (see minhash_lsh_pairs)
     lsh = lb.select("id", "sh").dropDuplicates(["id"])
@@ -918,11 +1037,26 @@ def minhash_lsh_join(
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     union = F.size(F.array_union(F.col("sha"), F.col("shb")))
-    return (
+    out = (
         cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("corpus_id", "ref_id", "jaccard")
     )
+    if collapse_exact:
+        rp = (
+            out.join(
+                lreps.select(F.col("id").alias("corpus_id"), F.col("gk").alias("gka")),
+                "corpus_id",
+            )
+            .join(rreps.select(F.col("id").alias("ref_id"), F.col("gk").alias("gkb")), "ref_id")
+            .select("gka", "gkb", "jaccard")
+        )
+        out = (
+            rp.join(lmem.select(F.col("gk").alias("gka"), F.col("id").alias("corpus_id")), "gka")
+            .join(rmem.select(F.col("gk").alias("gkb"), F.col("id").alias("ref_id")), "gkb")
+            .select("corpus_id", "ref_id", "jaccard")
+        )
+    return out
 
 
 def dedup_keep_best(
