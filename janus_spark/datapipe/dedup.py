@@ -1173,3 +1173,74 @@ def incremental_dedup(
         F.col("__fp").alias("fp_md5"), F.col(id_col).alias("first_id")
     ).write.mode("append").parquet(store_path)
     return batch.drop("__fp")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Line-level dedup with text reassembly — the CCNet/RefinedWeb
+    "line-wise correction": crawled corpora repeat boilerplate LINES
+    (nav menus, cookie banners, footer blurbs) across otherwise-unique
+    pages, and the cure is to drop every occurrence of a line that
+    appears in >= ``min_docs`` distinct documents, then stitch each
+    document back together from its surviving lines in order.  The
+    complement of ``duplicate_passages`` (which REPORTS duplicated
+    spans): this one returns the cleaned corpus.
+
+    Lines shorter than ``min_chars`` (after trim) are exempt from
+    removal — very short lines ("the end", "1.") duplicate by chance,
+    not by boilerplate.
+
+    Returns ``(id, n_lines, kept_lines, clean_text)`` — one row per
+    input document (a fully-boilerplate doc survives with
+    ``kept_lines=0`` and ``clean_text=''``, so downstream length
+    filters see it rather than silently losing the row).
+
+    Scale: the explode is map-side; duplicated-line detection is ONE
+    shuffle on the 32-byte md5 line key with map-side partial
+    aggregation (line text itself never crosses the wire for the
+    count); the keep-decision is an equi-join on the same key; the
+    reassembly is one shuffle on doc id with an in-group
+    ``array_sort`` — no windows, no per-row Python.  The exploded
+    frame is localCheckpoint-ed ONCE because it feeds both the dup-set
+    aggregate and the keep-join (multi-reference re-evaluation
+    otherwise re-runs the split per consumer)."""
+    import re as _re
+
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
+        )
+        .withColumn("lh", F.md5(F.col("line")))
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        lines.where(F.length(F.trim(F.col("line"))) >= min_chars)
+        .groupBy("lh")
+        .agg(F.count_distinct("id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("lh", F.lit(True).alias("__dup"))
+    )
+    kept = lines.join(dup, "lh", "left").withColumn(
+        "keep", F.col("__dup").isNull()
+    )
+    rows = F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line"), F.col("keep"))))
+    return (
+        kept.groupBy("id")
+        .agg(rows.alias("__rows"))
+        .select(
+            "id",
+            F.size("__rows").cast("long").alias("n_lines"),
+            F.size(F.filter("__rows", lambda r: r["keep"])).cast("long").alias("kept_lines"),
+            F.concat_ws(
+                sep,
+                F.transform(F.filter("__rows", lambda r: r["keep"]), lambda r: r["line"]),
+            ).alias("clean_text"),
+        )
+    )

@@ -597,3 +597,90 @@ def negative_edges(
             F.col("__src").alias("src"), F.col("__dst").alias("dst"), "slot"
         )
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_middle_deg: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Neighborhood link prediction over an undirected graph: for every
+    NON-adjacent pair (u, v) with at least ``min_common`` common
+    neighbors, the common-neighbor count and the resource-allocation
+    index RA(u,v) = Σ_{w ∈ Γ(u)∩Γ(v)} 1/deg(w) (Zhou, Lü & Zhang 2009
+    — the consistently strongest of the cheap local indices; Adamic-
+    Adar's log-damped cousin).  Corpus-curation use: propose missing
+    citation/co-occurrence edges before graph-weighted sampling, or
+    score candidate hard-negative pairs by structural proximity.
+
+    ``max_middle_deg``: hub damping — only middles with
+    deg(w) <= max_middle_deg generate wedges.  This is BOTH the scale
+    bound (the wedge join is Σ deg(w)² over middles, so one celebrity
+    hub otherwise owns the stage) and standard RA practice (a hub's
+    1/deg term is ~0; dropping it changes scores negligibly while
+    removing the quadratic blowup).  ``None`` keeps every middle.
+
+    Exactness: 1/deg terms are summed as 18-digit fixed-point integers
+    (``10^18 div deg`` — bigint-exact floor division, deg >= 1) in a
+    DECIMAL(38,0) accumulator and divided by 1e18 ONCE at the end, so
+    the score is bit-identical in any engine and any accumulation
+    order (see harmonic_centrality for the same discipline).
+
+    Plan: canonical edge list materialized ONCE (three consumers:
+    degree count, wedge join, adjacency anti-join); degrees are one
+    shuffle; wedges are adj ⋈ adj on the middle id (equi-join, AQE
+    splits residual skew); the pair aggregate and the anti-join against
+    existing edges shuffle on the canonical (u, v) key.  Candidates
+    carry only ids and one bigint — no payload columns cross the
+    wedge shuffle."""
+    _SCALE = 10**18
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("a").alias("w"), F.col("b").alias("nb")).unionByName(
+        e.select(F.col("b").alias("w"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    mid = adj.join(deg, "w")
+    if max_middle_deg is not None:
+        mid = mid.where(F.col("deg") <= max_middle_deg)
+    # ra term before the wedge join: one bigint per adjacency row,
+    # replicated (not recomputed) into each wedge.
+    mid = mid.withColumn("term", F.expr(f"{_SCALE} div deg"))
+    x, y = mid.alias("x"), mid.alias("y")
+    wedges = (
+        x.join(y, "w")
+        .where(F.col("x.nb") < F.col("y.nb"))
+        .select(
+            F.col("x.nb").alias("u"),
+            F.col("y.nb").alias("v"),
+            F.col("x.term").alias("term"),
+        )
+    )
+    pairs = (
+        wedges.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(F.col("term").cast("decimal(38,0)")).alias("__ra_s"),
+        )
+        .where(F.col("cn") >= min_common)
+    )
+    non_adjacent = pairs.join(
+        e,
+        (pairs["u"] == e["a"]) & (pairs["v"] == e["b"]),
+        "left_anti",
+    )
+    return non_adjacent.select(
+        "u",
+        "v",
+        "cn",
+        (F.col("__ra_s").cast("double") / F.lit(float(_SCALE))).alias("ra"),
+    )

@@ -8604,3 +8604,101 @@ ORACLES["q_profile"] = """
            COUNT(DISTINCT value),
            CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE)
     FROM events"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup with reassembly —
+    datapipe/dedup.py::line_dedup.  The documents fixture is single-line
+    word soup, so the gate first folds each doc into deterministic
+    10-token lines (the same fold both engines can express exactly);
+    every line occurring in >= 2 distinct docs is dropped from ALL docs
+    and the text is stitched back in order.  Compares per-doc line
+    counts plus the md5 of the reassembled text, so the whole
+    reassembly contract (order, separator, empty-doc survival) is
+    pinned, not just the counts."""
+    from janus_spark.datapipe.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    lines = F.when(
+        nchunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ml = docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    out = line_dedup(ml, min_docs=2)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "kept_lines",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_chars"),
+    )
+
+
+QUERIES["q_line_dedup"] = q_line_dedup
+ORACLES["q_line_dedup"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                 array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS line
+          FROM t, UNNEST(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) u(i)),
+    d AS (SELECT line FROM c GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+    k AS (SELECT c.doc_id, c.pos, c.line, (d.line IS NULL) AS keep
+          FROM c LEFT JOIN d USING (line)),
+    agg AS (SELECT doc_id, COUNT(*) AS n_lines,
+                   SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS kept_lines,
+                   COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY pos), '') AS clean_text
+            FROM k GROUP BY doc_id)
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(kept_lines AS BIGINT) AS kept_lines,
+           md5(clean_text) AS clean_md5,
+           CAST(length(clean_text) AS BIGINT) AS clean_chars
+    FROM agg"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction over the part co-purchase
+    graph (parts < 500 — the gate subgraph) —
+    operators/graph.py::link_prediction.  Hub damping at middle-degree
+    60 is the scale bound (wedge cost is Σ deg² over middles) and the
+    18-digit fixed-point 1/deg terms make the RA score bit-identical
+    across engines in any accumulation order."""
+    from janus_spark.operators.graph import link_prediction
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_partkey") < 500)
+    lp = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        lp.alias("x")
+        .join(lp.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    out = link_prediction(edges, max_middle_deg=60, min_common=2)
+    return out.select(
+        F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"), "cn", "ra"
+    )
+
+
+QUERIES["q_link_prediction"] = q_link_prediction
+ORACLES["q_link_prediction"] = """
+    WITH lp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey < 500),
+    e AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+    adj AS (SELECT a AS w, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w),
+    mid AS (SELECT adj.w, adj.nb, 1000000000000000000 // deg.deg AS term
+            FROM adj JOIN deg USING (w) WHERE deg.deg <= 60),
+    wg AS (SELECT x.nb AS u, y.nb AS v, x.term
+           FROM mid x JOIN mid y ON x.w = y.w AND x.nb < y.nb),
+    p AS (SELECT u, v, COUNT(*) AS cn, SUM(CAST(term AS DECIMAL(38,0))) AS ras
+          FROM wg GROUP BY u, v HAVING COUNT(*) >= 2)
+    SELECT p.u, p.v, p.cn, CAST(ras AS DOUBLE) / 1e18 AS ra
+    FROM p LEFT JOIN e ON p.u = e.a AND p.v = e.b
+    WHERE e.a IS NULL"""

@@ -1038,3 +1038,39 @@ def test_validate_rejects_unknown_rule(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         validate(df, [("positive", "id")])
+
+
+def test_line_dedup_drops_all_occurrences_and_reassembles(spark):
+    from janus_spark.datapipe.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nBOILERPLATE FOOTER\nunique two"),
+            (2, "other text\nBOILERPLATE FOOTER"),
+            (3, "solo document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["kept_lines"] == 2
+    assert out[1]["clean_text"] == "unique one\nunique two"
+    # the duplicated line is dropped from EVERY doc, not kept-first
+    assert out[2]["kept_lines"] == 1 and out[2]["clean_text"] == "other text"
+    assert out[3]["kept_lines"] == 1 and out[3]["clean_text"] == "solo document"
+
+
+def test_line_dedup_short_line_exemption_and_empty_survival(spark):
+    from janus_spark.datapipe.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "ok\nSHARED LINE"), (2, "ok\nSHARED LINE"), (3, "ok")],
+        "doc_id long, text string",
+    )
+    # min_chars=3 exempts "ok" (len 2) from removal despite 3 occurrences
+    out = {r["id"]: r for r in line_dedup(docs, min_chars=3).collect()}
+    assert out[3]["clean_text"] == "ok"
+    assert out[1]["clean_text"] == "ok" and out[1]["kept_lines"] == 1
+    # fully-boilerplate doc survives with kept_lines=0, clean_text=''
+    out2 = {r["id"]: r for r in line_dedup(docs, min_chars=1).collect()}
+    assert out2[3]["n_lines"] == 1 and out2[3]["kept_lines"] == 0
+    assert out2[3]["clean_text"] == ""

@@ -220,3 +220,54 @@ def test_negative_edges_deterministic_and_disjoint(spark):
     # a different seed gives a different draw
     c = sorted(tuple(r) for r in negative_edges(edges, nodes, m=4, seed=4).collect())
     assert c != a
+
+
+def test_link_prediction_hand_check(spark):
+    # Path graph a-b-c-d-e: non-adjacent pairs at distance 2 share exactly
+    # one middle.  deg(b)=deg(c)=deg(d)=2, so RA = 1/2 for each.
+    from janus_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "src string, dst string"
+    )
+    out = {(r["u"], r["v"]): (r["cn"], r["ra"]) for r in link_prediction(edges).collect()}
+    assert set(out) == {("a", "c"), ("b", "d"), ("c", "e")}
+    for cn, ra in out.values():
+        assert cn == 1
+        assert ra == pytest.approx(0.5, abs=1e-15)
+
+
+def test_link_prediction_excludes_adjacent_and_damps_hubs(spark):
+    from janus_spark.operators.graph import link_prediction
+
+    # Triangle a-b-c plus hub h connected to everything: (a,b) adjacent ->
+    # never emitted even though they share neighbors.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")],
+        "src string, dst string",
+    )
+    out = {(r["u"], r["v"]): r for r in link_prediction(edges).collect()}
+    assert all(u < v for u, v in out)
+    assert ("a", "b") not in out and ("a", "c") not in out and ("b", "c") not in out
+    # (a, d) share only the hub h (deg 4): cn=1, ra=1/4
+    assert out[("a", "d")]["cn"] == 1
+    assert out[("a", "d")]["ra"] == pytest.approx(0.25, abs=1e-15)
+    # hub damping at max_middle_deg=3 removes h as a middle: (a, d) gone
+    damped = {
+        (r["u"], r["v"]): r
+        for r in link_prediction(edges, max_middle_deg=3).collect()
+    }
+    assert ("a", "d") not in damped
+
+
+def test_link_prediction_min_common_threshold(spark):
+    from janus_spark.operators.graph import link_prediction
+
+    # u and v share middles m1, m2 -> cn=2; u and w share only m1 -> cn=1
+    edges = spark.createDataFrame(
+        [("u", "m1"), ("u", "m2"), ("v", "m1"), ("v", "m2"), ("w", "m1")],
+        "src string, dst string",
+    )
+    # undirected: m1/m2 likewise share the two middles u and v
+    out = {(r["u"], r["v"]): r["cn"] for r in link_prediction(edges, min_common=2).collect()}
+    assert out == {("u", "v"): 2, ("m1", "m2"): 2}
