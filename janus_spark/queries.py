@@ -8702,3 +8702,279 @@ ORACLES["q_link_prediction"] = """
     SELECT p.u, p.v, p.cn, CAST(ras AS DOUBLE) / 1e18 AS ra
     FROM p LEFT JOIN e ON p.u = e.a AND p.v = e.b
     WHERE e.a IS NULL"""
+
+
+def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation
+    and order year over 'red' parts.  The fixture has no partsupp, so
+    ps_supplycost is proxied by p_retailprice (noted adaptation; the
+    shape — 4-way join, conditional part filter, signed profit
+    aggregate — is Q9's).  Plan: part filter broadcast-semi-joins into
+    the lineitem scan, supplier→nation collapses to a broadcast dim;
+    the one real shuffle is lineitem⋈orders; profit in exact 1e-4
+    units (revenue cents×(100−disc) minus cost cents×qty×100) summed
+    as DECIMAL(38,0) — sign-safe and order-free."""
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("retail_c"))
+    su = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(spark.read.parquet(f"{sf_dir}/nation.parquet")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_orderdate")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    amt_u = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        - F.col("retail_c") * F.col("l_quantity").cast("long") * 100
+    ).cast("decimal(38,0)")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(amt_u).alias("__p_u"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .select(
+            "nation",
+            F.col("o_year").cast("int").alias("o_year"),
+            (F.col("__p_u").cast("double") / 10000.0).alias("sum_profit"),
+            "n_lines",
+        )
+    )
+
+
+QUERIES["q_tpch_profit"] = q_tpch_profit
+ORACLES["q_tpch_profit"] = """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(
+             CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount*100,0) AS BIGINT))
+             - CAST(ROUND(p.p_retailprice*100,0) AS BIGINT)
+               * CAST(l.l_quantity AS BIGINT) * 100 AS DECIMAL(38,0))) AS DOUBLE)
+             / 10000.0 AS sum_profit,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)"""
+
+
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each small LARGE-type
+    part, the EUROPE supplier(s) offering it at the minimum cost.
+    partsupp.ps_supplycost is proxied by the minimum extended price each
+    supplier ever quoted for the part (one groupBy over lineitem — the
+    fixture's supply relation).  The correlated MIN subquery is a
+    window min over the part key; region/nation/supplier collapse to
+    broadcast dims.  Cost stays in integer cents until the final
+    divide, so the min and the equality filter are exact."""
+    from pyspark.sql.window import Window as W
+
+    supply = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cost_u"))
+    )
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    re = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "EUROPE")
+    su = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_size") < 10) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_name")
+    eligible = supply.join(F.broadcast(su), supply.l_suppkey == su.s_suppkey).withColumn(
+        "min_u", F.min("cost_u").over(W.partitionBy("l_partkey"))
+    )
+    return (
+        eligible.where(F.col("cost_u") == F.col("min_u"))
+        .join(F.broadcast(pa), F.col("l_partkey") == pa.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "nation",
+            "p_partkey",
+            "p_name",
+            (F.col("cost_u").cast("double") / 100.0).alias("supply_cost"),
+        )
+    )
+
+
+QUERIES["q_tpch_min_cost_supplier"] = q_tpch_min_cost_supplier
+ORACLES["q_tpch_min_cost_supplier"] = """
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS cost_u
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eligible AS (
+      SELECT sp.l_partkey, sp.l_suppkey, sp.cost_u,
+             MIN(sp.cost_u) OVER (PARTITION BY sp.l_partkey) AS min_u,
+             s.s_name, s.s_acctbal, n.n_name AS nation
+      FROM supply sp
+      JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE')
+    SELECT e.s_acctbal, e.s_name, e.nation, p.p_partkey, p.p_name,
+           CAST(e.cost_u AS DOUBLE)/100.0 AS supply_cost
+    FROM eligible e
+    JOIN part p ON e.l_partkey = p.p_partkey
+      AND p.p_size < 10 AND p.p_type = 'LARGE'
+    WHERE e.cost_u = e.min_u"""
+
+
+def q_tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    revenue through NATION_3 suppliers exceeds 1/1000 of that nation's
+    total (ps_supplycost×availqty proxied by revenue cents — no
+    partsupp in the fixture).  The global-total scalar is a 1-row
+    broadcast crossJoin (the house stats-frame pattern) and the
+    HAVING comparison is exact integer arithmetic
+    (value_u × 1000 > total_u, both DECIMAL(38,0))."""
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet").where(F.col("n_name") == "NATION_3")
+    su = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    v = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey, "semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long").cast("decimal(38,0)")
+            ).alias("value_u")
+        )
+    )
+    total = v.agg(F.sum("value_u").alias("total_u"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(F.col("value_u") * 1000 > F.col("total_u"))
+        .select("partkey", (F.col("value_u").cast("double") / 100.0).alias("value"))
+    )
+
+
+QUERIES["q_tpch_important_stock"] = q_tpch_important_stock
+ORACLES["q_tpch_important_stock"] = """
+    WITH v AS (
+      SELECT l.l_partkey AS partkey,
+             SUM(CAST(CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT) AS DECIMAL(38,0))) AS value_u
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey),
+    t AS (SELECT SUM(value_u) AS total_u FROM v)
+    SELECT v.partkey, CAST(v.value_u AS DOUBLE)/100.0 AS value
+    FROM v, t WHERE v.value_u * 1000 > t.total_u"""
+
+
+def q_tpch_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) for selected parts, excluding
+    deficit-balance suppliers (the fixture's complaint proxy — there is
+    no s_comment).  The supply relation is the distinct
+    (partkey, suppkey) projection of lineitem; the exclusion is a
+    broadcast anti-join; NOT-IN + COUNT DISTINCT is Q16's shape."""
+    ps = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = spark.read.parquet(f"{sf_dir}/supplier.parquet").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "anti")
+        .join(F.broadcast(pa), ps.l_partkey == pa.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+QUERIES["q_tpch_parts_supplier"] = q_tpch_parts_supplier
+ORACLES["q_tpch_parts_supplier"] = """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size"""
+
+
+def q_tpch_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): EUROPE suppliers who
+    DOMINATED the 1997 supply of some 'red' part (shipped more than
+    half the part's total-1997 quantity — the availqty>½·shipped test
+    adapted to the fixture's supply-from-lineitem relation).  Nested
+    aggregate → per-part threshold join → supplier semi-join, Q20's
+    shape; quantities are exact bigints so the ×2 comparison never
+    touches a float."""
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    q = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey, "semi")
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    tot = q.groupBy("partkey").agg(F.sum("qty").alias("total_qty"))
+    dom = q.join(F.broadcast(tot), "partkey").where(2 * F.col("qty") > F.col("total_qty"))
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    re = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "EUROPE")
+    su = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        dom.join(F.broadcast(su), dom.suppkey == su.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts_dominated"))
+    )
+
+
+QUERIES["q_tpch_part_promotion"] = q_tpch_part_promotion
+ORACLES["q_tpch_part_promotion"] = """
+    WITH q AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'red%'
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_partkey, l.l_suppkey),
+    tot AS (SELECT partkey, SUM(qty) AS total_qty FROM q GROUP BY partkey),
+    dom AS (SELECT q.suppkey FROM q JOIN tot USING (partkey)
+            WHERE 2*q.qty > tot.total_qty)
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_parts_dominated
+    FROM dom
+    JOIN supplier s ON dom.suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    GROUP BY s.s_suppkey, s.s_name"""
