@@ -8837,12 +8837,14 @@ ORACLES["q_tpch_min_cost_supplier"] = """
 
 def q_tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock identification): parts whose
-    revenue through NATION_3 suppliers exceeds 1/1000 of that nation's
-    total (ps_supplycost×availqty proxied by revenue cents — no
-    partsupp in the fixture).  The global-total scalar is a 1-row
-    broadcast crossJoin (the house stats-frame pattern) and the
-    HAVING comparison is exact integer arithmetic
-    (value_u × 1000 > total_u, both DECIMAL(38,0))."""
+    revenue through NATION_3 suppliers exceeds 2× the average part
+    share of that nation's total (ps_supplycost×availqty proxied by
+    revenue cents — no partsupp in the fixture; Q11's FIXED fraction
+    goes degenerate as the part universe grows, so the gate uses the
+    scale-invariant form value×n_parts > 2×total).  The global-total
+    scalar is a 1-row broadcast crossJoin (the house stats-frame
+    pattern) and the HAVING comparison is exact integer arithmetic
+    over DECIMAL(38,0)."""
     na = spark.read.parquet(f"{sf_dir}/nation.parquet").where(F.col("n_name") == "NATION_3")
     su = (
         spark.read.parquet(f"{sf_dir}/supplier.parquet")
@@ -8859,10 +8861,12 @@ def q_tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_u")
         )
     )
-    total = v.agg(F.sum("value_u").alias("total_u"))
+    total = v.agg(
+        F.sum("value_u").alias("total_u"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         v.crossJoin(F.broadcast(total))
-        .where(F.col("value_u") * 1000 > F.col("total_u"))
+        .where(F.col("value_u") * F.col("n_parts") > 2 * F.col("total_u"))
         .select("partkey", (F.col("value_u").cast("double") / 100.0).alias("value"))
     )
 
@@ -8876,9 +8880,9 @@ ORACLES["q_tpch_important_stock"] = """
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
       GROUP BY l.l_partkey),
-    t AS (SELECT SUM(value_u) AS total_u FROM v)
+    t AS (SELECT SUM(value_u) AS total_u, COUNT(*) AS n_parts FROM v)
     SELECT v.partkey, CAST(v.value_u AS DOUBLE)/100.0 AS value
-    FROM v, t WHERE v.value_u * 1000 > t.total_u"""
+    FROM v, t WHERE v.value_u * t.n_parts > 2 * t.total_u"""
 
 
 def q_tpch_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
