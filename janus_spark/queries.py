@@ -8982,3 +8982,104 @@ ORACLES["q_tpch_part_promotion"] = """
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
     GROUP BY s.s_suppkey, s.s_name"""
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: near-duplicate CLUSTERS (connected
+    components over the MinHash-LSH pair graph), not documents, are the
+    unit of assignment — eval can never contain a near-dup of a train
+    doc, the contamination mode a doc-id hash split silently permits.
+    Composition of existing operators: minhash_lsh_pairs (md5 family)
+    → dedup_clusters (pointer-jumping CC) → hash split on the cluster
+    representative.  Oracle: the banded-minhash SQL + a recursive-CTE
+    min-label propagation.  Scale: pairs/CC as in q_dedup_minhash;
+    the split itself is map-side arithmetic on the rep id."""
+    from janus_spark.datapipe.dedup import dedup_clusters, minhash_lsh_pairs, shared_hash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(mutated)
+    pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.5, hash_fn="md5").select("a", "b")
+    clusters = dedup_clusters(pairs)
+    labeled = (
+        corpus.select(F.col("doc_id").alias("id"))
+        .join(clusters, "id", "left")
+        .select("id", F.coalesce("keep_id", F.col("id")).alias("cluster_rep"))
+    )
+    split = F.when(
+        shared_hash64(F.concat(F.lit("split:"), F.col("cluster_rep").cast("string"))) % 10 < 8,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    return labeled.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+        split.alias("split"),
+    )
+
+
+QUERIES["q_split_leakage_safe"] = q_split_leakage_safe
+_MINHASH_PAIR_CTES = """
+    corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 200
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' tailmarker'
+           FROM documents WHERE doc_id < 200),
+         t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+               FROM corpus),
+         s AS (SELECT doc_id,
+                      CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(l) - 1),
+                                              i -> array_to_string(l[i:i+2], ' ')))
+                      END AS sh FROM t),
+         g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+         sig AS (SELECT doc_id,
+                 MIN(('0x' || substr(md5('0:' || gram), 1, 15))::BIGINT) AS m0,
+                 MIN(('0x' || substr(md5('1:' || gram), 1, 15))::BIGINT) AS m1,
+                 MIN(('0x' || substr(md5('2:' || gram), 1, 15))::BIGINT) AS m2,
+                 MIN(('0x' || substr(md5('3:' || gram), 1, 15))::BIGINT) AS m3,
+                 MIN(('0x' || substr(md5('4:' || gram), 1, 15))::BIGINT) AS m4,
+                 MIN(('0x' || substr(md5('5:' || gram), 1, 15))::BIGINT) AS m5,
+                 MIN(('0x' || substr(md5('6:' || gram), 1, 15))::BIGINT) AS m6,
+                 MIN(('0x' || substr(md5('7:' || gram), 1, 15))::BIGINT) AS m7,
+                 MIN(('0x' || substr(md5('8:' || gram), 1, 15))::BIGINT) AS m8,
+                 MIN(('0x' || substr(md5('9:' || gram), 1, 15))::BIGINT) AS m9,
+                 MIN(('0x' || substr(md5('10:' || gram), 1, 15))::BIGINT) AS m10,
+                 MIN(('0x' || substr(md5('11:' || gram), 1, 15))::BIGINT) AS m11,
+                 MIN(('0x' || substr(md5('12:' || gram), 1, 15))::BIGINT) AS m12,
+                 MIN(('0x' || substr(md5('13:' || gram), 1, 15))::BIGINT) AS m13,
+                 MIN(('0x' || substr(md5('14:' || gram), 1, 15))::BIGINT) AS m14,
+                 MIN(('0x' || substr(md5('15:' || gram), 1, 15))::BIGINT) AS m15
+                 FROM g GROUP BY doc_id),
+         bands AS (SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) || ',' || CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR) AS bh FROM sig
+      UNION ALL SELECT doc_id, 1 AS band, CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR) || ',' || CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) AS bh FROM sig
+      UNION ALL SELECT doc_id, 2 AS band, CAST(m8 AS VARCHAR) || ',' || CAST(m9 AS VARCHAR) || ',' || CAST(m10 AS VARCHAR) || ',' || CAST(m11 AS VARCHAR) AS bh FROM sig
+      UNION ALL SELECT doc_id, 3 AS band, CAST(m12 AS VARCHAR) || ',' || CAST(m13 AS VARCHAR) || ',' || CAST(m14 AS VARCHAR) || ',' || CAST(m15 AS VARCHAR) AS bh FROM sig),
+         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                  FROM bands l JOIN bands r USING (band, bh)
+                  WHERE l.doc_id < r.doc_id),
+         pairs AS (SELECT c.a, c.b
+               FROM cand c
+               JOIN s sa ON sa.doc_id = c.a
+               JOIN s sb ON sb.doc_id = c.b
+               WHERE len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
+                 AND len(list_intersect(sa.sh, sb.sh))
+                     / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.5)"""
+ORACLES["q_split_leakage_safe"] = (
+    "WITH RECURSIVE "
+    + _MINHASH_PAIR_CTES
+    + """,
+    sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT s.y, r.lbl FROM reach r JOIN sym s ON s.x = r.id WHERE r.lbl < s.y),
+    rep AS (SELECT id, MIN(lbl) AS cluster_rep FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_rep,
+           CASE WHEN ('0x' || substr(md5('split:' || CAST(cluster_rep AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+                THEN 'train' ELSE 'eval' END AS split
+    FROM rep"""
+)

@@ -1074,3 +1074,26 @@ def test_line_dedup_short_line_exemption_and_empty_survival(spark):
     out2 = {r["id"]: r for r in line_dedup(docs, min_chars=1).collect()}
     assert out2[3]["n_lines"] == 1 and out2[3]["kept_lines"] == 0
     assert out2[3]["clean_text"] == ""
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    # near-dup pairs must land on the same side of the split — the whole
+    # point of splitting by cluster representative instead of doc id
+    from janus_spark.datapipe.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "a long, b long"
+    )
+    clusters = dedup_clusters(pairs)
+    got = {r["id"]: r["keep_id"] for r in clusters.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # and the gate's invariant end-to-end at sf0.001
+    from janus_spark.queries import QUERIES
+
+    out = QUERIES["q_split_leakage_safe"](spark, "/root/testdata/sf0.001")
+    side = {r["doc_id"]: (r["cluster_rep"], r["split"]) for r in out.collect()}
+    by_rep = {}
+    for rep, split in side.values():
+        by_rep.setdefault(rep, set()).add(split)
+    assert all(len(s) == 1 for s in by_rep.values())
+    assert any(rep != d for d, (rep, _) in side.items())  # non-trivial clusters exist
