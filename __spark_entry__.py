@@ -32,6 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # streaming-state gates, hardest analytics) so the hard oracle signal
 # covers them; the round-1 head gates (verified in rounds 1-4) follow.
 PRIORITY_GATES = [
+    # round-5 suite-completion batch (newest, never driver-verified)
+    "q_line_dedup",
+    "q_link_prediction",
+    "q_split_leakage_safe",
+    "q_tpch_profit",
+    "q_tpch_min_cost_supplier",
+    "q_tpch_important_stock",
+    "q_tpch_parts_supplier",
+    "q_tpch_part_promotion",
     # round-5 additions
     "q_bm25_incremental",
     "q_path_deep_closure",
