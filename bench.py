@@ -226,6 +226,8 @@ def main() -> None:
         "q_tfidf_pairs",
         "q_clustering_coeff",
         "q_embedding_near_dup",
+        "q_line_dedup",
+        "q_link_prediction",
     ):
         runs, n = timed(QUERIES[name])
         datapipe[name] = round(min(runs), 3)
