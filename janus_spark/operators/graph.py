@@ -684,3 +684,62 @@ def link_prediction(
         "cn",
         (F.col("__ra_s").cast("double") / F.lit(float(_SCALE))).alias("ra"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007), made DETERMINISTIC: every node starts with
+    its own id as label and each round adopts the most frequent label
+    among its neighbors, ties broken by the smallest label; all nodes
+    update simultaneously from the previous round's labels.  The
+    asynchronous/random variants converge faster but are
+    seed-dependent — for a data-pipeline operator (cluster crawl
+    domains / co-purchase groups before per-community sampling), a
+    reproducible answer is worth the fixed iteration count, and the
+    synchronous+min-tie-break rule is reproducible in ANY engine
+    (plain integer counts and comparisons — the oracle runs the same
+    three rounds in SQL).
+
+    Returns ``(id, community)`` for every node with at least one edge.
+
+    Plan: per round, one equi-join of the (checkpointed) adjacency
+    against the current labels on the neighbor id and one two-level
+    aggregate — groupBy (node, label) count, then per-node argmax via
+    ``min(struct(-cnt, label))`` (no window, no sort).  Labels are
+    localCheckpoint-ed per round: the frame is re-joined next round
+    and lineage would otherwise double (see the module-head note on
+    constraint-inference blowup in iterative plans)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("a").alias("w"), F.col("b").alias("nb")).unionByName(
+        e.select(F.col("b").alias("w"), F.col("a").alias("nb"))
+    ).localCheckpoint(eager=True)
+    labels = adj.select(F.col("w").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        votes = (
+            adj.join(labels.withColumnRenamed("id", "nb"), "nb")
+            .groupBy(F.col("w").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("id")
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lbl").alias("l")))
+                .alias("best")
+            )
+            .select("id", F.col("best.l").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("lbl").alias("community"))

@@ -9083,3 +9083,58 @@ ORACLES["q_split_leakage_safe"] = (
                 THEN 'train' ELSE 'eval' END AS split
     FROM rep"""
 )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    part co-purchase subgraph (parts < 400), 3 rounds —
+    operators/graph.py::label_propagation.  Every step is integer
+    counting with a min-label tie-break, so the oracle unrolls the
+    same three rounds in SQL and matches EXACTLY (no randomness, no
+    floats anywhere)."""
+    from janus_spark.operators.graph import label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_partkey") < 400)
+    lp = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        lp.alias("x")
+        .join(lp.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    out = label_propagation(edges, iterations=3)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+QUERIES["q_label_propagation"] = q_label_propagation
+ORACLES["q_label_propagation"] = """
+    WITH lp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey < 400),
+    e AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+    adj AS MATERIALIZED (SELECT a AS w, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+    l0 AS (SELECT DISTINCT w AS id, w AS lbl FROM adj),
+    l1 AS (SELECT id, lbl FROM (
+             SELECT a.w AS id, l.lbl, COUNT(*) AS cnt,
+                    ROW_NUMBER() OVER (PARTITION BY a.w
+                        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+             FROM adj a JOIN l0 l ON a.nb = l.id GROUP BY a.w, l.lbl)
+           WHERE rn = 1),
+    l2 AS (SELECT id, lbl FROM (
+             SELECT a.w AS id, l.lbl, COUNT(*) AS cnt,
+                    ROW_NUMBER() OVER (PARTITION BY a.w
+                        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+             FROM adj a JOIN l1 l ON a.nb = l.id GROUP BY a.w, l.lbl)
+           WHERE rn = 1),
+    l3 AS (SELECT id, lbl FROM (
+             SELECT a.w AS id, l.lbl, COUNT(*) AS cnt,
+                    ROW_NUMBER() OVER (PARTITION BY a.w
+                        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+             FROM adj a JOIN l2 l ON a.nb = l.id GROUP BY a.w, l.lbl)
+           WHERE rn = 1)
+    SELECT id, lbl AS community FROM l3"""

@@ -271,3 +271,30 @@ def test_link_prediction_min_common_threshold(spark):
     # undirected: m1/m2 likewise share the two middles u and v
     out = {(r["u"], r["v"]): r["cn"] for r in link_prediction(edges, min_common=2).collect()}
     assert out == {("u", "v"): 2, ("m1", "m2"): 2}
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    # Two triangles joined by one bridge edge: each triangle converges to
+    # its own min-id community.
+    from janus_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    out = {r["id"]: r["community"] for r in label_propagation(edges, iterations=4).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == out[5] == out[6]
+    assert out[4] != out[1]
+
+
+def test_label_propagation_deterministic_tie_break(spark):
+    # Star a-b, a-c: b and c each see only a; a sees the tie {b, c} and
+    # must take the SMALLEST label.
+    from janus_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([("a", "b"), ("a", "c")], "src string, dst string")
+    one = label_propagation(edges, iterations=1).collect()
+    got = {r["id"]: r["community"] for r in one}
+    assert got["a"] == "b"  # min of the tied {b, c}
+    assert got["b"] == "a" and got["c"] == "a"
