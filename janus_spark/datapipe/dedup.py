@@ -821,6 +821,12 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     Returns (id, keep_id) for every id that appears in a pair; rows with
     id == keep_id are the keepers.
     """
+    # pairs is referenced by BOTH union directions: materialize it once or
+    # the caller's (possibly expensive — banded minhash verification)
+    # pair pipeline is evaluated per branch.  The eager checkpoint below
+    # hides that double evaluation from plan-level scan audits, so it must
+    # be cut here, above the fan-out.
+    pairs = pairs.localCheckpoint(eager=False)
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
