@@ -441,3 +441,31 @@ def test_grid_radius_join_is_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_wedge_join_is_equi_join(spark, sf_dir):
+    """The wedge join and the adjacency anti-join must both be hash/merge
+    equi-joins — never nested-loop/cartesian (the blowup link prediction
+    is banded to avoid), and the edge list must be a materialized scan."""
+    from janus_spark.operators.graph import link_prediction
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(2000)
+    edges = li.select(F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst"))
+    plan = plan_of(link_prediction(edges, max_middle_deg=60, min_common=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan, "expected the checkpointed canonical edge list"
+
+
+def test_line_dedup_no_window_and_single_explode(spark, sf_dir):
+    """line_dedup's reassembly is an in-group array_sort, not a window,
+    and the exploded line frame is materialized once (no generator node
+    may survive into the final plan — both consumers read the
+    checkpoint)."""
+    from janus_spark.datapipe.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = plan_of(line_dedup(docs))
+    assert "Window" not in plan
+    assert "Generate" not in plan, "explode must live below the checkpoint"
+    assert "ExistingRDD" in plan
