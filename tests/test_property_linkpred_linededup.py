@@ -95,3 +95,45 @@ def test_line_dedup_matches_brute_force(spark, docs, min_docs, min_chars):
         for r in line_dedup(df, min_docs=min_docs, min_chars=min_chars).collect()
     }
     assert got == _py_line_dedup(rows, min_docs=min_docs, min_chars=min_chars)
+
+
+def _py_label_propagation(edge_list, iterations=3):
+    edges = set()
+    for a, b in edge_list:
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for n, nbs in adj.items():
+            counts = {}
+            for w in nbs:
+                counts[lbl[w]] = counts.get(lbl[w], 0) + 1
+            # most frequent, ties -> smallest label
+            nxt[n] = min(counts, key=lambda l: (-counts[l], l))
+        lbl = nxt
+    return lbl
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=20
+    ),
+    iters=st.integers(1, 4),
+)
+def test_label_propagation_matches_brute_force(spark, edges, iters):
+    from janus_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(df, iterations=iters).collect()
+    }
+    assert got == _py_label_propagation(edges, iterations=iters)
