@@ -1221,7 +1221,11 @@ def line_dedup(
     lines = (
         df.select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
+            # null text → empty doc, not a silently-dropped row (explode
+            # of NULL would lose the document entirely)
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+            ).alias("pos", "line"),
         )
         .withColumn("lh", F.md5(F.col("line")))
         .localCheckpoint(eager=False)

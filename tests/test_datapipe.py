@@ -1097,3 +1097,16 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
         by_rep.setdefault(rep, set()).add(split)
     assert all(len(s) == 1 for s in by_rep.values())
     assert any(rep != d for d, (rep, _) in side.items())  # non-trivial clusters exist
+
+
+def test_line_dedup_null_text_and_regex_special_sep(spark):
+    from janus_spark.datapipe.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a.SHARED.b"), (2, "x.SHARED"), (3, None)], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in line_dedup(docs, sep=".", min_chars=2).collect()}
+    assert out[1]["clean_text"] == "a.b"  # '.' treated literally, not regex-any
+    assert out[2]["clean_text"] == "x"
+    # null text survives as an empty document
+    assert out[3]["n_lines"] == 1 and out[3]["clean_text"] == ""
