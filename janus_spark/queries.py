@@ -8945,6 +8945,9 @@ def q_tpch_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey, "semi")
         .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        # q feeds both the per-part total and the dominance join —
+        # materialize or the filtered scan+aggregate runs twice
+        .localCheckpoint(eager=False)
     )
     tot = q.groupBy("partkey").agg(F.sum("qty").alias("total_qty"))
     dom = q.join(F.broadcast(tot), "partkey").where(2 * F.col("qty") > F.col("total_qty"))
