@@ -37,6 +37,7 @@ PRIORITY_GATES = [
     "q_link_prediction",
     "q_split_leakage_safe",
     "q_label_propagation",
+    "q_edge_support",
     "q_tpch_profit",
     "q_tpch_min_cost_supplier",
     "q_tpch_important_stock",

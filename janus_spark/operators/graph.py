@@ -743,3 +743,79 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("id", F.col("lbl").alias("community"))
+
+
+def edge_support(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-EDGE triangle support — the k-truss building block (Cohen
+    2008): support(u,v) = number of triangles containing the edge.
+    Graph-curation use: low-support edges in a co-occurrence/link graph
+    are noise (one-off co-purchases, crawl artifacts) while
+    high-support edges sit inside dense communities — filtering
+    ``support >= k-2`` is one peeling step of the k-truss and is often
+    all the denoising a sampling pipeline needs.
+
+    Returns ``(a, b, support)`` for every canonical (a < b) edge,
+    INCLUDING support-0 edges (peeling needs them).
+
+    Scale: identical skeleton to ``triangle_count`` — Suri-
+    Vassilvitskii degree orientation bounds wedge volume at O(m^{3/2})
+    and enumerates each triangle exactly once; the only additions are
+    the explode of each triangle into its three canonical edges
+    (map-side) and one count shuffle on the edge key, plus the outer
+    join back to the edge list for the zeros."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    canon = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = canon.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("i"))
+    oriented = ed.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(ka < kb, kb).otherwise(ka).alias("kv"),
+    ).localCheckpoint(eager=True)
+    wedges = (
+        oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
+        .join(oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2")), "u")
+        .where(F.col("k1") < F.col("k2"))
+        .select("u", "v1", "v2")
+    )
+    # inner (not semi): oriented pairs are distinct, so each triangle
+    # materializes exactly once
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+        "inner",
+    )
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v1").alias("a"), F.greatest("u", "v1").alias("b")
+                ),
+                F.struct(
+                    F.least("u", "v2").alias("a"), F.greatest("u", "v2").alias("b")
+                ),
+                F.struct(
+                    F.least("v1", "v2").alias("a"), F.greatest("v1", "v2").alias("b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    counts = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    return canon.join(counts, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )

@@ -9141,3 +9141,49 @@ ORACLES["q_label_propagation"] = """
              FROM adj a JOIN l2 l ON a.nb = l.id GROUP BY a.w, l.lbl)
            WHERE rn = 1)
     SELECT id, lbl AS community FROM l3"""
+
+
+def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support (k-truss building block) over the part
+    co-purchase subgraph (parts < 500) —
+    operators/graph.py::edge_support.  Degree-oriented triangle
+    enumeration (each triangle once), exploded onto its three edges,
+    one count shuffle; support-0 edges kept via the outer join (the
+    peeling step needs them)."""
+    from janus_spark.operators.graph import edge_support
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_partkey") < 500)
+    lp = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        lp.alias("x")
+        .join(lp.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    out = edge_support(edges)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "support",
+    )
+
+
+QUERIES["q_edge_support"] = q_edge_support
+ORACLES["q_edge_support"] = """
+    WITH lp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey < 500),
+    e AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+    t AS MATERIALIZED (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1
+           JOIN e e2 ON e1.b = e2.a
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    te AS (SELECT x AS a, y AS b FROM t
+           UNION ALL SELECT x, z FROM t
+           UNION ALL SELECT y, z FROM t),
+    c AS (SELECT a, b, COUNT(*) AS support FROM te GROUP BY a, b)
+    SELECT e.a, e.b, COALESCE(c.support, 0) AS support
+    FROM e LEFT JOIN c ON e.a = c.a AND e.b = c.b"""

@@ -298,3 +298,25 @@ def test_label_propagation_deterministic_tie_break(spark):
     got = {r["id"]: r["community"] for r in one}
     assert got["a"] == "b"  # min of the tied {b, c}
     assert got["b"] == "a" and got["c"] == "a"
+
+
+def test_edge_support_hand_check(spark):
+    # K4 minus one edge: the two "diagonal-adjacent" structure —
+    # edges of K4 \ {(c,d)}: (a,b) sits in triangles abc and abd -> 2;
+    # (a,c),(b,c),(a,d),(b,d) each in exactly one; pendant edge -> 0.
+    from janus_spark.operators.graph import edge_support
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    out = {(r["a"], r["b"]): r["support"] for r in edge_support(edges).collect()}
+    assert out[("a", "b")] == 2
+    assert out[("a", "c")] == out[("b", "c")] == out[("a", "d")] == out[("b", "d")] == 1
+    assert out[("d", "e")] == 0
+    # duplicate/reverse edges collapse
+    dup = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    out2 = {(r["a"], r["b"]): r["support"] for r in edge_support(dup).collect()}
+    assert out2 == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
