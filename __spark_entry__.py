@@ -38,6 +38,7 @@ PRIORITY_GATES = [
     "q_split_leakage_safe",
     "q_label_propagation",
     "q_edge_support",
+    "q_k_core",
     "q_tpch_profit",
     "q_tpch_min_cost_supplier",
     "q_tpch_important_stock",

@@ -819,3 +819,71 @@ def edge_support(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
     return canon.join(counts, ["a", "b"], "left").select(
         "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983): iteratively delete nodes with
+    degree < k until every survivor has >= k neighbors among survivors.
+    The densest-region extractor of the curation toolkit — the k-core
+    of a link/co-occurrence graph is where communities live, and
+    everything peeled away is the long tail negative-edge samplers and
+    spam filters want separated out.
+
+    ``max_rounds=None`` (default) iterates to the true fixpoint —
+    convergence is detected by survivor count, a scalar aggregate per
+    round, never a collect of rows.  A bounded ``max_rounds`` gives the
+    deterministic "r-round peel" any engine can replay (the oracle
+    gate unrolls the same rounds in SQL); after a bounded stop,
+    survivors may still carry degree < k — by construction, not a bug.
+
+    Returns ``(id, core_deg)`` — survivors with their degree INSIDE the
+    surviving subgraph.
+
+    Scale: each round is one degree aggregate plus two semi-joins of
+    the edge list against the survivor set (all equi-joins on node id);
+    the edge list is localCheckpoint-ed per round (iterative-plan
+    lineage discipline, see module head).  Rounds needed is the
+    peeling depth (small for real graphs); each round's edge set only
+    shrinks."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = None
+    rounds = 0
+    while True:
+        deg = (
+            e.select(F.col("a").alias("id"))
+            .unionByName(e.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+        if max_rounds is not None and rounds >= max_rounds:
+            return deg
+        survivors = deg.where(F.col("core_deg") >= k).select("id").localCheckpoint(
+            eager=True
+        )
+        n = survivors.count()
+        if n_nodes is not None and n == n_nodes:
+            return deg.join(survivors, "id", "semi")
+        n_nodes = n
+        if n == 0:
+            return survivors.select(
+                "id", F.lit(0).cast("long").alias("core_deg")
+            )
+        e = (
+            e.join(survivors.withColumnRenamed("id", "a"), "a", "semi")
+            .join(survivors.withColumnRenamed("id", "b"), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1

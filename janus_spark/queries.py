@@ -9187,3 +9187,49 @@ ORACLES["q_edge_support"] = """
     c AS (SELECT a, b, COUNT(*) AS support FROM te GROUP BY a, b)
     SELECT e.a, e.b, COALESCE(c.support, 0) AS support
     FROM e LEFT JOIN c ON e.a = c.a AND e.b = c.b"""
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel (4 rounds, k=30) over the part co-purchase
+    subgraph (parts < 500) — operators/graph.py::k_core.  The gate
+    pins the deterministic r-round form (the oracle unrolls the same
+    four rounds in SQL); the fixpoint default is pinned by unit tests
+    — unbounded iteration is not SQL-expressible (no recursion over
+    aggregates)."""
+    from janus_spark.operators.graph import k_core
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_partkey") < 500)
+    lp = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        lp.alias("x")
+        .join(lp.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    out = k_core(edges, k=30, max_rounds=4)
+    return out.select(F.col("id").cast("long").alias("id"), "core_deg")
+
+
+QUERIES["q_k_core"] = q_k_core
+_KCORE_ROUND = """
+    n{r} AS (SELECT id FROM (
+               SELECT id, COUNT(*) AS d FROM (
+                 SELECT a AS id FROM e{p} UNION ALL SELECT b FROM e{p})
+               GROUP BY id) WHERE d >= 30),
+    e{r} AS (SELECT e{p}.a, e{p}.b FROM e{p}
+             JOIN n{r} x ON e{p}.a = x.id
+             JOIN n{r} y ON e{p}.b = y.id)"""
+ORACLES["q_k_core"] = (
+    """
+    WITH lp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey < 500),
+    e0 AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),"""
+    + ",".join(_KCORE_ROUND.format(r=r, p=r - 1) for r in range(1, 5))
+    + """
+    SELECT id, COUNT(*) AS core_deg FROM (
+      SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4)
+    GROUP BY id"""
+)

@@ -320,3 +320,32 @@ def test_edge_support_hand_check(spark):
     )
     out2 = {(r["a"], r["b"]): r["support"] for r in edge_support(dup).collect()}
     assert out2 == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_k_core_fixpoint_hand_check(spark):
+    # K4 (a,b,c,d) plus a pendant path d-e-f: 3-core = exactly the K4
+    # (peeling f removes e next round — the cascade matters)
+    from janus_spark.operators.graph import k_core
+
+    k4 = [(x, y) for x in "abcd" for y in "abcd" if x < y]
+    edges = spark.createDataFrame(k4 + [("d", "e"), ("e", "f")], "src string, dst string")
+    out = {r["id"]: r["core_deg"] for r in k_core(edges, k=3).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # k=2: the path dies entirely (f deg1 -> e deg1 -> gone), K4 survives
+    out2 = {r["id"]: r["core_deg"] for r in k_core(edges, k=2).collect()}
+    assert set(out2) == set("abcd")
+    # k above max degree: empty core
+    assert k_core(edges, k=10).count() == 0
+
+
+def test_k_core_bounded_rounds_matches_unrolled_semantics(spark):
+    # chain 0-1-2-3-4 with k=2: fixpoint is empty, but ONE round only
+    # removes the endpoints' effect — bounded peel reports the
+    # intermediate subgraph's degrees (survivors may hold deg < k).
+    from janus_spark.operators.graph import k_core
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(4)], "src long, dst long")
+    one = {r["id"]: r["core_deg"] for r in k_core(chain, k=2, max_rounds=1).collect()}
+    # round 0 removes nodes 0 and 4; surviving edges 1-2, 2-3
+    assert one == {1: 1, 2: 2, 3: 1}
+    assert k_core(chain, k=2).count() == 0  # fixpoint: nothing survives
