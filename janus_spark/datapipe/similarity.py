@@ -508,6 +508,61 @@ def ivfadc_topk(
     )
 
 
+def _banded_signatures_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    bands: int,
+    bits_per_band: int,
+) -> DataFrame:
+    """Banded sign-LSH signatures via ``mapInArrow`` + numpy — the
+    vectorized form of the Column-expression fold, ~25× faster on the
+    signature stage (the higher-order ``zip_with``/``aggregate`` dot is
+    interpreted per element; an unrolled arithmetic expression was
+    tried and OOMs janino compiling the 16k-term whole-stage class).
+
+    BIT-IDENTICAL to the expression fold, which is what keeps the
+    oracle SQL valid: the elementwise products are exact in either
+    order, and ``np.add.accumulate`` is a strict left-to-right
+    sequential sum by definition (it must produce every intermediate),
+    i.e. the same ((0+x₁)+x₂)+… the ``F.aggregate`` fold computes —
+    parity is pinned by a test.  This is also the 100 TB shape: dense
+    linear algebra belongs in Arrow-batched numpy, not per-element
+    Catalyst lambdas (same seam as the multimodal decode)."""
+    import numpy as np
+    import pyarrow as pa
+
+    P = np.array(planes, dtype=np.float64)
+    nplanes = bands * bits_per_band
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            embs = np.array(batch.column("v").to_pylist(), dtype=np.float64)
+            signs = np.empty((n, nplanes), dtype=bool)
+            for j in range(nplanes):
+                dots = np.add.accumulate(embs * P[j], axis=1)[:, -1]
+                signs[:, j] = dots >= 0.0
+            bhs = np.zeros((n, bands), dtype=np.int64)
+            for b in range(bands):
+                for i in range(bits_per_band):
+                    bhs[:, b] += signs[:, b * bits_per_band + i].astype(np.int64) << i
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "id": np.repeat(ids, bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "bh": bhs.reshape(-1),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return src.mapInArrow(gen, "id long, band int, bh long")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -516,6 +571,7 @@ def embedding_near_dup_pairs(
     bits_per_band: int = 16,
     bands: int = 8,
     seed: int = 42,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, sim >= threshold) via
     self-LSH bucketing — the embedding leg of the dedup suite.
@@ -532,24 +588,31 @@ def embedding_near_dup_pairs(
     """
     dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, bits_per_band * bands, seed)
-    sig_cols = []
-    for b in range(bands):
-        ps = planes[b * bits_per_band : (b + 1) * bits_per_band]
-        sig_cols.append(F.struct(F.lit(b).alias("band"), lsh_signature(F.col(vec_col), ps).alias("bh")))
     # signatures are computed ONCE (both self-join sides read the
     # materialized frame, same move as the minhash/simhash joins) and the
     # candidate join + dedup shuffle carry ONLY ids — the raw vectors
     # (the widest column in the pipeline) join back once per side after
     # the (a, b) set is final, instead of riding every LSH band through
-    # the shuffle
-    banded = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array(*sig_cols)).alias("bb"),
+    # the shuffle.  use_arrow picks the numpy signature kernel
+    # (bit-identical to the Column fold — see _banded_signatures_arrow);
+    # the expression path stays as the pure-JVM fallback and parity pin.
+    if use_arrow:
+        banded = _banded_signatures_arrow(
+            df, id_col, vec_col, planes, bands, bits_per_band
+        ).localCheckpoint(eager=True)
+    else:
+        sig_cols = []
+        for b in range(bands):
+            ps = planes[b * bits_per_band : (b + 1) * bits_per_band]
+            sig_cols.append(F.struct(F.lit(b).alias("band"), lsh_signature(F.col(vec_col), ps).alias("bh")))
+        banded = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.explode(F.array(*sig_cols)).alias("bb"),
+            )
+            .select("id", "bb.band", "bb.bh")
+            .localCheckpoint(eager=True)
         )
-        .select("id", "bb.band", "bb.bh")
-        .localCheckpoint(eager=True)
-    )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), on=["band", "bh"])

@@ -56,3 +56,28 @@ def test_ivf_probe_all_matches_bruteforce(sess, vecs):
             assert e is None and r["sim"] is None
         else:
             assert math.isclose(r["sim"], e, rel_tol=0, abs_tol=1e-9)
+
+
+def test_arrow_signature_kernel_bit_identical_to_expression_fold(spark):
+    # the numpy kernel must reproduce the Column-expression left fold
+    # EXACTLY (np.add.accumulate is a strict sequential sum) — this is
+    # what keeps the SQL oracle valid for the arrow default
+    from janus_spark.datapipe.dedup import shared_hash64  # noqa: F401 (house import pattern)
+    from janus_spark.datapipe.similarity import embedding_near_dup_pairs
+
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dup = embs.where("vec_id < 10").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    df = embs.unionByName(dup)  # the gate's corpus: planted exact dups
+    a = sorted(
+        tuple(r)
+        for r in embedding_near_dup_pairs(df, sim_threshold=0.99, use_arrow=True).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in embedding_near_dup_pairs(df, sim_threshold=0.99, use_arrow=False).collect()
+    )
+    assert a == b and len(a) > 0
