@@ -825,8 +825,11 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     # the caller's (possibly expensive — banded minhash verification)
     # pair pipeline is evaluated per branch.  The eager checkpoint below
     # hides that double evaluation from plan-level scan audits, so it must
-    # be cut here, above the fan-out.
-    pairs = pairs.localCheckpoint(eager=False)
+    # be cut here, above the fan-out.  eager=True: a lazy checkpoint only
+    # caches partitions as tasks compute them, so the two branches of the
+    # very next (first-action) stage can still race and compute the
+    # pipeline twice on a multi-executor cluster.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -1228,7 +1231,10 @@ def line_dedup(
             ).alias("pos", "line"),
         )
         .withColumn("lh", F.md5(F.col("line")))
-        .localCheckpoint(eager=False)
+        # eager: the dup-set aggregate and the keep-join are the frame's
+        # two consumers — a lazy checkpoint lets their tasks race the
+        # first materialization and re-run the explode per branch
+        .localCheckpoint(eager=True)
     )
     dup = (
         lines.where(F.length(F.trim(F.col("line"))) >= min_chars)

@@ -529,38 +529,73 @@ def _banded_signatures_arrow(
     i.e. the same ((0+x₁)+x₂)+… the ``F.aggregate`` fold computes —
     parity is pinned by a test.  This is also the 100 TB shape: dense
     linear algebra belongs in Arrow-batched numpy, not per-element
-    Catalyst lambdas (same seam as the multimodal decode)."""
+    Catalyst lambdas (same seam as the multimodal decode).
+
+    Edge parity with the Column fold (pinned by tests):
+    - the id column keeps ITS OWN type — the output schema mirrors the
+      input and the repeated id array is built with pyarrow ``take``
+      (nulls and strings round-trip);
+    - a NULL / wrong-length / null-element vector folds to a null dot
+      in the JVM, so every bit is 0 and bh = 0 — the kernel gives such
+      rows bh 0 for every band;
+    - NaN components: Spark treats NaN as larger than any numeric, so
+      ``NaN >= 0`` is TRUE — the kernel computes bits as ``~(dot < 0)``
+      which is True for NaN in numpy too."""
     import numpy as np
     import pyarrow as pa
 
     P = np.array(planes, dtype=np.float64)
     nplanes = bands * bits_per_band
+    dim = P.shape[1]
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _matrix(varr: "pa.Array", n: int):
+        """(n, dim) float64 matrix + bool mask of conforming rows."""
+        if varr.null_count == 0:
+            flat = varr.flatten()
+            if flat.null_count == 0 and len(flat) == n * dim:
+                m = flat.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                ).reshape(n, dim)
+                return m, np.ones(n, dtype=bool)
+        rows = varr.to_pylist()
+        ok = np.array(
+            [r is not None and len(r) == dim and None not in r for r in rows],
+            dtype=bool,
+        )
+        m = np.zeros((len(rows), dim), dtype=np.float64)
+        for i, r in enumerate(rows):
+            if ok[i]:
+                m[i] = r
+        return m, ok
 
     def gen(batches):
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
-            ids = batch.column("id").to_numpy(zero_copy_only=False)
-            embs = np.array(batch.column("v").to_pylist(), dtype=np.float64)
+            embs, ok = _matrix(batch.column("v"), n)
             signs = np.empty((n, nplanes), dtype=bool)
             for j in range(nplanes):
                 dots = np.add.accumulate(embs * P[j], axis=1)[:, -1]
-                signs[:, j] = dots >= 0.0
+                signs[:, j] = ~(dots < 0.0)  # NaN >= 0 is TRUE in Spark
             bhs = np.zeros((n, bands), dtype=np.int64)
             for b in range(bands):
                 for i in range(bits_per_band):
                     bhs[:, b] += signs[:, b * bits_per_band + i].astype(np.int64) << i
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "id": np.repeat(ids, bands),
-                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                    "bh": bhs.reshape(-1),
-                }
+            bhs[~ok] = 0  # null/ragged vector: the JVM fold yields bh 0
+            rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("id").take(rep_idx),
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    pa.array(bhs.reshape(-1)),
+                ],
+                names=["id", "band", "bh"],
             )
 
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return src.mapInArrow(gen, "id long, band int, bh long")
+    return src.mapInArrow(gen, f"id {id_type}, band int, bh long")
 
 
 def embedding_near_dup_pairs(

@@ -927,7 +927,11 @@ def _h60_sql(expr: str, seed: int | None = None) -> str:
     return f"('0x' || substr(md5({e}), 1, 15))::BIGINT"
 
 
-def _minhash_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_pair_ctes(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """The banded-minhash pipeline as a CTE chain ending in
+    ``pairs(a, b, jaccard)`` — shared by q_dedup_minhash's oracle and
+    every oracle that builds on the near-dup pair graph
+    (q_split_leakage_safe), so the SQL can never drift between them."""
     rows = num_perm // bands
     mins = ",\n                 ".join(
         f"MIN({_h60_sql('gram', i)}) AS m{i}" for i in range(num_perm)
@@ -941,8 +945,7 @@ def _minhash_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) 
         )
         for b in range(bands)
     )
-    return rf"""
-    WITH corpus AS (
+    return rf"""corpus AS (
            SELECT doc_id, text FROM documents WHERE doc_id < 200
            UNION ALL
            SELECT doc_id + 1000000, text || ' tailmarker'
@@ -967,11 +970,21 @@ def _minhash_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) 
                       len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
                FROM cand c
                JOIN s sa ON sa.doc_id = c.a
-               JOIN s sb ON sb.doc_id = c.b)
-    SELECT a, b,
-           ROUND(CASE WHEN un > 0 THEN inter / CAST(un AS DOUBLE) ELSE 0.0 END, 6) AS jaccard
-    FROM j
-    WHERE (CASE WHEN un > 0 THEN inter / CAST(un AS DOUBLE) ELSE 0.0 END) >= {threshold}"""
+               JOIN s sb ON sb.doc_id = c.b),
+         pairs AS (SELECT a, b,
+                          ROUND(CASE WHEN un > 0 THEN inter / CAST(un AS DOUBLE)
+                                     ELSE 0.0 END, 6) AS jaccard
+                   FROM j
+                   WHERE (CASE WHEN un > 0 THEN inter / CAST(un AS DOUBLE)
+                               ELSE 0.0 END) >= {threshold})"""
+
+
+def _minhash_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    return (
+        "\n    WITH "
+        + _minhash_pair_ctes(num_perm, bands, threshold)
+        + "\n    SELECT a, b, jaccard FROM pairs"
+    )
 
 
 def _simhash_oracle(max_hamming: int = 4) -> str:
@@ -8645,7 +8658,8 @@ ORACLES["q_line_dedup"] = """
     c AS (SELECT doc_id, CAST(i AS INT) AS pos,
                  array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS line
           FROM t, UNNEST(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) u(i)),
-    d AS (SELECT line FROM c GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+    d AS (SELECT line FROM c WHERE length(trim(line)) >= 1
+          GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
     k AS (SELECT c.doc_id, c.pos, c.line, (d.line IS NULL) AS keep
           FROM c LEFT JOIN d USING (line)),
     agg AS (SELECT doc_id, COUNT(*) AS n_lines,
@@ -8946,8 +8960,9 @@ def q_tpch_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
         # q feeds both the per-part total and the dominance join —
-        # materialize or the filtered scan+aggregate runs twice
-        .localCheckpoint(eager=False)
+        # materialize (eagerly: lazy checkpoints can race on first use)
+        # or the filtered scan+aggregate runs twice
+        .localCheckpoint(eager=True)
     )
     tot = q.groupBy("partkey").agg(F.sum("qty").alias("total_qty"))
     dom = q.join(F.broadcast(tot), "partkey").where(2 * F.col("qty") > F.col("total_qty"))
@@ -9025,55 +9040,9 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_split_leakage_safe"] = q_split_leakage_safe
-_MINHASH_PAIR_CTES = """
-    corpus AS (
-           SELECT doc_id, text FROM documents WHERE doc_id < 200
-           UNION ALL
-           SELECT doc_id + 1000000, text || ' tailmarker'
-           FROM documents WHERE doc_id < 200),
-         t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
-               FROM corpus),
-         s AS (SELECT doc_id,
-                      CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
-                           ELSE list_distinct(list_transform(range(1, len(l) - 1),
-                                              i -> array_to_string(l[i:i+2], ' ')))
-                      END AS sh FROM t),
-         g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
-         sig AS (SELECT doc_id,
-                 MIN(('0x' || substr(md5('0:' || gram), 1, 15))::BIGINT) AS m0,
-                 MIN(('0x' || substr(md5('1:' || gram), 1, 15))::BIGINT) AS m1,
-                 MIN(('0x' || substr(md5('2:' || gram), 1, 15))::BIGINT) AS m2,
-                 MIN(('0x' || substr(md5('3:' || gram), 1, 15))::BIGINT) AS m3,
-                 MIN(('0x' || substr(md5('4:' || gram), 1, 15))::BIGINT) AS m4,
-                 MIN(('0x' || substr(md5('5:' || gram), 1, 15))::BIGINT) AS m5,
-                 MIN(('0x' || substr(md5('6:' || gram), 1, 15))::BIGINT) AS m6,
-                 MIN(('0x' || substr(md5('7:' || gram), 1, 15))::BIGINT) AS m7,
-                 MIN(('0x' || substr(md5('8:' || gram), 1, 15))::BIGINT) AS m8,
-                 MIN(('0x' || substr(md5('9:' || gram), 1, 15))::BIGINT) AS m9,
-                 MIN(('0x' || substr(md5('10:' || gram), 1, 15))::BIGINT) AS m10,
-                 MIN(('0x' || substr(md5('11:' || gram), 1, 15))::BIGINT) AS m11,
-                 MIN(('0x' || substr(md5('12:' || gram), 1, 15))::BIGINT) AS m12,
-                 MIN(('0x' || substr(md5('13:' || gram), 1, 15))::BIGINT) AS m13,
-                 MIN(('0x' || substr(md5('14:' || gram), 1, 15))::BIGINT) AS m14,
-                 MIN(('0x' || substr(md5('15:' || gram), 1, 15))::BIGINT) AS m15
-                 FROM g GROUP BY doc_id),
-         bands AS (SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) || ',' || CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR) AS bh FROM sig
-      UNION ALL SELECT doc_id, 1 AS band, CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR) || ',' || CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) AS bh FROM sig
-      UNION ALL SELECT doc_id, 2 AS band, CAST(m8 AS VARCHAR) || ',' || CAST(m9 AS VARCHAR) || ',' || CAST(m10 AS VARCHAR) || ',' || CAST(m11 AS VARCHAR) AS bh FROM sig
-      UNION ALL SELECT doc_id, 3 AS band, CAST(m12 AS VARCHAR) || ',' || CAST(m13 AS VARCHAR) || ',' || CAST(m14 AS VARCHAR) || ',' || CAST(m15 AS VARCHAR) AS bh FROM sig),
-         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-                  FROM bands l JOIN bands r USING (band, bh)
-                  WHERE l.doc_id < r.doc_id),
-         pairs AS (SELECT c.a, c.b
-               FROM cand c
-               JOIN s sa ON sa.doc_id = c.a
-               JOIN s sb ON sb.doc_id = c.b
-               WHERE len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
-                 AND len(list_intersect(sa.sh, sb.sh))
-                     / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.5)"""
 ORACLES["q_split_leakage_safe"] = (
     "WITH RECURSIVE "
-    + _MINHASH_PAIR_CTES
+    + _minhash_pair_ctes()
     + """,
     sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
     reach(id, lbl) AS (

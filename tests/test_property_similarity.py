@@ -81,3 +81,45 @@ def test_arrow_signature_kernel_bit_identical_to_expression_fold(spark):
         for r in embedding_near_dup_pairs(df, sim_threshold=0.99, use_arrow=False).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_arrow_signature_kernel_edge_parity(spark):
+    # string ids, NULL vector, ragged vector, NaN component: the kernel
+    # must mirror the Column fold (null fold -> bh 0; Spark NaN >= 0 is
+    # TRUE) and keep the id column's own type
+    from janus_spark.datapipe.similarity import (
+        _banded_signatures_arrow,
+        hyperplanes,
+        lsh_signature,
+    )
+    from pyspark.sql import functions as F
+
+    dim, bands, bits = 4, 2, 3
+    planes = hyperplanes(dim, bands * bits, seed=7)
+    df = spark.createDataFrame(
+        [
+            ("doc-a", [0.5, -1.0, 2.0, 0.25]),
+            ("doc-null", None),
+            ("doc-short", [1.0, 2.0]),
+            ("doc-nan", [float("nan"), 1.0, -1.0, 0.5]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    arrow = {
+        (r["id"], r["band"]): r["bh"]
+        for r in _banded_signatures_arrow(df, "vec_id", "embedding", planes, bands, bits).collect()
+    }
+    sig_cols = []
+    for b in range(bands):
+        ps = planes[b * bits : (b + 1) * bits]
+        sig_cols.append(
+            F.struct(F.lit(b).alias("band"), lsh_signature(F.col("embedding"), ps).alias("bh"))
+        )
+    expr = {
+        (r["id"], r["band"]): r["bh"]
+        for r in df.select(
+            F.col("vec_id").alias("id"), F.explode(F.array(*sig_cols)).alias("bb")
+        ).select("id", "bb.band", "bb.bh").collect()
+    }
+    assert arrow == expr
+    assert arrow[("doc-null", 0)] == 0 and arrow[("doc-short", 1)] == 0
