@@ -1850,7 +1850,7 @@ ORACLES["q_asof_join"] = f"""
 ORACLES["q_json_props"] = """
     SELECT event_type,
            COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
-           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
            ROUND(AVG(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
     FROM events GROUP BY event_type"""
 ORACLES["q_length_hist"] = """
@@ -2612,7 +2612,7 @@ QUERIES.update({"q_token_entropy": q_token_entropy, "q_locf_resample": q_locf_re
 ORACLES["q_token_entropy"] = f"""
     WITH w AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
          c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word)
-    SELECT doc_id, SUM(c) AS n_tokens,
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
            ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
     FROM c GROUP BY doc_id"""
 ORACLES["q_locf_resample"] = f"""
@@ -3732,8 +3732,8 @@ ORACLES["q_pack_tokens"] = """
                       md5(CAST(doc_id AS VARCHAR)) AS hk,
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
                FROM documents),
-         o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hk
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hk
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                           AS start_offset
                FROM b)
     SELECT id, shard, n_tokens, start_offset,
@@ -5341,8 +5341,8 @@ def q_tpch_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_tpch_shipmode"] = q_tpch_shipmode
 ORACLES["q_tpch_shipmode"] = """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= '1995-01-01'
     GROUP BY l_returnflag"""
@@ -5957,7 +5957,7 @@ ORACLES["q_markov_transitions"] = f"""
                FROM s),
          cnt AS (SELECT state, next_state, COUNT(*) AS n_pairs
                  FROM p WHERE next_state IS NOT NULL GROUP BY state, next_state),
-         tot AS (SELECT state, SUM(n_pairs) AS n_from FROM cnt GROUP BY state)
+         tot AS (SELECT state, CAST(SUM(n_pairs) AS BIGINT) AS n_from FROM cnt GROUP BY state)
     SELECT state, next_state, n_pairs, n_from,
            ROUND(CAST(n_pairs AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p
     FROM cnt JOIN tot USING (state)"""
@@ -7167,7 +7167,7 @@ def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_validate"] = q_validate
 ORACLES["q_validate"] = """
     SELECT 'unique' AS rule, 'l_orderkey' AS "column",
-           (SELECT COALESCE(SUM(c - 1), 0) FROM
+           (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
               (SELECT COUNT(*) AS c FROM lineitem WHERE l_orderkey IS NOT NULL
                GROUP BY l_orderkey)) AS n_violations
     UNION ALL
@@ -7263,7 +7263,7 @@ ORACLES["q_freshness"] = f"""
                     ON g.event_type = p.event_type AND g.h = p.h
                   WHERE p.h IS NULL),
          runs AS (SELECT event_type, MAX(run) AS longest_gap_hours,
-                         SUM(run) AS missing_hours
+                         CAST(SUM(run) AS BIGINT) AS missing_hours
                   FROM (SELECT event_type, grp, COUNT(*) AS run
                         FROM miss GROUP BY event_type, grp)
                   GROUP BY event_type)
@@ -7394,8 +7394,8 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_jsonl_roundtrip"] = q_jsonl_roundtrip
 ORACLES["q_jsonl_roundtrip"] = """
-    SELECT lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars,
-           COUNT(DISTINCT source) AS n_sources, SUM(doc_id) AS id_checksum
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM documents GROUP BY lang"""
 
 
@@ -7707,10 +7707,10 @@ ORACLES["q_live_validate"] = """
                       CASE WHEN i % 11 = 0 THEN 'zz' ELSE CAST(i % 3 AS VARCHAR) END AS sensor
                FROM range(1, 61) r(i))
     SELECT (ts // 4000) * 4000 AS window_start, COUNT(*) AS n_rows,
-           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS v0_not_null_value,
-           SUM(CASE WHEN value IS NOT NULL AND (value < 20.0 OR value > 27.0)
-                    THEN 1 ELSE 0 END) AS v1_in_range_value,
-           SUM(CASE WHEN sensor NOT IN ('0', '1', '2') THEN 1 ELSE 0 END) AS v2_in_set_sensor
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0_not_null_value,
+           CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 20.0 OR value > 27.0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS v1_in_range_value,
+           CAST(SUM(CASE WHEN sensor NOT IN ('0', '1', '2') THEN 1 ELSE 0 END) AS BIGINT) AS v2_in_set_sensor
     FROM e GROUP BY 1"""
 
 
@@ -8416,7 +8416,7 @@ ORACLES["q_feature_hashing"] = """
                       CASE WHEN ('0x' || substr(md5('1:' || tok), 1, 15))::BIGINT % 2 = 0
                            THEN 1 ELSE -1 END AS s
                FROM t)
-    SELECT doc_id, idx, SUM(s) AS val
+    SELECT doc_id, idx, CAST(SUM(s) AS BIGINT) AS val
     FROM h GROUP BY doc_id, idx HAVING SUM(s) <> 0"""
 
 
@@ -8596,24 +8596,24 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_profile"] = q_profile
 ORACLES["q_profile"] = """
     SELECT 'event_id' AS column, COUNT(*) AS n,
-           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            COUNT(DISTINCT event_id) AS n_distinct,
            CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v
     FROM events
     UNION ALL
     SELECT 'user_id', COUNT(*),
-           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT user_id),
            CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
     FROM events
     UNION ALL
     SELECT 'event_type', COUNT(*),
-           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT event_type), NULL, NULL
     FROM events
     UNION ALL
     SELECT 'value', COUNT(*),
-           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT value),
            CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE)
     FROM events"""
@@ -9158,13 +9158,21 @@ ORACLES["q_edge_support"] = """
     FROM e LEFT JOIN c ON e.a = c.a AND e.b = c.b"""
 
 
+# Single source of truth for the q_k_core gate/oracle pair: k chosen so the
+# driver-SF fixtures exercise a NON-TRIVIAL core (sf0.01: 246 of 500 nodes
+# survive the peel; sf0.001: non-empty).  k=30 made the gate vacuous —
+# 0 rows on both sides at sf0.01 proved nothing (VERDICT r5).
+_KCORE_K = 22
+_KCORE_ROUNDS = 4
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded k-core peel (4 rounds, k=30) over the part co-purchase
-    subgraph (parts < 500) — operators/graph.py::k_core.  The gate
-    pins the deterministic r-round form (the oracle unrolls the same
-    four rounds in SQL); the fixpoint default is pinned by unit tests
-    — unbounded iteration is not SQL-expressible (no recursion over
-    aggregates)."""
+    """Bounded k-core peel (4 rounds, k=_KCORE_K) over the part
+    co-purchase subgraph (parts < 500) — operators/graph.py::k_core.
+    The gate pins the deterministic r-round form (the oracle unrolls
+    the same four rounds in SQL from one template); the fixpoint
+    default is pinned by unit tests — unbounded iteration is not
+    SQL-expressible (no recursion over aggregates)."""
     from janus_spark.operators.graph import k_core
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_partkey") < 500)
@@ -9175,7 +9183,7 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("x.p") < F.col("y.p"))
         .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
     )
-    out = k_core(edges, k=30, max_rounds=4)
+    out = k_core(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
     return out.select(F.col("id").cast("long").alias("id"), "core_deg")
 
 
@@ -9184,7 +9192,7 @@ _KCORE_ROUND = """
     n{r} AS (SELECT id FROM (
                SELECT id, COUNT(*) AS d FROM (
                  SELECT a AS id FROM e{p} UNION ALL SELECT b FROM e{p})
-               GROUP BY id) WHERE d >= 30),
+               GROUP BY id) WHERE d >= {k}),
     e{r} AS (SELECT e{p}.a, e{p}.b FROM e{p}
              JOIN n{r} x ON e{p}.a = x.id
              JOIN n{r} y ON e{p}.b = y.id)"""
@@ -9196,7 +9204,10 @@ ORACLES["q_k_core"] = (
     e0 AS MATERIALIZED (
            SELECT DISTINCT x.p AS a, y.p AS b
            FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),"""
-    + ",".join(_KCORE_ROUND.format(r=r, p=r - 1) for r in range(1, 5))
+    + ",".join(
+        _KCORE_ROUND.format(r=r, p=r - 1, k=_KCORE_K)
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
     + """
     SELECT id, COUNT(*) AS core_deg FROM (
       SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4)

@@ -12,6 +12,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb
 
@@ -25,9 +26,46 @@ os.environ.setdefault("JANUS_DRIVER_MEM", "24g")
 os.environ.setdefault("JANUS_MAX_RESULT_SIZE", "8g")
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from audit_oracle_dtypes import ALLOWED, duck_family, spark_family  # noqa: E402
 from janus_spark.session import get_spark  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _load_snapshot():
+    import json
+
+    from audit_oracle_dtypes import SNAPSHOT
+
+    try:
+        with open(SNAPSHOT) as f:
+            return json.load(f)
+    except OSError:
+        return {}
+
+
+_SNAPSHOT = _load_snapshot()
+
+
+def dtype_mismatches(name, sdf, con, sql):
+    """Per-gate pandas-dtype-family check mirroring the driver's
+    type-sensitive hash: Spark plan schema vs DuckDB DESCRIBE (plan-only).
+    The r05 q_feature_hashing/q_profile failures were value-identical but
+    int-vs-HUGEINT->float64 — Python ``==`` (1 == 1.0) can't see that, so
+    this check runs alongside the value compare on every gate.  Also
+    fails on drift between the live Spark schema and the pinned snapshot
+    tests/oracle_schema_snapshot.json (the fast pytest trusts that file;
+    regenerate with scripts/audit_oracle_dtypes.py --write-snapshot)."""
+    sfields = {f.name: spark_family(f.dataType) for f in sdf.schema.fields}
+    bad = []
+    for col, dtype, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+        sf = sfields.get(col)
+        if sf is not None and (sf, duck_family(dtype)) not in ALLOWED:
+            bad.append(f"{col}: spark={sf} duck={duck_family(dtype)}({dtype})")
+    pinned = _SNAPSHOT.get(name)
+    if pinned is not None and pinned != sfields:
+        bad.append(f"snapshot drift: pinned={pinned} live={sfields} — regen snapshot")
+    return bad
 
 
 def norm(v):
@@ -191,6 +229,16 @@ def main():
                 persisted.unpersist()
             continue
         try:
+            dt_bad = dtype_mismatches(name, sdf, con, oracles[name])
+        except Exception as e:
+            dt_bad = [f"dtype-check error: {e}"]
+        if dt_bad:
+            results[name] = f"DTYPE MISMATCH {dt_bad}"
+            progress(name)
+            if persisted is not None:
+                persisted.unpersist()
+            continue
+        try:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
         except Exception as e:
@@ -244,8 +292,12 @@ def main():
             continue
         a = canon(srows, scols)
         b = canon(orows, ocols)
-        if a == b:
+        # repr-strict like the driver's hash: 1 vs 1.0 must NOT pass
+        if a == b and all(repr(x) == repr(y) for x, y in zip(a, b)):
             results[name] = f"EXACT ({len(srows)} rows)"
+        elif a == b:
+            diffs = [(x, y) for x, y in zip(a, b) if repr(x) != repr(y)][:2]
+            results[name] = f"TYPE MISMATCH (values equal, reprs differ) e.g. {diffs}"
         elif approx_equal(a, b):
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:2]
             results[name] = f"APPROX ({len(srows)} rows) e.g. {diffs}"

@@ -349,3 +349,13 @@ def test_k_core_bounded_rounds_matches_unrolled_semantics(spark):
     # round 0 removes nodes 0 and 4; surviving edges 1-2, 2-3
     assert one == {1: 1, 2: 2, 3: 1}
     assert k_core(chain, k=2).count() == 0  # fixpoint: nothing survives
+
+
+def test_k_core_gate_is_not_vacuous(spark, sf_dir):
+    # VERDICT r5: the driver gate "passed" with 0 rows on both sides at
+    # sf0.01 (k=30 empties the co-purchase core), pinning nothing.  The
+    # gate's k is now chosen so every driver fixture exercises a real
+    # core — this guard keeps it that way if fixtures or k ever change.
+    from janus_spark.queries import q_k_core
+
+    assert q_k_core(spark, sf_dir).count() > 0
