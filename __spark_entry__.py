@@ -28,80 +28,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness check samples the FIRST 50 registry entries.
-# Lead with the newest / least-driver-verified gates (round-4 additions,
-# streaming-state gates, hardest analytics) so the hard oracle signal
-# covers them; the round-1 head gates (verified in rounds 1-4) follow.
+# r04 covered the round-1 head, r05 the newest 50; this round rotates the
+# window onto the never-driver-checked middle (round-2/3 gates), keeping
+# the two r05 hash-fail fixes and the de-vacuated k-core gate in the head
+# so the fixes are proven under the driver's own hash.  47 of the 50
+# below have never been in any driver window.
 PRIORITY_GATES = [
-    # round-5 suite-completion batch (newest, never driver-verified)
-    "q_line_dedup",
-    "q_link_prediction",
-    "q_split_leakage_safe",
-    "q_label_propagation",
-    "q_edge_support",
-    "q_k_core",
-    "q_tpch_profit",
-    "q_tpch_min_cost_supplier",
-    "q_tpch_important_stock",
-    "q_tpch_parts_supplier",
-    "q_tpch_part_promotion",
-    # round-5 additions
-    "q_bm25_incremental",
-    "q_path_deep_closure",
-    "q_skew_auto_join",
-    "q_live_sink_parquet",
-    # round-4 additions (judge-verified once; now driver-verified)
-    "q_target_encoding",
-    "q_target_encoding_smoothed",
+    # r05 hash-fail fixes (oracle uncast-SUM dtype class) — prove them first
     "q_feature_hashing",
-    "q_drift_chi2",
-    "q_quantile_hist",
-    "q_clustering_coeff",
-    "q_khop_features",
-    "q_negative_edges",
-    "q_spatial_join",
-    "q_diff_in_diff",
-    "q_expr_datetime",
     "q_profile",
-    "q_tpch_ship_priority",
-    "q_tpch_late_orders",
-    "q_tpch_nation_volume",
-    # streaming-state gates (real Structured Streaming runs)
-    "q_live_drift",
-    "q_comparator_stream",
-    "q_live_funnel",
-    "q_live_cms",
-    "q_live_match_pattern",
-    "q_live_hll",
-    "q_live_tumbling_join",
-    # hardest analytics, never in a driver window before
-    "q_ann_ivfadc",
-    "q_ann_pq",
-    "q_dedup_cross_corpus",
-    "q_window_path_closure",
-    "q_skyline3d",
-    "q_scd2_history",
-    "q_temporal_join",
-    "q_bpe_pairs",
-    "q_temperature_mix",
-    "q_passage_dedup",
-    "q_multimodal_ann",
-    "q_match_pattern",
-    "q_curation_pipeline",
+    # de-vacuated gate: k=22 yields a real core at sf0.01 (was 0 rows @ k=30)
+    "q_k_core",
+    # latent members of the same uncast-SUM class, fixed this round and
+    # never driver-checked
+    "q_json_props",
+    "q_token_entropy",
+    "q_pack_tokens",
+    "q_tpch_shipmode",
+    "q_markov_transitions",
+    "q_validate",
+    "q_freshness",
+    "q_jsonl_roundtrip",
+    "q_live_validate",
+    # graph analytics (never driver-checked)
+    "q_pagerank",
     "q_pagerank_personalized",
+    "q_pagerank_weighted",
     "q_harmonic_centrality",
     "q_assortativity",
     "q_connected_components",
     "q_shortest_paths",
     "q_triangle_count",
+    "q_bfs_hops",
+    # property paths
+    "q_path_closure",
+    "q_path_star",
+    "q_path_alt_closure",
+    # retrieval
     "q_bm25_topk",
     "q_hybrid_rrf",
     "q_hard_negatives",
-    "q_contamination_semantic",
-    "q_incremental_agg",
-    "q_decayed_topk",
-    "q_cross_corr",
-    "q_linreg_trend",
-    "q_decompose",
+    "q_tfidf_pairs",
+    # dedup / similarity
+    "q_jaccard_pairs",
+    "q_jaccard_prefix",
+    "q_containment_pairs",
+    "q_dedup_keep_best",
+    "q_contamination_ngram",
+    # sketches
+    "q_hll_distinct",
+    "q_cms_counts",
+    "q_percentiles",
+    "q_sliding_hll_distinct",
+    # behavioral analytics
+    "q_funnel",
+    "q_pmi",
+    "q_sliding_topk",
+    "q_retention_cohorts",
+    "q_ab_test",
+    # timeseries
+    "q_ohlc_resample",
+    "q_ewma",
+    "q_cusum",
+    # live streaming (IStream/DStream + stateful forms never driver-run)
+    "q_live_istream",
+    "q_live_dstream",
+    "q_live_session",
+    "q_live_topk",
+    "q_live_rollup",
 ]
 
 

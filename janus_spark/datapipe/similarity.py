@@ -553,7 +553,18 @@ def _banded_signatures_arrow(
         """(n, dim) float64 matrix + bool mask of conforming rows."""
         if varr.null_count == 0:
             flat = varr.flatten()
-            if flat.null_count == 0 and len(flat) == n * dim:
+            # per-row length check (list_value_length is slice-safe and
+            # covers List/LargeList/FixedSizeList): a total-length check
+            # alone would let compensating ragged rows (dim-1 next to
+            # dim+1) slip through the reshape and misalign every row after
+            lens = pa.compute.list_value_length(varr)
+            if (
+                flat.null_count == 0
+                and lens.null_count == 0
+                and bool(
+                    np.all(lens.to_numpy(zero_copy_only=False) == dim)
+                )
+            ):
                 m = flat.to_numpy(zero_copy_only=False).astype(
                     np.float64, copy=False
                 ).reshape(n, dim)

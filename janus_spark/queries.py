@@ -7038,7 +7038,7 @@ QUERIES["q_live_rollup"] = q_live_rollup
 ORACLES["q_live_rollup"] = (
     """
     WITH e AS (SELECT CAST(i % 3 AS VARCHAR) AS sensor,
-                      20.0 + (i % 10) AS value,
+                      CAST(20.0 + (i % 10) AS DOUBLE) AS value,
                       i % 7 AS user_id
                FROM range(1, 61) r(i)),
          c AS (SELECT sensor, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents,

@@ -82,11 +82,42 @@ def read_frame(sock: socket.socket) -> tuple[int, bytes]:
     return opcode, payload
 
 
+def _try_parse_frame(buf: bytes) -> tuple[int, bytes, bytes] | None:
+    """Parse one complete frame from ``buf`` without touching a socket.
+    Returns (opcode, payload, rest) or None if the frame is incomplete —
+    the caller keeps ``buf`` and retries after more bytes arrive, so a
+    partially-received frame is never dropped mid-header."""
+    if len(buf) < 2:
+        return None
+    b0, b1 = buf[0], buf[1]
+    opcode, masked, n = b0 & 0x0F, b1 & 0x80, b1 & 0x7F
+    off = 2
+    if n == 126:
+        if len(buf) < off + 2:
+            return None
+        n = struct.unpack(">H", buf[off : off + 2])[0]
+        off += 2
+    elif n == 127:
+        if len(buf) < off + 8:
+            return None
+        n = struct.unpack(">Q", buf[off : off + 8])[0]
+        off += 8
+    klen = 4 if masked else 0
+    if len(buf) < off + klen + n:
+        return None
+    key = buf[off : off + klen] if masked else None
+    payload = buf[off + klen : off + klen + n]
+    if key:
+        payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+    return opcode, payload, buf[off + klen + n :]
+
+
 class WsServerConnection:
     """Server side of an upgraded connection: text push + control frames."""
 
     def __init__(self, sock: socket.socket):
         self.sock = sock
+        self._rx = b""  # bytes received but not yet parsed into a frame
 
     @classmethod
     def upgrade(cls, sock: socket.socket, key: str) -> "WsServerConnection":
@@ -103,25 +134,57 @@ class WsServerConnection:
     def poll_control(self, timeout: float = 0.0) -> bool:
         """Answer any pending PING, detect CLOSE.  Returns False once the
         client has closed (data frames from the client are drained and
-        ignored — the results endpoint is push-only)."""
+        ignored — the results endpoint is push-only).
+
+        Bytes are drained into ``self._rx`` and frames parsed from the
+        buffer only when complete (ADVICE r5: a timeout firing after
+        ``_read_exact`` had consumed part of a header used to discard
+        those bytes and desync every subsequent frame)."""
+        eof = False
         self.sock.settimeout(timeout or 0.001)
         try:
-            opcode, payload = read_frame(self.sock)
+            chunk = self.sock.recv(65536)
+            if chunk:
+                self._rx += chunk
+                # drain whatever else is already queued, without blocking
+                self.sock.settimeout(0.0)
+                while True:
+                    try:
+                        chunk = self.sock.recv(65536)
+                    except (BlockingIOError, InterruptedError, TimeoutError, socket.timeout):
+                        break
+                    except (ConnectionError, OSError):
+                        eof = True
+                        break
+                    if not chunk:
+                        eof = True
+                        break
+                    self._rx += chunk
+            else:
+                eof = True
         except (TimeoutError, socket.timeout):
-            return True
+            pass  # nothing new; parse whatever is already buffered
         except (ConnectionError, OSError):
-            return False
+            eof = True
         finally:
             self.sock.settimeout(None)
-        if opcode == OP_PING:
-            self.sock.sendall(encode_frame(payload, OP_PONG))
-        elif opcode == OP_CLOSE:
-            try:
-                self.sock.sendall(encode_frame(payload[:2], OP_CLOSE))
-            except OSError:
-                pass
-            return False
-        return True
+        while True:
+            parsed = _try_parse_frame(self._rx)
+            if parsed is None:
+                break
+            opcode, payload, self._rx = parsed
+            if opcode == OP_PING:
+                try:
+                    self.sock.sendall(encode_frame(payload, OP_PONG))
+                except OSError:
+                    return False
+            elif opcode == OP_CLOSE:
+                try:
+                    self.sock.sendall(encode_frame(payload[:2], OP_CLOSE))
+                except OSError:
+                    pass
+                return False
+        return not eof
 
     def close(self, code: int = 1000) -> None:
         try:

@@ -123,3 +123,48 @@ def test_arrow_signature_kernel_edge_parity(spark):
     }
     assert arrow == expr
     assert arrow[("doc-null", 0)] == 0 and arrow[("doc-short", 1)] == 0
+
+
+def test_arrow_signature_kernel_compensating_ragged_rows(spark):
+    # ADVICE r5: with NO nulls in the batch, ragged lengths that
+    # compensate within a batch (dim-1 next to dim+1, total == n*dim)
+    # used to pass the total-flattened-length check and take the
+    # zero-copy reshape, silently misaligning every subsequent row.
+    # The per-row length guard must route the batch to the slow path:
+    # ragged rows fold to bh 0 (JVM-null parity), conforming rows keep
+    # the exact Column-fold signature.
+    from janus_spark.datapipe.similarity import (
+        _banded_signatures_arrow,
+        hyperplanes,
+        lsh_signature,
+    )
+    from pyspark.sql import functions as F
+
+    dim, bands, bits = 4, 2, 3
+    planes = hyperplanes(dim, bands * bits, seed=11)
+    rows = [
+        ("r-short", [1.0, -2.0, 0.5]),            # dim-1
+        ("r-long", [0.5, 1.0, -1.0, 2.0, 3.0]),   # dim+1 — compensates
+        ("r-ok", [0.25, -0.5, 1.5, -2.0]),
+        ("r-ok2", [2.0, 0.0, -1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>").coalesce(1)
+    arrow = {
+        (r["id"], r["band"]): r["bh"]
+        for r in _banded_signatures_arrow(df, "vec_id", "embedding", planes, bands, bits).collect()
+    }
+    sig_cols = []
+    for b in range(bands):
+        ps = planes[b * bits : (b + 1) * bits]
+        sig_cols.append(
+            F.struct(F.lit(b).alias("band"), lsh_signature(F.col("embedding"), ps).alias("bh"))
+        )
+    expr = {
+        (r["id"], r["band"]): r["bh"]
+        for r in df.select(
+            F.col("vec_id").alias("id"), F.explode(F.array(*sig_cols)).alias("bb")
+        ).select("id", "bb.band", "bb.bh").collect()
+    }
+    assert arrow == expr
+    assert arrow[("r-short", 0)] == 0 and arrow[("r-long", 0)] == 0
+    assert any(arrow[(i, b)] != 0 for i in ("r-ok", "r-ok2") for b in range(bands))
