@@ -2461,7 +2461,8 @@ ORACLES["q_jaccard_pairs"] = r"""
                     FROM rp JOIN k ka ON ka.gk = rp.gka
                             JOIN k kb ON kb.gk = rp.gkb),
          within AS (SELECT l.doc_id AS a, r.doc_id AS b, 1.0 AS j
-                    FROM k l JOIN k r USING (gk) WHERE l.doc_id < r.doc_id)
+                    FROM k l JOIN k r USING (gk)
+                    WHERE l.doc_id < r.doc_id AND len(l.sh) > 0)
     SELECT a, b, ROUND(j, 9) AS jaccard
     FROM (SELECT * FROM crossg UNION ALL SELECT * FROM within)"""
 ORACLES["q_time_weighted_avg"] = f"""
@@ -3785,7 +3786,8 @@ ORACLES["q_containment_pairs"] = r"""
                     FROM rp JOIN k ka ON ka.gk = rp.gka
                             JOIN k kb ON kb.gk = rp.gkb),
          within AS (SELECT l.doc_id AS a, r.doc_id AS b, 1.0 AS cab, 1.0 AS cba
-                    FROM k l JOIN k r USING (gk) WHERE l.doc_id < r.doc_id)
+                    FROM k l JOIN k r USING (gk)
+                    WHERE l.doc_id < r.doc_id AND len(l.sh) > 0)
     SELECT a, b, ROUND(cab, 9) AS containment_a_in_b,
            ROUND(cba, 9) AS containment_b_in_a
     FROM (SELECT * FROM crossg UNION ALL SELECT * FROM within)"""
@@ -9057,13 +9059,19 @@ ORACLES["q_split_leakage_safe"] = (
 )
 
 
+# Single source of truth for the q_label_propagation gate/oracle pair:
+# the oracle's per-round SQL is generated from ONE template with the round
+# count pinned here (VERDICT r5 #5 — no hand-duplicated unrolling to drift).
+_LPA_ROUNDS = 3
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label-propagation communities over the
-    part co-purchase subgraph (parts < 400), 3 rounds —
+    part co-purchase subgraph (parts < 400), _LPA_ROUNDS rounds —
     operators/graph.py::label_propagation.  Every step is integer
     counting with a min-label tie-break, so the oracle unrolls the
-    same three rounds in SQL and matches EXACTLY (no randomness, no
-    floats anywhere)."""
+    same rounds in SQL (generated from one template) and matches
+    EXACTLY (no randomness, no floats anywhere)."""
     from janus_spark.operators.graph import label_propagation
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_partkey") < 400)
@@ -9074,7 +9082,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("x.p") < F.col("y.p"))
         .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
     )
-    out = label_propagation(edges, iterations=3)
+    out = label_propagation(edges, iterations=_LPA_ROUNDS)
     return out.select(
         F.col("id").cast("long").alias("id"),
         F.col("community").cast("long").alias("community"),
@@ -9082,7 +9090,15 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_label_propagation"] = q_label_propagation
-ORACLES["q_label_propagation"] = """
+_LPA_ROUND = """
+    l{r} AS (SELECT id, lbl FROM (
+             SELECT a.w AS id, l.lbl, COUNT(*) AS cnt,
+                    ROW_NUMBER() OVER (PARTITION BY a.w
+                        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+             FROM adj a JOIN l{p} l ON a.nb = l.id GROUP BY a.w, l.lbl)
+           WHERE rn = 1)"""
+ORACLES["q_label_propagation"] = (
+    """
     WITH lp AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
            FROM lineitem WHERE l_partkey < 400),
@@ -9090,26 +9106,11 @@ ORACLES["q_label_propagation"] = """
            SELECT DISTINCT x.p AS a, y.p AS b
            FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
     adj AS MATERIALIZED (SELECT a AS w, b AS nb FROM e UNION ALL SELECT b, a FROM e),
-    l0 AS (SELECT DISTINCT w AS id, w AS lbl FROM adj),
-    l1 AS (SELECT id, lbl FROM (
-             SELECT a.w AS id, l.lbl, COUNT(*) AS cnt,
-                    ROW_NUMBER() OVER (PARTITION BY a.w
-                        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
-             FROM adj a JOIN l0 l ON a.nb = l.id GROUP BY a.w, l.lbl)
-           WHERE rn = 1),
-    l2 AS (SELECT id, lbl FROM (
-             SELECT a.w AS id, l.lbl, COUNT(*) AS cnt,
-                    ROW_NUMBER() OVER (PARTITION BY a.w
-                        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
-             FROM adj a JOIN l1 l ON a.nb = l.id GROUP BY a.w, l.lbl)
-           WHERE rn = 1),
-    l3 AS (SELECT id, lbl FROM (
-             SELECT a.w AS id, l.lbl, COUNT(*) AS cnt,
-                    ROW_NUMBER() OVER (PARTITION BY a.w
-                        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
-             FROM adj a JOIN l2 l ON a.nb = l.id GROUP BY a.w, l.lbl)
-           WHERE rn = 1)
-    SELECT id, lbl AS community FROM l3"""
+    l0 AS (SELECT DISTINCT w AS id, w AS lbl FROM adj),"""
+    + ",".join(_LPA_ROUND.format(r=r, p=r - 1) for r in range(1, _LPA_ROUNDS + 1))
+    + f"""
+    SELECT id, lbl AS community FROM l{_LPA_ROUNDS}"""
+)
 
 
 def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:

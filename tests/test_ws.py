@@ -56,6 +56,37 @@ def test_frame_roundtrip_all_length_classes():
                 b.close()
 
 
+def test_poll_control_partial_frame_never_desyncs():
+    # ADVICE r5: a poll timeout firing after part of a frame header had
+    # been consumed used to discard those bytes and desync every later
+    # frame.  Feed a masked PING one byte at a time, polling between
+    # bytes — the connection must stay in sync, answer the PING once it
+    # completes, and then answer a second, fully-sent PING too.
+    import socket as s
+
+    from janus_spark.ws import WsServerConnection
+
+    client, server = s.socketpair()
+    try:
+        conn = WsServerConnection(server)
+        frame = encode_frame(b"p1", OP_PING, mask=True)
+        for i, byte in enumerate(frame):
+            client.sendall(bytes([byte]))
+            assert conn.poll_control(timeout=0.05) is True, f"dropped at byte {i}"
+        opcode, payload = read_frame(client)
+        assert (opcode, payload) == (OP_PONG, b"p1")
+        client.sendall(encode_frame(b"p2", OP_PING, mask=True))
+        assert conn.poll_control(timeout=0.2) is True
+        opcode, payload = read_frame(client)
+        assert (opcode, payload) == (OP_PONG, b"p2")
+        # CLOSE still detected through the buffered path
+        client.sendall(encode_frame(b"\x03\xe8", OP_CLOSE, mask=True))
+        assert conn.poll_control(timeout=0.2) is False
+    finally:
+        client.close()
+        server.close()
+
+
 @pytest.fixture()
 def live_server(spark, tmp_path):
     from werkzeug.serving import make_server
