@@ -2472,7 +2472,7 @@ ORACLES["q_time_weighted_avg"] = f"""
                                         ORDER BY ts_ms, event_id) - ts_ms AS dt
                FROM e)
     SELECT user_id, COUNT(*) AS n_intervals,
-           ROUND(SUM(dt) + 0.0, 6) AS span_ms,
+           CAST(ROUND(SUM(dt) + 0.0, 6) AS DOUBLE) AS span_ms,
            ROUND(SUM(value * dt) / SUM(dt), 6) AS twa
     FROM d WHERE dt IS NOT NULL GROUP BY user_id"""
 ORACLES["q_sliding_panes"] = f"""
@@ -2512,9 +2512,12 @@ def q_sliding_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pct_expr(p: float) -> str:
+    # CAST ... AS DOUBLE: DuckDB decimal literals (0.0, 0.5) keep the whole
+    # expression DECIMAL, which fetchall renders as Decimal objects where
+    # Spark returns float (repr-strict divergence; r6 sweep).
     return (
-        f"ROUND(0.0 + (MIN(CASE WHEN cum >= CEIL({p} * total) THEN bin END) + 0.5)"
-        f" * {_PCT_VMAX / _PCT_BINS}, 6) AS p{round(p * 100)}"
+        f"CAST(ROUND(0.0 + (MIN(CASE WHEN cum >= CEIL({p} * total) THEN bin END) + 0.5)"
+        f" * {_PCT_VMAX / _PCT_BINS}, 6) AS DOUBLE) AS p{round(p * 100)}"
     )
 
 
@@ -4533,8 +4536,8 @@ ORACLES["q_live_percentile"] = """
                       SUM(cnt) OVER (PARTITION BY window_start) AS total
                FROM b)
     SELECT window_start, CAST(MAX(total) AS BIGINT) AS n_events,
-           ROUND(20.0 + (MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END) + 0.5) * 1.0, 6) AS p50,
-           ROUND(20.0 + (MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END) + 0.5) * 1.0, 6) AS p95
+           CAST(ROUND(20.0 + (MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END) + 0.5) * 1.0, 6) AS DOUBLE) AS p50,
+           CAST(ROUND(20.0 + (MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END) + 0.5) * 1.0, 6) AS DOUBLE) AS p95
     FROM c GROUP BY window_start"""
 
 
@@ -6803,7 +6806,7 @@ def q_live_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_live_ohlc"] = q_live_ohlc
 ORACLES["q_live_ohlc"] = """
     WITH e AS (SELECT i * 500 AS ts, i AS event_id, CAST(i % 3 AS VARCHAR) AS sensor,
-                      20.0 + ((i * 7) % 13) AS value
+                      CAST(20.0 + ((i * 7) % 13) AS DOUBLE) AS value
                FROM range(1, 61) r(i)),
          b AS (SELECT *, (ts // 4000) * 4000 AS ws,
                       ROW_NUMBER() OVER (PARTITION BY sensor, ts // 4000

@@ -81,8 +81,16 @@ def duck_family(t: str) -> str:
         return "list"
     if t.startswith("STRUCT") or t.startswith("MAP"):
         return "struct"
-    if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT"):
-        # pandas renders both as float64
+    if t.startswith("DECIMAL"):
+        # pandas (.df(), the driver's path) renders DECIMAL as float64,
+        # but fetchall (the repr-strict local comparator) yields Decimal
+        # objects — keep DECIMAL its own family so a double-vs-DECIMAL
+        # oracle is a finding (r6 sweep caught 4: q_time_weighted_avg,
+        # q_sliding_percentile, q_live_percentile, q_live_ohlc — all
+        # from DuckDB's decimal literals like 0.0/20.0 propagating).
+        return "decimal"
+    if t in ("HUGEINT", "UHUGEINT"):
+        # pandas renders these as float64 (the r05 failure class vs int)
         return "float"
     if t in (
         "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
