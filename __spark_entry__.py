@@ -96,6 +96,34 @@ PRIORITY_GATES = [
     "q_live_session",
     "q_live_topk",
     "q_live_rollup",
+    # ---- slots 51-132: the 82 gates never in any driver window after the
+    # 50 above land (r01/r03/r04/r05 histories + this round's head), in
+    # registry order — r7's rotation is then just moving these up.
+    "q_chunk_documents", "q_pii_scrub", "q_length_hist", "q_asof_join",
+    "q_rollup", "q_window_funcs", "q_gapfill", "q_range_join", "q_cube",
+    "q_topk_per_group", "q_pivot", "q_latest_event", "q_tpch_revenue",
+    "q_skew_join", "q_sample_weighted", "q_doc_logprob",
+    "q_time_weighted_avg", "q_sliding_panes", "q_sliding_percentile",
+    "q_describe", "q_locf_resample", "q_edit_distance", "q_quality_ntile",
+    "q_baseline_last", "q_live_baseline_join", "q_sliding_distinct",
+    "q_frame_sample", "q_tpch_local_supplier", "q_tpch_small_quantity",
+    "q_live_interval_join", "q_bigram_logprob", "q_interp_resample",
+    "q_winsorize", "q_mad_outliers", "q_novelty", "q_embedding_clusters",
+    "q_rank_funcs", "q_optional_filter", "q_not_exists_anti",
+    "q_skew_stats", "q_live_percentile", "q_live_ingest_dedup",
+    "q_corpus_report", "q_autocorr", "q_bloom_join",
+    "q_tpch_returned_items", "q_tpch_large_orders", "q_grouping_sets",
+    "q_vocab_coverage", "q_audio_features", "q_asof_forward",
+    "q_tpch_promo", "q_cooccurrence", "q_seasonal_outliers",
+    "q_corpus_diff", "q_hll_overlap", "q_decompose", "q_cms_join_size",
+    "q_zipf_fit", "q_tpch_custdist", "q_tpch_disjunctive",
+    "q_tpch_lone_returner", "q_tpch_idle_rich", "q_linreg_trend",
+    "q_skyline", "q_cross_corr", "q_incremental_agg", "q_live_linreg",
+    "q_attribution", "q_live_attribution", "q_expr_hash",
+    "q_scene_changes", "q_live_ohlc", "q_contamination_semantic",
+    "q_funnel_time", "q_decayed_topk", "q_keywords",
+    "q_period_over_period", "q_benford", "q_tpch_top_supplier",
+    "q_tpch_market_share", "q_ltv_cohort",
 ]
 
 
