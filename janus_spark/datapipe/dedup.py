@@ -1184,6 +1184,93 @@ def incremental_dedup(
     return batch.drop("__fp")
 
 
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Continuous-ingestion NEAR-dup dedup against a PERSISTENT MinHash
+    signature store — the fuzzy counterpart of ``incremental_dedup``:
+    each arriving batch is near-dup-checked within itself and against
+    every document ever seen, without rescanning any corpus text.
+
+    Drop rule (deterministic): a new document ``b`` is dropped iff some
+    document ``a`` with ``a < b`` — already in the store or in this
+    batch — shares an LSH band bucket with it AND exact shingle-set
+    Jaccard(a, b) ≥ ``jaccard_threshold``.  This is exactly the b-side
+    of ``minhash_lsh_pairs(...)`` over all documents seen so far, so
+    when batch id ranges are non-decreasing (natural for ingestion),
+    feeding the corpus through in ANY batch split yields the SAME
+    survivor set as one single-shot run — pinned by
+    ``test_incremental_minhash_equals_single_shot``.
+
+    Unlike the exact store, the signatures of DROPPED documents are
+    appended too: near-dup similarity is NOT transitive (B ~ A and
+    C ~ B do not imply C ~ A), so a future document must be compared
+    against dropped ones or the single-shot pair graph is lost
+    (``test_incremental_minhash_dropped_docs_still_block``).
+
+    Store layout: one parquet row per (id, band) — ``(id, band, bh,
+    sh)`` with the shingle array carried ONLY on band 0, so one append
+    commits bands and shingles together (no two-file torn state) while
+    the wide column is stored once per document.  Size: ``bands`` short
+    rows + one shingle array per doc; the candidate join shuffles only
+    (band, bh, id) — shingle arrays join back per verified candidate
+    side, never ride the band replicas (same discipline as
+    ``minhash_lsh_pairs``).  Restart-safe by construction: state lives
+    in the store files; the append inherits Spark's output-commit
+    protocol (staged task files + rename).
+
+    Returns the surviving (never-near-duplicated) rows of ``new_docs``.
+    """
+    spark = new_docs.sparkSession
+    banded = _minhash_banded(
+        new_docs, text_col, id_col, num_perm, bands, shingle_k, hash_fn
+    ).localCheckpoint(eager=True)  # feeds collision join, verify join, store append
+    new_bands = banded.select("id", "band", "bh")
+    new_sh = banded.where(F.col("band") == 0).select("id", "sh")
+    try:
+        hist = spark.read.parquet(store_path)
+        all_bands = new_bands.unionByName(hist.select("id", "band", "bh"))
+        all_sh = new_sh.unionByName(
+            hist.where(F.col("band") == 0).select("id", "sh")
+        )
+    except Exception:
+        all_bands, all_sh = new_bands, new_sh
+    cand = (
+        new_bands.select("band", "bh", F.col("id").alias("b"))
+        .join(all_bands.select("band", "bh", F.col("id").alias("a")), ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+        .join(all_sh.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(new_sh.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.array_union(F.col("sha"), F.col("shb")))
+    dropped = (
+        cand.where(
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+            >= F.lit(jaccard_threshold)
+        )
+        .select(F.col("b").alias("__dup_id"))
+        .distinct()
+    )
+    survivors = new_docs.join(
+        dropped, new_docs[id_col] == F.col("__dup_id"), "left_anti"
+    ).localCheckpoint(eager=True)
+    banded.select(
+        "id", "band", "bh", F.when(F.col("band") == 0, F.col("sh")).alias("sh")
+    ).write.mode("append").parquet(store_path)
+    return survivors
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -9217,3 +9217,41 @@ ORACLES["q_k_core"] = (
       SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4)
     GROUP BY id"""
 )
+
+
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained MinHash near-dup store: feed the q_dedup_minhash corpus
+    through ``incremental_minhash_dedup`` in three id-monotone batches
+    against a fresh persistent store and return the survivor ids — must
+    equal the single-shot drop rule (corpus minus the b-side of the
+    near-dup pair graph), so the oracle is generated from the SAME
+    ``_minhash_pair_ctes`` template as q_dedup_minhash (no frozen copy
+    to drift).  The fuzzy counterpart of the exact fingerprint store
+    (``incremental_dedup``); reference recomputes per run."""
+    import tempfile
+
+    from janus_spark.datapipe.dedup import incremental_minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(mutated)
+    store = tempfile.mkdtemp(prefix="mh_inc_")
+    surv = None
+    for lo, hi in ((0, 100), (100, 200), (1000000, 2000000)):
+        batch = corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        s = incremental_minhash_dedup(batch, store, hash_fn="md5")
+        surv = s if surv is None else surv.unionByName(s)
+    return surv.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+QUERIES["q_dedup_incremental_minhash"] = q_dedup_incremental_minhash
+ORACLES["q_dedup_incremental_minhash"] = (
+    "\n    WITH "
+    + _minhash_pair_ctes()
+    + """
+    SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT b FROM pairs)"""
+)

@@ -951,6 +951,82 @@ def test_incremental_dedup_across_batches_and_restart(spark, sf_dir, tmp_path):
     assert fresh3.count() == 0
 
 
+def test_incremental_minhash_equals_single_shot(spark, sf_dir, tmp_path):
+    """Feeding the corpus through the maintained near-dup store in
+    id-monotone batches yields the SAME survivor set as the single-shot
+    drop rule (corpus minus the b-side of minhash_lsh_pairs)."""
+    from janus_spark.datapipe.dedup import incremental_minhash_dedup, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 60")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    dropped_full = {
+        r["b"]
+        for r in minhash_lsh_pairs(corpus, jaccard_threshold=0.5, hash_fn="md5")
+        .select("b").collect()
+    }
+    store = str(tmp_path / "mh_store")
+    got = set()
+    for lo, hi in ((0, 30), (30, 60), (1000, 2000)):
+        batch = corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        s = incremental_minhash_dedup(batch, store, hash_fn="md5")
+        got |= {r["doc_id"] for r in s.select("doc_id").collect()}
+    assert dropped_full, "fixture must exercise real near-dup drops"
+    assert got == all_ids - dropped_full
+
+
+def test_incremental_minhash_dropped_docs_still_block(spark, tmp_path):
+    """Near-dup is not transitive: B ~ A (B dropped) and C ~ B but
+    C !~ A must still drop C — i.e. dropped documents' signatures stay
+    in the store and block future near-copies."""
+    from janus_spark.datapipe.dedup import incremental_minhash_dedup, minhash_lsh_pairs
+
+    # token sets (shingle_k=1): J(A,B) = J(B,C) = 4/8 = 0.5, J(A,C) = 0.2.
+    # The "w26_" prefix is chosen so the deterministic md5-family LSH
+    # banding (16 perms / 4 bands) collides on BOTH qualifying pairs —
+    # J = 0.5 collides with p ≈ 0.23 per pair, so most prefixes exercise
+    # nothing (searched offsets 0..400: 26 is the first that works).
+    a = " ".join(f"w26_{i}" for i in range(1, 7))
+    b = " ".join(f"w26_{i}" for i in range(3, 9))
+    c = " ".join(f"w26_{i}" for i in range(5, 11))
+    corpus = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(
+            corpus, jaccard_threshold=0.5, shingle_k=1, hash_fn="md5"
+        ).select("a", "b").collect()
+    }
+    # precondition: LSH banding (deterministic md5 family) finds both pairs
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    store = str(tmp_path / "mh_store")
+    surv = set()
+    for i in (1, 2, 3):
+        s = incremental_minhash_dedup(
+            corpus.where(F.col("doc_id") == i), store, shingle_k=1, hash_fn="md5"
+        )
+        surv |= {r["doc_id"] for r in s.collect()}
+    assert surv == {1}  # B dropped via A; C dropped via the DROPPED B
+
+
+def test_incremental_minhash_new_ids_same_content_dropped(spark, sf_dir, tmp_path):
+    """Re-ingesting the same content under fresh ids (a crawler re-crawl)
+    drops the whole second batch against the store."""
+    from janus_spark.datapipe.dedup import incremental_minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 40")
+    store = str(tmp_path / "mh_store")
+    first = incremental_minhash_dedup(docs.select("doc_id", "text"), store, hash_fn="md5")
+    n1 = first.count()
+    assert n1 > 0
+    again = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    second = incremental_minhash_dedup(again, store, hash_fn="md5")
+    assert second.count() == 0
+
+
 def test_bpe_learn_merges_matches_reference(spark):
     """Distributed BPE merge learning reproduces a plain-Python reference
     implementation (same tie rule: max count, then lexical pair order)."""
