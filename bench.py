@@ -228,6 +228,8 @@ def main() -> None:
         "q_embedding_near_dup",
         "q_line_dedup",
         "q_link_prediction",
+        # round-6: maintained near-dup store (3 batches + store I/O per rep)
+        "q_dedup_incremental_minhash",
     ):
         runs, n = timed(QUERIES[name])
         datapipe[name] = round(min(runs), 3)
