@@ -39,9 +39,11 @@ PRIORITY_GATES = [
     "q_profile",
     # de-vacuated gate: k=22 yields a real core at sf0.01 (was 0 rows @ k=30)
     "q_k_core",
-    # NEW this round (incremental near-dup store) — straight into the
-    # driver window so new code meets the hard signal immediately
+    # NEW this round (incremental near-dup store; training-order shuffle)
+    # — straight into the driver window so new code meets the hard
+    # signal immediately
     "q_dedup_incremental_minhash",
+    "q_shuffle_shard",
     # latent members of the same uncast-SUM class, fixed this round and
     # never driver-checked
     "q_json_props",

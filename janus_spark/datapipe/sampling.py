@@ -179,3 +179,42 @@ def split_train_eval(
             hash_bucket(F.col(key_col), salt) < rate_to_hex_threshold(eval_rate), F.lit("eval")
         ).otherwise(F.lit("train")),
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding — the last
+    stage before a corpus becomes training input.  Every row gets
+
+    - ``shard``   = hash(seed:id) mod ``n_shards`` — which output file
+      the example lands in, and
+    - ``pos``     = its rank within the shard by (hash, id) —
+
+    so reading shards 0..n-1 each in ``pos`` order IS the canonical
+    shuffled epoch order: reproducible across cluster sizes,
+    partitionings, retries and engines (the hash family is the
+    md5-derived ``shared_hash64``, the same one the dedup oracles
+    replay in DuckDB), and re-seeding gives an independent order per
+    epoch.
+
+    Scale: the hash + shard assignment is map-only over the scan; the
+    within-shard rank is a window PARTITIONed by shard — shards are
+    file-sized by construction (pick n_shards so a shard ≈ an output
+    file, thousands at 100 TB), so no single-partition global sort
+    ever exists in the plan.  The (hash, id) tie-break makes the order
+    total even under hash collisions.
+    """
+    from janus_spark.datapipe.dedup import shared_hash64
+
+    hk = shared_hash64(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy("shard").orderBy(F.col("__hk").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__hk", hk)
+        .withColumn("shard", F.pmod(F.col("__hk"), F.lit(n_shards)).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__hk")
+    )

@@ -9255,3 +9255,28 @@ ORACLES["q_dedup_incremental_minhash"] = (
     + """
     SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT b FROM pairs)"""
 )
+
+
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle + sharding: hash(seed:id)
+    picks the shard, within-shard rank by (hash, id) is the canonical
+    epoch order — datapipe/sampling.py::shuffle_shard.  Oracle-EXACT via
+    the md5-derived shared_hash64 family; the window is PARTITIONed by
+    shard so no single-partition global sort exists in the plan."""
+    from janus_spark.datapipe.sampling import shuffle_shard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return shuffle_shard(docs, n_shards=8, seed=1).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "shard", "pos"
+    )
+
+
+QUERIES["q_shuffle_shard"] = q_shuffle_shard
+ORACLES["q_shuffle_shard"] = f"""
+    WITH k AS (SELECT doc_id,
+                      {_h60_sql('CAST(doc_id AS VARCHAR)', 1)} AS hk
+               FROM documents)
+    SELECT doc_id, CAST(hk % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hk % 8
+                                   ORDER BY hk, doc_id) AS BIGINT) AS pos
+    FROM k"""

@@ -1027,6 +1027,28 @@ def test_incremental_minhash_new_ids_same_content_dropped(spark, sf_dir, tmp_pat
     assert second.count() == 0
 
 
+def test_shuffle_shard_deterministic_and_total(spark, sf_dir):
+    """Shard/pos assignment is identical across partitionings, pos is
+    contiguous 1..|shard| within every shard, and a different seed
+    produces a genuinely different order."""
+    from janus_spark.datapipe.sampling import shuffle_shard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = {(r["doc_id"], r["shard"], r["pos"])
+         for r in shuffle_shard(docs, 8, seed=1).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"])
+         for r in shuffle_shard(docs.repartition(3), 8, seed=1).collect()}
+    assert a == b and len(a) == docs.count()
+    by_shard = {}
+    for _, s, p in a:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    c = {(r["doc_id"], r["shard"], r["pos"])
+         for r in shuffle_shard(docs, 8, seed=2).collect()}
+    assert c != a  # epoch re-seed reshuffles
+
+
 def test_bpe_learn_merges_matches_reference(spark):
     """Distributed BPE merge learning reproduces a plain-Python reference
     implementation (same tie rule: max count, then lexical pair order)."""
