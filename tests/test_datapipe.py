@@ -1049,6 +1049,53 @@ def test_shuffle_shard_deterministic_and_total(spark, sf_dir):
     assert c != a  # epoch re-seed reshuffles
 
 
+def test_incremental_minhash_differential_random_corpora(spark, tmp_path):
+    """Hypothesis-style differential net (fixed seeds for runtime): on
+    random small-vocab corpora and random id-monotone batch splits, the
+    maintained store's survivor set equals the single-shot drop rule."""
+    import random
+
+    from janus_spark.datapipe.dedup import incremental_minhash_dedup, minhash_lsh_pairs
+
+    for case in range(4):
+        rng = random.Random(1000 + case)
+        vocab = [f"v{case}_{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 9))))
+            for i in range(24)
+        ]
+        corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+        dropped_full = {
+            r["b"]
+            for r in minhash_lsh_pairs(
+                corpus, jaccard_threshold=0.5, shingle_k=1, hash_fn="md5"
+            ).select("b").collect()
+        }
+        cut1 = rng.randint(1, 22)
+        cut2 = rng.randint(cut1 + 1, 23)
+        store = str(tmp_path / f"mh_store_{case}")
+        got = set()
+        for lo, hi in ((0, cut1), (cut1, cut2), (cut2, 24)):
+            s = incremental_minhash_dedup(
+                corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                store, shingle_k=1, hash_fn="md5",
+            )
+            got |= {r["doc_id"] for r in s.collect()}
+        assert got == set(range(24)) - dropped_full, (case, cut1, cut2)
+
+
+def test_shuffle_shard_no_global_sort_in_plan(spark, sf_dir):
+    """The canonical-order rank must be a per-shard window — a plan that
+    funnels the corpus through a single partition (global sort /
+    unpartitioned window) would deadlock the operator at 100 TB."""
+    from janus_spark.datapipe.sampling import shuffle_shard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = shuffle_shard(docs, 8, seed=1)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan and "hashpartitioning(shard" in plan, plan
+
+
 def test_bpe_learn_merges_matches_reference(spark):
     """Distributed BPE merge learning reproduces a plain-Python reference
     implementation (same tie rule: max count, then lexical pair order)."""
