@@ -680,7 +680,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ shifted copy — deterministic corpus with known dups."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    copy = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    copy = docs.select((F.col("doc_id") + 100000000).alias("doc_id"), "text", "lang", "source", "n_chars")
     return docs.unionByName(copy)
 
 
@@ -876,7 +876,7 @@ ORACLES.update(
             WITH corpus AS (
               SELECT doc_id, text FROM documents
               UNION ALL
-              SELECT doc_id + 1000000, text FROM documents)
+              SELECT doc_id + 100000000, text FROM documents)
             SELECT md5({_NORM_SQL}) AS key, MIN(doc_id) AS keep_id,
                    COUNT(*) AS dup_count
             FROM corpus GROUP BY 1""",
@@ -1403,7 +1403,7 @@ ORACLES["q_dedup_keeplist"] = (
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, text FROM documents)
+      SELECT doc_id + 100000000, text FROM documents)
     SELECT doc_id,
            MIN(doc_id) OVER (PARTITION BY """
     + _NORM_SQL
@@ -5107,7 +5107,7 @@ ORACLES["q_dedup_keep_best"] = (
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, text FROM documents),
+      SELECT doc_id + 100000000, text FROM documents),
     ranked AS (
       SELECT doc_id,
              FIRST_VALUE(doc_id) OVER (PARTITION BY """
