@@ -44,6 +44,9 @@ PRIORITY_GATES = [
     # signal immediately
     "q_dedup_incremental_minhash",
     "q_shuffle_shard",
+    # NEW this session (record linkage) — straight into the driver window
+    "q_entity_resolution",
+    "q_entity_golden",
     # latent members of the same uncast-SUM class, fixed this round and
     # never driver-checked
     "q_json_props",

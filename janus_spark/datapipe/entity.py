@@ -1,0 +1,194 @@
+"""Entity resolution (record linkage): blocking → pairwise scoring →
+match graph → connected components → survivorship.
+
+The classic master-data / catalog problem: the same real-world entity
+appears as several dirty records (re-crawls, vendor feeds, OCR'd
+catalogs) and the pipeline must (1) find the matching records without an
+all-pairs scan, (2) group them into entities, and (3) elect one golden
+record per entity.  This is the *record* counterpart of the corpus-level
+near-dup dedup in :mod:`janus_spark.datapipe.dedup` — same CC machinery,
+but candidate generation is key-blocked rather than LSH-banded, and the
+match score mixes set similarity with field-level (numeric) proximity.
+
+Scale design (the part that matters at 100 TB):
+
+- **Blocking bounds the join.**  Candidates come ONLY from equi-joins on
+  caller-chosen blocking keys — one shuffle per pass, partitioned by the
+  block key, never a cross join.  Multi-pass blocking (union of several
+  key choices) is the standard recall fix for a single noisy key; passes
+  are deduped on the (a, b) pair.
+- **Oversized-block cap.**  Real data has pathological blocks (empty
+  name, "unknown", a default phone number).  ``max_block_size`` drops
+  blocks above the cap *before* the self-join — the O(block²) term is
+  the only superlinear term in the whole pipeline, so capping it is what
+  keeps the worst key from dominating the job.  Dropped blocks are a
+  recall trade-off the caller opts into, exactly like production ER
+  systems (Fellegi-Sunter style linkage always caps block size).
+- **Pairs carry payloads, not the corpus.**  The self-join projects only
+  (id, tokens, numeric) — comparison payloads, a few dozen bytes — and
+  the match edges that reach the CC step are bare id pairs.
+- **CC is the existing O(log diameter) pointer-jumping propagation**
+  (:func:`janus_spark.datapipe.dedup.dedup_clusters`); survivorship is
+  ONE window over cluster members only (singletons never shuffle).
+
+Reference: the reference engine has no record-linkage operator; this is
+part of the training-data-pipeline surface (dedup family) this repo adds
+beyond reference parity.  Algorithm is public knowledge: standard
+blocking + Jaccard/field-similarity scoring (Fellegi & Sunter 1969;
+Christen, "Data Matching", 2012).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from janus_spark.datapipe.dedup import dedup_clusters
+
+__all__ = ["block_candidates", "score_pairs", "resolve_entities"]
+
+
+def block_candidates(
+    recs: DataFrame,
+    id_col: str,
+    blocking: Sequence[Sequence[str]],
+    payload_cols: Sequence[str],
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Candidate (a, b) pairs from one or more blocking passes.
+
+    ``recs`` must contain ``id_col``, every blocking column, and
+    ``payload_cols`` (the columns the scorer needs — carried through the
+    block shuffle so scoring is map-side, no re-join with the corpus).
+    Returns columns ``a``, ``b`` (a < b) plus ``<payload>_a`` /
+    ``<payload>_b``; pairs found by several passes appear once.
+    """
+    out: DataFrame | None = None
+    for pass_cols in blocking:
+        side = recs.select(id_col, *pass_cols, *payload_cols)
+        if max_block_size is not None:
+            sizes = side.groupBy(*pass_cols).agg(F.count("*").alias("__bs"))
+            side = side.join(
+                sizes.where(F.col("__bs") <= max_block_size).drop("__bs"),
+                list(pass_cols),
+            )
+        left = side.alias("l")
+        right = side.alias("r")
+        # Plain equality, NOT null-safe: a record with a null blocking key
+        # sits this pass out.  Null-safe equality would gather every
+        # null-keyed record into one giant block — the exact pathological
+        # block the cap exists to kill — so nulls are excluded by
+        # construction rather than by cap luck.
+        cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in pass_cols]
+        cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        pairs = left.join(right, cond).select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            *[F.col(f"l.{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(f"r.{c}").alias(f"{c}_b") for c in payload_cols],
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    if out is None:
+        raise ValueError("at least one blocking pass is required")
+    if len(blocking) > 1:
+        out = out.dropDuplicates(["a", "b"])
+    return out
+
+
+def score_pairs(
+    cands: DataFrame,
+    token_col: str,
+    numeric_col: str | None = None,
+    numeric_scale: float = 1.0,
+    w_tokens: float = 1.0,
+    w_numeric: float = 0.0,
+) -> DataFrame:
+    """Match score per candidate pair: ``w_tokens`` × token-set Jaccard
+    (+ ``w_numeric`` × linear numeric proximity, 1 at equal values and 0
+    at ``numeric_scale`` apart).  All native Column arithmetic — the
+    score is computed map-side inside the blocking join's output stage.
+
+    Pairs where both token sets are empty score null on the Jaccard term
+    and are dropped (no evidence is not a match).
+    """
+    ta = F.array_distinct(F.col(f"{token_col}_a"))
+    tb = F.array_distinct(F.col(f"{token_col}_b"))
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = (F.size(ta) + F.size(tb)).cast("double") - inter
+    jacc = F.when(union > 0, inter / union)
+    score = F.lit(w_tokens) * jacc
+    if numeric_col is not None and w_numeric:
+        prox = F.lit(1.0) - F.least(
+            F.lit(1.0),
+            F.abs(
+                F.col(f"{numeric_col}_a").cast("double")
+                - F.col(f"{numeric_col}_b").cast("double")
+            )
+            / F.lit(float(numeric_scale)),
+        )
+        score = score + F.lit(w_numeric) * prox
+    return cands.withColumn("score", score).where(F.col("score").isNotNull())
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    blocking: Sequence[Sequence[str]],
+    threshold: float,
+    numeric_col: str | None = None,
+    numeric_scale: float = 1.0,
+    w_tokens: float = 1.0,
+    w_numeric: float = 0.0,
+    max_block_size: int | None = None,
+    canonical_order: Sequence[Column] | None = None,
+) -> DataFrame:
+    """End-to-end entity resolution.
+
+    Every input record gets an ``entity_id`` (the minimum record id of
+    its match-graph component; its own id when it matched nothing) and
+    the component's elected ``canonical_id`` (survivorship: first record
+    under ``canonical_order``, default ``numeric_col`` descending then id
+    ascending — "keep the most complete capture").
+
+    Returns ``(id_col, entity_id, canonical_id)``, one row per input
+    record.
+    """
+    payload = [token_col] + ([numeric_col] if numeric_col else [])
+    cands = block_candidates(df, id_col, blocking, payload, max_block_size)
+    scored = score_pairs(cands, token_col, numeric_col, numeric_scale, w_tokens, w_numeric)
+    edges = scored.where(F.col("score") >= threshold).select("a", "b")
+    clusters = dedup_clusters(edges)  # (id, keep_id) for matched ids only
+
+    # Survivorship over MATCHED records only — singletons (the vast
+    # majority of a real corpus) never enter the window shuffle; the two
+    # per-entity frames that join back onto the corpus are matched-subset
+    # sized, i.e. broadcastable in the common case (AQE picks that up).
+    if canonical_order is None:
+        canonical_order = (
+            [F.col(numeric_col).desc(), F.col("id").asc()]
+            if numeric_col
+            else [F.col("id").asc()]
+        )
+    base = df.select(F.col(id_col).alias("id"), *payload)
+    members = clusters.join(base, "id")
+    w = Window.partitionBy("keep_id").orderBy(*canonical_order)
+    canon = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("keep_id").alias("entity_id"), F.col("id").alias("__canon"))
+    )
+    return (
+        base.select("id")
+        .join(clusters, "id", "left")
+        .withColumn("entity_id", F.coalesce(F.col("keep_id"), F.col("id")))
+        .join(canon, "entity_id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "entity_id",
+            F.coalesce(F.col("__canon"), F.col("id")).alias("canonical_id"),
+        )
+    )

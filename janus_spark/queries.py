@@ -9280,3 +9280,163 @@ ORACLES["q_shuffle_shard"] = f"""
            CAST(ROW_NUMBER() OVER (PARTITION BY hk % 8
                                    ORDER BY hk, doc_id) AS BIGINT) AS pos
     FROM k"""
+
+
+# ---------------------------------------------------------------- entity
+def _entity_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-records fixture for the entity-resolution gates: every part
+    is a catalog record (tokens = name words + type, price field), and
+    every 5th part gets a planted near-duplicate capture (one extra
+    token, price drifted +5).  The +100,000,000 id shift is disjoint
+    from every stress-generator shift (the q_dedup_keep_best lesson)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    toks = F.split(F.lower(F.col("p_name")), " ")
+    base = p.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.array_distinct(F.concat(toks, F.array(F.lower("p_type")))).alias("toks"),
+        F.element_at(toks, -1).alias("noun"),
+        F.col("p_brand").alias("brand"),
+        F.lower("p_type").alias("ptype"),
+        F.col("p_size").alias("psize"),
+        F.col("p_retailprice").cast("double").alias("price"),
+    )
+    dup = base.where(F.col("rec_id") % 5 == 0).select(
+        (F.col("rec_id") + 100_000_000).alias("rec_id"),
+        F.array_distinct(F.concat("toks", F.array(F.lit("v2")))).alias("toks"),
+        "noun", "brand", "ptype", "psize",
+        (F.col("price") + 5.0).alias("price"),
+    )
+    return base.unionByName(dup)
+
+
+def _entity_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from janus_spark.datapipe.entity import resolve_entities
+
+    return resolve_entities(
+        _entity_recs(spark, sf_dir),
+        id_col="rec_id",
+        token_col="toks",
+        blocking=[["brand", "noun"], ["ptype", "psize"]],
+        threshold=0.7,
+        numeric_col="price",
+        numeric_scale=100.0,
+        w_tokens=0.8,
+        w_numeric=0.2,
+    )
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage end-to-end (datapipe/entity.py::resolve_entities):
+    two blocking passes (brand+noun, type+size) bound the candidate join,
+    match score = 0.8 x token Jaccard + 0.2 x price proximity, match graph
+    resolved by the O(log diameter) CC propagation, survivorship = max
+    price / min id.  Beyond reference parity (no linkage operator there);
+    algorithm per Fellegi-Sunter blocking + Christen's Data Matching."""
+    out = _entity_resolved(spark, sf_dir)
+    return out.select(
+        F.col("rec_id").cast("long").alias("rec_id"),
+        F.col("entity_id").cast("long").alias("entity_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def q_entity_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record rollup over the resolved entities: member count and
+    the elected canonical record's price (order-free aggregates only —
+    no float-sum order dependence crosses the gate)."""
+    recs = _entity_recs(spark, sf_dir)
+    out = _entity_resolved(spark, sf_dir)
+    return (
+        out.join(recs.select("rec_id", "price"), "rec_id")
+        .groupBy("entity_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.first("canonical_id").alias("canonical_id"),
+            F.max("price").alias("max_price"),
+        )
+        .select(
+            F.col("entity_id").cast("long").alias("entity_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+            F.col("max_price").alias("max_price"),
+        )
+    )
+
+
+def _entity_ctes() -> str:
+    """Shared oracle CTE chain for the entity gates (single source, no
+    frozen copies): recs -> blocked candidates -> scores -> match edges
+    -> recursive-CTE components -> per-record entity labels."""
+    return """
+    base AS (
+        SELECT p_partkey AS rid,
+               list_distinct(list_append(string_split(lower(p_name), ' '),
+                                         lower(p_type))) AS toks,
+               string_split(lower(p_name), ' ')[-1] AS noun,
+               p_brand AS brand, lower(p_type) AS ptype, p_size AS psize,
+               CAST(p_retailprice AS DOUBLE) AS price
+        FROM part),
+    recs AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT rid + 100000000, list_distinct(list_append(toks, 'v2')),
+               noun, brand, ptype, psize, price + 5.0
+        FROM base WHERE rid % 5 = 0),
+    cand AS (
+        SELECT l.rid AS a, r.rid AS b, l.toks AS ta, r.toks AS tb,
+               l.price AS pa, r.price AS pb
+        FROM recs l JOIN recs r
+          ON l.brand = r.brand AND l.noun = r.noun AND l.rid < r.rid
+        UNION
+        SELECT l.rid, r.rid, l.toks, r.toks, l.price, r.price
+        FROM recs l JOIN recs r
+          ON l.ptype = r.ptype AND l.psize = r.psize AND l.rid < r.rid),
+    scored AS (
+        SELECT a, b,
+               0.8 * (CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+                      (CAST(len(ta) + len(tb) AS DOUBLE)
+                       - CAST(len(list_intersect(ta, tb)) AS DOUBLE)))
+             + 0.2 * (1.0 - LEAST(1.0, abs(pa - pb) / 100.0)) AS score
+        FROM cand
+        WHERE CAST(len(ta) + len(tb) AS DOUBLE)
+              - CAST(len(list_intersect(ta, tb)) AS DOUBLE) > 0),
+    e0 AS (SELECT a, b FROM scored WHERE score >= 0.7),
+    e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+    r AS (SELECT id, id AS lbl FROM nodes
+          UNION
+          SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.id),
+    lab AS (SELECT id, MIN(lbl) AS ent FROM r GROUP BY id),
+    ent AS (SELECT rid, COALESCE(l.ent, rid) AS entity_id, price
+            FROM recs LEFT JOIN lab l ON l.id = rid),
+    canon AS (SELECT entity_id, rid AS canonical_id
+              FROM (SELECT entity_id, rid,
+                           ROW_NUMBER() OVER (PARTITION BY entity_id
+                                              ORDER BY price DESC, rid ASC) AS rn
+                    FROM ent)
+              WHERE rn = 1)"""
+
+
+QUERIES["q_entity_resolution"] = q_entity_resolution
+ORACLES["q_entity_resolution"] = (
+    "\n    WITH RECURSIVE "
+    + _entity_ctes()
+    + """
+    SELECT CAST(e.rid AS BIGINT) AS rec_id,
+           CAST(e.entity_id AS BIGINT) AS entity_id,
+           CAST(c.canonical_id AS BIGINT) AS canonical_id
+    FROM ent e JOIN canon c USING (entity_id)"""
+)
+
+QUERIES["q_entity_golden"] = q_entity_golden
+ORACLES["q_entity_golden"] = (
+    "\n    WITH RECURSIVE "
+    + _entity_ctes()
+    + """
+    SELECT CAST(e.entity_id AS BIGINT) AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(c.canonical_id) AS BIGINT) AS canonical_id,
+           MAX(e.price) AS max_price
+    FROM ent e JOIN canon c USING (entity_id)
+    GROUP BY e.entity_id"""
+)

@@ -1,0 +1,114 @@
+"""Entity resolution (datapipe/entity.py): blocking, scoring, component
+labels, survivorship, block cap, null-key semantics."""
+
+from pyspark.sql import functions as F
+
+from janus_spark.datapipe.entity import block_candidates, resolve_entities, score_pairs
+
+
+def _recs(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, toks array<string>, blk string, val double"
+    )
+
+
+def test_resolve_merges_and_elects_canonical(spark):
+    # 1-2 near-identical (J=1), 3 different, 4 unblocked singleton
+    df = _recs(
+        spark,
+        [
+            (1, ["acme", "corp"], "a", 10.0),
+            (2, ["acme", "corp"], "a", 30.0),
+            (3, ["zenith", "ltd"], "a", 5.0),
+            (4, ["acme", "corp"], "b", 99.0),
+        ],
+    )
+    out = resolve_entities(
+        df, "id", "toks", [["blk"]], threshold=0.9, numeric_col="val"
+    ).orderBy("id")
+    rows = {r["id"]: (r["entity_id"], r["canonical_id"]) for r in out.collect()}
+    assert rows[1] == (1, 2)  # entity label = min id, canonical = max val
+    assert rows[2] == (1, 2)
+    assert rows[3] == (3, 3)  # matched nothing
+    assert rows[4] == (4, 4)  # different block
+
+
+def test_multi_pass_blocking_dedupes_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ["x", "y"], "a", "p", 1.0),
+            (2, ["x", "y"], "a", "p", 1.0),
+        ],
+        "id long, toks array<string>, b1 string, b2 string, val double",
+    )
+    cands = block_candidates(df, "id", [["b1"], ["b2"]], ["toks", "val"])
+    assert cands.count() == 1  # found by both passes, appears once
+
+
+def test_null_blocking_key_sits_out(spark):
+    df = _recs(
+        spark,
+        [(1, ["x"], None, 1.0), (2, ["x"], None, 1.0), (3, ["x"], "a", 1.0)],
+    )
+    cands = block_candidates(df, "id", [["blk"]], ["toks", "val"])
+    assert cands.count() == 0  # null keys never form the giant null block
+
+
+def test_max_block_size_caps_pathological_block(spark):
+    rows = [(i, ["t"], "big", 1.0) for i in range(1, 7)] + [
+        (10, ["t"], "ok", 1.0),
+        (11, ["t"], "ok", 1.0),
+    ]
+    df = _recs(spark, rows)
+    capped = block_candidates(df, "id", [["blk"]], ["toks"], max_block_size=5)
+    pairs = {(r["a"], r["b"]) for r in capped.collect()}
+    assert pairs == {(10, 11)}  # the 6-record block is dropped whole
+
+
+def test_empty_token_sets_score_null_and_drop(spark):
+    df = _recs(spark, [(1, [], "a", 1.0), (2, [], "a", 1.0)])
+    cands = block_candidates(df, "id", [["blk"]], ["toks", "val"])
+    scored = score_pairs(cands, "toks", numeric_col="val", w_numeric=0.5)
+    assert scored.count() == 0  # no token evidence => no match, even w/ numeric
+
+
+def test_numeric_proximity_separates_matches(spark):
+    # identical tokens; only the numeric term decides at threshold 0.9
+    df = _recs(
+        spark,
+        [
+            (1, ["a", "b"], "k", 100.0),
+            (2, ["a", "b"], "k", 104.0),  # prox 0.96 -> 0.5+0.48=0.98
+            (3, ["a", "b"], "k2", 100.0),
+            (4, ["a", "b"], "k2", 190.0),  # prox 0.10 -> 0.5+0.05=0.55
+        ],
+    )
+    out = resolve_entities(
+        df, "id", "toks", [["blk"]], threshold=0.9,
+        numeric_col="val", numeric_scale=100.0, w_tokens=0.5, w_numeric=0.5,
+    )
+    ents = {r["id"]: r["entity_id"] for r in out.collect()}
+    assert ents[1] == ents[2] == 1
+    assert ents[3] == 3 and ents[4] == 4
+
+
+def test_no_cartesian_product_in_plan(spark):
+    df = _recs(spark, [(1, ["x"], "a", 1.0), (2, ["x"], "a", 2.0)])
+    out = resolve_entities(df, "id", "toks", [["blk"]], threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_transitive_merge_chain(spark):
+    # a~b and b~c above threshold but a~c below: one entity via CC
+    df = _recs(
+        spark,
+        [
+            (1, ["a", "b", "c"], "k", 1.0),
+            (2, ["b", "c", "d"], "k", 1.0),  # J(1,2)=0.5
+            (3, ["c", "d", "e"], "k", 1.0),  # J(2,3)=0.5, J(1,3)=0.2
+        ],
+    )
+    out = resolve_entities(df, "id", "toks", [["blk"]], threshold=0.5)
+    ents = {r["id"]: r["entity_id"] for r in out.collect()}
+    assert ents == {1: 1, 2: 1, 3: 1}
