@@ -158,6 +158,19 @@ def resolve_entities(
     record.
     """
     payload = [token_col] + ([numeric_col] if numeric_col else [])
+    # The record projection is referenced by every blocking pass twice
+    # (both self-join sides) plus the survivorship join — Catalyst reuses
+    # exchanges only for byte-identical subplans, so without a cut here
+    # the corpus is rescanned per reference (the audit_scan_counts class:
+    # 4-6 part scans on the gate fixture, corpus × passes at 100 TB).
+    # The projection is narrow (id, keys, tokens, one numeric), so one
+    # eager materialization is the cheap side of that trade.
+    keep = list(
+        dict.fromkeys(
+            [id_col, *payload, *(c for pass_cols in blocking for c in pass_cols)]
+        )
+    )
+    df = df.select(*keep).localCheckpoint(eager=True)
     cands = block_candidates(df, id_col, blocking, payload, max_block_size)
     scored = score_pairs(cands, token_col, numeric_col, numeric_scale, w_tokens, w_numeric)
     edges = scored.where(F.col("score") >= threshold).select("a", "b")

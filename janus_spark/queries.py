@@ -9289,6 +9289,10 @@ def _entity_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 5th part gets a planted near-duplicate capture (one extra
     token, price drifted +5).  The +100,000,000 id shift is disjoint
     from every stress-generator shift (the q_dedup_keep_best lesson)."""
+    return _cached((spark, sf_dir, "entity_recs"), lambda: _entity_recs_build(spark, sf_dir))
+
+
+def _entity_recs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     toks = F.split(F.lower(F.col("p_name")), " ")
     base = p.select(
