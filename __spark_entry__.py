@@ -47,6 +47,7 @@ PRIORITY_GATES = [
     # NEW this session (record linkage) — straight into the driver window
     "q_entity_resolution",
     "q_entity_golden",
+    "q_entity_sorted_neighborhood",
     # latent members of the same uncast-SUM class, fixed this round and
     # never driver-checked
     "q_json_props",

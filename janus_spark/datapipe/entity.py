@@ -48,7 +48,115 @@ from pyspark.sql.window import Window
 
 from janus_spark.datapipe.dedup import dedup_clusters
 
-__all__ = ["block_candidates", "score_pairs", "resolve_entities"]
+__all__ = [
+    "block_candidates",
+    "sorted_neighborhood_candidates",
+    "score_pairs",
+    "resolve_entities",
+]
+
+
+def _global_rank(recs: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """Dense 0-based global rank by (key, id) WITHOUT a single-partition
+    window: range-partition on the sort key, rank within each partition,
+    then add driver-computed cumulative partition offsets (≤ #partitions
+    rows ever reach the driver).  The same distributed-rank shape as
+    operators/graph.py::negative_edges phase 1-2; a global
+    ``ROW_NUMBER() OVER (ORDER BY …)`` would funnel the corpus through
+    one task."""
+    spark = recs.sparkSession
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    local = (
+        recs.repartitionByRange(nparts, F.col(key_col), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy(F.col(key_col), F.col(id_col))
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pc = sorted(
+        (r["__pid"], r["cnt"])
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in pc:
+        offsets.append((pid, acc))
+        acc += cnt
+    if not offsets:
+        return local.select(F.lit(0).cast("long").alias("__rank"), *recs.columns).limit(0)
+    off = spark.createDataFrame(offsets, ["__pid", "__off"])
+    return local.join(F.broadcast(off), "__pid").select(
+        (F.col("__r") - 1 + F.col("__off")).cast("long").alias("__rank"), *recs.columns
+    )
+
+
+def sorted_neighborhood_candidates(
+    recs: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): sort all
+    records by a composite key, slide a window of ``window`` records, and
+    emit every pair that co-occurs in some window position — i.e. pairs
+    whose global ranks differ by at most ``window - 1``.  The classic
+    complement to key blocking: a typo in the blocking key moves a record
+    a few positions in sort order instead of into a different (unjoinable)
+    block, and candidate volume is exactly linear (≤ n·(window−1) pairs)
+    rather than Σ block².
+
+    Scale shape: the global rank is distributed (see :func:`_global_rank`);
+    the window pairs come from ONE equi-join on ``rank // window`` bucket
+    ids (each left row joins its own and the next bucket — a two-bucket
+    band join), filtered to the exact rank distance.  No sliding state,
+    no cross join.
+
+    Records with a null sort key sit the pass out (same semantics as a
+    null blocking key in :func:`block_candidates`).  Returns the same
+    shape as :func:`block_candidates`: ``a``, ``b`` (a < b by id),
+    ``<payload>_a``, ``<payload>_b``.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2 records")
+    keyed = recs.select(id_col, key_col, *payload_cols).where(F.col(key_col).isNotNull())
+    ranked = _global_rank(keyed, id_col, key_col).select(
+        "__rank", F.col(id_col).alias("__id"), *payload_cols
+    )
+    w = window
+    left = ranked.select(
+        (F.col("__rank") / w).cast("long").alias("__bkt"),
+        F.col("__rank").alias("__rl"),
+        F.col("__id").alias("__idl"),
+        *[F.col(c).alias(f"{c}_l") for c in payload_cols],
+    )
+    right = ranked.select(
+        F.explode(
+            F.array((F.col("__rank") / w).cast("long"), (F.col("__rank") / w).cast("long") - 1)
+        ).alias("__bkt"),
+        F.col("__rank").alias("__rr"),
+        F.col("__id").alias("__idr"),
+        *[F.col(c).alias(f"{c}_r") for c in payload_cols],
+    )
+    pairs = left.join(right, "__bkt").where(
+        (F.col("__rr") > F.col("__rl")) & (F.col("__rr") - F.col("__rl") <= w - 1)
+    )
+    a_first = F.col("__idl") < F.col("__idr")
+    return pairs.select(
+        F.when(a_first, F.col("__idl")).otherwise(F.col("__idr")).alias("a"),
+        F.when(a_first, F.col("__idr")).otherwise(F.col("__idl")).alias("b"),
+        *[
+            F.when(a_first, F.col(f"{c}_l")).otherwise(F.col(f"{c}_r")).alias(f"{c}_a")
+            for c in payload_cols
+        ],
+        *[
+            F.when(a_first, F.col(f"{c}_r")).otherwise(F.col(f"{c}_l")).alias(f"{c}_b")
+            for c in payload_cols
+        ],
+    )
 
 
 def block_candidates(

@@ -9367,10 +9367,9 @@ def q_entity_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _entity_ctes() -> str:
-    """Shared oracle CTE chain for the entity gates (single source, no
-    frozen copies): recs -> blocked candidates -> scores -> match edges
-    -> recursive-CTE components -> per-record entity labels."""
+def _entity_recs_ctes() -> str:
+    """Shared oracle fixture CTEs (base records + planted duplicates) —
+    single source for every entity gate."""
     return """
     base AS (
         SELECT p_partkey AS rid,
@@ -9385,7 +9384,15 @@ def _entity_ctes() -> str:
         UNION ALL
         SELECT rid + 100000000, list_distinct(list_append(toks, 'v2')),
                noun, brand, ptype, psize, price + 5.0
-        FROM base WHERE rid % 5 = 0),
+        FROM base WHERE rid % 5 = 0)"""
+
+
+def _entity_ctes() -> str:
+    """Shared oracle CTE chain for the entity-resolution gates (single
+    source, no frozen copies): recs -> blocked candidates -> scores ->
+    match edges -> recursive-CTE components -> per-record entity
+    labels."""
+    return _entity_recs_ctes() + """,
     cand AS (
         SELECT l.rid AS a, r.rid AS b, l.toks AS ta, r.toks AS tb,
                l.price AS pa, r.price AS pb
@@ -9443,4 +9450,56 @@ ORACLES["q_entity_golden"] = (
            MAX(e.price) AS max_price
     FROM ent e JOIN canon c USING (entity_id)
     GROUP BY e.entity_id"""
+)
+
+
+def q_entity_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo) over the same dirty
+    catalog fixture: distributed global rank by (noun|brand, id) — range
+    partitions + driver offsets, no single-partition window — then the
+    two-bucket band join emits every pair within 8 window positions, each
+    scored by the shared token-Jaccard + price-proximity scorer.  Pins
+    the full candidate set (no threshold), so a rank off by one anywhere
+    in the corpus fails the gate."""
+    from janus_spark.datapipe.entity import score_pairs, sorted_neighborhood_candidates
+
+    recs = _entity_recs(spark, sf_dir).withColumn(
+        "snkey", F.concat_ws("|", "noun", "brand")
+    )
+    cands = sorted_neighborhood_candidates(
+        recs, "rec_id", "snkey", window=8, payload_cols=["toks", "price"]
+    )
+    scored = score_pairs(
+        cands, "toks", numeric_col="price", numeric_scale=100.0,
+        w_tokens=0.8, w_numeric=0.2,
+    )
+    return scored.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.round("score", 9).alias("score"),
+    )
+
+
+QUERIES["q_entity_sorted_neighborhood"] = q_entity_sorted_neighborhood
+ORACLES["q_entity_sorted_neighborhood"] = (
+    "\n    WITH "
+    + _entity_recs_ctes()
+    + """,
+    keyed AS (SELECT rid, noun || '|' || brand AS k, toks, price FROM recs),
+    rk AS (SELECT rid, toks, price,
+                  ROW_NUMBER() OVER (ORDER BY k, rid) - 1 AS rnk
+           FROM keyed),
+    prs AS (SELECT l.rid AS ra, r.rid AS rb,
+                   l.toks AS tl, r.toks AS tr, l.price AS pl, r.price AS pr
+            FROM rk l JOIN rk r
+              ON r.rnk > l.rnk AND r.rnk - l.rnk <= 7)
+    SELECT CAST(LEAST(ra, rb) AS BIGINT) AS a,
+           CAST(GREATEST(ra, rb) AS BIGINT) AS b,
+           ROUND(0.8 * (CAST(len(list_intersect(tl, tr)) AS DOUBLE) /
+                        (CAST(len(tl) + len(tr) AS DOUBLE)
+                         - CAST(len(list_intersect(tl, tr)) AS DOUBLE)))
+               + 0.2 * (1.0 - LEAST(1.0, abs(pl - pr) / 100.0)), 9) AS score
+    FROM prs
+    WHERE CAST(len(tl) + len(tr) AS DOUBLE)
+          - CAST(len(list_intersect(tl, tr)) AS DOUBLE) > 0"""
 )

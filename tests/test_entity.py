@@ -112,3 +112,57 @@ def test_transitive_merge_chain(spark):
     out = resolve_entities(df, "id", "toks", [["blk"]], threshold=0.5)
     ents = {r["id"]: r["entity_id"] for r in out.collect()}
     assert ents == {1: 1, 2: 1, 3: 1}
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    # differential: distributed rank+band join == brute-force rank window
+    import itertools
+
+    from janus_spark.datapipe.entity import sorted_neighborhood_candidates
+
+    rows = [(i, ["t%d" % (i % 3)], "k%02d" % ((i * 7) % 13), float(i)) for i in range(1, 41)]
+    df = _recs(spark, rows)
+    w = 5
+    got = {
+        (r["a"], r["b"])
+        for r in sorted_neighborhood_candidates(df, "id", "blk", w, ["toks"]).collect()
+    }
+    order = [i for i, _, _, _ in sorted(rows, key=lambda r: (r[2], r[0]))]
+    want = {
+        tuple(sorted((order[i], order[j])))
+        for i, j in itertools.combinations(range(len(order)), 2)
+        if abs(i - j) <= w - 1
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_null_key_sits_out(spark):
+    from janus_spark.datapipe.entity import sorted_neighborhood_candidates
+
+    df = _recs(spark, [(1, ["x"], None, 1.0), (2, ["x"], None, 1.0), (3, ["x"], "a", 1.0)])
+    assert sorted_neighborhood_candidates(df, "id", "blk", 4, ["toks"]).count() == 0
+
+
+def test_sorted_neighborhood_window_too_small(spark):
+    import pytest
+
+    from janus_spark.datapipe.entity import sorted_neighborhood_candidates
+
+    df = _recs(spark, [(1, ["x"], "a", 1.0)])
+    with pytest.raises(ValueError):
+        sorted_neighborhood_candidates(df, "id", "blk", 1, ["toks"])
+
+
+def test_global_rank_no_single_partition_window(spark):
+    # the rank plan must not contain a window over one global partition
+    from janus_spark.datapipe.entity import _global_rank
+
+    df = _recs(spark, [(i, ["x"], "k%d" % (i % 5), 1.0) for i in range(1, 30)])
+    ranked = _global_rank(df, "id", "blk")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    got = [r["id"] for r in ranked.orderBy("__rank").collect()]
+    want = [i for i, _, _, _ in sorted(
+        [(i, None, "k%d" % (i % 5), None) for i in range(1, 30)],
+        key=lambda r: (r[2], r[0]))]
+    assert got == want
