@@ -48,6 +48,7 @@ PRIORITY_GATES = [
     "q_entity_resolution",
     "q_entity_golden",
     "q_entity_sorted_neighborhood",
+    "q_entity_incremental",
     # latent members of the same uncast-SUM class, fixed this round and
     # never driver-checked
     "q_json_props",

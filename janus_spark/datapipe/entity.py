@@ -53,6 +53,7 @@ __all__ = [
     "sorted_neighborhood_candidates",
     "score_pairs",
     "resolve_entities",
+    "incremental_entity_resolution",
 ]
 
 
@@ -284,17 +285,36 @@ def resolve_entities(
     edges = scored.where(F.col("score") >= threshold).select("a", "b")
     clusters = dedup_clusters(edges)  # (id, keep_id) for matched ids only
 
-    # Survivorship over MATCHED records only — singletons (the vast
-    # majority of a real corpus) never enter the window shuffle; the two
-    # per-entity frames that join back onto the corpus are matched-subset
-    # sized, i.e. broadcastable in the common case (AQE picks that up).
+    return _assign_entities(
+        df.select(F.col(id_col).alias("id"), *payload),
+        clusters,
+        id_col,
+        numeric_col,
+        canonical_order,
+    )
+
+
+def _assign_entities(
+    base: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    numeric_col: str | None,
+    canonical_order: Sequence[Column] | None,
+) -> DataFrame:
+    """Entity labels + survivorship for every record in ``base`` given
+    the resolved match components ``clusters`` (id, keep_id).
+
+    Survivorship runs over MATCHED records only — singletons (the vast
+    majority of a real corpus) never enter the window shuffle; the two
+    per-entity frames that join back onto the corpus are matched-subset
+    sized, i.e. broadcastable in the common case (AQE picks that up).
+    """
     if canonical_order is None:
         canonical_order = (
             [F.col(numeric_col).desc(), F.col("id").asc()]
             if numeric_col
             else [F.col("id").asc()]
         )
-    base = df.select(F.col(id_col).alias("id"), *payload)
     members = clusters.join(base, "id")
     w = Window.partitionBy("keep_id").orderBy(*canonical_order)
     canon = (
@@ -313,3 +333,123 @@ def resolve_entities(
             F.coalesce(F.col("__canon"), F.col("id")).alias("canonical_id"),
         )
     )
+
+
+def incremental_entity_resolution(
+    new_recs: DataFrame,
+    store_path: str,
+    id_col: str,
+    token_col: str,
+    blocking: Sequence[Sequence[str]],
+    threshold: float,
+    numeric_col: str | None = None,
+    numeric_scale: float = 1.0,
+    w_tokens: float = 1.0,
+    w_numeric: float = 0.0,
+    canonical_order: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Continuous entity resolution against a PERSISTENT record+edge
+    store — the linkage member of the incremental family
+    (``incremental_dedup`` = exact, ``incremental_minhash_dedup`` =
+    near-dup, this = entities).  Each arriving batch is blocked and
+    scored against itself AND every record ever seen; the resulting
+    match edges are appended; entity labels are recomputed by CC over
+    the ACCUMULATED EDGE SET only.  The expensive, corpus-sized work —
+    blocking joins and pair scoring — is never repeated for old-old
+    pairs; what re-runs per batch is label propagation over the matched
+    subset (edges ≈ matched records ≪ corpus).
+
+    Batch-split invariance (pinned by tests): a pair is discovered in
+    the batch where its LATER record arrives (the earlier one is in the
+    store by then), and pairs are canonically oriented with
+    least/greatest — so the accumulated edge set equals the single-shot
+    :func:`resolve_entities` edge set for ANY split of the corpus into
+    batches, in ANY order, and the returned assignment is identical to
+    the single-shot run.  A new record can bridge two previously
+    separate entities; the recomputed labels RELABEL the old records —
+    that's entity merge, inherent to linkage, and why the return value
+    is the full current assignment, not just the batch's.
+
+    Store layout: one parquet dir, one row kind per record
+    (``kind='rec'``: id + blocking keys + payload) and per edge
+    (``kind='edge'``: a, b) — a single append commits a batch's records
+    and its edges together (no two-file torn state), inheriting Spark's
+    staged-file output commit.
+
+    ``max_block_size`` is deliberately NOT offered here: a cap evaluated
+    per batch against a growing block admits early pairs a single-shot
+    run would have dropped, silently breaking split invariance.  Cap
+    pathological keys upstream (filter before ingest) instead.
+
+    Returns ``(id_col, entity_id, canonical_id)`` for EVERY record seen
+    so far (the current master-data state).
+    """
+    spark = new_recs.sparkSession
+    payload = [token_col] + ([numeric_col] if numeric_col else [])
+    keep = list(
+        dict.fromkeys(
+            [id_col, *payload, *(c for pass_cols in blocking for c in pass_cols)]
+        )
+    )
+    new = new_recs.select(*keep).localCheckpoint(eager=True)
+    try:
+        hist = spark.read.parquet(store_path)
+        old_recs = hist.where(F.col("kind") == "rec").select(*keep)
+        old_edges = hist.where(F.col("kind") == "edge").select("a", "b")
+    except Exception:
+        old_recs = old_edges = None
+    allr = (old_recs.unionByName(new) if old_recs is not None else new).localCheckpoint(
+        eager=True
+    )
+
+    cands: DataFrame | None = None
+    for pass_cols in blocking:
+        left = allr.alias("l")
+        right = new.alias("r")
+        cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in pass_cols]
+        cond.append(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        a_first = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+        pairs = left.join(right, cond).select(
+            F.when(a_first, F.col(f"l.{id_col}")).otherwise(F.col(f"r.{id_col}")).alias("a"),
+            F.when(a_first, F.col(f"r.{id_col}")).otherwise(F.col(f"l.{id_col}")).alias("b"),
+            *[
+                F.when(a_first, F.col(f"l.{c}")).otherwise(F.col(f"r.{c}")).alias(f"{c}_a")
+                for c in payload
+            ],
+            *[
+                F.when(a_first, F.col(f"r.{c}")).otherwise(F.col(f"l.{c}")).alias(f"{c}_b")
+                for c in payload
+            ],
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    # dedupe BOTH multi-pass hits and new-new pairs seen from each side
+    cands = cands.dropDuplicates(["a", "b"])
+    scored = score_pairs(cands, token_col, numeric_col, numeric_scale, w_tokens, w_numeric)
+    new_edges = scored.where(F.col("score") >= threshold).select("a", "b")
+    edges = (
+        old_edges.unionByName(new_edges) if old_edges is not None else new_edges
+    )
+    clusters = dedup_clusters(edges)
+    out = _assign_entities(
+        allr.select(F.col(id_col).alias("id"), *payload),
+        clusters,
+        id_col,
+        numeric_col,
+        canonical_order,
+    ).localCheckpoint(eager=True)  # compute fully BEFORE the append below
+
+    # one append commits this batch's records and edges together
+    rec_rows = new.select(
+        F.lit("rec").alias("kind"),
+        *keep,
+        F.lit(None).cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+    )
+    edge_rows = new_edges.select(
+        F.lit("edge").alias("kind"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in new.schema.fields],
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+    )
+    rec_rows.unionByName(edge_rows).write.mode("append").parquet(store_path)
+    return out

@@ -9503,3 +9503,37 @@ ORACLES["q_entity_sorted_neighborhood"] = (
     WHERE CAST(len(tl) + len(tr) AS DOUBLE)
           - CAST(len(list_intersect(tl, tr)) AS DOUBLE) > 0"""
 )
+
+
+def q_entity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained entity store: the dirty-catalog corpus fed through
+    ``incremental_entity_resolution`` in three batches (the middle one
+    empty at sf0.001 — empty batches must be no-ops) against a fresh
+    persistent store; the final assignment must equal the single-shot
+    ``resolve_entities`` run, so the oracle IS q_entity_resolution's
+    (same ``_entity_ctes`` template — no frozen copy to drift).
+    Old-old pairs are never re-scored across batches; labels recompute
+    over the accumulated edge set only."""
+    import tempfile
+
+    from janus_spark.datapipe.entity import incremental_entity_resolution
+
+    recs = _entity_recs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="ent_inc_")
+    out = None
+    for lo, hi in ((0, 700), (700, 1400), (1400, 200_000_000)):
+        batch = recs.where((F.col("rec_id") >= lo) & (F.col("rec_id") < hi))
+        out = incremental_entity_resolution(
+            batch, store, "rec_id", "toks",
+            blocking=[["brand", "noun"], ["ptype", "psize"]], threshold=0.7,
+            numeric_col="price", numeric_scale=100.0, w_tokens=0.8, w_numeric=0.2,
+        )
+    return out.select(
+        F.col("rec_id").cast("long").alias("rec_id"),
+        F.col("entity_id").cast("long").alias("entity_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+QUERIES["q_entity_incremental"] = q_entity_incremental
+ORACLES["q_entity_incremental"] = ORACLES["q_entity_resolution"]

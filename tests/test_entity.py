@@ -166,3 +166,61 @@ def test_global_rank_no_single_partition_window(spark):
         [(i, None, "k%d" % (i % 5), None) for i in range(1, 30)],
         key=lambda r: (r[2], r[0]))]
     assert got == want
+
+
+def _inc(spark, batches, store, **kw):
+    from janus_spark.datapipe.entity import incremental_entity_resolution
+
+    out = None
+    for b in batches:
+        out = incremental_entity_resolution(
+            _recs(spark, b), store, "id", "toks", [["blk"]], 0.5,
+            numeric_col="val", **kw,
+        )
+    return {r["id"]: (r["entity_id"], r["canonical_id"]) for r in out.collect()}
+
+
+def test_incremental_equals_single_shot_any_split(spark, tmp_path):
+    import random
+
+    from janus_spark.datapipe.entity import resolve_entities
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (i, sorted(rng.sample(vocab, 3)), "k%d" % (i % 3), float(rng.randint(0, 50)))
+        for i in range(1, 61)
+    ]
+    want = {
+        r["id"]: (r["entity_id"], r["canonical_id"])
+        for r in resolve_entities(
+            _recs(spark, rows), "id", "toks", [["blk"]], 0.5, numeric_col="val"
+        ).collect()
+    }
+    # monotone split, uneven split with an empty middle, and a SHUFFLED
+    # (non-monotone) split — all must equal the single-shot assignment
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    splits = [
+        [rows[:20], rows[20:40], rows[40:]],
+        [rows[:50], [], rows[50:]],
+        [shuffled[:17], shuffled[17:44], shuffled[44:]],
+    ]
+    for i, split in enumerate(splits):
+        got = _inc(spark, split, str(tmp_path / f"store_{i}"))
+        assert got == want, f"split {i} diverged"
+
+
+def test_incremental_bridge_merges_and_relabels(spark, tmp_path):
+    # batch1: {1,2} match; batch2: {10,11} match; batch3: 5 bridges both
+    b1 = [(1, ["x", "y"], "k", 9.0), (2, ["x", "y"], "k", 1.0)]
+    b2 = [(10, ["p", "q"], "k", 8.0), (11, ["p", "q"], "k", 1.0)]
+    bridge = [(5, ["x", "y", "p", "q"], "k", 99.0)]  # J=0.5 with both sides
+    store = str(tmp_path / "store_b")
+    out1 = _inc(spark, [b1, b2], store)
+    assert out1[1][0] == 1 and out1[10][0] == 10  # two separate entities
+    out2 = _inc(spark, [bridge], store)
+    ents = {i: e for i, (e, _) in out2.items()}
+    assert ents == {1: 1, 2: 1, 5: 1, 10: 1, 11: 1}  # merged + old relabeled
+    canon = {i: c for i, (_, c) in out2.items()}
+    assert set(canon.values()) == {5}  # survivorship re-elected (max val)
