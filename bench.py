@@ -230,6 +230,9 @@ def main() -> None:
         "q_link_prediction",
         # round-6: maintained near-dup store (3 batches + store I/O per rep)
         "q_dedup_incremental_minhash",
+        # round-6: record linkage (blocked pair scoring + CC + survivorship)
+        "q_entity_resolution",
+        "q_entity_sorted_neighborhood",
     ):
         runs, n = timed(QUERIES[name])
         datapipe[name] = round(min(runs), 3)

@@ -54,6 +54,9 @@ __all__ = [
     "score_pairs",
     "resolve_entities",
     "incremental_entity_resolution",
+    "tfidf_token_weights",
+    "with_token_totals",
+    "score_pairs_tfidf",
 ]
 
 
@@ -453,3 +456,77 @@ def incremental_entity_resolution(
     )
     rec_rows.unionByName(edge_rows).write.mode("append").parquet(store_path)
     return out
+
+
+def tfidf_token_weights(
+    recs: DataFrame, id_col: str, token_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Integer-scaled IDF weight per distinct token: ``round(ln(N / df) ×
+    scale)`` as BIGINT.  Integer weights make every downstream sum exact
+    and order-free — the float only re-enters at the final per-pair
+    ratio — which is what lets a weighted match score cross an engine
+    boundary bit-for-bit (same discipline as the link-prediction gate's
+    fixed-point sums).  ``N`` is one scalar count (a bounded collect)."""
+    n = recs.count()
+    tok = recs.select(F.explode(F.array_distinct(F.col(token_col))).alias("t"))
+    return (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "t",
+            F.round(F.log(F.lit(float(n)) / F.col("df").cast("double")) * scale)
+            .cast("long")
+            .alias("w"),
+        )
+    )
+
+
+def with_token_totals(
+    recs: DataFrame, weights: DataFrame, id_col: str, token_col: str
+) -> DataFrame:
+    """Attach each record's total token weight (``tot_w``) so pair
+    scoring can compute the weighted union without re-aggregating the
+    corpus per pair: union_w = tot_a + tot_b − inter_w."""
+    tot = (
+        recs.select(F.col(id_col), F.explode(F.array_distinct(F.col(token_col))).alias("t"))
+        .join(weights, "t")
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("tot_w"))
+    )
+    return recs.join(tot, id_col, "left").withColumn(
+        "tot_w", F.coalesce(F.col("tot_w"), F.lit(0).cast("long"))
+    )
+
+
+def score_pairs_tfidf(
+    cands: DataFrame, weights: DataFrame, token_col: str
+) -> DataFrame:
+    """Weighted token match score per candidate pair: Σ idf(shared) /
+    Σ idf(union) — rare-token agreement counts more than stop-word
+    agreement (the Fellegi-Sunter agreement-weight idea applied to a
+    Jaccard shape).  ``cands`` must carry ``<token_col>_a/_b`` and
+    ``tot_w_a/_b`` (see :func:`with_token_totals`).
+
+    Plan shape: one explode of the SHARED tokens per pair (bounded by
+    pair count × tokens/record, linear), one equi-join with the weight
+    table, one re-group on the pair key.  Weight sums are exact BIGINTs;
+    the ratio is the only float.  Pairs whose weighted union is zero are
+    dropped (no evidence)."""
+    inter = cands.select(
+        "a", "b",
+        F.explode(F.array_intersect(f"{token_col}_a", f"{token_col}_b")).alias("t"),
+    )
+    iw = inter.join(weights, "t").groupBy("a", "b").agg(F.sum("w").alias("__iw"))
+    union_w = F.col("tot_w_a") + F.col("tot_w_b") - F.col("__iw")
+    return (
+        cands.join(iw, ["a", "b"], "left")
+        .withColumn("__iw", F.coalesce(F.col("__iw"), F.lit(0).cast("long")))
+        .withColumn(
+            "score",
+            F.when(
+                union_w > 0, F.col("__iw").cast("double") / union_w.cast("double")
+            ),
+        )
+        .where(F.col("score").isNotNull())
+        .drop("__iw")
+    )

@@ -9537,3 +9537,65 @@ def q_entity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_entity_incremental"] = q_entity_incremental
 ORACLES["q_entity_incremental"] = ORACLES["q_entity_resolution"]
+
+
+def q_entity_tfidf_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted record match over the blocked candidates: score =
+    sum idf(shared tokens) / sum idf(union) with integer-scaled idf so
+    the sums are exact and order-free (the float re-enters only at the
+    final ratio, rounded to 6).  Rare-token agreement outweighs
+    stop-token agreement — the Fellegi-Sunter agreement-weight idea on a
+    Jaccard shape."""
+    from janus_spark.datapipe.entity import (
+        block_candidates,
+        score_pairs_tfidf,
+        tfidf_token_weights,
+        with_token_totals,
+    )
+
+    recs = _entity_recs(spark, sf_dir)
+    w = tfidf_token_weights(recs, "rec_id", "toks").localCheckpoint(eager=True)
+    recs2 = with_token_totals(recs, w, "rec_id", "toks")
+    cands = block_candidates(
+        recs2, "rec_id", [["brand", "noun"]], ["toks", "tot_w"]
+    )
+    scored = score_pairs_tfidf(cands, w, "toks")
+    return scored.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+QUERIES["q_entity_tfidf_match"] = q_entity_tfidf_match
+ORACLES["q_entity_tfidf_match"] = (
+    "\n    WITH "
+    + _entity_recs_ctes()
+    + """,
+    tok AS (SELECT rid, unnest(toks) AS t FROM recs),
+    dfreq AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),
+    nrec AS (SELECT COUNT(*) AS n FROM recs),
+    w AS (SELECT t,
+                 CAST(ROUND(ln(CAST((SELECT n FROM nrec) AS DOUBLE)
+                               / CAST(df AS DOUBLE)) * 1000000) AS BIGINT) AS w
+          FROM dfreq),
+    tot AS (SELECT rid, SUM(w.w) AS tot_w FROM tok JOIN w USING (t) GROUP BY rid),
+    cand AS (SELECT l.rid AS a, r.rid AS b, l.toks AS ta, r.toks AS tb
+             FROM recs l JOIN recs r
+               ON l.brand = r.brand AND l.noun = r.noun AND l.rid < r.rid),
+    interw AS (SELECT a, b, SUM(w.w) AS iw
+               FROM (SELECT a, b, unnest(list_intersect(ta, tb)) AS t FROM cand) j
+               JOIN w USING (t) GROUP BY a, b),
+    pairs AS (SELECT c.a, c.b,
+                     COALESCE(i.iw, 0) AS iw,
+                     la.tot_w AS ta_tot, lb.tot_w AS tb_tot
+              FROM cand c
+              LEFT JOIN interw i ON i.a = c.a AND i.b = c.b
+              JOIN tot la ON la.rid = c.a
+              JOIN tot lb ON lb.rid = c.b)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           ROUND(CAST(iw AS DOUBLE) / CAST(ta_tot + tb_tot - iw AS DOUBLE), 6)
+               AS score
+    FROM pairs
+    WHERE ta_tot + tb_tot - iw > 0"""
+)

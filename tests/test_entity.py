@@ -224,3 +224,46 @@ def test_incremental_bridge_merges_and_relabels(spark, tmp_path):
     assert ents == {1: 1, 2: 1, 5: 1, 10: 1, 11: 1}  # merged + old relabeled
     canon = {i: c for i, (_, c) in out2.items()}
     assert set(canon.values()) == {5}  # survivorship re-elected (max val)
+
+
+def test_tfidf_rare_token_outweighs_common(spark):
+    from janus_spark.datapipe.entity import (
+        block_candidates,
+        score_pairs_tfidf,
+        tfidf_token_weights,
+        with_token_totals,
+    )
+
+    # 'common' appears in all 4 records (idf 0); 'rare*' in one pair each
+    rows = [
+        (1, ["common", "rare1"], "k", 1.0),
+        (2, ["common", "rare1"], "k", 1.0),
+        (3, ["common", "rare2", "noise"], "k", 1.0),
+        (4, ["common", "rare3", "other"], "k", 1.0),
+    ]
+    df = _recs(spark, rows)
+    w = tfidf_token_weights(df, "id", "toks")
+    wm = {r["t"]: r["w"] for r in w.collect()}
+    assert wm["common"] == 0 and wm["rare1"] > 0
+    df2 = with_token_totals(df, w, "id", "toks")
+    cands = block_candidates(df2, "id", [["blk"]], ["toks", "tot_w"])
+    scored = {(r["a"], r["b"]): r["score"] for r in score_pairs_tfidf(cands, w, "toks").collect()}
+    assert scored[(1, 2)] == 1.0      # only-rare agreement: full score
+    assert scored[(3, 4)] == 0.0      # only-common agreement: zero
+    # plain Jaccard would have given (3,4) a misleading 1/5 > 0
+
+
+def test_tfidf_all_common_union_drops(spark):
+    from janus_spark.datapipe.entity import (
+        block_candidates,
+        score_pairs_tfidf,
+        tfidf_token_weights,
+        with_token_totals,
+    )
+
+    rows = [(1, ["x"], "k", 1.0), (2, ["x"], "k", 1.0)]
+    df = _recs(spark, rows)
+    w = tfidf_token_weights(df, "id", "toks")
+    df2 = with_token_totals(df, w, "id", "toks")
+    cands = block_candidates(df2, "id", [["blk"]], ["toks", "tot_w"])
+    assert score_pairs_tfidf(cands, w, "toks").count() == 0  # zero-weight union
