@@ -50,6 +50,7 @@ PRIORITY_GATES = [
     "q_entity_sorted_neighborhood",
     "q_entity_incremental",
     "q_entity_tfidf_match",
+    "q_live_entity_resolution",
     # latent members of the same uncast-SUM class, fixed this round and
     # never driver-checked
     "q_json_props",

@@ -530,3 +530,38 @@ def score_pairs_tfidf(
         .where(F.col("score").isNotNull())
         .drop("__iw")
     )
+
+
+def entity_resolution_sink(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str,
+    token_col: str,
+    blocking: Sequence[Sequence[str]],
+    threshold: float,
+    **resolve_kw,
+):
+    """Continuous entity resolution as a Structured Streaming sink:
+    every micro-batch runs :func:`incremental_entity_resolution` against
+    the persistent store and publishes the CURRENT full assignment to
+    ``out_path`` (atomic per-batch overwrite — readers always see one
+    consistent master-data state).  Because the incremental form is
+    batch-split invariant, the published state after the stream drains
+    is byte-identical to a single-shot :func:`resolve_entities` over
+    everything that arrived — micro-batch boundaries never leak into
+    the result.  Returns the started StreamingQuery."""
+
+    def _step(batch_df: DataFrame, _batch_id: int) -> None:
+        out = incremental_entity_resolution(
+            batch_df, store_path, id_col, token_col, blocking, threshold, **resolve_kw
+        )
+        out.write.mode("overwrite").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -9599,3 +9599,50 @@ ORACLES["q_entity_tfidf_match"] = (
     FROM pairs
     WHERE ta_tot + tb_tot - iw > 0"""
 )
+
+
+def q_live_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage as a LIVE pipeline: the dirty-catalog corpus
+    arrives as three micro-batch files through a real Structured
+    Streaming run (entity_resolution_sink -> incremental store ->
+    per-batch atomic publish of the full assignment).  Batch-split
+    invariance means the drained stream's published state must equal the
+    single-shot run, so the oracle IS q_entity_resolution's."""
+    import shutil
+    import tempfile
+
+    from janus_spark.datapipe.entity import entity_resolution_sink
+
+    recs = _entity_recs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="live_ent_")
+    for i, (lo, hi) in enumerate(((0, 700), (700, 1400), (1400, 200_000_000))):
+        recs.where((F.col("rec_id") >= lo) & (F.col("rec_id") < hi)).coalesce(
+            1
+        ).write.parquet(f"{root}/in/b{i}.parquet")
+    stream = (
+        spark.readStream.schema(recs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/in/b*.parquet")
+    )
+    q = entity_resolution_sink(
+        stream, f"{root}/store", f"{root}/out", f"{root}/ckpt",
+        "rec_id", "toks",
+        blocking=[["brand", "noun"], ["ptype", "psize"]], threshold=0.7,
+        numeric_col="price", numeric_scale=100.0, w_tokens=0.8, w_numeric=0.2,
+    )
+    q.awaitTermination(600)
+    out = (
+        spark.read.parquet(f"{root}/out")
+        .select(
+            F.col("rec_id").cast("long").alias("rec_id"),
+            F.col("entity_id").cast("long").alias("entity_id"),
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+QUERIES["q_live_entity_resolution"] = q_live_entity_resolution
+ORACLES["q_live_entity_resolution"] = ORACLES["q_entity_resolution"]
