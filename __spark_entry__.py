@@ -51,6 +51,7 @@ PRIORITY_GATES = [
     "q_entity_incremental",
     "q_entity_tfidf_match",
     "q_live_entity_resolution",
+    "q_k_truss",
     # latent members of the same uncast-SUM class, fixed this round and
     # never driver-checked
     "q_json_props",

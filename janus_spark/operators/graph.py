@@ -887,3 +887,55 @@ def k_core(
             .localCheckpoint(eager=True)
         )
         rounds += 1
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """k-truss peeling (Cohen 2008): iteratively delete edges whose
+    triangle support is < k-2 until every surviving edge sits in >= k-2
+    triangles OF THE SURVIVING SUBGRAPH.  The edge-level sibling of
+    :func:`k_core` — a k-truss is always contained in the (k-1)-core but
+    is strictly stronger (cohesion through triangles, not mere degree),
+    which makes it the sharper community-backbone extractor for
+    link/co-occurrence graph curation.
+
+    ``max_rounds=None`` iterates to the true fixpoint — convergence by
+    surviving-edge count, one scalar per round.  A bounded ``max_rounds``
+    is the deterministic r-round peel the oracle gate replays in SQL
+    (same discipline as ``k_core``); after a bounded stop edges may
+    still carry support < k-2, by construction.
+
+    Returns ``(a, b, support)`` — surviving canonical edges with their
+    support inside the surviving subgraph.
+
+    Scale: each round is one :func:`edge_support` pass (degree-oriented
+    wedge join, O(m^{3/2}) wedge volume) plus one filter; the surviving
+    edge set only shrinks, and each round's frame is localCheckpoint-ed
+    (iterative-plan lineage discipline, see module head)."""
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3 (support threshold k-2 >= 1)")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = None
+    rounds = 0
+    while True:
+        sup = edge_support(e, "a", "b")
+        if max_rounds is not None and rounds >= max_rounds:
+            return sup
+        keep = sup.where(F.col("support") >= k - 2).localCheckpoint(eager=True)
+        n = keep.count()
+        if n == n_edges or n == 0:
+            return keep
+        n_edges = n
+        e = keep.select("a", "b").localCheckpoint(eager=True)
+        rounds += 1

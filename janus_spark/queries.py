@@ -9646,3 +9646,76 @@ def q_live_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_live_entity_resolution"] = q_live_entity_resolution
 ORACLES["q_live_entity_resolution"] = ORACLES["q_entity_resolution"]
+
+
+# Single source of truth for the q_k_truss gate/oracle pair.  k=5 keeps the
+# gate non-vacuous at BOTH driver SFs (sf0.001: the dense co-purchase
+# subgraph peels nothing — supports start >= 31; sf0.01: 3 rounds peel
+# 7278 -> 932 edges), so both the no-op and the real-peel paths are pinned.
+_KTRUSS_K = 5
+_KTRUSS_ROUNDS = 3
+
+
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-truss peel (3 rounds, k=_KTRUSS_K) over the part
+    co-purchase subgraph — operators/graph.py::k_truss.  Edge-level
+    cohesion (triangle support), strictly stronger than the k-core's
+    degree criterion; the oracle unrolls the same three
+    support-and-filter rounds from one template, then re-derives the
+    surviving edges' support (zeros included) exactly as the bounded
+    operator returns it."""
+    from janus_spark.operators.graph import k_truss
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_partkey") < 500)
+    lp = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        lp.alias("x")
+        .join(lp.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    out = k_truss(edges, k=_KTRUSS_K, max_rounds=_KTRUSS_ROUNDS)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("support").cast("long").alias("support"),
+    )
+
+
+QUERIES["q_k_truss"] = q_k_truss
+_KTRUSS_ROUND = """
+    t{r} AS (SELECT x.a AS u, x.b AS v, y.b AS w
+             FROM e{p} x JOIN e{p} y ON y.a = x.b
+             JOIN e{p} z ON z.a = x.a AND z.b = y.b),
+    s{r} AS (SELECT a, b, COUNT(*) AS s FROM (
+               SELECT u AS a, v AS b FROM t{r}
+               UNION ALL SELECT u AS a, w AS b FROM t{r}
+               UNION ALL SELECT v AS a, w AS b FROM t{r}) GROUP BY a, b)"""
+_KTRUSS_FILTER = """,
+    e{r} AS MATERIALIZED (
+        SELECT e{p}.a, e{p}.b FROM e{p}
+        JOIN s{r} ON s{r}.a = e{p}.a AND s{r}.b = e{p}.b
+        WHERE s{r}.s >= {k2})"""
+ORACLES["q_k_truss"] = (
+    """
+    WITH lp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey < 500),
+    e0 AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),"""
+    + ",".join(
+        _KTRUSS_ROUND.format(r=r, p=r - 1)
+        + _KTRUSS_FILTER.format(r=r, p=r - 1, k2=_KTRUSS_K - 2)
+        for r in range(1, _KTRUSS_ROUNDS + 1)
+    )
+    + ","
+    + _KTRUSS_ROUND.format(r=_KTRUSS_ROUNDS + 1, p=_KTRUSS_ROUNDS)
+    + f"""
+    SELECT e{_KTRUSS_ROUNDS}.a, e{_KTRUSS_ROUNDS}.b,
+           COALESCE(s{_KTRUSS_ROUNDS + 1}.s, 0) AS support
+    FROM e{_KTRUSS_ROUNDS}
+    LEFT JOIN s{_KTRUSS_ROUNDS + 1}
+      ON s{_KTRUSS_ROUNDS + 1}.a = e{_KTRUSS_ROUNDS}.a
+     AND s{_KTRUSS_ROUNDS + 1}.b = e{_KTRUSS_ROUNDS}.b"""
+)

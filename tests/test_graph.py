@@ -359,3 +359,43 @@ def test_k_core_gate_is_not_vacuous(spark, sf_dir):
     from janus_spark.queries import q_k_core
 
     assert q_k_core(spark, sf_dir).count() > 0
+
+
+def test_k_truss_clique_survives_pendants_peel(spark):
+    from janus_spark.operators.graph import k_truss
+
+    # 4-clique {1,2,3,4} + a lone triangle {10,11,12} + pendant edge 4-20
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    tri = [(10, 11), (10, 12), (11, 12)]
+    edges = spark.createDataFrame(clique + tri + [(4, 20)], "src long, dst long")
+    # k=3: every edge in >=1 triangle survives; the pendant peels
+    t3 = {(r["a"], r["b"]) for r in k_truss(edges, k=3).collect()}
+    assert t3 == set(clique) | set(tri)
+    # k=4: each 4-clique edge sits in 2 triangles; the lone triangle peels
+    t4 = k_truss(edges, k=4).collect()
+    assert {(r["a"], r["b"]) for r in t4} == set(clique)
+    assert all(r["support"] == 2 for r in t4)
+
+
+def test_k_truss_cascading_peel_needs_iteration(spark):
+    from janus_spark.operators.graph import k_truss
+
+    # triangle strip 1-2-3, 2-3-4: edge (2,3) has support 2, others 1.
+    # k=4 (support>=2): round 1 drops the support-1 edges, which kills
+    # (2,3)'s triangles -> fixpoint must be EMPTY (a single pass is not).
+    strip = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(strip, "src long, dst long")
+    assert k_truss(edges, k=4).count() == 0
+    # bounded r=1 returns the mid-peel state instead (support of e1)
+    bounded = {(r["a"], r["b"]): r["support"] for r in k_truss(edges, k=4, max_rounds=1).collect()}
+    assert bounded == {(2, 3): 0}
+
+
+def test_k_truss_rejects_k_below_3(spark):
+    import pytest
+
+    from janus_spark.operators.graph import k_truss
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        k_truss(edges, k=2)
