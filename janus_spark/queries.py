@@ -1592,9 +1592,17 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.sources.melt import read_events
 
     ev = read_events(spark, sf_dir).withColumn("bucket", (F.col("user_id") % 4).cast("long"))
+    # value is 2-decimal: sum exact integer cents, ONE final division —
+    # a corpus-wide double SUM is accumulation-order-dependent at 100x
+    # (q_rollup was APPROX at the sf10 sweep; the q_tpch_pricing lesson)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     return (
-        ev.rollup("event_type", "bucket")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+        ev.withColumn("__cents", cents)
+        .rollup("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("__cents").cast("double") / 100).alias("sum_v"),
+        )
         .select(
             F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
             F.coalesce(F.col("bucket"), F.lit(-1)).alias("bucket"),
@@ -1819,7 +1827,8 @@ ORACLES["q_hll_distinct"] = _hll_oracle("user_id", "event_type", "event_type", "
 ORACLES["q_rollup"] = """
     SELECT COALESCE(event_type, 'ALL') AS event_type,
            COALESCE(user_id % 4, -1) AS bucket,
-           COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_v
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_v
     FROM events GROUP BY ROLLUP(event_type, user_id % 4)"""
 ORACLES["q_window_funcs"] = f"""
     SELECT event_id, user_id, {_TSM} AS ts_ms,
@@ -5050,14 +5059,18 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.sources.melt import read_events
 
     ev = read_events(spark, sf_dir).withColumn("bucket", F.col("user_id") % 4)
+    # exact integer-cents sum (see q_rollup): the grand-total set spans
+    # the whole corpus, where a double SUM is order-dependent at 100x
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     out = (
-        ev.groupingSets(
+        ev.withColumn("__cents", cents)
+        .groupingSets(
             [["event_type"], ["bucket"], ["event_type", "bucket"], []],
             "event_type", "bucket",
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_v"),
+            (F.sum("__cents").cast("double") / 100).alias("sum_v"),
         )
         .select(
             F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
@@ -5072,7 +5085,8 @@ QUERIES["q_grouping_sets"] = q_grouping_sets
 ORACLES["q_grouping_sets"] = """
     SELECT COALESCE(event_type, 'ALL') AS event_type,
            COALESCE(user_id % 4, -1) AS bucket,
-           COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_v
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_v
     FROM events
     GROUP BY GROUPING SETS ((event_type), (user_id % 4), (event_type, user_id % 4), ())"""
 
