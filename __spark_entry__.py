@@ -52,6 +52,7 @@ PRIORITY_GATES = [
     "q_entity_tfidf_match",
     "q_live_entity_resolution",
     "q_k_truss",
+    "q_modularity",
     # latent members of the same uncast-SUM class, fixed this round and
     # never driver-checked
     "q_json_props",

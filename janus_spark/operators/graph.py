@@ -939,3 +939,77 @@ def k_truss(
         n_edges = n
         e = keep.select("a", "b").localCheckpoint(eager=True)
         rounds += 1
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a community assignment over an undirected
+    graph: Q = Σ_c [ L_c/m − (D_c/2m)² ] with L_c = intra-community
+    edges, D_c = total degree of community c, m = |edges| (Newman &
+    Girvan 2004) — THE standard quality score for label-propagation /
+    clustering output, so curation pipelines can gate "are these
+    communities real" before graph-weighted sampling trusts them.
+
+    Exactness: Q is computed as one exact integer numerator
+    Σ_c (4·m·L_c − D_c²) in DECIMAL(38,0) (no overflow until m ~ 10¹⁸)
+    over the common denominator 4m², divided ONCE at the end — the same
+    order-free fixed-point discipline as harmonic_centrality /
+    link_prediction, so the score is bit-identical in any engine and
+    any accumulation order.
+
+    Plan: canonical edge list built once; D_c is a degree aggregate
+    re-keyed by community; L_c is two label equi-joins on the edge
+    endpoints + a community count; m is one scalar.  Returns ONE row
+    (modularity, n_communities, m_edges).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = e.count()
+    if m == 0:
+        raise ValueError("modularity needs at least one edge")
+    lab = labels.select(
+        F.col(id_col).alias("__id"), F.col(community_col).alias("__c")
+    )
+    deg = (
+        e.select(F.col("a").alias("__id"))
+        .unionByName(e.select(F.col("b").alias("__id")))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    dc = (
+        deg.join(lab, "__id")
+        .groupBy("__c")
+        .agg(F.sum("__d").alias("__dc"))
+    )
+    lc = (
+        e.join(lab.select(F.col("__id").alias("a"), F.col("__c").alias("__ca")), "a")
+        .join(lab.select(F.col("__id").alias("b"), F.col("__c").alias("__cb")), "b")
+        .where(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__lc"))
+    )
+    per_c = dc.join(lc, "__c", "left").select(
+        "__c",
+        (
+            F.lit(4 * m).cast("decimal(38,0)") * F.coalesce(F.col("__lc"), F.lit(0))
+            - F.col("__dc").cast("decimal(38,0)") * F.col("__dc")
+        ).alias("__num"),
+    )
+    return per_c.agg(
+        (
+            F.sum("__num").cast("double") / F.lit(float(4 * m * m))
+        ).alias("modularity"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.lit(m).cast("long").alias("m_edges"),
+    )

@@ -9733,3 +9733,58 @@ ORACLES["q_k_truss"] = (
       ON s{_KTRUSS_ROUNDS + 1}.a = e{_KTRUSS_ROUNDS}.a
      AND s{_KTRUSS_ROUNDS + 1}.b = e{_KTRUSS_ROUNDS}.b"""
 )
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities over the SAME part
+    co-purchase fixture as q_label_propagation (labels generated by the
+    same _LPA_ROUNDS rounds) — operators/graph.py::modularity.  One
+    exact DECIMAL(38,0) numerator over the common 4m² denominator,
+    divided once, so the score crosses the engine boundary bit-for-bit;
+    the oracle reuses the LPA round template (single source)."""
+    from janus_spark.operators.graph import label_propagation, modularity
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_partkey") < 400)
+    lp = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        lp.alias("x")
+        .join(lp.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    labels = label_propagation(edges, iterations=_LPA_ROUNDS)
+    return modularity(edges, labels)
+
+
+QUERIES["q_modularity"] = q_modularity
+ORACLES["q_modularity"] = (
+    """
+    WITH lp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey < 400),
+    e AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+    adj AS MATERIALIZED (SELECT a AS w, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+    l0 AS (SELECT DISTINCT w AS id, w AS lbl FROM adj),"""
+    + ",".join(_LPA_ROUND.format(r=r, p=r - 1) for r in range(1, _LPA_ROUNDS + 1))
+    + f""",
+    lab AS (SELECT id, lbl AS c FROM l{_LPA_ROUNDS}),
+    m AS (SELECT COUNT(*) AS m FROM e),
+    deg AS (SELECT w AS id, COUNT(*) AS d FROM adj GROUP BY w),
+    dc AS (SELECT lab.c, SUM(deg.d) AS dc FROM deg JOIN lab USING (id) GROUP BY lab.c),
+    lc AS (SELECT la.c, COUNT(*) AS lc
+           FROM e JOIN lab la ON la.id = e.a
+                  JOIN lab lb ON lb.id = e.b
+           WHERE la.c = lb.c GROUP BY la.c),
+    per_c AS (SELECT dc.c,
+                     CAST(4 * (SELECT m FROM m) AS DECIMAL(38,0)) * COALESCE(lc.lc, 0)
+                     - CAST(dc.dc AS DECIMAL(38,0)) * dc.dc AS num
+              FROM dc LEFT JOIN lc ON lc.c = dc.c)
+    SELECT CAST(SUM(num) AS DOUBLE)
+               / CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS DOUBLE)
+               AS modularity,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST((SELECT m FROM m) AS BIGINT) AS m_edges
+    FROM per_c"""
+)

@@ -399,3 +399,33 @@ def test_k_truss_rejects_k_below_3(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         k_truss(edges, k=2)
+
+
+def test_modularity_known_graph(spark):
+    from janus_spark.operators.graph import modularity
+
+    # two triangles bridged by one edge; m = 7
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "src long, dst long",
+    )
+    split = spark.createDataFrame(
+        [(i, 1 if i <= 3 else 4) for i in range(1, 7)], "id long, community long"
+    )
+    row = modularity(edges, split).collect()[0]
+    assert abs(row["modularity"] - 5.0 / 14.0) < 1e-12  # exact rational 70/196
+    assert row["n_communities"] == 2 and row["m_edges"] == 7
+    # the degenerate all-one-community assignment scores exactly 0
+    allone = spark.createDataFrame([(i, 0) for i in range(1, 7)], "id long, community long")
+    assert modularity(edges, allone).collect()[0]["modularity"] == 0.0
+
+
+def test_modularity_rejects_empty_graph(spark):
+    import pytest
+
+    from janus_spark.operators.graph import modularity
+
+    e = spark.createDataFrame([], "src long, dst long")
+    lab = spark.createDataFrame([], "id long, community long")
+    with pytest.raises(ValueError):
+        modularity(e, lab)
