@@ -53,6 +53,7 @@ PRIORITY_GATES = [
     "q_live_entity_resolution",
     "q_k_truss",
     "q_modularity",
+    "q_entity_eval",
     # latent members of the same uncast-SUM class, fixed this round and
     # never driver-checked
     "q_json_props",

@@ -57,6 +57,7 @@ __all__ = [
     "tfidf_token_weights",
     "with_token_totals",
     "score_pairs_tfidf",
+    "evaluate_resolution",
 ]
 
 
@@ -564,4 +565,47 @@ def entity_resolution_sink(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def evaluate_resolution(
+    assign: DataFrame,
+    truth_pairs: DataFrame,
+    id_col: str,
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Pairwise evaluation of an entity assignment against labeled truth:
+    predicted pairs are all same-entity record pairs (a < b), truth is a
+    (a, b) pair frame, and the returned single row carries tp / fp / fn
+    plus pairwise precision, recall and F1 — the standard record-linkage
+    metrics (Christen 2012, ch. 7).  All counts are exact integers; the
+    three ratios are single final divisions, so the row is bit-identical
+    in any engine.
+
+    Scale: predicted pairs come from ONE self-equi-join on the entity id
+    — cost Σ |entity|², the pairwise metric's inherent size (cap entity
+    sizes upstream if a degenerate blob forms); truth joins on the
+    canonical (a, b) key."""
+    x = assign.select(F.col(id_col).alias("__i"), F.col(entity_col).alias("__e"))
+    pred = (
+        x.alias("l")
+        .join(x.alias("r"), "__e")
+        .where(F.col(f"l.__i") < F.col(f"r.__i"))
+        .select(F.col(f"l.__i").alias("a"), F.col(f"r.__i").alias("b"))
+        .localCheckpoint(eager=True)  # feeds the tp join and the pred count
+    )
+    t = truth_pairs.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    n_pred = pred.count()
+    n_truth = t.count()
+    tp = pred.join(t, ["a", "b"], "semi").count()
+    fp, fn = n_pred - tp, n_truth - tp
+    spark = assign.sparkSession
+    prec = tp / n_pred if n_pred else 0.0
+    rec = tp / n_truth if n_truth else 0.0
+    f1 = (2 * tp) / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
+    return spark.createDataFrame(
+        [(tp, fp, fn, prec, rec, f1)],
+        "tp long, fp long, fn long, precision double, recall double, f1 double",
     )

@@ -9788,3 +9788,46 @@ ORACLES["q_modularity"] = (
            CAST((SELECT m FROM m) AS BIGINT) AS m_edges
     FROM per_c"""
 )
+
+
+def q_entity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise precision/recall/F1 of the resolved entities against the
+    PLANTED duplicate pairs (k, k+10^8) — the evaluation harness every
+    linkage pipeline needs before trusting a threshold
+    (datapipe/entity.py::evaluate_resolution).  Natural same-name
+    merges count as FP against the planted-only truth — by design; the
+    gate pins the metric computation, and the exact integer counts +
+    single final divisions cross the engine boundary bit-for-bit."""
+    from janus_spark.datapipe.entity import evaluate_resolution
+
+    out = _entity_resolved(spark, sf_dir)
+    base_ids = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("a")
+    ).where(F.col("a") % 5 == 0)
+    truth = base_ids.select("a", (F.col("a") + 100_000_000).alias("b"))
+    return evaluate_resolution(out, truth, id_col="rec_id")
+
+
+QUERIES["q_entity_eval"] = q_entity_eval
+ORACLES["q_entity_eval"] = (
+    "\n    WITH RECURSIVE "
+    + _entity_ctes()
+    + """,
+    pred AS (SELECT x.rid AS a, y.rid AS b
+             FROM ent x JOIN ent y
+               ON x.entity_id = y.entity_id AND x.rid < y.rid),
+    truth AS (SELECT rid AS a, rid + 100000000 AS b FROM base WHERE rid % 5 = 0),
+    k AS (SELECT
+            (SELECT COUNT(*) FROM pred JOIN truth USING (a, b)) AS tp,
+            (SELECT COUNT(*) FROM pred) AS np,
+            (SELECT COUNT(*) FROM truth) AS nt)
+    SELECT CAST(tp AS BIGINT) AS tp,
+           CAST(np - tp AS BIGINT) AS fp,
+           CAST(nt - tp AS BIGINT) AS fn,
+           CASE WHEN np > 0 THEN CAST(tp AS DOUBLE) / np ELSE 0.0 END AS precision,
+           CASE WHEN nt > 0 THEN CAST(tp AS DOUBLE) / nt ELSE 0.0 END AS recall,
+           CASE WHEN 2 * tp + (np - tp) + (nt - tp) > 0
+                THEN CAST(2 * tp AS DOUBLE) / (2 * tp + (np - tp) + (nt - tp))
+                ELSE 0.0 END AS f1
+    FROM k"""
+)

@@ -267,3 +267,17 @@ def test_tfidf_all_common_union_drops(spark):
     df2 = with_token_totals(df, w, "id", "toks")
     cands = block_candidates(df2, "id", [["blk"]], ["toks", "tot_w"])
     assert score_pairs_tfidf(cands, w, "toks").count() == 0  # zero-weight union
+
+
+def test_evaluate_resolution_known_counts(spark):
+    from janus_spark.datapipe.entity import evaluate_resolution
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "id long, entity_id long",
+    )  # pred pairs: (1,2),(1,3),(2,3),(10,11)
+    truth = spark.createDataFrame([(1, 2), (10, 11), (20, 21)], "a long, b long")
+    r = evaluate_resolution(assign, truth, "id").collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 2, 1)
+    assert r["precision"] == 0.5 and abs(r["recall"] - 2 / 3) < 1e-15
+    assert abs(r["f1"] - 4 / 7) < 1e-15
