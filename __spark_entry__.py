@@ -54,6 +54,7 @@ PRIORITY_GATES = [
     "q_k_truss",
     "q_modularity",
     "q_entity_eval",
+    "q_ari_lpa_vs_cc",
     # latent members of the same uncast-SUM class, fixed this round and
     # never driver-checked
     "q_json_props",

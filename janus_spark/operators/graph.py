@@ -1013,3 +1013,63 @@ def modularity(
         F.count(F.lit(1)).cast("long").alias("n_communities"),
         F.lit(m).cast("long").alias("m_edges"),
     )
+
+
+def adjusted_rand_index(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "id",
+    label_a: str = "community",
+    label_b: str = "community",
+) -> DataFrame:
+    """Adjusted Rand Index between two cluster assignments of the same
+    id universe (Hubert & Arabie 1985) — the standard chance-corrected
+    agreement score, used to answer "did the cheap clustering
+    (LPA/minhash CC) agree with the expensive one" before a curation
+    pipeline swaps one for the other.  Ids present in only one side are
+    dropped (inner join).
+
+    Exactness: everything up to the final division is pair-counting
+    integers.  Clearing denominators,
+    ARI = (2·Σij·P − 2·Σa·Σb) / (P·(Σa+Σb) − 2·Σa·Σb) with
+    Σx = Σ C(size,2) and P = C(n,2) — evaluated in arbitrary-precision
+    Python ints from scalar aggregates (each a bounded collect), so the
+    score is bit-identical in any engine.  A degenerate comparison
+    (both sides one cluster, or both all-singletons) has denominator 0
+    and returns ARI = 1.0 if the contingency is diagonal else 0.0 —
+    the scikit-learn convention.
+
+    Scale: one id equi-join + three count aggregates; the contingency
+    matrix itself never leaves the executors (only its C(n,2) sums do).
+    """
+    la = a.select(F.col(id_col).alias("__i"), F.col(label_a).alias("__la"))
+    lb = b.select(F.col(id_col).alias("__i"), F.col(label_b).alias("__lb"))
+    j = la.join(lb, "__i").localCheckpoint(eager=True)
+
+    def _pair_sum(df, *cols):
+        sizes = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
+        row = sizes.agg(
+            F.sum(
+                (F.col("__n").cast("decimal(38,0)") * (F.col("__n") - 1)) / 2
+            ).alias("s")
+        ).collect()[0]
+        return int(row["s"] or 0)
+
+    n = j.count()
+    if n == 0:
+        raise ValueError("no common ids between the two assignments")
+    sum_ij = _pair_sum(j, "__la", "__lb")
+    sum_a = _pair_sum(j, "__la")
+    sum_b = _pair_sum(j, "__lb")
+    pairs = n * (n - 1) // 2
+    num = 2 * sum_ij * pairs - 2 * sum_a * sum_b
+    den = pairs * (sum_a + sum_b) - 2 * sum_a * sum_b
+    if den == 0:
+        ari = 1.0 if sum_ij == sum_a == sum_b else 0.0
+    else:
+        ari = num / den
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(ari, n, sum_ij, sum_a, sum_b)],
+        "ari double, n_ids long, pairs_both long, pairs_a long, pairs_b long",
+    )

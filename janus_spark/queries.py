@@ -9831,3 +9831,72 @@ ORACLES["q_entity_eval"] = (
                 ELSE 0.0 END AS f1
     FROM k"""
 )
+
+
+def q_ari_lpa_vs_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the LPA communities and the plain
+    connected components of the SAME co-purchase subgraph — the
+    chance-corrected "did the cheap clustering agree" score
+    (operators/graph.py::adjusted_rand_index).  Pair-counting integers
+    all the way; both label sets and the contingency sums are
+    deterministic, so the single final division is bit-identical."""
+    from janus_spark.datapipe.dedup import dedup_clusters
+    from janus_spark.operators.graph import adjusted_rand_index, label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_partkey") < 400)
+    lp = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        lp.alias("x")
+        .join(lp.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    ).localCheckpoint(eager=True)
+    lpa = label_propagation(edges, iterations=_LPA_ROUNDS)
+    cc = dedup_clusters(edges.select(F.col("src").alias("a"), F.col("dst").alias("b")))
+    return adjusted_rand_index(
+        lpa, cc.select("id", F.col("keep_id").alias("community")), "id"
+    )
+
+
+QUERIES["q_ari_lpa_vs_cc"] = q_ari_lpa_vs_cc
+ORACLES["q_ari_lpa_vs_cc"] = (
+    """
+    WITH RECURSIVE lp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey < 400),
+    e AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+    adj AS MATERIALIZED (SELECT a AS w, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+    l0 AS (SELECT DISTINCT w AS id, w AS lbl FROM adj),"""
+    + ",".join(_LPA_ROUND.format(r=r, p=r - 1) for r in range(1, _LPA_ROUNDS + 1))
+    + f""",
+    laba AS (SELECT id, lbl AS la FROM l{_LPA_ROUNDS}),
+    e2 AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    nodes AS (SELECT a AS id FROM e2 UNION SELECT b FROM e2),
+    rcc AS (SELECT id, id AS lbl FROM nodes
+            UNION
+            SELECT e2.b, rcc.lbl FROM rcc JOIN e2 ON e2.a = rcc.id),
+    labb AS (SELECT id, MIN(lbl) AS lb FROM rcc GROUP BY id),
+    jj AS (SELECT la, lb FROM laba JOIN labb USING (id)),
+    s AS (SELECT
+        (SELECT COALESCE(SUM(CAST(n AS HUGEINT) * (n - 1) // 2), 0) FROM
+            (SELECT COUNT(*) AS n FROM jj GROUP BY la, lb)) AS sij,
+        (SELECT COALESCE(SUM(CAST(n AS HUGEINT) * (n - 1) // 2), 0) FROM
+            (SELECT COUNT(*) AS n FROM jj GROUP BY la)) AS sa,
+        (SELECT COALESCE(SUM(CAST(n AS HUGEINT) * (n - 1) // 2), 0) FROM
+            (SELECT COUNT(*) AS n FROM jj GROUP BY lb)) AS sb,
+        (SELECT COUNT(*) FROM jj) AS n),
+    f AS (SELECT sij, sa, sb, n,
+                 CAST(n AS HUGEINT) * (n - 1) // 2 AS p FROM s)
+    SELECT CAST(CASE WHEN p * (sa + sb) - 2 * sa * sb = 0
+                THEN CASE WHEN sij = sa AND sa = sb THEN 1.0 ELSE 0.0 END
+                ELSE CAST(2 * sij * p - 2 * sa * sb AS DOUBLE)
+                     / CAST(p * (sa + sb) - 2 * sa * sb AS DOUBLE)
+           END AS DOUBLE) AS ari,
+           CAST(n AS BIGINT) AS n_ids,
+           CAST(sij AS BIGINT) AS pairs_both,
+           CAST(sa AS BIGINT) AS pairs_a,
+           CAST(sb AS BIGINT) AS pairs_b
+    FROM f"""
+)

@@ -429,3 +429,31 @@ def test_modularity_rejects_empty_graph(spark):
     lab = spark.createDataFrame([], "id long, community long")
     with pytest.raises(ValueError):
         modularity(e, lab)
+
+
+def test_ari_known_values(spark):
+    from janus_spark.operators.graph import adjusted_rand_index
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2)], "id long, community long"
+    )
+    # identical partition (different label names): ARI = 1
+    b_same = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (4, 7), (5, 7), (6, 7)], "id long, community long"
+    )
+    assert adjusted_rand_index(a, b_same).collect()[0]["ari"] == 1.0
+    # sklearn-checked reference: [1,1,1,2,2,2] vs [1,1,2,2,3,3] -> 0.2424...
+    b_diff = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 2), (5, 3), (6, 3)], "id long, community long"
+    )
+    r = adjusted_rand_index(a, b_diff).collect()[0]
+    # exact rational: sij=2 sa=6 sb=3 p=15 -> num=2*2*15-2*18=24, den=15*9-36=99
+    assert abs(r["ari"] - 24.0 / 99.0) < 1e-15
+    assert (r["pairs_both"], r["pairs_a"], r["pairs_b"]) == (2, 6, 3)
+
+
+def test_ari_degenerate_all_singletons(spark):
+    from janus_spark.operators.graph import adjusted_rand_index
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 5)], "id long, community long")
+    assert adjusted_rand_index(a, a).collect()[0]["ari"] == 1.0  # diagonal, den=0
