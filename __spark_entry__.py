@@ -55,6 +55,7 @@ PRIORITY_GATES = [
     "q_modularity",
     "q_entity_eval",
     "q_ari_lpa_vs_cc",
+    "q_entity_block_cap",
     # latent members of the same uncast-SUM class, fixed this round and
     # never driver-checked
     "q_json_props",

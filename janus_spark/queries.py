@@ -9900,3 +9900,49 @@ ORACLES["q_ari_lpa_vs_cc"] = (
            CAST(sb AS BIGINT) AS pairs_b
     FROM f"""
 )
+
+
+def q_entity_block_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oversized-block cap under the driver's hash: candidates from the
+    (brand, noun) pass with max_block_size=4 — blocks above the cap are
+    dropped WHOLE before the self-join (the O(block²) kill switch).
+    Both paths non-vacuous: sf0.001 blocks span 1..6, sf0.01 1..23, so
+    some blocks survive and some drop at each SF."""
+    from janus_spark.datapipe.entity import block_candidates, score_pairs
+
+    recs = _entity_recs(spark, sf_dir)
+    cands = block_candidates(
+        recs, "rec_id", [["brand", "noun"]], ["toks", "price"], max_block_size=4
+    )
+    scored = score_pairs(
+        cands, "toks", numeric_col="price", numeric_scale=100.0,
+        w_tokens=0.8, w_numeric=0.2,
+    )
+    return scored.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.round("score", 9).alias("score"),
+    )
+
+
+QUERIES["q_entity_block_cap"] = q_entity_block_cap
+ORACLES["q_entity_block_cap"] = (
+    "\n    WITH "
+    + _entity_recs_ctes()
+    + """,
+    ok_blocks AS (SELECT brand, noun FROM recs
+                  GROUP BY brand, noun HAVING COUNT(*) <= 4),
+    rc AS (SELECT recs.* FROM recs JOIN ok_blocks USING (brand, noun)),
+    cand AS (SELECT l.rid AS a, r.rid AS b, l.toks AS ta, r.toks AS tb,
+                    l.price AS pa, r.price AS pb
+             FROM rc l JOIN rc r
+               ON l.brand = r.brand AND l.noun = r.noun AND l.rid < r.rid)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           ROUND(0.8 * (CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+                        (CAST(len(ta) + len(tb) AS DOUBLE)
+                         - CAST(len(list_intersect(ta, tb)) AS DOUBLE)))
+               + 0.2 * (1.0 - LEAST(1.0, abs(pa - pb) / 100.0)), 9) AS score
+    FROM cand
+    WHERE CAST(len(ta) + len(tb) AS DOUBLE)
+          - CAST(len(list_intersect(ta, tb)) AS DOUBLE) > 0"""
+)
