@@ -28,94 +28,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness check samples the FIRST 50 registry entries.
-# r04 covered the round-1 head, r05 the newest 50; this round rotates the
-# window onto the never-driver-checked middle (round-2/3 gates), keeping
-# the two r05 hash-fail fixes and the de-vacuated k-core gate in the head
-# so the fixes are proven under the driver's own hash.  47 of the 50
-# below have never been in any driver window.
-PRIORITY_GATES = [
-    # r05 hash-fail fixes (oracle uncast-SUM dtype class) — prove them first
-    "q_feature_hashing",
-    "q_profile",
-    # de-vacuated gate: k=22 yields a real core at sf0.01 (was 0 rows @ k=30)
-    "q_k_core",
-    # NEW this round (incremental near-dup store; training-order shuffle)
-    # — straight into the driver window so new code meets the hard
-    # signal immediately
-    "q_dedup_incremental_minhash",
-    "q_shuffle_shard",
-    # NEW this session (record linkage) — straight into the driver window
-    "q_entity_resolution",
-    "q_entity_golden",
-    "q_entity_sorted_neighborhood",
-    "q_entity_incremental",
-    "q_entity_tfidf_match",
-    "q_live_entity_resolution",
-    "q_k_truss",
-    "q_modularity",
-    "q_entity_eval",
-    "q_ari_lpa_vs_cc",
-    "q_entity_block_cap",
-    # latent members of the same uncast-SUM class, fixed this round and
-    # never driver-checked
-    "q_json_props",
-    "q_token_entropy",
-    "q_pack_tokens",
-    "q_tpch_shipmode",
-    "q_markov_transitions",
-    "q_validate",
-    "q_freshness",
-    "q_jsonl_roundtrip",
-    "q_live_validate",
-    # graph analytics (never driver-checked)
-    "q_pagerank",
-    "q_pagerank_personalized",
-    "q_pagerank_weighted",
-    "q_harmonic_centrality",
-    "q_assortativity",
-    "q_connected_components",
-    "q_shortest_paths",
-    "q_triangle_count",
-    "q_bfs_hops",
-    # property paths
-    "q_path_closure",
-    "q_path_star",
-    "q_path_alt_closure",
-    # retrieval
-    "q_bm25_topk",
-    "q_hybrid_rrf",
-    "q_hard_negatives",
-    "q_tfidf_pairs",
-    # dedup / similarity
-    "q_jaccard_pairs",
-    "q_jaccard_prefix",
-    "q_containment_pairs",
-    "q_dedup_keep_best",
-    "q_contamination_ngram",
-    # sketches
-    "q_hll_distinct",
-    "q_cms_counts",
-    "q_percentiles",
-    "q_sliding_hll_distinct",
-    # behavioral analytics
+# Window history: r04 = round-1 head, r05 = newest 50, r06 = the 50 at
+# HEAD of round 6 (all green).  This round (r7) rotates onto 50 gates that
+# have NEVER been in any driver window: the 13 gates a mid-r6 insertion
+# displaced past slot 50 (q_funnel..q_live_rollup), then the next 37 in
+# registry order.  After r7 lands, 45 never-checked gates remain — r8's
+# window (slots 51-95 below) completes full registry coverage.
+#
+# R7_WINDOW is pinned by tests/test_entry.py::test_priority_window_pinned
+# so a mid-round gate insertion can never silently displace a planned
+# window again (it displaced 13 gates in r6).
+R7_WINDOW = [
+    # the 13 gates displaced past slot 50 by r6's mid-round insertion
     "q_funnel",
     "q_pmi",
     "q_sliding_topk",
     "q_retention_cohorts",
     "q_ab_test",
-    # timeseries
     "q_ohlc_resample",
     "q_ewma",
     "q_cusum",
-    # live streaming (IStream/DStream + stateful forms never driver-run)
     "q_live_istream",
     "q_live_dstream",
     "q_live_session",
     "q_live_topk",
     "q_live_rollup",
-    # ---- slots 51-132: the 82 gates never in any driver window after the
-    # 50 above land (r01/r03/r04/r05 histories + this round's head), in
-    # registry order — r7's rotation is then just moving these up.
+    # next 37 never-driver-checked gates in registry order
     "q_chunk_documents", "q_pii_scrub", "q_length_hist", "q_asof_join",
     "q_rollup", "q_window_funcs", "q_gapfill", "q_range_join", "q_cube",
     "q_topk_per_group", "q_pivot", "q_latest_event", "q_tpch_revenue",
@@ -126,7 +64,13 @@ PRIORITY_GATES = [
     "q_frame_sample", "q_tpch_local_supplier", "q_tpch_small_quantity",
     "q_live_interval_join", "q_bigram_logprob", "q_interp_resample",
     "q_winsorize", "q_mad_outliers", "q_novelty", "q_embedding_clusters",
-    "q_rank_funcs", "q_optional_filter", "q_not_exists_anti",
+    "q_rank_funcs",
+]
+
+# Slots 51-95: the 45 gates still never driver-checked after r7 — the
+# planned r8 window, in registry order.
+NEVER_CHECKED_TAIL = [
+    "q_optional_filter", "q_not_exists_anti",
     "q_skew_stats", "q_live_percentile", "q_live_ingest_dedup",
     "q_corpus_report", "q_autocorr", "q_bloom_join",
     "q_tpch_returned_items", "q_tpch_large_orders", "q_grouping_sets",
@@ -142,6 +86,33 @@ PRIORITY_GATES = [
     "q_period_over_period", "q_benford", "q_tpch_top_supplier",
     "q_tpch_market_share", "q_ltv_cohort",
 ]
+
+# Slots 96-145: the r06 window (all driver-green in CORRECTNESS_r06.json),
+# kept at the back of the priority list.
+R6_CHECKED = [
+    "q_feature_hashing", "q_profile", "q_k_core",
+    "q_dedup_incremental_minhash", "q_shuffle_shard",
+    "q_entity_resolution", "q_entity_golden",
+    "q_entity_sorted_neighborhood", "q_entity_incremental",
+    "q_entity_tfidf_match", "q_live_entity_resolution",
+    "q_k_truss", "q_modularity", "q_entity_eval", "q_ari_lpa_vs_cc",
+    "q_entity_block_cap",
+    "q_json_props", "q_token_entropy", "q_pack_tokens",
+    "q_tpch_shipmode", "q_markov_transitions", "q_validate",
+    "q_freshness", "q_jsonl_roundtrip", "q_live_validate",
+    "q_pagerank", "q_pagerank_personalized", "q_pagerank_weighted",
+    "q_harmonic_centrality", "q_assortativity",
+    "q_connected_components", "q_shortest_paths", "q_triangle_count",
+    "q_bfs_hops",
+    "q_path_closure", "q_path_star", "q_path_alt_closure",
+    "q_bm25_topk", "q_hybrid_rrf", "q_hard_negatives", "q_tfidf_pairs",
+    "q_jaccard_pairs", "q_jaccard_prefix", "q_containment_pairs",
+    "q_dedup_keep_best", "q_contamination_ngram",
+    "q_hll_distinct", "q_cms_counts", "q_percentiles",
+    "q_sliding_hll_distinct",
+]
+
+PRIORITY_GATES = R7_WINDOW + NEVER_CHECKED_TAIL + R6_CHECKED
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -42,7 +42,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.errors import AnalysisException
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -54,11 +55,34 @@ __all__ = [
     "score_pairs",
     "resolve_entities",
     "incremental_entity_resolution",
+    "entity_resolution_sink",
     "tfidf_token_weights",
     "with_token_totals",
     "score_pairs_tfidf",
     "evaluate_resolution",
 ]
+
+
+def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """Read the persistent record+edge store, or None if it does not
+    exist yet.  ONLY the path-missing case maps to "fresh store" —
+    corruption, permission errors, and transient IO re-raise, because
+    silently treating them as an empty history would reset the entity
+    state and publish a wrong assignment built from the current batch
+    alone.  mergeSchema tolerates stores whose early appends predate a
+    later-added column (e.g. batch_id)."""
+    try:
+        return spark.read.option("mergeSchema", "true").parquet(store_path)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        if "UNABLE_TO_INFER_SCHEMA" in msg:
+            # the dir exists but holds no data files (pre-created temp dir,
+            # or an append of an all-empty first batch) — a fresh store,
+            # not corruption (corrupt footers raise non-Analysis errors)
+            return None
+        raise
 
 
 def _global_rank(recs: DataFrame, id_col: str, key_col: str) -> DataFrame:
@@ -351,6 +375,7 @@ def incremental_entity_resolution(
     w_tokens: float = 1.0,
     w_numeric: float = 0.0,
     canonical_order: Sequence[Column] | None = None,
+    batch_marker: int | None = None,
 ) -> DataFrame:
     """Continuous entity resolution against a PERSISTENT record+edge
     store — the linkage member of the incremental family
@@ -375,10 +400,14 @@ def incremental_entity_resolution(
     is the full current assignment, not just the batch's.
 
     Store layout: one parquet dir, one row kind per record
-    (``kind='rec'``: id + blocking keys + payload) and per edge
-    (``kind='edge'``: a, b) — a single append commits a batch's records
-    and its edges together (no two-file torn state), inheriting Spark's
-    staged-file output commit.
+    (``kind='rec'``: id + blocking keys + payload), per edge
+    (``kind='edge'``: a, b — typed as the id column itself), and, when
+    ``batch_marker`` is given, ONE ``kind='batch'`` marker row carrying
+    the micro-batch id — a single append commits a batch's records,
+    edges, and marker together (no two-file torn state), inheriting
+    Spark's staged-file output commit.  The marker is what makes the
+    streaming sink's retries idempotent (see
+    :func:`entity_resolution_sink`).
 
     ``max_block_size`` is deliberately NOT offered here: a cap evaluated
     per batch against a growing block admits early pairs a single-shot
@@ -396,11 +425,12 @@ def incremental_entity_resolution(
         )
     )
     new = new_recs.select(*keep).localCheckpoint(eager=True)
-    try:
-        hist = spark.read.parquet(store_path)
+    id_type = new.schema[id_col].dataType
+    hist = _read_store(spark, store_path)
+    if hist is not None:
         old_recs = hist.where(F.col("kind") == "rec").select(*keep)
         old_edges = hist.where(F.col("kind") == "edge").select("a", "b")
-    except Exception:
+    else:
         old_recs = old_edges = None
     allr = (old_recs.unionByName(new) if old_recs is not None else new).localCheckpoint(
         eager=True
@@ -442,25 +472,40 @@ def incremental_entity_resolution(
         canonical_order,
     ).localCheckpoint(eager=True)  # compute fully BEFORE the append below
 
-    # one append commits this batch's records and edges together
+    # one append commits this batch's records, edges, and (from the
+    # streaming sink) its committed-batch marker together.  Edge columns
+    # carry the id column's OWN type — a hardcoded BIGINT cast would turn
+    # string record ids (the record-linkage norm) into silent nulls.
     rec_rows = new.select(
         F.lit("rec").alias("kind"),
         *keep,
-        F.lit(None).cast("long").alias("a"),
-        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast(id_type).alias("a"),
+        F.lit(None).cast(id_type).alias("b"),
+        F.lit(None).cast("long").alias("batch_id"),
     )
     edge_rows = new_edges.select(
         F.lit("edge").alias("kind"),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in new.schema.fields],
-        F.col("a").cast("long").alias("a"),
-        F.col("b").cast("long").alias("b"),
+        F.col("a").cast(id_type).alias("a"),
+        F.col("b").cast(id_type).alias("b"),
+        F.lit(None).cast("long").alias("batch_id"),
     )
-    rec_rows.unionByName(edge_rows).write.mode("append").parquet(store_path)
+    chunk = rec_rows.unionByName(edge_rows)
+    if batch_marker is not None:
+        marker = spark.range(1).select(
+            F.lit("batch").alias("kind"),
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in new.schema.fields],
+            F.lit(None).cast(id_type).alias("a"),
+            F.lit(None).cast(id_type).alias("b"),
+            F.lit(int(batch_marker)).cast("long").alias("batch_id"),
+        )
+        chunk = chunk.unionByName(marker)
+    chunk.write.mode("append").parquet(store_path)
     return out
 
 
 def tfidf_token_weights(
-    recs: DataFrame, id_col: str, token_col: str, scale: int = 1_000_000
+    recs: DataFrame, token_col: str, scale: int = 1_000_000
 ) -> DataFrame:
     """Integer-scaled IDF weight per distinct token: ``round(ln(N / df) ×
     scale)`` as BIGINT.  Integer weights make every downstream sum exact
@@ -533,6 +578,44 @@ def score_pairs_tfidf(
     )
 
 
+def _sink_step(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    out_path: str,
+    id_col: str,
+    token_col: str,
+    blocking: Sequence[Sequence[str]],
+    threshold: float,
+    **resolve_kw,
+) -> None:
+    """One micro-batch of :func:`entity_resolution_sink`, exposed so the
+    retry path is unit-testable: if ``batch_id`` already has a marker in
+    the store, the batch's rows are NOT re-appended — the step only
+    recomputes and re-publishes the current assignment."""
+    spark = batch_df.sparkSession
+    hist = _read_store(spark, store_path)
+    replay = False
+    if hist is not None and "batch_id" in hist.columns:
+        # bounded collect: one marker row per committed micro-batch
+        committed = {
+            r["batch_id"]
+            for r in hist.where(F.col("kind") == "batch").select("batch_id").collect()
+        }
+        replay = batch_id in committed
+    out = incremental_entity_resolution(
+        batch_df.limit(0) if replay else batch_df,
+        store_path,
+        id_col,
+        token_col,
+        blocking,
+        threshold,
+        batch_marker=None if replay else batch_id,
+        **resolve_kw,
+    )
+    out.write.mode("overwrite").parquet(out_path)
+
+
 def entity_resolution_sink(
     stream: DataFrame,
     store_path: str,
@@ -552,13 +635,22 @@ def entity_resolution_sink(
     batch-split invariant, the published state after the stream drains
     is byte-identical to a single-shot :func:`resolve_entities` over
     everything that arrived — micro-batch boundaries never leak into
-    the result.  Returns the started StreamingQuery."""
+    the result.
 
-    def _step(batch_df: DataFrame, _batch_id: int) -> None:
-        out = incremental_entity_resolution(
-            batch_df, store_path, id_col, token_col, blocking, threshold, **resolve_kw
+    Retry idempotency: each committed batch leaves a ``kind='batch'``
+    marker row in the store (written in the SAME append as its records
+    and edges).  If Structured Streaming re-delivers a micro-batch after
+    a failure between the store append and the publish, the marker is
+    already present, so the retry appends nothing — it only recomputes
+    and re-publishes the current assignment.  Without this, a replayed
+    batch would append its rows twice and duplicate every subsequent
+    published assignment.  Returns the started StreamingQuery."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        _sink_step(
+            batch_df, batch_id, store_path, out_path,
+            id_col, token_col, blocking, threshold, **resolve_kw,
         )
-        out.write.mode("overwrite").parquet(out_path)
 
     return (
         stream.writeStream.foreachBatch(_step)

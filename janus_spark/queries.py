@@ -9568,7 +9568,7 @@ def q_entity_tfidf_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     recs = _entity_recs(spark, sf_dir)
-    w = tfidf_token_weights(recs, "rec_id", "toks").localCheckpoint(eager=True)
+    w = tfidf_token_weights(recs, "toks").localCheckpoint(eager=True)
     recs2 = with_token_totals(recs, w, "rec_id", "toks")
     cands = block_candidates(
         recs2, "rec_id", [["brand", "noun"]], ["toks", "tot_w"]
@@ -9602,11 +9602,12 @@ ORACLES["q_entity_tfidf_match"] = (
                JOIN w USING (t) GROUP BY a, b),
     pairs AS (SELECT c.a, c.b,
                      COALESCE(i.iw, 0) AS iw,
-                     la.tot_w AS ta_tot, lb.tot_w AS tb_tot
+                     COALESCE(la.tot_w, 0) AS ta_tot,
+                     COALESCE(lb.tot_w, 0) AS tb_tot
               FROM cand c
               LEFT JOIN interw i ON i.a = c.a AND i.b = c.b
-              JOIN tot la ON la.rid = c.a
-              JOIN tot lb ON lb.rid = c.b)
+              LEFT JOIN tot la ON la.rid = c.a
+              LEFT JOIN tot lb ON lb.rid = c.b)
     SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
            ROUND(CAST(iw AS DOUBLE) / CAST(ta_tot + tb_tot - iw AS DOUBLE), 6)
                AS score

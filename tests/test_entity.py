@@ -242,7 +242,7 @@ def test_tfidf_rare_token_outweighs_common(spark):
         (4, ["common", "rare3", "other"], "k", 1.0),
     ]
     df = _recs(spark, rows)
-    w = tfidf_token_weights(df, "id", "toks")
+    w = tfidf_token_weights(df, "toks")
     wm = {r["t"]: r["w"] for r in w.collect()}
     assert wm["common"] == 0 and wm["rare1"] > 0
     df2 = with_token_totals(df, w, "id", "toks")
@@ -263,7 +263,7 @@ def test_tfidf_all_common_union_drops(spark):
 
     rows = [(1, ["x"], "k", 1.0), (2, ["x"], "k", 1.0)]
     df = _recs(spark, rows)
-    w = tfidf_token_weights(df, "id", "toks")
+    w = tfidf_token_weights(df, "toks")
     df2 = with_token_totals(df, w, "id", "toks")
     cands = block_candidates(df2, "id", [["blk"]], ["toks", "tot_w"])
     assert score_pairs_tfidf(cands, w, "toks").count() == 0  # zero-weight union
@@ -281,3 +281,87 @@ def test_evaluate_resolution_known_counts(spark):
     assert (r["tp"], r["fp"], r["fn"]) == (2, 2, 1)
     assert r["precision"] == 0.5 and abs(r["recall"] - 2 / 3) < 1e-15
     assert abs(r["f1"] - 4 / 7) < 1e-15
+
+
+def test_incremental_string_ids_roundtrip(spark, tmp_path):
+    """String record ids (the record-linkage norm) must survive the
+    persisted edge store — a hardcoded BIGINT cast would null them out
+    silently (ADVICE r6)."""
+    from janus_spark.datapipe.entity import incremental_entity_resolution
+
+    def rec(rid, toks):
+        return (rid, toks, "k", 1.0)
+
+    schema = "id string, toks array<string>, blk string, val double"
+    store = str(tmp_path / "store_str")
+    b1 = spark.createDataFrame([rec("ra", ["x", "y"]), rec("rb", ["x", "y"])], schema)
+    b2 = spark.createDataFrame([rec("rc", ["x", "y"]), rec("zz", ["q"])], schema)
+    incremental_entity_resolution(b1, store, "id", "toks", [["blk"]], 0.5)
+    out = incremental_entity_resolution(b2, store, "id", "toks", [["blk"]], 0.5)
+    got = {r["id"]: (r["entity_id"], r["canonical_id"]) for r in out.collect()}
+    # ra/rb matched in batch 1; rc joins via the persisted edges in batch 2
+    assert got == {
+        "ra": ("ra", "ra"),
+        "rb": ("ra", "ra"),
+        "rc": ("ra", "ra"),
+        "zz": ("zz", "zz"),
+    }
+    # and the stored edge endpoints are real ids, not nulls
+    edges = spark.read.option("mergeSchema", "true").parquet(store)
+    bad = edges.where(
+        (F.col("kind") == "edge") & (F.col("a").isNull() | F.col("b").isNull())
+    ).count()
+    assert bad == 0
+
+
+def test_store_read_error_is_not_swallowed(spark, tmp_path):
+    """A corrupt store must RAISE, not silently reset history (ADVICE r6:
+    any-exception fallback published wrong assignments).  Only
+    path-missing means 'fresh store'."""
+    import pytest
+
+    from janus_spark.datapipe.entity import _read_store
+
+    missing = str(tmp_path / "nope")
+    assert _read_store(spark, missing) is None
+
+    empty = tmp_path / "empty"  # pre-created dir, no data files: fresh store
+    empty.mkdir()
+    assert _read_store(spark, str(empty)) is None
+
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        # schema inference hits the garbage footer and must propagate
+        df = _read_store(spark, str(corrupt))
+        assert df is not None
+        df.collect()
+
+
+def test_sink_step_retry_is_idempotent(spark, tmp_path):
+    """A re-delivered micro-batch (same batch_id) must not re-append its
+    rows: the committed-batch marker written in the same append as the
+    batch's records makes the retry a recompute+republish only."""
+    from janus_spark.datapipe.entity import _sink_step
+
+    store = str(tmp_path / "store_retry")
+    out_path = str(tmp_path / "out_retry")
+    batch = _recs(
+        spark,
+        [(1, ["x", "y"], "k", 2.0), (2, ["x", "y"], "k", 9.0)],
+    )
+    kw = dict(numeric_col="val")
+    _sink_step(batch, 0, store, out_path, "id", "toks", [["blk"]], 0.5, **kw)
+    n_store = spark.read.parquet(store).count()
+    first = sorted(spark.read.parquet(out_path).collect())
+    # retry the SAME batch id — store must not grow, publish unchanged
+    _sink_step(batch, 0, store, out_path, "id", "toks", [["blk"]], 0.5, **kw)
+    assert spark.read.parquet(store).count() == n_store
+    assert sorted(spark.read.parquet(out_path).collect()) == first
+    # a genuinely new batch still appends
+    batch2 = _recs(spark, [(3, ["x", "y"], "k", 1.0)])
+    _sink_step(batch2, 1, store, out_path, "id", "toks", [["blk"]], 0.5, **kw)
+    assert spark.read.parquet(store).count() > n_store
+    got = {r["id"]: r["entity_id"] for r in spark.read.parquet(out_path).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
