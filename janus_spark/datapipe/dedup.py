@@ -16,6 +16,8 @@ functions + xxhash64) — no Python UDFs, deterministic across runs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -811,15 +813,61 @@ def containment_join(
 
 
 # ---------------------------------------------------------------- cluster
+def _local_components(edge_rows) -> dict:
+    """Union-find over an iterable of (a, b) pairs, unioning by MIN root
+    so every component's representative is its minimum id — the same
+    fixed point the distributed label propagation converges to.  Pure
+    Python, O(E α(N)); used only below the bounded local-solve
+    threshold (see :func:`dedup_clusters`)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for a, b in edge_rows:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # attach the larger root: roots stay minima
+    return {x: find(x) for x in nodes}
+
+
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Resolve near-dup pairs (a, b) into clusters: every member maps to
-    its cluster's minimum id (the keeper).  Iterative label propagation —
-    each round joins current labels across edges and keeps the min;
-    lineage is truncated per round (localCheckpoint) so cost stays linear
-    in rounds.  Converges in O(cluster diameter) rounds.
+    its cluster's minimum id (the keeper).
 
-    Returns (id, keep_id) for every id that appears in a pair; rows with
-    id == keep_id are the keepers.
+    Two-tier execution (the standard distributed-CC endgame, Kiveris et
+    al. 2014 "Connected Components in MapReduce and Beyond" §6: iterate
+    distributively while the graph is big, finish in memory once it
+    fits):
+
+    - **Local solve** when the pair count is at or below
+      ``JANUS_LOCAL_CC_EDGES`` (default 2,000,000): collect the bare
+      (a, b) id pairs — a size-GATED collect, bounded by the constant
+      threshold and checked before collecting — and run union-find on
+      the driver.  Match graphs are matched-subset sized (≪ corpus), so
+      this is the common case even at large SF, and it removes the
+      O(log diameter) × fixed-job-cost round tax that dominates small
+      runs (chain-shaped components need ~14 propagation rounds).
+    - **Distributed label propagation** above the threshold: each round
+      joins current labels across edges, keeps the min, pointer-jumps
+      once (path compression), and truncates lineage (localCheckpoint);
+      converges in O(log diameter) rounds.  Set
+      ``JANUS_LOCAL_CC_EDGES=0`` to force this path (tests do, to keep
+      it pinned).
+
+    Both paths produce the identical fixed point: keep_id = component
+    minimum.  Returns (id, keep_id) for every id that appears in a pair;
+    rows with id == keep_id are the keepers.
     """
     # pairs is referenced by BOTH union directions: materialize it once or
     # the caller's (possibly expensive — banded minhash verification)
@@ -830,6 +878,20 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     # very next (first-action) stage can still race and compute the
     # pipeline twice on a multi-executor cluster.
     pairs = pairs.localCheckpoint(eager=True)
+
+    threshold = int(os.environ.get("JANUS_LOCAL_CC_EDGES", "2000000"))
+    if threshold > 0 and pairs.count() <= threshold:
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema["a"].dataType
+        comp = _local_components(
+            (r["a"], r["b"]) for r in pairs.select("a", "b").collect()
+        )
+        schema = StructType(
+            [StructField("id", id_type), StructField("keep_id", id_type)]
+        )
+        spark = pairs.sparkSession
+        return spark.createDataFrame(sorted(comp.items()), schema)
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))

@@ -27,6 +27,11 @@ os.environ.setdefault("JANUS_MAX_RESULT_SIZE", "8g")
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from audit_oracle_dtypes import ALLOWED, duck_family, spark_family  # noqa: E402
+from janus_spark.digest import (  # noqa: E402
+    multiset_digest,
+    norm,
+    spark_multiset_digest,
+)
 from janus_spark.session import get_spark  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -68,18 +73,6 @@ def dtype_mismatches(name, sdf, con, sql):
     return bad
 
 
-def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
-
-
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -92,24 +85,9 @@ def canon(rows, cols):
 # both sides resident) for a commutative multiset digest — exact, order-
 # insensitive, O(n) and constant extra memory.  Loses example-diff output,
 # which only matters when a mismatch needs debugging at small scale anyway.
+# The digest helpers live in janus_spark.digest (package module) so the
+# mapInArrow closure is importable from the executors' Python workers.
 DIGEST_THRESHOLD = int(os.environ.get("JANUS_DIGEST_THRESHOLD", "5000000"))
-
-_DIGEST_MOD = (1 << 128) - 159  # largest 128-bit prime
-
-
-def multiset_digest(rows_iter, cols) -> tuple[int, int]:
-    """(row_count, Σ md5(canonical row) mod p) over an iterable of rows —
-    equal multisets ⇒ equal digests; collisions need md5 preimages."""
-    import hashlib
-
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    acc, n = 0, 0
-    for r in rows_iter:
-        t = tuple(norm(r[i]) for i in order)
-        h = hashlib.md5(repr(t).encode()).digest()
-        acc = (acc + int.from_bytes(h, "big")) % _DIGEST_MOD
-        n += 1
-    return n, acc
 
 
 def _fetch_chunks(cur, size=1_000_000):

@@ -1255,3 +1255,37 @@ def test_line_dedup_null_text_and_regex_special_sep(spark):
     assert out[2]["clean_text"] == "x"
     # null text survives as an empty document
     assert out[3]["n_lines"] == 1 and out[3]["clean_text"] == ""
+
+
+def test_dedup_clusters_local_equals_distributed(spark, monkeypatch):
+    """The bounded local union-find and the distributed label-propagation
+    path must produce the identical fixed point (keep_id = component
+    min) on a random graph with chains, cliques, and singleton pairs."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(0, 40)]                 # long chain
+    edges += [(100 + a, 100 + b) for a in range(8) for b in range(a + 1, 8)]
+    edges += [(rng.randint(200, 260), rng.randint(200, 260)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    monkeypatch.setenv("JANUS_LOCAL_CC_EDGES", "1000000")
+    local = {r["id"]: r["keep_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    monkeypatch.setenv("JANUS_LOCAL_CC_EDGES", "0")  # force distributed
+    dist = {r["id"]: r["keep_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert local == dist and local  # same assignment, non-empty
+
+
+def test_dedup_clusters_distributed_path_still_converges(spark, monkeypatch):
+    """Pin the >threshold path: with the local solve disabled, the
+    propagation loop must still reach the component-min fixed point."""
+    monkeypatch.setenv("JANUS_LOCAL_CC_EDGES", "0")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(30)], ["a", "b"])
+    out = dedup.dedup_clusters(pairs).collect()
+    assert all(r["keep_id"] == 0 for r in out)
+
+
+def test_dedup_clusters_string_ids_local(spark):
+    pairs = spark.createDataFrame([("b", "c"), ("a", "b")], ["a", "b"])
+    out = {r["id"]: r["keep_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a"}
