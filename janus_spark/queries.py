@@ -9567,9 +9567,12 @@ def q_entity_tfidf_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_token_totals,
     )
 
-    recs = _entity_recs(spark, sf_dir)
+    # recs feeds the doc-frequency pass, the totals explode/join, AND both
+    # self-join sides of block_candidates; recs2 feeds both sides again —
+    # cut each once or the part scan multiplies (audit: 12 part scans)
+    recs = _entity_recs(spark, sf_dir).localCheckpoint(eager=True)
     w = tfidf_token_weights(recs, "toks").localCheckpoint(eager=True)
-    recs2 = with_token_totals(recs, w, "rec_id", "toks")
+    recs2 = with_token_totals(recs, w, "rec_id", "toks").localCheckpoint(eager=True)
     cands = block_candidates(
         recs2, "rec_id", [["brand", "noun"]], ["toks", "tot_w"]
     )
@@ -9914,7 +9917,8 @@ def q_entity_block_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram of block sizes (#distinct sizes rows), plus one scalar."""
     from janus_spark.datapipe.entity import block_candidates, score_pairs
 
-    recs = _entity_recs(spark, sf_dir)
+    # referenced by the cap histogram AND both self-join sides — cut once
+    recs = _entity_recs(spark, sf_dir).localCheckpoint(eager=True)
     sizes = recs.groupBy("brand", "noun").agg(F.count(F.lit(1)).alias("c"))
     n_blocks = sizes.count()
     k = (n_blocks + 1) // 2  # lower median: k-th smallest block size
