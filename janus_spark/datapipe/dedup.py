@@ -912,25 +912,33 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .groupBy("id")
             .agg(F.min("nk").alias("nk"))
         )
+        # __chg rides through to the checkpointed frame so convergence is
+        # a cheap filter-count over already-materialized partitions, not
+        # an extra labels-vs-updated comparison JOIN per round (r7).
+        # Sound stop: if no nk beat its node's label this round, every
+        # node's label is <= all neighbors' labels, i.e. labels are
+        # constant per component and the min node anchors them at the
+        # component min — the fixed point; the jump can't change anything
+        # either (it only composes existing labels).
         updated = labels.join(neighbor_min, on="id", how="left").select(
             "id",
             F.least(F.col("keep_id"), F.coalesce(F.col("nk"), F.col("keep_id"))).alias("keep_id"),
+            (F.col("nk") < F.col("keep_id")).alias("__chg"),
         )
         # pointer jumping (path compression): follow my label's label —
         # turns O(diameter) convergence into O(log diameter)
         parents = updated.select(F.col("id").alias("pid"), F.col("keep_id").alias("pkeep"))
         updated = (
             updated.join(parents, on=updated["keep_id"] == parents["pid"], how="left")
-            .select("id", F.least(F.col("keep_id"), F.coalesce(F.col("pkeep"), F.col("keep_id"))).alias("keep_id"))
+            .select(
+                "id",
+                F.least(F.col("keep_id"), F.coalesce(F.col("pkeep"), F.col("keep_id"))).alias("keep_id"),
+                "__chg",
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), on="id")
-            .where(F.col("u.keep_id") != F.col("l.keep_id"))
-            .isEmpty()
-        )
-        labels = updated
+        changed = updated.where(F.col("__chg")).isEmpty()
+        labels = updated.drop("__chg")
         if changed:
             break
     return labels
