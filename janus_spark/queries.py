@@ -9974,3 +9974,84 @@ ORACLES["q_entity_block_cap"] = (
     WHERE CAST(len(ta) + len(tb) AS DOUBLE)
           - CAST(len(list_intersect(ta, tb)) AS DOUBLE) > 0"""
 )
+
+
+# ------------------------------------------------------- data selection
+_DSIR_CTES = f"""
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    bt AS (SELECT doc_id,
+                  ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b
+           FROM toks),
+    tgt AS (SELECT b FROM bt JOIN documents USING (doc_id)
+            WHERE lang = 'en'),
+    tcnt AS (SELECT b, COUNT(*) AS ct FROM tgt GROUP BY b),
+    rcnt AS (SELECT b, COUNT(*) AS cr FROM bt GROUP BY b),
+    nt AS (SELECT COUNT(*) AS nt FROM tgt),
+    nr AS (SELECT COUNT(*) AS nr FROM bt),
+    w AS (SELECT COALESCE(tcnt.b, rcnt.b) AS b,
+                 CAST(ROUND((ln((COALESCE(ct, 0) + 1)
+                                / ((SELECT nt FROM nt) + 4096.0))
+                           - ln((COALESCE(cr, 0) + 1)
+                                / ((SELECT nr FROM nr) + 4096.0)))
+                          * 1000000) AS BIGINT) AS w
+          FROM tcnt FULL JOIN rcnt ON tcnt.b = rcnt.b),
+    per AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score_int,
+                   COUNT(*) AS n_tok
+            FROM bt JOIN w USING (b) GROUP BY doc_id),
+    scored AS (SELECT d.doc_id,
+                      COALESCE(score_int, 0) AS score_int,
+                      COALESCE(n_tok, 0) AS n_tok,
+                      CASE WHEN COALESCE(n_tok, 0) > 0
+                           THEN score_int / (1000000.0 * n_tok) END AS s
+               FROM documents d LEFT JOIN per USING (doc_id))"""
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023): hashed-unigram
+    bag-of-words models of the TARGET slice (lang='en') vs the RAW
+    corpus; per-doc score = mean per-token log-likelihood ratio.
+    Integer-scaled per-bucket weights -> exact BIGINT per-doc sums
+    (order-free); the float re-enters at the final per-doc division."""
+    from janus_spark.datapipe.selection import dsir_scores, dsir_weights
+
+    # docs feeds the target slice, both model passes, the scoring
+    # explode, and the join-back — cut once
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+        eager=True
+    )
+    target = docs.where(F.col("lang") == "en")
+    w = dsir_weights(target, docs, n_buckets=4096).localCheckpoint(eager=True)
+    return dsir_scores(docs, w, n_buckets=4096).select(
+        "doc_id", "score_int", "n_tok", F.round("score", 9).alias("score")
+    )
+
+
+QUERIES["q_dsir_scores"] = q_dsir_scores
+ORACLES["q_dsir_scores"] = f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, score_int, n_tok, ROUND(s, 9) AS score FROM scored"""
+
+
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: keep the 100 raw documents most like the target
+    slice — top-k by mean log-likelihood ratio, ties by doc_id, the
+    derandomized stand-in for DSIR's Gumbel resampling (identical
+    scores; only the final draw differs)."""
+    from janus_spark.datapipe.selection import dsir_topk, dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+        eager=True
+    )
+    target = docs.where(F.col("lang") == "en")
+    w = dsir_weights(target, docs, n_buckets=4096).localCheckpoint(eager=True)
+    return dsir_topk(docs, w, 100, n_buckets=4096).select(
+        "doc_id", "score_int", "n_tok", F.round("score", 9).alias("score")
+    )
+
+
+QUERIES["q_dsir_topk"] = q_dsir_topk
+ORACLES["q_dsir_topk"] = f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, score_int, n_tok, ROUND(s, 9) AS score
+    FROM scored WHERE s IS NOT NULL
+    ORDER BY s DESC, doc_id LIMIT 100"""

@@ -1,0 +1,68 @@
+"""DSIR-style data selection (datapipe/selection.py): weight model,
+score exactness, selection behavior."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from janus_spark.datapipe.selection import dsir_scores, dsir_topk, dsir_weights
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_target_tokens_score_higher(spark):
+    # target speaks 'aa bb'; raw noise speaks 'zz yy' — target-like docs
+    # must outrank noise-like docs
+    rows = [(i, "aa bb aa bb", "en") for i in range(10)]
+    rows += [(100 + i, "zz yy zz yy", "xx") for i in range(10)]
+    rows += [(200, "aa bb", "xx"), (201, "zz yy", "xx")]
+    docs = _docs(spark, rows)
+    target = docs.where(F.col("lang") == "en")
+    w = dsir_weights(target, docs, n_buckets=64)
+    s = {r["doc_id"]: r["score"] for r in dsir_scores(docs, w, n_buckets=64).collect()}
+    assert s[200] > s[201]  # target-like beats noise-like
+    top = [r["doc_id"] for r in dsir_topk(docs, w, 11, n_buckets=64).collect()]
+    assert 200 in top and 201 not in top
+
+
+def test_score_matches_hand_computation(spark):
+    # one doc, one token, no hash collisions at 1<<20 buckets:
+    # w = ln((2)/(nt+B)) - ln((2)/(nr+B)) for the shared token
+    docs = _docs(spark, [(1, "tok", "en"), (2, "tok", "xx")])
+    target = docs.where(F.col("lang") == "en")
+    B = 1 << 20
+    w = dsir_weights(target, docs, n_buckets=B)
+    [row] = dsir_scores(docs.where("doc_id = 2"), w, n_buckets=B).collect()
+    want = round((math.log(2 / (1 + B)) - math.log(3 / (2 + B))) * 1_000_000)
+    assert row["score_int"] == want and row["n_tok"] == 1
+    assert abs(row["score"] - want / 1_000_000) < 1e-12
+
+
+def test_tokenless_doc_keeps_null_score_and_is_never_selected(spark):
+    docs = _docs(spark, [(1, "aa", "en"), (2, "   ", "xx")])
+    target = docs.where(F.col("lang") == "en")
+    w = dsir_weights(target, docs, n_buckets=64)
+    rows = {r["doc_id"]: r for r in dsir_scores(docs, w, n_buckets=64).collect()}
+    assert rows[2]["score"] is None and rows[2]["n_tok"] == 0
+    top = [r["doc_id"] for r in dsir_topk(docs, w, 10, n_buckets=64).collect()]
+    assert 2 not in top
+
+
+def test_weight_table_bounded_by_buckets(spark):
+    docs = _docs(spark, [(i, f"t{i} u{i} v{i}", "en") for i in range(50)])
+    w = dsir_weights(docs, docs, n_buckets=8)
+    assert w.count() <= 8
+    # target == raw with equal totals: every ratio is ln(x)-ln(x) = 0
+    assert all(r["w"] == 0 for r in w.collect())
+
+
+def test_empty_target_raises_no_error_and_downweights_nothing(spark):
+    # degenerate: empty target — every bucket weight is the same constant
+    # shift ln((1)/(0+B)) - ln((cr+1)/(nr+B)); scores are still defined
+    docs = _docs(spark, [(1, "aa bb", "xx"), (2, "aa", "xx")])
+    target = docs.where(F.col("lang") == "en")  # empty
+    w = dsir_weights(target, docs, n_buckets=64)
+    out = dsir_scores(docs, w, n_buckets=64).collect()
+    assert all(r["score"] is not None for r in out)
