@@ -10021,15 +10021,20 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = docs.where(F.col("lang") == "en")
     w = dsir_weights(target, docs, n_buckets=4096).localCheckpoint(eager=True)
+    # output is the EXACT integer pair (score_int, n_tok) — the rounded
+    # float ratio is boundary-prone under cross-engine ROUND (score_int /
+    # (1e6 n_tok) is a terminating rational: at sf10 doc 1000 hit
+    # 0.0039526875, an exact .5 at digit 10, and Spark HALF_UP vs DuckDB
+    # numeric rounding disagreed); consumers derive the float locally
     return dsir_scores(docs, w, n_buckets=4096).select(
-        "doc_id", "score_int", "n_tok", F.round("score", 9).alias("score")
+        "doc_id", "score_int", "n_tok"
     )
 
 
 QUERIES["q_dsir_scores"] = q_dsir_scores
 ORACLES["q_dsir_scores"] = f"""
     WITH {_DSIR_CTES}
-    SELECT doc_id, score_int, n_tok, ROUND(s, 9) AS score FROM scored"""
+    SELECT doc_id, score_int, n_tok FROM scored"""
 
 
 def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10044,14 +10049,17 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = docs.where(F.col("lang") == "en")
     w = dsir_weights(target, docs, n_buckets=4096).localCheckpoint(eager=True)
+    # selection ORDER uses the double ratio (bit-identical across
+    # engines: same IEEE division); the OUTPUT stays exact-integer like
+    # q_dsir_scores to dodge the ROUND boundary class
     return dsir_topk(docs, w, 100, n_buckets=4096).select(
-        "doc_id", "score_int", "n_tok", F.round("score", 9).alias("score")
+        "doc_id", "score_int", "n_tok"
     )
 
 
 QUERIES["q_dsir_topk"] = q_dsir_topk
 ORACLES["q_dsir_topk"] = f"""
     WITH {_DSIR_CTES}
-    SELECT doc_id, score_int, n_tok, ROUND(s, 9) AS score
+    SELECT doc_id, score_int, n_tok
     FROM scored WHERE s IS NOT NULL
     ORDER BY s DESC, doc_id LIMIT 100"""
