@@ -233,6 +233,9 @@ def main() -> None:
         # round-6: record linkage (blocked pair scoring + CC + survivorship)
         "q_entity_resolution",
         "q_entity_sorted_neighborhood",
+        # round-7: DSIR importance scoring (two hashed-unigram model
+        # passes + broadcast-weighted scoring)
+        "q_dsir_scores",
     ):
         runs, n = timed(QUERIES[name])
         datapipe[name] = round(min(runs), 3)
