@@ -29,15 +29,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness check samples the FIRST 50 registry entries.
 # Window history: r04 = round-1 head, r05 = newest 50, r06 = the 50 at
-# HEAD of round 6 (all green).  This round (r7) rotates onto 50 gates that
-# have NEVER been in any driver window: the 13 gates a mid-r6 insertion
-# displaced past slot 50 (q_funnel..q_live_rollup), then the next 37 in
-# registry order.  After r7 lands, 45 never-checked gates remain — r8's
-# window (slots 51-95 below) completes full registry coverage.
+# HEAD of round 6, r07 = the 13 gates displaced in r6 + the next 37
+# never-checked (all green in CORRECTNESS_r07.json).  This round (r8)
+# takes the LAST 47 gates with no driver-hash row anywhere in r1-r7 —
+# the 45 NEVER_CHECKED_TAIL gates plus the two DSIR gates added mid-r7
+# — plus 3 refreshes of the oldest-checked core gates (r1-vintage
+# q_bgp_scan / q_hist_fixed / q_baseline_aggregate).  After r8 lands,
+# every gate in the 243-entry registry has a driver-hash record.
 #
-# R7_WINDOW is pinned by tests/test_entry.py::test_priority_window_pinned
+# R8_WINDOW is pinned by tests/test_entry.py::test_priority_window_pinned
 # so a mid-round gate insertion can never silently displace a planned
-# window again (it displaced 13 gates in r6).
+# window again (it displaced 13 gates in r6; new gates — e.g. the r8
+# quality-classifier family — go to the BACK of the registry and wait
+# for the r9 window).
 R7_WINDOW = [
     # the 13 gates displaced past slot 50 by r6's mid-round insertion
     "q_funnel",
@@ -67,8 +71,8 @@ R7_WINDOW = [
     "q_rank_funcs",
 ]
 
-# Slots 51-95: the 45 gates still never driver-checked after r7 — the
-# planned r8 window, in registry order.
+# The 45 gates that had never been driver-checked after r7, in registry
+# order — the bulk of the r8 window.
 NEVER_CHECKED_TAIL = [
     "q_optional_filter", "q_not_exists_anti",
     "q_skew_stats", "q_live_percentile", "q_live_ingest_dedup",
@@ -112,7 +116,30 @@ R6_CHECKED = [
     "q_sliding_hll_distinct",
 ]
 
-PRIORITY_GATES = R7_WINDOW + NEVER_CHECKED_TAIL + R6_CHECKED
+# The r8 driver window (slots 1-50): the 47 gates with no driver-hash
+# row in any of CORRECTNESS_r01..r07 (45 tail + 2 DSIR, judge
+# pre-verified 47/47 EXACT against their DuckDB oracles in the r7
+# adjudication), then 3 refreshes of r1-vintage core gates.
+R8_WINDOW = NEVER_CHECKED_TAIL + [
+    "q_dsir_scores",
+    "q_dsir_topk",
+    # refreshes: oldest driver-hash rows in the registry (r1-vintage)
+    "q_bgp_scan",
+    "q_hist_fixed",
+    "q_baseline_aggregate",
+]
+
+PRIORITY_GATES = R8_WINDOW + R7_WINDOW + [
+    g for g in R6_CHECKED if g not in R8_WINDOW
+]
+
+# Gates added AFTER the r8 window was pinned: they go to the BACK of the
+# registry this round and form the head of the r9 window (the pin test
+# exempts exactly these from the full-coverage assertion).
+R9_QUEUE = [
+    "q_quality_classifier",
+    "q_quality_filter",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -98,41 +98,6 @@ def _fetch_chunks(cur, size=1_000_000):
         yield from chunk
 
 
-def spark_multiset_digest(sdf) -> tuple[int, int]:
-    """Distributed form of ``multiset_digest``: each partition computes
-    (count, Σ md5 mod p) over Arrow batches executor-side and only the
-    32 partials cross to the driver — the harness shape that matches the
-    engine's own no-driver-materialization discipline at stress scale.
-    Canonicalization is identical to the local path (Python objects via
-    Arrow ``to_pylist``, same ``norm``/repr), so digests are comparable
-    with the DuckDB side's."""
-    import pyarrow as pa
-
-    cols = sdf.columns
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    mod = _DIGEST_MOD
-    normf = norm
-
-    def partials(batches):
-        import hashlib
-
-        acc, n = 0, 0
-        for rb in batches:
-            col_vals = [rb.column(i).to_pylist() for i in range(rb.num_columns)]
-            for vals in zip(*col_vals):
-                t = tuple(normf(vals[i]) for i in order)
-                h = hashlib.md5(repr(t).encode()).digest()
-                acc = (acc + int.from_bytes(h, "big")) % mod
-                n += 1
-        yield pa.RecordBatch.from_pydict({"n": [n], "acc": [str(acc)]})
-
-    total_n, total_acc = 0, 0
-    for row in sdf.mapInArrow(partials, "n long, acc string").collect():
-        total_n += row["n"]
-        total_acc = (total_acc + int(row["acc"])) % mod
-    return total_n, total_acc
-
-
 def approx_equal(a, b):
     if len(a) != len(b):
         return False

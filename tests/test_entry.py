@@ -20,30 +20,39 @@ sys.path.insert(0, ROOT)
 
 import __spark_entry__ as entry_mod  # noqa: E402
 
-# The intended round-7 driver window: the 13 gates displaced in r6,
-# then the next 37 never-driver-checked gates in registry order.
-INTENDED_R7_WINDOW = [
-    "q_funnel", "q_pmi", "q_sliding_topk", "q_retention_cohorts",
-    "q_ab_test", "q_ohlc_resample", "q_ewma", "q_cusum",
-    "q_live_istream", "q_live_dstream", "q_live_session", "q_live_topk",
-    "q_live_rollup",
-    "q_chunk_documents", "q_pii_scrub", "q_length_hist", "q_asof_join",
-    "q_rollup", "q_window_funcs", "q_gapfill", "q_range_join", "q_cube",
-    "q_topk_per_group", "q_pivot", "q_latest_event", "q_tpch_revenue",
-    "q_skew_join", "q_sample_weighted", "q_doc_logprob",
-    "q_time_weighted_avg", "q_sliding_panes", "q_sliding_percentile",
-    "q_describe", "q_locf_resample", "q_edit_distance", "q_quality_ntile",
-    "q_baseline_last", "q_live_baseline_join", "q_sliding_distinct",
-    "q_frame_sample", "q_tpch_local_supplier", "q_tpch_small_quantity",
-    "q_live_interval_join", "q_bigram_logprob", "q_interp_resample",
-    "q_winsorize", "q_mad_outliers", "q_novelty", "q_embedding_clusters",
-    "q_rank_funcs",
+# The intended round-8 driver window: the 47 gates with no driver-hash
+# row in CORRECTNESS_r01..r07 (the 45-gate never-checked tail + the two
+# DSIR gates added mid-r7), then 3 refreshes of r1-vintage core gates —
+# VERDICT r7 "Next round" #1.  Completes driver-hash coverage of the
+# full 243-gate registry.
+INTENDED_R8_WINDOW = [
+    "q_optional_filter", "q_not_exists_anti",
+    "q_skew_stats", "q_live_percentile", "q_live_ingest_dedup",
+    "q_corpus_report", "q_autocorr", "q_bloom_join",
+    "q_tpch_returned_items", "q_tpch_large_orders", "q_grouping_sets",
+    "q_vocab_coverage", "q_audio_features", "q_asof_forward",
+    "q_tpch_promo", "q_cooccurrence", "q_seasonal_outliers",
+    "q_corpus_diff", "q_hll_overlap", "q_decompose", "q_cms_join_size",
+    "q_zipf_fit", "q_tpch_custdist", "q_tpch_disjunctive",
+    "q_tpch_lone_returner", "q_tpch_idle_rich", "q_linreg_trend",
+    "q_skyline", "q_cross_corr", "q_incremental_agg", "q_live_linreg",
+    "q_attribution", "q_live_attribution", "q_expr_hash",
+    "q_scene_changes", "q_live_ohlc", "q_contamination_semantic",
+    "q_funnel_time", "q_decayed_topk", "q_keywords",
+    "q_period_over_period", "q_benford", "q_tpch_top_supplier",
+    "q_tpch_market_share", "q_ltv_cohort",
+    "q_dsir_scores", "q_dsir_topk",
+    "q_bgp_scan", "q_hist_fixed", "q_baseline_aggregate",
 ]
+
+# The last three slots are deliberate REFRESHES of r1-vintage gates, not
+# first-timers — exempt from the never-checked assertion below.
+R8_REFRESHES = {"q_bgp_scan", "q_hist_fixed", "q_baseline_aggregate"}
 
 
 def test_priority_window_pinned():
     """PRIORITY_GATES[:50] must equal the round's intended window."""
-    assert entry_mod.PRIORITY_GATES[:50] == INTENDED_R7_WINDOW
+    assert entry_mod.PRIORITY_GATES[:50] == INTENDED_R8_WINDOW
 
 
 def test_priority_gates_no_duplicates():
@@ -59,17 +68,42 @@ def test_priority_gates_all_in_registry():
 
 
 def test_window_gates_never_driver_checked():
-    """Every gate in the r7 window must be absent from all prior
-    CORRECTNESS_r*.json driver records — the whole point of the rotation."""
+    """Every non-refresh gate in the r8 window must be absent from all
+    prior CORRECTNESS_r*.json driver records — the whole point of the
+    rotation (r8 completes full-registry driver-hash coverage)."""
     checked: set[str] = set()
     for fn in sorted(os.listdir(ROOT)):
-        if re.fullmatch(r"CORRECTNESS_r0[1-6]\.json", fn):
+        if re.fullmatch(r"CORRECTNESS_r0[1-7]\.json", fn):
             with open(os.path.join(ROOT, fn)) as f:
                 checked.update(json.load(f).keys())
     if not checked:  # fresh clone without driver artifacts
         return
-    already = [g for g in INTENDED_R7_WINDOW if g in checked]
+    already = [
+        g for g in INTENDED_R8_WINDOW if g not in R8_REFRESHES and g in checked
+    ]
     assert not already, f"window gates already driver-checked: {already}"
+
+
+def test_registry_coverage_complete_after_r8():
+    """After the r8 window runs, every registry gate has a driver-hash
+    row: (all r1-r7 records) ∪ (the pinned r8 window) ⊇ the registry."""
+    from janus_spark.queries import QUERIES
+
+    checked: set[str] = set(INTENDED_R8_WINDOW)
+    for fn in sorted(os.listdir(ROOT)):
+        if re.fullmatch(r"CORRECTNESS_r0[1-7]\.json", fn):
+            with open(os.path.join(ROOT, fn)) as f:
+                checked.update(json.load(f).keys())
+    if checked == set(INTENDED_R8_WINDOW):  # fresh clone, no artifacts
+        return
+    # Gates added AFTER the r8 window was pinned (e.g. the r8
+    # quality-classifier family) are exempt — they queue for r9 and are
+    # tracked by R9_QUEUE below.
+    uncovered = [
+        g for g in QUERIES
+        if g not in checked and g not in getattr(entry_mod, "R9_QUEUE", ())
+    ]
+    assert not uncovered, f"gates with no driver window scheduled: {uncovered}"
 
 
 def test_queries_head_order_matches_priority():
