@@ -868,7 +868,20 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     Both paths produce the identical fixed point: keep_id = component
     minimum.  Returns (id, keep_id) for every id that appears in a pair;
     rows with id == keep_id are the keepers.
+
+    Null endpoints are dropped up front: a null id identifies nothing and
+    can't anchor a cluster.  (Before this filter the two tiers diverged
+    on the same input — the local union-find raised TypeError on
+    ``None < int`` while the distributed join silently dropped
+    null-keyed rows — so the filter sits ABOVE the tier split.)
+
+    Raises ``RuntimeError`` if the distributed loop exhausts
+    ``max_iterations`` with label changes still occurring: returning
+    unconverged labels silently would split clusters nondeterministically.
     """
+    # Null endpoints out before the tier split so both tiers see the
+    # same edge multiset.
+    pairs = pairs.where(F.col("a").isNotNull() & F.col("b").isNotNull())
     # pairs is referenced by BOTH union directions: materialize it once or
     # the caller's (possibly expensive — banded minhash verification)
     # pair pipeline is evaluated per branch.  The eager checkpoint below
@@ -937,10 +950,21 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = updated.where(F.col("__chg")).isEmpty()
+        converged = updated.where(F.col("__chg")).isEmpty()
         labels = updated.drop("__chg")
-        if changed:
+        if converged:
             break
+    else:
+        # Labels were still moving in the final round: the fixed point is
+        # unproven and the returned clustering could split components.
+        # With pointer jumping convergence is O(log diameter), so hitting
+        # this means a pathological graph or a too-small max_iterations —
+        # fail loudly either way (VERDICT r7 "Next round" #3).
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge within "
+            f"max_iterations={max_iterations}; labels were still changing "
+            f"in the final round. Increase max_iterations."
+        )
     return labels
 
 

@@ -592,10 +592,31 @@ def _sink_step(
     """One micro-batch of :func:`entity_resolution_sink`, exposed so the
     retry path is unit-testable: if ``batch_id`` already has a marker in
     the store, the batch's rows are NOT re-appended — the step only
-    recomputes and re-publishes the current assignment."""
+    recomputes and re-publishes the current assignment.
+
+    Legacy-store caveat (ADVICE r7): a store written before the marker
+    scheme has no ``batch_id`` column, so replay detection is impossible
+    there — a re-delivered micro-batch WOULD re-append.  That case now
+    warns loudly (``RuntimeWarning``) instead of silently taking the
+    non-idempotent path; from this batch on the store carries markers
+    again, so the exposure is the legacy prefix only.  To be airtight,
+    backfill once: rewrite the store with a ``batch_id: long`` column
+    (null on existing rows) plus one ``kind='batch'`` marker per
+    already-committed batch id from the checkpoint."""
     spark = batch_df.sparkSession
     hist = _read_store(spark, store_path)
     replay = False
+    if hist is not None and "batch_id" not in hist.columns:
+        import warnings
+
+        warnings.warn(
+            f"entity_resolution_sink: store at {store_path!r} predates the "
+            "batch-marker scheme (no batch_id column); replay detection is "
+            "DISABLED for this batch — a Structured Streaming re-delivery "
+            "would duplicate rows. Backfill markers to restore idempotency.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if hist is not None and "batch_id" in hist.columns:
         # bounded collect: one marker row per committed micro-batch
         committed = {

@@ -58,10 +58,11 @@ def run_bench(reps: int = 2) -> dict:
     as bench.py's internal best-of-3 for storage)."""
     runs = [run_bench_once() for _ in range(reps)]
     best = dict(runs[0])
-    best["queries"] = {
-        k: min(r["queries"][k] for r in runs if k in r["queries"])
-        for k in runs[0]["queries"]
-    }
+    for dct in ("queries", "datapipe"):
+        best[dct] = {
+            k: min(r[dct][k] for r in runs if k in r.get(dct, {}))
+            for k in runs[0].get(dct, {})
+        }
     best["value"] = round(sum(best["queries"].values()), 3)
     return best
 
@@ -76,17 +77,23 @@ def main() -> None:
         sys.exit(0)
 
     failures = []
-    for name, was in sorted(base.get("queries", {}).items()):
-        now = cur.get("queries", {}).get(name)
-        if now is None:
-            print(f"  {name:26s} {was:8.3f}s -> MISSING")
-            failures.append((name, was, None))
-            continue
-        ratio = now / was if was > 0 else 1.0
-        flag = "REGRESSED" if ratio > max_ratio else ""
-        print(f"  {name:26s} {was:8.3f}s -> {now:8.3f}s  ({ratio:4.2f}x) {flag}")
-        if ratio > max_ratio:
-            failures.append((name, was, now))
+    # Ratchet BOTH timing dicts: in r7 the datapipe shapes were outside
+    # the guard and three of them silently printed ~2x box-load-inflated
+    # times that a human had to adjudicate (VERDICT r7 "Next round" #2).
+    for dct in ("queries", "datapipe"):
+        if base.get(dct):
+            print(f"[{dct}]")
+        for name, was in sorted(base.get(dct, {}).items()):
+            now = cur.get(dct, {}).get(name)
+            if now is None:
+                print(f"  {name:30s} {was:8.3f}s -> MISSING")
+                failures.append((name, was, None))
+                continue
+            ratio = now / was if was > 0 else 1.0
+            flag = "REGRESSED" if ratio > max_ratio else ""
+            print(f"  {name:30s} {was:8.3f}s -> {now:8.3f}s  ({ratio:4.2f}x) {flag}")
+            if ratio > max_ratio:
+                failures.append((name, was, now))
     for k, was in sorted(base.get("throughput", {}).items()):
         now = cur.get("throughput", {}).get(k)
         print(f"  {k:26s} {was:>12} -> {now}")

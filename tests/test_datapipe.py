@@ -1289,3 +1289,34 @@ def test_dedup_clusters_string_ids_local(spark):
     pairs = spark.createDataFrame([("b", "c"), ("a", "b")], ["a", "b"])
     out = {r["id"]: r["keep_id"] for r in dedup.dedup_clusters(pairs).collect()}
     assert out == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_dedup_clusters_nonconvergence_raises(spark, monkeypatch):
+    """VERDICT r7 #3: exhausting max_iterations with labels still moving
+    must raise, not silently return a split clustering.  A 3-chain
+    (0-1-2) on the forced-distributed path needs more than one round for
+    node 2 to learn label 0, so max_iterations=1 must fail loudly."""
+    import pytest
+
+    monkeypatch.setenv("JANUS_LOCAL_CC_EDGES", "0")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(pairs, max_iterations=1)
+    # sanity: enough rounds converges fine on the same input
+    out = {r["id"]: r["keep_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0}
+
+
+def test_dedup_clusters_null_ids_both_tiers_agree(spark, monkeypatch):
+    """ADVICE r7: null endpoints used to TypeError on the local tier but
+    silently drop on the distributed tier.  Now both tiers filter them
+    above the split and agree."""
+    pairs = spark.createDataFrame(
+        [(None, 1), (1, 2), (3, None), (None, None), (4, 5)],
+        "a int, b int",
+    )
+    monkeypatch.setenv("JANUS_LOCAL_CC_EDGES", "1000000")
+    local = {r["id"]: r["keep_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    monkeypatch.setenv("JANUS_LOCAL_CC_EDGES", "0")
+    dist = {r["id"]: r["keep_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert local == dist == {1: 1, 2: 1, 4: 4, 5: 4}

@@ -365,3 +365,50 @@ def test_sink_step_retry_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(store).count() > n_store
     got = {r["id"]: r["entity_id"] for r in spark.read.parquet(out_path).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_sink_step_legacy_store_warns(spark, tmp_path):
+    """ADVICE r7: a store written before the batch-marker scheme has no
+    batch_id column — replay detection is impossible there, and the sink
+    must say so loudly (RuntimeWarning) rather than silently taking the
+    non-idempotent path."""
+    import warnings
+
+    from janus_spark.datapipe.entity import _sink_step, incremental_entity_resolution
+
+    store = str(tmp_path / "store_legacy")
+    out_path = str(tmp_path / "out_legacy")
+    seed = _recs(spark, [(1, ["x", "y"], "k", 2.0)])
+    # legacy store: write through the incremental API with no marker,
+    # then strip the batch_id column as a pre-marker-era store would be
+    incremental_entity_resolution(
+        seed, store, "id", "toks", [["blk"]], 0.5, numeric_col="val"
+    ).count()
+    legacy = spark.read.parquet(store).drop("batch_id")
+    legacy_dir = str(tmp_path / "store_legacy2")
+    legacy.write.parquet(legacy_dir)
+
+    batch = _recs(spark, [(2, ["x", "y"], "k", 9.0)])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _sink_step(
+            batch, 7, legacy_dir, out_path, "id", "toks", [["blk"]], 0.5,
+            numeric_col="val",
+        )
+    msgs = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert any("predates the batch-marker scheme" in str(w.message) for w in msgs)
+    # the batch still lands and carries a marker, so the NEXT delivery of
+    # the same id is detected as a replay (no warning, no growth)
+    n_store = spark.read.parquet(legacy_dir).count()
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        _sink_step(
+            batch, 7, legacy_dir, out_path, "id", "toks", [["blk"]], 0.5,
+            numeric_col="val",
+        )
+    assert not any(
+        issubclass(w.category, RuntimeWarning)
+        and "predates" in str(w.message)
+        for w in caught2
+    )
+    assert spark.read.parquet(legacy_dir).count() == n_store

@@ -66,3 +66,54 @@ def test_empty_target_raises_no_error_and_downweights_nothing(spark):
     w = dsir_weights(target, docs, n_buckets=64)
     out = dsir_scores(docs, w, n_buckets=64).collect()
     assert all(r["score"] is not None for r in out)
+
+
+def test_dsir_weight_round_boundary_margin():
+    """VERDICT r7 #4 (the sf10 score_int lesson): the DSIR gates emit
+    exact integers, but the per-bucket weight itself is still
+    ROUND(double * 1e6) in BOTH engines.  That is cross-engine safe only
+    while no bucket's unrounded weight lands at an exact .5 — Spark's
+    HALF_UP on a Math.log result vs DuckDB's libm ln can differ by ~1 ulp
+    (~1e-9 absolute after the 1e6 scaling).  Pin the margin: at every
+    driver SF, every bucket's fractional part must clear 0.5 by at least
+    1e-7 — three orders above the jitter, well below the ~1e-4 chance
+    minimum over <=4096 buckets.  Pure DuckDB (exact same CTEs as the
+    gate oracles), no Spark session needed."""
+    import os
+
+    import duckdb
+
+    toks = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+        [(margin, nbuckets)] = con.execute(f"""
+            WITH toks AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+            bt AS (SELECT doc_id,
+                          ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b
+                   FROM toks),
+            tgt AS (SELECT b FROM bt JOIN documents USING (doc_id)
+                    WHERE lang = 'en'),
+            tcnt AS (SELECT b, COUNT(*) AS ct FROM tgt GROUP BY b),
+            rcnt AS (SELECT b, COUNT(*) AS cr FROM bt GROUP BY b),
+            nt AS (SELECT COUNT(*) AS nt FROM tgt),
+            nr AS (SELECT COUNT(*) AS nr FROM bt),
+            wraw AS (SELECT (ln((COALESCE(ct, 0) + 1)
+                                / ((SELECT nt FROM nt) + 4096.0))
+                           - ln((COALESCE(cr, 0) + 1)
+                                / ((SELECT nr FROM nr) + 4096.0)))
+                          * 1000000 AS wr
+                     FROM tcnt FULL JOIN rcnt ON tcnt.b = rcnt.b)
+            SELECT MIN(ABS(ABS(wr) - FLOOR(ABS(wr)) - 0.5)), COUNT(*)
+            FROM wraw
+        """).fetchall()
+        con.close()
+        assert nbuckets > 0, sf
+        assert margin > 1e-7, (
+            f"{sf}: a DSIR bucket weight sits {margin} from the .5 ROUND "
+            f"boundary — inside cross-engine log-jitter range; restructure "
+            f"the weight to exact-integer form (see q_dsir_scores docstring)"
+        )
