@@ -236,6 +236,9 @@ def main() -> None:
         # round-7: DSIR importance scoring (two hashed-unigram model
         # passes + broadcast-weighted scoring)
         "q_dsir_scores",
+        # round-8: fastText-style quality filter (NB log-odds training +
+        # corpus-relative exact-integer split)
+        "q_quality_filter",
     ):
         runs, n = timed(QUERIES[name])
         datapipe[name] = round(min(runs), 3)

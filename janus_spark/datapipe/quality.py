@@ -1,0 +1,221 @@
+"""Document quality classification: a linear scorer over hashed-unigram
+features — the public fastText-style quality-filter recipe (Joulin et
+al. 2016 "Bag of Tricks for Efficient Text Classification"; the CCNet /
+GPT-3 appendix-A quality filter applies exactly this shape: a linear
+model over bag-of-words features of "reference-quality" vs "raw web"
+text, then a threshold split).
+
+The model is a per-bucket weight table (the natural-Bayes log-odds
+trained by :func:`nb_quality_weights`, or any externally trained weight
+vector supplied as a ``(b, w)`` DataFrame / literal list) plus an
+optional bias.  Scoring is map-only: hash tokens into buckets
+(`shared_hash64 % n_buckets`, the md5-derived cross-engine family shared
+with DSIR/MinHash), broadcast-join the weight table, one groupBy on the
+document id.
+
+Exactness discipline (the DSIR ``score_int`` lesson, r7): weights are
+integer-scaled BIGINTs, per-document scores are BIGINT sums, and the
+keep/reject decision is the INTEGER comparison
+``score_int + bias_micro·n_tok > tau_micro·n_tok`` — floats never enter
+the decision, so the split is bit-identical across engines and
+partitionings.  The float ``score`` column (mean per-token log-odds) is
+derived last, for human consumption and ordering only.
+
+Scale shape (100 TB):
+- Training reads each labeled corpus once: one groupBy shuffle per side
+  on the bucket key; the model is ≤ n_buckets rows regardless of corpus
+  size (hashing trick — no vocabulary state).
+- Scoring is explode → broadcast join (model ≤ n_buckets rows) → one
+  groupBy on doc_id.  No shuffle touches the weight table.
+- The filter is a map-side integer predicate over the scored frame; the
+  join back to full rows is on the id column (co-partitioned with the
+  scoring groupBy output when the planner reuses the exchange).
+
+Reference: the reference engine has no document-classification operator;
+this is training-data-pipeline surface beyond reference parity (sibling
+of datapipe/selection.py, which built the hashed-feature machinery).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from janus_spark.datapipe.selection import _bucketed_tokens, dsir_weights
+
+__all__ = [
+    "nb_quality_weights",
+    "weights_from_literal",
+    "quality_scores",
+    "quality_filter",
+    "quality_filter_relative",
+]
+
+
+def nb_quality_weights(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Naive-Bayes log-odds weights for quality classification:
+    ``w(b) = round((ln p(b|pos) − ln p(b|neg)) × scale)`` with add-one
+    smoothing over ``n_buckets`` hashed-unigram buckets.
+
+    The arithmetic is identical to :func:`dsir_weights` — the difference
+    is semantic: DSIR contrasts a target slice against the WHOLE raw
+    corpus (importance ratio for resampling), while this contrasts
+    disjoint positive/negative label sets (discriminative log-odds, the
+    NB limit of a logistic model over the same features).  Delegates to
+    the shared implementation so the smoothing/rounding discipline can
+    never drift between the two."""
+    return dsir_weights(pos, neg, text_col, id_col, n_buckets, scale)
+
+
+def weights_from_literal(
+    spark, weights: Sequence[tuple[int, int]]
+) -> DataFrame:
+    """Lift an externally trained weight vector (e.g. logistic-regression
+    coefficients, integer-scaled offline) into the broadcastable
+    ``(b, w)`` table :func:`quality_scores` consumes.  The table is tiny
+    by construction (≤ n_buckets rows) — a literal createDataFrame is the
+    right shape; it broadcasts, never shuffles."""
+    return spark.createDataFrame(
+        [(int(b), int(w)) for b, w in weights], "b long, w long"
+    )
+
+
+def quality_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+    bias_micro: int = 0,
+    tau_micro: int = 0,
+) -> DataFrame:
+    """Score every document and decide keep/reject.
+
+    Returns one row per input document: ``(id, score_int, n_tok, pred,
+    score)`` where ``score_int = Σ w(bucket(token))`` (exact BIGINT,
+    order-free), ``pred = score_int + bias_micro·n_tok >
+    tau_micro·n_tok`` (exact integer comparison — the classifier
+    decision; equivalent to mean-per-token log-odds + bias > τ), and
+    ``score`` is the float mean per-token log-odds (the one float,
+    derived last, NULL for tokenless documents).  Tokenless documents
+    have no evidence: ``pred`` is false regardless of bias — a quality
+    filter that kept empty documents because the bias said so would be
+    wrong at any τ."""
+    bt = _bucketed_tokens(df, text_col, id_col, n_buckets)
+    per_doc = (
+        bt.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("w").alias("score_int"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    score_int = F.coalesce(F.col("score_int"), F.lit(0)).cast("long")
+    n_tok = F.coalesce(F.col("n_tok"), F.lit(0)).cast("long")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            score_int.alias("score_int"),
+            n_tok.alias("n_tok"),
+            (
+                (n_tok > 0)
+                & (
+                    score_int + F.lit(int(bias_micro)) * n_tok
+                    > F.lit(int(tau_micro)) * n_tok
+                )
+            ).alias("pred"),
+            F.when(
+                n_tok > 0,
+                score_int.cast("double")
+                / (F.lit(float(scale)) * n_tok.cast("double")),
+            ).alias("score"),
+        )
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+    bias_micro: int = 0,
+    tau_micro: int = 0,
+) -> DataFrame:
+    """Threshold split: the full input rows whose documents the
+    classifier keeps (``pred`` true under the exact integer decision).
+    The id-only scored frame joins back to the full rows so payload
+    columns (text, metadata, embeddings) never ride through the scoring
+    shuffle."""
+    kept = quality_scores(
+        df, weights, text_col, id_col, n_buckets, scale, bias_micro, tau_micro
+    ).where(F.col("pred"))
+    return df.join(kept.select(id_col), id_col, "semi")
+
+
+def quality_filter_relative(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+    tau_micro: int = 0,
+) -> DataFrame:
+    """Corpus-relative threshold split: keep documents whose mean
+    per-token log-odds clears the CORPUS mean by ``tau_micro/scale``.
+    An absolute τ is scale-fragile — the add-one smoothing offsets every
+    score downward by an amount that shrinks as the corpora grow
+    (measured: mean −0.12 at sf0.001 → −0.01 at sf0.1 on the same
+    generator), so a constant that splits one corpus keeps all or none
+    of another.  The relative form is scale-invariant by construction.
+
+    Exactness: the decision
+    ``score_int/(scale·n) > Σscore/(scale·Σn) + τ/scale`` is
+    cross-multiplied into the all-integer comparison
+    ``score_int·Σn > Σscore·n + τ·n·Σn`` — evaluated in decimal(38,0)
+    (Spark) / HUGEINT (DuckDB oracles) so the products are exact at any
+    corpus size (magnitudes reach ~1e24 at the 100 TB point, past
+    BIGINT).  No float ever enters the decision; tokenless documents
+    fail the strict ``>`` automatically (0 > 0 is false).
+
+    Scale shape: the scored frame aggregates to ONE (Σscore, Σn) row,
+    broadcast back over the scores — a map-side predicate; one extra
+    reduce versus the absolute filter, nothing corpus-sized moves.
+    Returns ``(id, score_int, n_tok)`` for the kept documents; join back
+    to full rows by id if the payload is needed (see
+    :func:`quality_filter`)."""
+    scores = quality_scores(
+        df, weights, text_col, id_col, n_buckets, scale
+    ).localCheckpoint(eager=True)  # scored once: feeds the total AND the split
+    tot = scores.agg(
+        F.sum("score_int").alias("__ts"), F.sum("n_tok").alias("__tn")
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    return (
+        scores.crossJoin(F.broadcast(tot))
+        .where(
+            dec(F.col("score_int")) * dec(F.col("__tn"))
+            > dec(F.col("__ts")) * dec(F.col("n_tok"))
+            + F.lit(int(tau_micro)).cast("decimal(38,0)")
+            * dec(F.col("n_tok"))
+            * dec(F.col("__tn"))
+        )
+        .select(id_col, "score_int", "n_tok")
+    )

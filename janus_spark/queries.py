@@ -10063,3 +10063,95 @@ ORACLES["q_dsir_topk"] = f"""
     SELECT doc_id, score_int, n_tok
     FROM scored WHERE s IS NOT NULL
     ORDER BY s DESC, doc_id LIMIT 100"""
+
+
+# --------------------------------------------------- quality classification
+_QUALITY_CTES = f"""
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    bt AS (SELECT doc_id,
+                  ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b
+           FROM toks),
+    pos AS (SELECT b FROM bt JOIN documents USING (doc_id)
+            WHERE lang = 'en'),
+    neg AS (SELECT b FROM bt JOIN documents USING (doc_id)
+            WHERE lang <> 'en'),
+    pcnt AS (SELECT b, COUNT(*) AS cp FROM pos GROUP BY b),
+    ncnt AS (SELECT b, COUNT(*) AS cn FROM neg GROUP BY b),
+    np AS (SELECT COUNT(*) AS np FROM pos),
+    nn AS (SELECT COUNT(*) AS nn FROM neg),
+    w AS (SELECT COALESCE(pcnt.b, ncnt.b) AS b,
+                 CAST(ROUND((ln((COALESCE(cp, 0) + 1)
+                                / ((SELECT np FROM np) + 4096.0))
+                           - ln((COALESCE(cn, 0) + 1)
+                                / ((SELECT nn FROM nn) + 4096.0)))
+                          * 1000000) AS BIGINT) AS w
+          FROM pcnt FULL JOIN ncnt ON pcnt.b = ncnt.b),
+    per AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score_int,
+                   COUNT(*) AS n_tok
+            FROM bt JOIN w USING (b) GROUP BY doc_id),
+    scored AS (SELECT d.doc_id,
+                      COALESCE(score_int, 0) AS score_int,
+                      COALESCE(n_tok, 0) AS n_tok
+               FROM documents d LEFT JOIN per USING (doc_id))"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style document quality classifier (Joulin et al. 2016;
+    the CCNet/GPT-3 quality-filter recipe): naive-Bayes log-odds weights
+    over hashed-unigram buckets, trained en-slice (positive) vs
+    everything-else (negative), map-only scoring.  The keep/reject
+    decision is the EXACT INTEGER comparison score_int > 0·n_tok — the
+    r7 score_int discipline: floats never enter the emitted columns or
+    the decision, so the split is bit-identical across engines."""
+    from janus_spark.datapipe.quality import nb_quality_weights, quality_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+        eager=True
+    )
+    pos = docs.where(F.col("lang") == "en")
+    neg = docs.where(F.col("lang") != "en")
+    w = nb_quality_weights(pos, neg, n_buckets=4096).localCheckpoint(eager=True)
+    return quality_scores(docs, w, n_buckets=4096).select(
+        "doc_id", "score_int", "n_tok", "pred"
+    )
+
+
+QUERIES["q_quality_classifier"] = q_quality_classifier
+ORACLES["q_quality_classifier"] = f"""
+    WITH {_QUALITY_CTES}
+    SELECT doc_id, score_int, n_tok,
+           (n_tok > 0 AND score_int > 0) AS pred
+    FROM scored"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality split: keep documents whose mean per-token
+    log-odds beats the CORPUS mean — the scale-invariant form (an
+    absolute τ is smoothing-offset-fragile: the corpus mean drifts
+    −0.12 → −0.01 from sf0.001 to sf0.1 on the same generator).  The
+    decision is the cross-multiplied ALL-INTEGER comparison
+    score_int·Σn > Σscore·n_tok in decimal(38,0)/HUGEINT — exact at any
+    corpus size, no float, no ROUND boundary."""
+    from janus_spark.datapipe.quality import (
+        nb_quality_weights,
+        quality_filter_relative,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+        eager=True
+    )
+    pos = docs.where(F.col("lang") == "en")
+    neg = docs.where(F.col("lang") != "en")
+    w = nb_quality_weights(pos, neg, n_buckets=4096).localCheckpoint(eager=True)
+    return quality_filter_relative(docs, w, n_buckets=4096)
+
+
+QUERIES["q_quality_filter"] = q_quality_filter
+ORACLES["q_quality_filter"] = f"""
+    WITH {_QUALITY_CTES},
+    tot AS (SELECT CAST(SUM(score_int) AS HUGEINT) AS ts,
+                   CAST(SUM(n_tok) AS HUGEINT) AS tn
+            FROM scored)
+    SELECT doc_id, score_int, n_tok
+    FROM scored, tot
+    WHERE CAST(score_int AS HUGEINT) * tn > ts * CAST(n_tok AS HUGEINT)"""

@@ -1,0 +1,147 @@
+"""Quality classification (datapipe/quality.py): NB log-odds training,
+exact-integer decision discipline, threshold split, literal weights."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from janus_spark.datapipe.quality import (
+    nb_quality_weights,
+    quality_filter,
+    quality_scores,
+    weights_from_literal,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_classifier_separates_pos_from_neg(spark):
+    # positives speak 'aa bb', negatives 'zz yy'; unlabeled docs of each
+    # flavor must land on the right side of the τ=0 decision
+    rows = [(i, "aa bb aa bb", "en") for i in range(10)]
+    rows += [(100 + i, "zz yy zz yy", "xx") for i in range(10)]
+    rows += [(200, "aa bb", "??"), (201, "zz yy", "??")]
+    docs = _docs(spark, rows)
+    w = nb_quality_weights(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") == "xx"),
+        n_buckets=64,
+    )
+    out = {r["doc_id"]: r for r in quality_scores(docs, w, n_buckets=64).collect()}
+    assert out[200]["pred"] and not out[201]["pred"]
+    assert out[200]["score_int"] > 0 > out[201]["score_int"]
+    # float score is the mean per-token log-odds of the integer evidence
+    r = out[200]
+    assert math.isclose(
+        r["score"], r["score_int"] / (1e6 * r["n_tok"]), rel_tol=1e-12
+    )
+
+
+def test_score_matches_hand_computation(spark):
+    """One positive doc 'aa', one negative 'bb', B buckets: w(aa) =
+    round((ln(2/(1+B)) − ln(1/(1+B)))·1e6) = round(ln 2 · 1e6); a scored
+    doc 'aa aa' must carry exactly 2·w."""
+    B = 16
+    docs = _docs(spark, [(1, "aa", "en"), (2, "bb", "xx"), (3, "aa aa", "??")])
+    w = nb_quality_weights(
+        docs.where("lang = 'en'"), docs.where("lang = 'xx'"), n_buckets=B
+    )
+    expect_w = round((math.log(2 / (1 + B)) - math.log(1 / (1 + B))) * 1e6)
+    [row] = quality_scores(docs.where("doc_id = 3"), w, n_buckets=B).collect()
+    assert row["score_int"] == 2 * expect_w and row["n_tok"] == 2
+
+
+def test_tokenless_doc_never_kept(spark):
+    """No tokens = no evidence: pred must be false even when a positive
+    bias would clear τ on its own."""
+    docs = _docs(spark, [(1, "aa", "en"), (2, "zz", "xx"), (3, "   ", "??")])
+    w = nb_quality_weights(
+        docs.where("lang = 'en'"), docs.where("lang = 'xx'"), n_buckets=16
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_scores(docs, w, n_buckets=16, bias_micro=10**9).collect()
+    }
+    assert out[3]["n_tok"] == 0 and out[3]["score_int"] == 0
+    assert not out[3]["pred"] and out[3]["score"] is None
+
+
+def test_integer_threshold_is_strict_and_exact(spark):
+    """The decision is score_int + bias·n_tok > τ·n_tok in BIGINTs: a doc
+    sitting exactly ON the boundary is rejected (strict >), with no float
+    epsilon anywhere."""
+    w = weights_from_literal(spark, [(h, 100_000) for h in range(64)])
+    docs = _docs(spark, [(1, "aa bb cc", "??")])
+    # every token weighs exactly 100000 = τ·scale/10 per token with τ_micro=100000
+    [on_boundary] = quality_scores(docs, w, n_buckets=64, tau_micro=100_000).collect()
+    assert on_boundary["score_int"] == 3 * 100_000 and not on_boundary["pred"]
+    [above] = quality_scores(docs, w, n_buckets=64, tau_micro=99_999).collect()
+    assert above["pred"]
+    [with_bias] = quality_scores(
+        docs, w, n_buckets=64, tau_micro=100_000, bias_micro=1
+    ).collect()
+    assert with_bias["pred"]
+
+
+def test_quality_filter_returns_full_rows(spark):
+    rows = [(i, "aa bb", "en") for i in range(5)]
+    rows += [(100 + i, "zz yy", "xx") for i in range(5)]
+    docs = _docs(spark, rows)
+    w = nb_quality_weights(
+        docs.where("lang = 'en'"), docs.where("lang = 'xx'"), n_buckets=64
+    )
+    kept = quality_filter(docs, w, n_buckets=64).collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 2, 3, 4]
+    assert set(kept[0].asDict()) == {"doc_id", "text", "lang"}  # full payload
+
+
+def test_weight_table_broadcasts(spark):
+    """The model join must be a broadcast: the weight table is ≤
+    n_buckets rows by construction and must never shuffle the corpus."""
+    docs = _docs(spark, [(i, "aa bb cc dd", "en") for i in range(10)])
+    w = nb_quality_weights(docs, docs, n_buckets=64)
+    plan = quality_scores(docs, w, n_buckets=64)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_relative_filter_splits_about_the_mean(spark):
+    """quality_filter_relative keeps exactly the docs whose mean
+    per-token log-odds beats the corpus mean — scale-invariant, exact
+    integer cross-multiplication, tokenless docs never kept."""
+    from janus_spark.datapipe.quality import quality_filter_relative
+
+    rows = [(i, "aa bb", "en") for i in range(6)]
+    rows += [(100 + i, "zz yy", "xx") for i in range(4)]
+    rows += [(999, "   ", "??")]  # tokenless
+    docs = _docs(spark, rows)
+    w = nb_quality_weights(
+        docs.where("lang = 'en'"), docs.where("lang = 'xx'"), n_buckets=64
+    )
+    kept = {r["doc_id"] for r in quality_filter_relative(docs, w, n_buckets=64).collect()}
+    # en docs score above the (mixed) corpus mean, xx below, 999 excluded
+    assert kept == set(range(6))
+    # hand check: every kept doc's cross-multiplied margin is positive
+    s = quality_scores(docs, w, n_buckets=64).collect()
+    ts = sum(r["score_int"] for r in s)
+    tn = sum(r["n_tok"] for r in s)
+    for r in s:
+        expect = r["score_int"] * tn > ts * r["n_tok"]
+        assert (r["doc_id"] in kept) == expect
+
+
+def test_relative_filter_tau_offset(spark):
+    """tau_micro shifts the relative bar: a huge positive offset keeps
+    nothing; a huge negative offset keeps every doc WITH tokens."""
+    from janus_spark.datapipe.quality import quality_filter_relative
+
+    rows = [(i, "aa bb", "en") for i in range(3)] + [(9, "zz", "xx"), (10, " ", "??")]
+    docs = _docs(spark, rows)
+    w = nb_quality_weights(
+        docs.where("lang = 'en'"), docs.where("lang = 'xx'"), n_buckets=64
+    )
+    none = quality_filter_relative(docs, w, n_buckets=64, tau_micro=10**9).collect()
+    assert none == []
+    allt = quality_filter_relative(docs, w, n_buckets=64, tau_micro=-(10**9)).collect()
+    assert sorted(r["doc_id"] for r in allt) == [0, 1, 2, 9]  # 10 is tokenless

@@ -68,52 +68,61 @@ def test_empty_target_raises_no_error_and_downweights_nothing(spark):
     assert all(r["score"] is not None for r in out)
 
 
-def test_dsir_weight_round_boundary_margin():
-    """VERDICT r7 #4 (the sf10 score_int lesson): the DSIR gates emit
-    exact integers, but the per-bucket weight itself is still
+def test_weight_round_boundary_margin():
+    """VERDICT r7 #4 (the sf10 score_int lesson): the DSIR and quality
+    gates emit exact integers, but each per-bucket weight is still
     ROUND(double * 1e6) in BOTH engines.  That is cross-engine safe only
     while no bucket's unrounded weight lands at an exact .5 — Spark's
     HALF_UP on a Math.log result vs DuckDB's libm ln can differ by ~1 ulp
     (~1e-9 absolute after the 1e6 scaling).  Pin the margin: at every
-    driver SF, every bucket's fractional part must clear 0.5 by at least
-    1e-7 — three orders above the jitter, well below the ~1e-4 chance
-    minimum over <=4096 buckets.  Pure DuckDB (exact same CTEs as the
-    gate oracles), no Spark session needed."""
+    driver SF, for BOTH weight families, every bucket's fractional part
+    must clear 0.5 by at least 1e-7 — two orders above the jitter, well
+    below the observed minima (4.3e-3 across sf0.001..sf10, NOTES_r8).
+    Pure DuckDB (the same CTEs as the gate oracles), no Spark session."""
     import os
 
     import duckdb
 
     toks = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+    # (numerator filter, denominator filter): DSIR contrasts the en slice
+    # vs the WHOLE corpus; the quality classifier (datapipe/quality.py,
+    # same ROUND discipline) contrasts en vs non-en.
+    families = {
+        "dsir": ("WHERE lang = 'en'", ""),
+        "quality": ("WHERE lang = 'en'", "WHERE lang <> 'en'"),
+    }
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         path = f"/root/testdata/{sf}/documents.parquet"
         if not os.path.exists(path):
             continue
         con = duckdb.connect()
         con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
-        [(margin, nbuckets)] = con.execute(f"""
-            WITH toks AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
-            bt AS (SELECT doc_id,
-                          ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b
-                   FROM toks),
-            tgt AS (SELECT b FROM bt JOIN documents USING (doc_id)
-                    WHERE lang = 'en'),
-            tcnt AS (SELECT b, COUNT(*) AS ct FROM tgt GROUP BY b),
-            rcnt AS (SELECT b, COUNT(*) AS cr FROM bt GROUP BY b),
-            nt AS (SELECT COUNT(*) AS nt FROM tgt),
-            nr AS (SELECT COUNT(*) AS nr FROM bt),
-            wraw AS (SELECT (ln((COALESCE(ct, 0) + 1)
-                                / ((SELECT nt FROM nt) + 4096.0))
-                           - ln((COALESCE(cr, 0) + 1)
-                                / ((SELECT nr FROM nr) + 4096.0)))
-                          * 1000000 AS wr
-                     FROM tcnt FULL JOIN rcnt ON tcnt.b = rcnt.b)
-            SELECT MIN(ABS(ABS(wr) - FLOOR(ABS(wr)) - 0.5)), COUNT(*)
-            FROM wraw
-        """).fetchall()
+        for fam, (posf, denf) in families.items():
+            [(margin, nbuckets)] = con.execute(f"""
+                WITH toks AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+                bt AS (SELECT doc_id,
+                              ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b
+                       FROM toks),
+                tgt AS (SELECT b FROM bt JOIN documents USING (doc_id) {posf}),
+                den AS (SELECT b FROM bt JOIN documents USING (doc_id) {denf}),
+                tcnt AS (SELECT b, COUNT(*) AS ct FROM tgt GROUP BY b),
+                rcnt AS (SELECT b, COUNT(*) AS cr FROM den GROUP BY b),
+                nt AS (SELECT COUNT(*) AS nt FROM tgt),
+                nr AS (SELECT COUNT(*) AS nr FROM den),
+                wraw AS (SELECT (ln((COALESCE(ct, 0) + 1)
+                                    / ((SELECT nt FROM nt) + 4096.0))
+                               - ln((COALESCE(cr, 0) + 1)
+                                    / ((SELECT nr FROM nr) + 4096.0)))
+                              * 1000000 AS wr
+                         FROM tcnt FULL JOIN rcnt ON tcnt.b = rcnt.b)
+                SELECT MIN(ABS(ABS(wr) - FLOOR(ABS(wr)) - 0.5)), COUNT(*)
+                FROM wraw
+            """).fetchall()
+            assert nbuckets > 0, (sf, fam)
+            assert margin > 1e-7, (
+                f"{sf}/{fam}: a bucket weight sits {margin} from the .5 "
+                f"ROUND boundary — inside cross-engine log-jitter range; "
+                f"restructure the weight to exact-integer form (see the "
+                f"q_dsir_scores docstring)"
+            )
         con.close()
-        assert nbuckets > 0, sf
-        assert margin > 1e-7, (
-            f"{sf}: a DSIR bucket weight sits {margin} from the .5 ROUND "
-            f"boundary — inside cross-engine log-jitter range; restructure "
-            f"the weight to exact-integer form (see q_dsir_scores docstring)"
-        )
