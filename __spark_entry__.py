@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 45 NEVER_CHECKED_TAIL gates plus the two DSIR gates added mid-r7
 # — plus 3 refreshes of the oldest-checked core gates (r1-vintage
 # q_bgp_scan / q_hist_fixed / q_baseline_aggregate).  After r8 lands,
-# every gate in the 243-entry registry has a driver-hash record.
+# every gate registered when the window was pinned has a driver-hash
+# record; gates added later this round sit in R9_QUEUE below.
 #
 # R8_WINDOW is pinned by tests/test_entry.py::test_priority_window_pinned
 # so a mid-round gate insertion can never silently displace a planned
@@ -139,6 +140,7 @@ PRIORITY_GATES = R8_WINDOW + R7_WINDOW + [
 R9_QUEUE = [
     "q_quality_classifier",
     "q_quality_filter",
+    "q_live_quality",
 ]
 
 

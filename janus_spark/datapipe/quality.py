@@ -51,6 +51,8 @@ __all__ = [
     "quality_scores",
     "quality_filter",
     "quality_filter_relative",
+    "quality_score_columns",
+    "quality_stream_scores",
 ]
 
 
@@ -218,4 +220,93 @@ def quality_filter_relative(
             * dec(F.col("__tn"))
         )
         .select(id_col, "score_int", "n_tok")
+    )
+
+
+def quality_score_columns(
+    text_col,
+    weight_items: Sequence[tuple[int, int]],
+    n_buckets: int = 4096,
+    bias_micro: int = 0,
+    tau_micro: int = 0,
+):
+    """Stateless per-ROW scorer: the weight model as a LITERAL map, one
+    `F.aggregate` over the token array — no explode, no join, no groupBy,
+    no state.  This is the streaming form of :func:`quality_scores`: a
+    Structured Streaming pipeline can't run a bare per-doc groupBy in
+    append mode, and it shouldn't — scoring is algebraically per-row, so
+    the model (≤ n_buckets entries, ~tens of KB) rides the plan as a
+    literal and the operator stays map-only at any scale (zero shuffles,
+    zero streaming state; works identically on batch frames).
+
+    Semantics match :func:`quality_scores` EXACTLY, including the edge
+    the two forms could silently disagree on: a token whose bucket is
+    absent from the weight table contributes to NEITHER ``score_int``
+    NOR ``n_tok`` (the join path drops it; the map path counts only
+    non-null lookups).  Returns a dict of Columns
+    ``{score_int, n_tok, pred, score}`` to splat into a ``select``.
+    """
+    from janus_spark.datapipe.dedup import shared_hash64
+    from janus_spark.datapipe.text import clean_tokens
+
+    if len(weight_items) > n_buckets:
+        raise ValueError("more weight entries than buckets")
+    zero = F.lit(0).cast("long")
+    if weight_items:
+        wmap = F.map_from_arrays(
+            F.array(*[F.lit(int(b)).cast("long") for b, _ in weight_items]),
+            F.array(*[F.lit(int(w)).cast("long") for _, w in weight_items]),
+        )
+    else:
+        wmap = F.map_from_arrays(
+            F.array().cast("array<long>"), F.array().cast("array<long>")
+        )
+    toks = clean_tokens(text_col)
+    acc0 = F.struct(zero.alias("s"), zero.alias("n"))
+
+    def step(acc, t):
+        w = wmap[shared_hash64(t) % n_buckets]
+        return F.struct(
+            (acc["s"] + F.coalesce(w, zero)).alias("s"),
+            (acc["n"] + w.isNotNull().cast("long")).alias("n"),
+        )
+
+    agg = F.aggregate(toks, acc0, step)
+    score_int = agg["s"]
+    n_tok = agg["n"]
+    pred = (n_tok > 0) & (
+        score_int + F.lit(int(bias_micro)) * n_tok > F.lit(int(tau_micro)) * n_tok
+    )
+    score = F.when(
+        n_tok > 0, score_int.cast("double") / (F.lit(1e6) * n_tok.cast("double"))
+    )
+    return {
+        "score_int": score_int.alias("score_int"),
+        "n_tok": n_tok.alias("n_tok"),
+        "pred": pred.alias("pred"),
+        "score": score.alias("score"),
+    }
+
+
+def quality_stream_scores(
+    stream: DataFrame,
+    weight_items: Sequence[tuple[int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    bias_micro: int = 0,
+    tau_micro: int = 0,
+) -> DataFrame:
+    """Continuous quality classification: apply
+    :func:`quality_score_columns` to a (streaming or batch) frame —
+    append-mode safe (stateless map-only select), emits
+    ``(id, score_int, n_tok, pred)`` per document as it arrives.  Train
+    weights offline with :func:`nb_quality_weights` and pass
+    ``[(b, w), ...]`` (a bounded model-sized collect — ≤ n_buckets
+    rows)."""
+    cols = quality_score_columns(
+        F.col(text_col), weight_items, n_buckets, bias_micro, tau_micro
+    )
+    return stream.select(
+        F.col(id_col), cols["score_int"], cols["n_tok"], cols["pred"]
     )

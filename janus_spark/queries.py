@@ -10155,3 +10155,65 @@ ORACLES["q_quality_filter"] = f"""
     SELECT doc_id, score_int, n_tok
     FROM scored, tot
     WHERE CAST(score_int AS HUGEINT) * tn > ts * CAST(n_tok AS HUGEINT)"""
+
+
+def q_live_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous quality classification under the EXACT gate: the
+    documents table streams through a REAL Structured Streaming run in
+    three file-source micro-batches; each document is scored by the
+    stateless literal-map form (datapipe/quality.py::
+    quality_stream_scores — zero shuffles, zero state, append-mode) with
+    NB log-odds weights trained batch-side.  Stateless scoring is
+    micro-batch invariant, so the streamed result must equal the batch
+    classifier bit-for-bit — the oracle IS q_quality_classifier's."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from janus_spark.datapipe.quality import nb_quality_weights, quality_stream_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+        eager=True
+    )
+    pos = docs.where(F.col("lang") == "en")
+    neg = docs.where(F.col("lang") != "en")
+    # bounded model-sized collect: <= n_buckets rows by construction
+    witems = [
+        (r["b"], r["w"]) for r in nb_quality_weights(pos, neg, n_buckets=4096).collect()
+    ]
+    root = tempfile.mkdtemp(prefix="live_quality_")
+    name = f"live_quality_{uuid.uuid4().hex[:8]}"
+    try:
+        third = docs.select(F.max("doc_id").alias("m")).head()["m"] // 3
+        docs.where(F.col("doc_id") <= third).coalesce(1).write.parquet(
+            f"{root}/f1.parquet"
+        )
+        docs.where(
+            (F.col("doc_id") > third) & (F.col("doc_id") <= 2 * third)
+        ).coalesce(1).write.parquet(f"{root}/f2.parquet")
+        docs.where(F.col("doc_id") > 2 * third).coalesce(1).write.parquet(
+            f"{root}/f3.parquet"
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        out = quality_stream_scores(stream, witems, n_buckets=4096)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+QUERIES["q_live_quality"] = q_live_quality
+ORACLES["q_live_quality"] = ORACLES["q_quality_classifier"]

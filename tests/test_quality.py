@@ -145,3 +145,56 @@ def test_relative_filter_tau_offset(spark):
     assert none == []
     allt = quality_filter_relative(docs, w, n_buckets=64, tau_micro=-(10**9)).collect()
     assert sorted(r["doc_id"] for r in allt) == [0, 1, 2, 9]  # 10 is tokenless
+
+
+def test_literal_map_form_matches_join_form(spark):
+    """quality_score_columns (the stateless streaming form: literal-map
+    lookup + one array aggregate) must equal quality_scores (the batch
+    explode/broadcast-join form) bit-for-bit — INCLUDING the edge where
+    a scored doc contains tokens whose bucket is absent from the weight
+    table (both forms drop them from score_int AND n_tok)."""
+    from janus_spark.datapipe.quality import quality_stream_scores
+
+    train = _docs(
+        spark,
+        [(1, "aa bb cc aa", "en"), (2, "zz yy xx zz", "xx"), (3, "aa zz", "en")],
+    )
+    w = nb_quality_weights(
+        train.where("lang = 'en'"), train.where("lang = 'xx'"), n_buckets=64
+    )
+    witems = [(r["b"], r["w"]) for r in w.collect()]
+    # score docs with known tokens, novel tokens, and no tokens at all
+    score_me = _docs(
+        spark,
+        [
+            (10, "aa bb zz", "??"),
+            (11, "qq novel tokens only", "??"),
+            (12, "aa novel aa", "??"),
+            (13, "", "??"),
+        ],
+    )
+    join_form = {
+        r["doc_id"]: (r["score_int"], r["n_tok"], r["pred"])
+        for r in quality_scores(score_me, w, n_buckets=64).collect()
+    }
+    map_form = {
+        r["doc_id"]: (r["score_int"], r["n_tok"], r["pred"])
+        for r in quality_stream_scores(score_me, witems, n_buckets=64).collect()
+    }
+    assert join_form == map_form
+    assert map_form[11][1] == 0  # all-novel doc: zero counted tokens
+    assert map_form[12][1] == 2  # novel token dropped from n_tok
+
+
+def test_live_quality_equals_batch_classifier(spark):
+    """The q_live_quality gate is a REAL Structured Streaming run in 3
+    micro-batches; stateless scoring is batch-split invariant, so it
+    must equal the batch classifier exactly."""
+    from janus_spark.queries import q_live_quality, q_quality_classifier
+
+    sf = "/root/testdata/sf0.001"
+    live = {r["doc_id"]: (r["score_int"], r["n_tok"], r["pred"])
+            for r in q_live_quality(spark, sf).collect()}
+    batch = {r["doc_id"]: (r["score_int"], r["n_tok"], r["pred"])
+             for r in q_quality_classifier(spark, sf).collect()}
+    assert live == batch and len(live) == 500
