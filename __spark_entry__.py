@@ -141,6 +141,7 @@ R9_QUEUE = [
     "q_quality_classifier",
     "q_quality_filter",
     "q_live_quality",
+    "q_dup_spans",
 ]
 
 

@@ -1441,3 +1441,90 @@ def line_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+# -------------------------------------------------------- duplicate spans
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-internal duplicate-substring detection at k-token
+    granularity — the public exact-substring-dedup recipe of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"):
+    find every k-token gram that occurs at least ``min_count`` times in
+    the whole corpus (any doc, including the same doc twice), then merge
+    the flagged gram starts into maximal spans per document.
+
+    Returns one row per merged span: ``(id, span_start, span_end,
+    span_tokens)`` with 0-based inclusive token offsets — the ranges a
+    substring-level dedup pass would cut (vs the doc-level MinHash path
+    that drops whole documents).
+
+    Plan shape (100 TB): gram construction is the shifted-zip Column
+    form (see :func:`word_shingles` — no per-index re-evaluation), kept
+    POSITIONAL via posexplode-then-filter (filtering first would
+    renumber).  One map-side-combined groupBy on the 8-byte gram hash
+    builds the duplicate set; one semi join flags occurrences; span
+    merging is a per-document gaps-and-islands window (state bounded by
+    doc length, never corpus size).  Two shuffles total, both on keys
+    with corpus-wide cardinality (no skew hotspot: a gram repeated R
+    times contributes R rows, and pathological R means the data IS the
+    signal being hunted).
+
+    Hashing uses the md5 ``shared_hash64`` family so DuckDB oracles
+    reproduce the grouping exactly; a production run can swap xxhash64
+    (same plan, one JVM op per gram).
+    """
+    from pyspark.sql.window import Window as W
+
+    from janus_spark.datapipe.text import clean_tokens
+
+    toks = clean_tokens(F.col(text_col))
+    n = F.size(toks)
+    acc = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(1)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # posexplode BEFORE the null filter: zip_with padded the tail with
+    # nulls and dropping them first would renumber the start offsets
+    grams = (
+        df.select(F.col(id_col).alias("id"), F.posexplode(acc).alias("pos", "gram"))
+        .where(F.col("gram").isNotNull())
+        .select("id", "pos", shared_hash64(F.col("gram")).alias("h"))
+    )
+    # grams feeds BOTH the duplicate-set groupBy and the flag join — cut
+    # once so tokenization doesn't run twice
+    grams = grams.localCheckpoint(eager=True)
+    dup = grams.groupBy("h").count().where(F.col("count") >= min_count).select("h")
+    flagged = grams.join(dup, "h", "semi").select("id", "pos")
+    w = W.partitionBy("id").orderBy("pos")
+    isl = flagged.select(
+        "id",
+        "pos",
+        F.sum(
+            F.when(
+                F.coalesce(
+                    F.col("pos") - F.lag("pos").over(w), F.lit(k + 1)
+                ) > k,
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return (
+        isl.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

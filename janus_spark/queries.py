@@ -10217,3 +10217,42 @@ def q_live_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_live_quality"] = q_live_quality
 ORACLES["q_live_quality"] = ORACLES["q_quality_classifier"]
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (Lee et al. 2022 recipe): every
+    8-token gram occurring >=2 times in the corpus, merged into maximal
+    per-document spans — the ranges a substring-level dedup would cut.
+    0-based inclusive token offsets; all columns exact integers."""
+    from janus_spark.datapipe.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, k=8).select(
+        "doc_id", "span_start", "span_end", "span_tokens"
+    )
+
+
+QUERIES["q_dup_spans"] = q_dup_spans
+ORACLES["q_dup_spans"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    g AS (SELECT doc_id, u.pos - 1 AS pos,
+                 ('0x' || substr(md5(array_to_string(l[u.pos:u.pos+7], ' ')),
+                                 1, 15))::BIGINT AS h
+          FROM t, UNNEST(generate_series(1, len(l) - 7)) AS u(pos)
+          WHERE len(l) >= 8),
+    dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+    f AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+    lagged AS (SELECT doc_id, pos,
+                      LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+               FROM f),
+    isl AS (SELECT doc_id, pos,
+                   SUM(CASE WHEN prev IS NULL OR pos - prev > 8
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+            FROM lagged)
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + 7 AS span_end,
+           MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+    FROM isl GROUP BY doc_id, island"""

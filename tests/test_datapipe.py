@@ -1320,3 +1320,64 @@ def test_dedup_clusters_null_ids_both_tiers_agree(spark, monkeypatch):
     monkeypatch.setenv("JANUS_LOCAL_CC_EDGES", "0")
     dist = {r["id"]: r["keep_id"] for r in dedup.dedup_clusters(pairs).collect()}
     assert local == dist == {1: 1, 2: 1, 4: 4, 5: 4}
+
+
+def test_duplicate_spans_cross_doc_and_merging(spark):
+    """Two docs sharing a 10-token run with k=4: flagged starts 0..6 in
+    the shared region merge into ONE maximal span per doc; unique text
+    is never flagged."""
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique1 text1 here1 now1"),
+            (2, f"other2 words2 first2 {shared}"),
+            (3, "totally different content with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.duplicate_spans(docs, k=4).collect()
+    }
+    # doc 1: shared run at tokens 0..9; doc 2: at tokens 3..12
+    assert out == {1: (0, 9, 10), 2: (3, 12, 10)}
+
+
+def test_duplicate_spans_intra_doc_repeat(spark):
+    """min_count counts ALL occurrences, including a doc repeating its
+    own k-gram: both copies are flagged."""
+    docs = spark.createDataFrame(
+        [(1, "x y z w middle1 middle2 x y z w")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(docs, k=4).collect()
+    )
+    assert out == [(0, 3), (6, 9)]
+
+
+def test_duplicate_spans_distinct_islands(spark):
+    """Two separated duplicated regions in one doc stay TWO spans (the
+    gap between flagged starts exceeds k)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s gapA gapB gapC gapD gapE t u v w"),
+            (2, "p q r s other filler words here xx t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(docs, k=4).collect()
+    }
+    assert spans == {(1, 0, 3), (1, 9, 12), (2, 0, 3), (2, 9, 12)}
+
+
+def test_duplicate_spans_short_docs_skipped(spark):
+    """Docs shorter than k tokens produce no grams and never crash."""
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "")],
+        "doc_id long, text string",
+    )
+    assert dedup.duplicate_spans(docs, k=4).collect() == []
