@@ -142,6 +142,7 @@ R9_QUEUE = [
     "q_quality_filter",
     "q_live_quality",
     "q_dup_spans",
+    "q_gopher_rules",
 ]
 
 

@@ -53,6 +53,8 @@ __all__ = [
     "quality_filter_relative",
     "quality_score_columns",
     "quality_stream_scores",
+    "gopher_quality",
+    "GOPHER_STOPWORDS",
 ]
 
 
@@ -310,3 +312,124 @@ def quality_stream_scores(
     return stream.select(
         F.col(id_col), cols["score_int"], cols["n_tok"], cols["pred"]
     )
+
+
+# Rae et al. 2021 (Gopher), Table A1: the published stopword presence
+# list for the heuristic quality rules.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tok: int = 50,
+    max_tok: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    top2_max: tuple[int, int] = (1, 5),
+    dup5_max: tuple[int, int] = (3, 10),
+    min_stopwords: int = 2,
+    stopwords: Sequence[str] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Heuristic quality rules — the published Gopher recipe (Rae et al.
+    2021 "Scaling Language Models", appendix A1), the rule-based
+    complement of the trained classifier: document length bounds, mean
+    word length bounds, top-2-gram repetition cap, within-doc
+    duplicate-5-gram cap, and stopword presence.
+
+    Exactness discipline: every emitted column is an exact integer and
+    every rule is an integer comparison — the fraction caps are rationals
+    ``(num, den)`` applied cross-multiplied (``2·top2·den < n_tok·num``),
+    so the keep/reject split is bit-identical across engines.  Mean word
+    length bounds become ``min·n ≤ chars ≤ max·n``.
+
+    Returns per document: ``(id, n_tok, word_chars, top2_count,
+    dup5_instances, n5, stop_hits, pred)`` where ``top2_count`` is the
+    occurrence count of the doc's modal 2-gram, ``dup5_instances`` the
+    number of 5-gram instances whose gram repeats within the doc, and
+    ``stop_hits`` the number of DISTINCT list stopwords present.
+
+    Plan shape (100 TB): token stats and stopword hits are map-only
+    Column algebra; the two n-gram modes are (id, gram)-keyed groupBys
+    (map-side combined, keys scoped per document so no corpus-wide hot
+    key) joined back on the id — three shuffles total, all
+    document-bounded."""
+    from janus_spark.datapipe.text import clean_tokens
+
+    def grams(toks, k: int):
+        n = F.size(toks)
+        acc = toks
+        for j in range(1, k):
+            shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(1)))
+            acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+        return F.filter(acc, lambda x: x.isNotNull())
+
+    toks = clean_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("word_chars"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(s) for s in stopwords])
+            )
+        )
+        .cast("long")
+        .alias("stop_hits"),
+        grams(toks, 2).alias("__g2"),
+        grams(toks, 5).alias("__g5"),
+    ).localCheckpoint(eager=True)  # tokenization feeds base + both modes: cut once
+
+    m2 = (
+        base.select("id", F.explode("__g2").alias("g"))
+        .groupBy("id", "g")
+        .count()
+        .groupBy("id")
+        .agg(F.max("count").cast("long").alias("top2_count"))
+    )
+    m5 = (
+        base.select("id", F.explode("__g5").alias("g"))
+        .groupBy("id", "g")
+        .count()
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0))
+            .cast("long")
+            .alias("dup5_instances"),
+            F.sum("count").cast("long").alias("n5"),
+        )
+    )
+    t2n, t2d = (int(x) for x in top2_max)
+    d5n, d5d = (int(x) for x in dup5_max)
+    out = (
+        base.drop("__g2", "__g5")
+        .join(m2, "id", "left")
+        .join(m5, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tok",
+            "word_chars",
+            F.coalesce(F.col("top2_count"), F.lit(0)).cast("long").alias("top2_count"),
+            F.coalesce(F.col("dup5_instances"), F.lit(0))
+            .cast("long")
+            .alias("dup5_instances"),
+            F.coalesce(F.col("n5"), F.lit(0)).cast("long").alias("n5"),
+            "stop_hits",
+        )
+    )
+    pred = (
+        (F.col("n_tok") >= min_tok)
+        & (F.col("n_tok") <= max_tok)
+        & (F.col("word_chars") >= min_mean_word_len * F.col("n_tok"))
+        & (F.col("word_chars") <= max_mean_word_len * F.col("n_tok"))
+        & (2 * F.col("top2_count") * t2d < F.col("n_tok") * t2n)
+        & (
+            (F.col("n5") == 0)
+            | (F.col("dup5_instances") * d5d < F.col("n5") * d5n)
+        )
+        & (F.col("stop_hits") >= min_stopwords)
+    )
+    return out.select("*", pred.alias("pred"))

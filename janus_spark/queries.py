@@ -10256,3 +10256,59 @@ ORACLES["q_dup_spans"] = f"""
            MAX(pos) + 7 AS span_end,
            MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
     FROM isl GROUP BY doc_id, island"""
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic quality rules (Rae et al. 2021 appendix A1),
+    fixture-calibrated thresholds: 20 <= n_tok, mean word length in
+    [3,10], top-2-gram token coverage < 1/10, within-doc duplicate
+    5-gram instances < 3/10, >=1 list stopword.  Every emitted column is
+    an exact integer; every rule an integer (cross-multiplied rational)
+    comparison."""
+    from janus_spark.datapipe.quality import gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality(
+        docs, min_tok=20, top2_max=(1, 10), min_stopwords=1
+    )
+
+
+QUERIES["q_gopher_rules"] = q_gopher_rules
+ORACLES["q_gopher_rules"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    base AS (SELECT doc_id,
+                    CAST(len(l) AS BIGINT) AS n_tok,
+                    CAST(COALESCE(list_sum(list_transform(l, x -> len(x))), 0)
+                         AS BIGINT) AS word_chars,
+                    CAST(len(list_distinct(list_filter(l, x -> x IN
+                         ('the','be','to','of','and','that','have','with'))))
+                         AS BIGINT) AS stop_hits
+             FROM t),
+    g2 AS (SELECT doc_id, array_to_string(l[u.pos:u.pos+1], ' ') AS g
+           FROM t, UNNEST(generate_series(1, len(l) - 1)) AS u(pos)
+           WHERE len(l) >= 2),
+    m2 AS (SELECT doc_id, MAX(c) AS top2_count
+           FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+           GROUP BY doc_id),
+    g5 AS (SELECT doc_id, array_to_string(l[u.pos:u.pos+4], ' ') AS g
+           FROM t, UNNEST(generate_series(1, len(l) - 4)) AS u(pos)
+           WHERE len(l) >= 5),
+    m5 AS (SELECT doc_id,
+                  SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup5_instances,
+                  SUM(c) AS n5
+           FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g)
+           GROUP BY doc_id)
+    SELECT doc_id, n_tok, word_chars,
+           CAST(COALESCE(top2_count, 0) AS BIGINT) AS top2_count,
+           CAST(COALESCE(dup5_instances, 0) AS BIGINT) AS dup5_instances,
+           CAST(COALESCE(n5, 0) AS BIGINT) AS n5,
+           stop_hits,
+           (n_tok >= 20 AND n_tok <= 100000
+            AND word_chars >= 3 * n_tok AND word_chars <= 10 * n_tok
+            AND 2 * COALESCE(top2_count, 0) * 10 < n_tok * 1
+            AND (COALESCE(n5, 0) = 0
+                 OR COALESCE(dup5_instances, 0) * 10 < COALESCE(n5, 0) * 3)
+            AND stop_hits >= 1) AS pred
+    FROM base
+    LEFT JOIN m2 USING (doc_id)
+    LEFT JOIN m5 USING (doc_id)"""

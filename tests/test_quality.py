@@ -198,3 +198,62 @@ def test_live_quality_equals_batch_classifier(spark):
     batch = {r["doc_id"]: (r["score_int"], r["n_tok"], r["pred"])
              for r in q_quality_classifier(spark, sf).collect()}
     assert live == batch and len(live) == 500
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Hand-check every Gopher signal on a crafted doc: counts, modal
+    2-gram, within-doc duplicate 5-grams, stopword hits, and each rule's
+    integer boundary."""
+    from janus_spark.datapipe.quality import gopher_quality
+
+    # doc 1: 'aa bb' repeated 5x -> n_tok 10, top2 ('aa bb') = 5,
+    # 5-grams: 6 instances, the two distinct grams alternate 3x each
+    # -> all 6 are duplicates; no stopwords
+    # doc 2: healthy text with 'the' and 'with'
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb aa bb aa bb aa bb"),
+            # 11 tokens: top-2-gram coverage 2/11 < 0.2 (10 tokens would
+            # sit exactly ON the (1,5) cap and be rejected — see the
+            # boundary test below)
+            (2, "the quick brown fox jumps with vigor over two lazy dogs"),
+            (3, "xy"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(
+        docs, min_tok=5, top2_max=(1, 5), dup5_max=(3, 10), min_stopwords=2
+    ).collect()}
+    r1 = out[1]
+    assert (r1["n_tok"], r1["top2_count"], r1["dup5_instances"], r1["n5"],
+            r1["stop_hits"]) == (10, 5, 6, 6, 0)
+    assert not r1["pred"]  # repetitive and stopword-free
+    r2 = out[2]
+    assert r2["n_tok"] == 11 and r2["top2_count"] == 1 and r2["stop_hits"] == 2
+    assert r2["dup5_instances"] == 0 and r2["n5"] == 7
+    assert r2["pred"]
+    r3 = out[3]
+    assert r3["n_tok"] == 1 and r3["n5"] == 0 and not r3["pred"]  # too short
+
+
+def test_gopher_rules_integer_boundaries(spark):
+    """The rational caps are strict cross-multiplied comparisons: a doc
+    sitting exactly ON the top-2-gram cap is rejected."""
+    from janus_spark.datapipe.quality import gopher_quality
+
+    # 'aa bb' once in 10 tokens of otherwise unique text + 'the of':
+    # top2_count=1, n_tok=10 -> coverage 2/10; cap (1,5)=0.2 exactly on
+    # the boundary -> 2*1*5 < 10*1 is FALSE -> rejected
+    docs = spark.createDataFrame(
+        [(1, "aa bb c1 d1 e1 f1 g1 h1 the of")],
+        "doc_id long, text string",
+    )
+    [on_cap] = gopher_quality(
+        docs, min_tok=5, top2_max=(1, 5), min_stopwords=2, min_mean_word_len=1
+    ).collect()
+    assert on_cap["top2_count"] == 1 and on_cap["n_tok"] == 10
+    assert not on_cap["pred"]
+    [above_cap] = gopher_quality(
+        docs, min_tok=5, top2_max=(21, 100), min_stopwords=2, min_mean_word_len=1
+    ).collect()
+    assert above_cap["pred"]  # cap 0.21 clears the 0.2 coverage
