@@ -237,8 +237,12 @@ def main() -> None:
         # passes + broadcast-weighted scoring)
         "q_dsir_scores",
         # round-8: fastText-style quality filter (NB log-odds training +
-        # corpus-relative exact-integer split)
+        # corpus-relative exact-integer split), duplicate-substring
+        # spans (gram-hash groupBy + islands), Gopher heuristic rules
+        # (two per-doc n-gram modes)
         "q_quality_filter",
+        "q_dup_spans",
+        "q_gopher_rules",
     ):
         runs, n = timed(QUERIES[name])
         datapipe[name] = round(min(runs), 3)
