@@ -134,9 +134,8 @@ PRIORITY_GATES = R8_WINDOW + R7_WINDOW + [
     g for g in R6_CHECKED if g not in R8_WINDOW
 ]
 
-# Gates added AFTER the r8 window was pinned: they go to the BACK of the
-# registry this round and form the head of the r9 window (the pin test
-# exempts exactly these from the full-coverage assertion).
+# Gates added AFTER the r8 window was pinned; they head the r9 window
+# below (judge pre-verified all 5 EXACT in the r8 adjudication).
 R9_QUEUE = [
     "q_quality_classifier",
     "q_quality_filter",
@@ -144,6 +143,43 @@ R9_QUEUE = [
     "q_dup_spans",
     "q_gopher_rules",
 ]
+
+# The 45 refresh slots of the r9 window: the gates whose most recent
+# driver-hash row is oldest (all r4-vintage; computed as max round per
+# gate over CORRECTNESS_r01..r08, ties broken by registry order).  One
+# more r4 gate (q_contamination) missed the 45-slot cut and is first in
+# line for the r10 refresh window.
+R9_REFRESHES = [
+    "q_bgp_join", "q_agg_group", "q_join_bind_concat", "q_optional",
+    "q_union", "q_minus", "q_distinct_order_limit", "q_values",
+    "q_graph", "q_expr_functions", "q_ext_outlier", "q_ext_rules",
+    "q_hist_sliding", "q_hist_sliding_star", "q_comparator_stats",
+    "q_token_count", "q_text_quality", "q_lang_id", "q_fingerprint",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf",
+    "q_embedding_near_dup", "q_multimodal_decode", "q_nquads_roundtrip",
+    "q_ask", "q_construct", "q_property_path", "q_path_inverse_alt",
+    "q_path_zero_or_one", "q_path_negated_set", "q_subquery",
+    "q_agg_full", "q_tpch_pricing", "q_dedup_keeplist", "q_sessionize",
+    "q_sample_hash", "q_sample_stratified", "q_sample_quota",
+    "q_split_train_eval", "q_repetition", "q_word_freq",
+]
+
+# The r9 driver window (slots 1-50): the 5 R9_QUEUE gates — after which
+# EVERY gate in the registry-as-of-the-r8-pin has a driver-hash row —
+# then 45 refreshes of the oldest rows, beginning the recycling phase
+# (VERDICT r8 "Next round" #1).
+R9_WINDOW = R9_QUEUE + R9_REFRESHES
+
+PRIORITY_GATES = list(
+    dict.fromkeys(R9_WINDOW + R8_WINDOW + R7_WINDOW + R6_CHECKED)
+)
+
+# Gates added AFTER the r9 window was pinned: they go to the BACK of the
+# registry this round and form the head of the r10 window (the coverage
+# test exempts exactly these).  Entries are appended in the same commit
+# that registers the gate.
+R10_QUEUE: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
