@@ -1450,6 +1450,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_count: int = 2,
+    verify: bool = False,
 ) -> DataFrame:
     """Corpus-internal duplicate-substring detection at k-token
     granularity — the public exact-substring-dedup recipe of Lee et al.
@@ -1477,6 +1478,18 @@ def duplicate_spans(
     Hashing uses the md5 ``shared_hash64`` family so DuckDB oracles
     reproduce the grouping exactly; a production run can swap xxhash64
     (same plan, one JVM op per gram).
+
+    ``verify=False`` (default) trusts the 60-bit gram hash: two DISTINCT
+    grams colliding would falsely flag unique text.  Expected false
+    positives ≈ birthday bound G²/2^61 for G distinct grams — negligible
+    at test SFs (G=1e6 → ~4e-7 collisions) but real at production scale
+    (G=1e9 → ~0.4; G=1e11 → ~4e3 over-cut grams).  ``verify=True`` adds
+    an exact gram-equality pass over the CANDIDATE rows only: grams that
+    survive the hash gate are re-grouped on the full gram string, so a
+    collision partner whose own string occurs < min_count times is
+    dropped.  Cost: the gram string rides the cut frame and one extra
+    groupBy over flagged rows (a tiny fraction of the corpus) — the
+    Lee et al. recipe is then exact on substrings end-to-end.
     """
     from pyspark.sql.window import Window as W
 
@@ -1490,16 +1503,32 @@ def duplicate_spans(
         acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     # posexplode BEFORE the null filter: zip_with padded the tail with
     # nulls and dropping them first would renumber the start offsets
+    gram_cols = ["id", "pos", shared_hash64(F.col("gram")).alias("h")]
+    if verify:
+        gram_cols.append("gram")
     grams = (
         df.select(F.col(id_col).alias("id"), F.posexplode(acc).alias("pos", "gram"))
         .where(F.col("gram").isNotNull())
-        .select("id", "pos", shared_hash64(F.col("gram")).alias("h"))
+        .select(*gram_cols)
     )
     # grams feeds BOTH the duplicate-set groupBy and the flag join — cut
     # once so tokenization doesn't run twice
     grams = grams.localCheckpoint(eager=True)
     dup = grams.groupBy("h").count().where(F.col("count") >= min_count).select("h")
-    flagged = grams.join(dup, "h", "semi").select("id", "pos")
+    if verify:
+        # exact pass over hash-flagged CANDIDATES only: a gram string
+        # must itself occur >= min_count times, so a 60-bit collision
+        # partner can't drag unique text into the cut set
+        cand = grams.join(dup, "h", "semi")
+        dup_gram = (
+            cand.groupBy("h", "gram")
+            .count()
+            .where(F.col("count") >= min_count)
+            .select("h", "gram")
+        )
+        flagged = cand.join(dup_gram, ["h", "gram"], "semi").select("id", "pos")
+    else:
+        flagged = grams.join(dup, "h", "semi").select("id", "pos")
     w = W.partitionBy("id").orderBy("pos")
     isl = flagged.select(
         "id",

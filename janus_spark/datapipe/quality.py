@@ -231,6 +231,7 @@ def quality_score_columns(
     n_buckets: int = 4096,
     bias_micro: int = 0,
     tau_micro: int = 0,
+    scale: int = 1_000_000,
 ):
     """Stateless per-ROW scorer: the weight model as a LITERAL map, one
     `F.aggregate` over the token array — no explode, no join, no groupBy,
@@ -280,7 +281,8 @@ def quality_score_columns(
         score_int + F.lit(int(bias_micro)) * n_tok > F.lit(int(tau_micro)) * n_tok
     )
     score = F.when(
-        n_tok > 0, score_int.cast("double") / (F.lit(1e6) * n_tok.cast("double"))
+        n_tok > 0,
+        score_int.cast("double") / (F.lit(float(scale)) * n_tok.cast("double")),
     )
     return {
         "score_int": score_int.alias("score_int"),
@@ -298,6 +300,7 @@ def quality_stream_scores(
     n_buckets: int = 4096,
     bias_micro: int = 0,
     tau_micro: int = 0,
+    scale: int = 1_000_000,
 ) -> DataFrame:
     """Continuous quality classification: apply
     :func:`quality_score_columns` to a (streaming or batch) frame —
@@ -307,7 +310,7 @@ def quality_stream_scores(
     ``[(b, w), ...]`` (a bounded model-sized collect — ≤ n_buckets
     rows)."""
     cols = quality_score_columns(
-        F.col(text_col), weight_items, n_buckets, bias_micro, tau_micro
+        F.col(text_col), weight_items, n_buckets, bias_micro, tau_micro, scale
     )
     return stream.select(
         F.col(id_col), cols["score_int"], cols["n_tok"], cols["pred"]

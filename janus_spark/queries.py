@@ -37,6 +37,18 @@ def _cached(key: tuple, build):
     return _FRAME_CACHE[key]
 
 
+def _await_stream(q, timeout_s: int) -> None:
+    """awaitTermination returning False means the availableNow query is
+    STILL RUNNING — reading the sink then would return a plausible but
+    partial result.  Fail loudly instead (ADVICE r8)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query did not terminate within {timeout_s}s; "
+            "sink contents would be partial"
+        )
+
+
 def _events_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(
         (spark, sf_dir, "events_quads"),
@@ -367,7 +379,7 @@ def q_live_tumbling_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         # keep only the data windows (the closer events open far-future
         # windows that exist solely to advance the watermark)
         return (
@@ -2166,7 +2178,7 @@ def q_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         return (
             spark.table(name)
             .where(F.col("user_id") != 99)
@@ -2751,7 +2763,7 @@ def _live_delta_gate(spark: SparkSession, operator: str) -> DataFrame:
         sink = ListSink()
         runner = LiveQueryRunner(spark, parse_janusql(text), f"{root}/buf", sink=sink)
         q = runner.attach(stream, once=True)
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         rows = [
             (b["window_start"], b["window_end"], r["s"], r["t"])
             for b in sink.batches
@@ -2810,7 +2822,7 @@ def q_live_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink = ParquetSink(f"{root}/out")
         runner = LiveQueryRunner(spark, parse_janusql(text), f"{root}/buf", sink=sink)
         q = runner.attach(stream, once=True)
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         rows = []
         for m in sink.manifests:
             assert m["n_rows"] > 0
@@ -3201,7 +3213,7 @@ def q_comparator_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         res = spark.table(name)
         # +0.0 canonicalizes IEEE negative zero (round(-1e-16, 6) -> -0.0,
         # which reprs differently from 0.0 in the value hash)
@@ -3558,7 +3570,7 @@ def q_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         return spark.table(name).select(
             "click_id",
             "buy_id",
@@ -4518,7 +4530,7 @@ def q_live_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         counts = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -4630,7 +4642,7 @@ def q_live_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         sunk = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -4699,7 +4711,7 @@ def q_live_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         sunk = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -5235,7 +5247,7 @@ def q_live_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         sunk = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -5630,7 +5642,7 @@ def q_live_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         res = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -6327,7 +6339,7 @@ def q_live_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         sunk = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -6624,7 +6636,7 @@ def q_live_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         res = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -6810,7 +6822,7 @@ def q_live_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         res = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -6879,7 +6891,7 @@ def q_live_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         sunk = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -6987,7 +6999,7 @@ def q_live_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         res = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -7046,7 +7058,7 @@ def q_live_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         out = inc.read()
         return spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
     finally:
@@ -7712,7 +7724,7 @@ def q_live_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         res = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -8553,7 +8565,7 @@ def q_live_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         counts = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -9648,7 +9660,7 @@ def q_live_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocking=[["brand", "noun"], ["ptype", "psize"]], threshold=0.7,
         numeric_col="price", numeric_scale=100.0, w_tokens=0.8, w_numeric=0.2,
     )
-    q.awaitTermination(600)
+    _await_stream(q, 600)
     out = (
         spark.read.parquet(f"{root}/out")
         .select(
@@ -10208,7 +10220,7 @@ def q_live_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         res = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -1381,3 +1381,35 @@ def test_duplicate_spans_short_docs_skipped(spark):
         "doc_id long, text string",
     )
     assert dedup.duplicate_spans(docs, k=4).collect() == []
+
+
+def test_duplicate_spans_verify_mode(spark, monkeypatch):
+    """verify=True adds an exact gram-equality pass so a hash collision
+    can't flag unique text.  Forcing ALL grams onto one hash value (the
+    worst-case collision) makes verify=False flag every position, while
+    verify=True recovers exactly the hash-free answer."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d unique1 only2 here3 now4"),
+            (2, "x y z a b c d w"),
+        ],
+        "doc_id long, text string",
+    )
+    honest = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(docs, k=4).collect()
+    }
+    assert honest == {(1, 0, 3), (2, 3, 6)}
+    monkeypatch.setattr(
+        dedup, "shared_hash64", lambda col, seed=None: F.lit(0).cast("long")
+    )
+    collided_raw = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(docs, k=4).collect()
+    }
+    assert collided_raw != honest  # unique text falsely flagged
+    collided_verified = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(docs, k=4, verify=True).collect()
+    }
+    assert collided_verified == honest

@@ -257,3 +257,62 @@ def test_gopher_rules_integer_boundaries(spark):
         docs, min_tok=5, top2_max=(21, 100), min_stopwords=2, min_mean_word_len=1
     ).collect()
     assert above_cap["pred"]  # cap 0.21 clears the 0.2 coverage
+
+
+def test_stream_form_score_respects_scale(spark):
+    """A non-default training scale must flow through to the float
+    score in the literal-map form (ADVICE r8: it was hardcoded 1e6),
+    keeping it equal to the join form at the same scale."""
+    from janus_spark.datapipe.quality import quality_stream_scores
+
+    train = _docs(
+        spark,
+        [(1, "aa bb cc aa", "en"), (2, "zz yy xx zz", "xx")],
+    )
+    w = nb_quality_weights(
+        train.where("lang = 'en'"), train.where("lang = 'xx'"),
+        n_buckets=64, scale=1000,
+    )
+    witems = [(r["b"], r["w"]) for r in w.collect()]
+    score_me = _docs(spark, [(10, "aa bb zz", "??")])
+    [join_row] = quality_scores(score_me, w, n_buckets=64, scale=1000).collect()
+    [map_row] = quality_stream_scores(
+        score_me, witems, n_buckets=64, scale=1000
+    ).collect()
+    assert map_row["score_int"] == join_row["score_int"]
+    expected = join_row["score_int"] / (1000.0 * join_row["n_tok"])
+    assert map_row["pred"] == join_row["pred"]
+    # the join form carries 'score' too — both must use the passed scale
+    assert abs(join_row["score"] - expected) < 1e-12
+    from janus_spark.datapipe.quality import quality_score_columns
+    cols = quality_score_columns(F.col("text"), witems, n_buckets=64, scale=1000)
+    [s] = score_me.select(cols["score"]).collect()
+    assert abs(s["score"] - expected) < 1e-12
+
+
+def test_await_stream_raises_on_timeout():
+    """_await_stream must stop the query and raise on an
+    awaitTermination timeout instead of letting the caller read a
+    partial sink (ADVICE r8)."""
+    import pytest
+
+    from janus_spark.queries import _await_stream
+
+    class FakeQuery:
+        def __init__(self, done):
+            self.done = done
+            self.stopped = False
+
+        def awaitTermination(self, timeout):
+            return self.done
+
+        def stop(self):
+            self.stopped = True
+
+    ok = FakeQuery(True)
+    _await_stream(ok, 1)
+    assert not ok.stopped
+    hung = FakeQuery(False)
+    with pytest.raises(RuntimeError, match="did not terminate"):
+        _await_stream(hung, 1)
+    assert hung.stopped
