@@ -179,7 +179,12 @@ PRIORITY_GATES = list(
 # registry this round and form the head of the r10 window (the coverage
 # test exempts exactly these).  Entries are appended in the same commit
 # that registers the gate.
-R10_QUEUE: list[str] = []
+R10_QUEUE = [
+    "q_dup_cut",
+    "q_domain_mixture",
+    "q_mixture_sample",
+    "q_curation_full",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1444,6 +1444,62 @@ def line_dedup(
 
 
 # -------------------------------------------------------- duplicate spans
+def _shifted_grams(toks: Column, k: int) -> Column:
+    """k-token grams as a POSITIONAL array: element i is the space-joined
+    gram starting at token i (null past len-k — zip_with pads the tail).
+    The shifted-zip Column form builds all grams in one pass with no
+    per-index re-evaluation (see :func:`word_shingles`)."""
+    n = F.size(toks)
+    acc = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(1)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return acc
+
+
+def _flagged_gram_starts(
+    tokenized: DataFrame,
+    k: int,
+    min_count: int,
+    verify: bool,
+) -> DataFrame:
+    """Shared core of :func:`duplicate_spans` / :func:`cut_duplicate_spans`:
+    ``(id, pos, h)`` for every k-gram occurrence whose gram appears at
+    least ``min_count`` times corpus-wide (by 60-bit hash; exact on the
+    gram string when ``verify``).  Input is a pre-tokenized frame with
+    columns ``(id, toks)``."""
+    # posexplode BEFORE the null filter: zip_with padded the tail with
+    # nulls and dropping them first would renumber the start offsets
+    gram_cols = ["id", "pos", shared_hash64(F.col("gram")).alias("h")]
+    if verify:
+        gram_cols.append("gram")
+    grams = (
+        tokenized.select(
+            "id",
+            F.posexplode(_shifted_grams(F.col("toks"), k)).alias("pos", "gram"),
+        )
+        .where(F.col("gram").isNotNull())
+        .select(*gram_cols)
+    )
+    # grams feeds BOTH the duplicate-set groupBy and the flag join — cut
+    # once so tokenization doesn't run twice
+    grams = grams.localCheckpoint(eager=True)
+    dup = grams.groupBy("h").count().where(F.col("count") >= min_count).select("h")
+    if verify:
+        # exact pass over hash-flagged CANDIDATES only: a gram string
+        # must itself occur >= min_count times, so a 60-bit collision
+        # partner can't drag unique text into the cut set
+        cand = grams.join(dup, "h", "semi")
+        dup_gram = (
+            cand.groupBy("h", "gram")
+            .count()
+            .where(F.col("count") >= min_count)
+            .select("h", "gram")
+        )
+        return cand.join(dup_gram, ["h", "gram"], "semi").select("id", "pos", "h")
+    return grams.join(dup, "h", "semi").select("id", "pos", "h")
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1495,40 +1551,12 @@ def duplicate_spans(
 
     from janus_spark.datapipe.text import clean_tokens
 
-    toks = clean_tokens(F.col(text_col))
-    n = F.size(toks)
-    acc = toks
-    for j in range(1, k):
-        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(1)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    # posexplode BEFORE the null filter: zip_with padded the tail with
-    # nulls and dropping them first would renumber the start offsets
-    gram_cols = ["id", "pos", shared_hash64(F.col("gram")).alias("h")]
-    if verify:
-        gram_cols.append("gram")
-    grams = (
-        df.select(F.col(id_col).alias("id"), F.posexplode(acc).alias("pos", "gram"))
-        .where(F.col("gram").isNotNull())
-        .select(*gram_cols)
+    tokenized = df.select(
+        F.col(id_col).alias("id"), clean_tokens(F.col(text_col)).alias("toks")
     )
-    # grams feeds BOTH the duplicate-set groupBy and the flag join — cut
-    # once so tokenization doesn't run twice
-    grams = grams.localCheckpoint(eager=True)
-    dup = grams.groupBy("h").count().where(F.col("count") >= min_count).select("h")
-    if verify:
-        # exact pass over hash-flagged CANDIDATES only: a gram string
-        # must itself occur >= min_count times, so a 60-bit collision
-        # partner can't drag unique text into the cut set
-        cand = grams.join(dup, "h", "semi")
-        dup_gram = (
-            cand.groupBy("h", "gram")
-            .count()
-            .where(F.col("count") >= min_count)
-            .select("h", "gram")
-        )
-        flagged = cand.join(dup_gram, ["h", "gram"], "semi").select("id", "pos")
-    else:
-        flagged = grams.join(dup, "h", "semi").select("id", "pos")
+    flagged = _flagged_gram_starts(tokenized, k, min_count, verify).select(
+        "id", "pos"
+    )
     w = W.partitionBy("id").orderBy("pos")
     isl = flagged.select(
         "id",
@@ -1555,5 +1583,89 @@ def duplicate_spans(
             "span_start",
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    verify: bool = False,
+) -> DataFrame:
+    """The APPLY side of :func:`duplicate_spans` — the second half of the
+    Lee et al. 2022 exact-substring-dedup recipe: remove every duplicated
+    k-gram occurrence from the corpus EXCEPT one canonical copy, emitting
+    the cleaned text.
+
+    Keep-first rule: for each duplicated gram, the occurrence with the
+    globally smallest exact-integer pair ``(doc id, token position)`` is
+    the canonical copy; every other occurrence's k-token range is cut.
+    ``min(struct(id, pos))`` is an exact integer comparison, so the
+    result is order- and partition-independent by construction (the same
+    discipline as ``line_dedup``'s keeplist — no floats, no
+    first-seen-by-scan-order).  A token is removed iff it is covered by
+    at least one cut range; tokens covered by the canonical occurrence
+    of one gram and a loser occurrence of another are removed (Lee et
+    al. cut each duplicated substring independently — text equal to the
+    canonical copy still survives in the canonical document).
+
+    Returns one row per input document: ``(id, n_tok, kept_tok,
+    clean_text)`` where ``clean_text`` re-joins the KEPT whitespace
+    tokens (token-level surgery: the recipe operates on the token
+    stream, so original inter-token whitespace is normalized to single
+    spaces).  Documents with nothing cut pass through with
+    ``kept_tok = n_tok``; fully-duplicated documents survive as empty
+    strings rather than vanishing.
+
+    Plan shape (100 TB): on top of the two shuffles of
+    :func:`duplicate_spans`, winner election is ONE map-side-combined
+    min-aggregate on the gram hash; losers come from one equi-join on
+    the same key; covered positions explode k rows per LOSER occurrence
+    only (bounded by duplicate volume, not corpus size); the final cut
+    is one anti join on ``(id, pos)`` plus one per-document groupBy.
+    No window over anything wider than a document, no driver-side
+    state, no skew hotspot beyond the duplicate data itself.
+    """
+    from janus_spark.datapipe.text import clean_tokens
+
+    base = df.select(
+        F.col(id_col).alias("id"), clean_tokens(F.col(text_col)).alias("toks")
+    ).localCheckpoint(eager=True)  # tokenize once: feeds grams AND the cut
+    flagged = _flagged_gram_starts(base, k, min_count, verify)
+    win = flagged.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("w"))
+    losers = (
+        flagged.join(win, "h")
+        .where((F.col("id") != F.col("w.id")) | (F.col("pos") != F.col("w.pos")))
+        .select("id", "pos")
+    )
+    covered = losers.select(
+        "id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("pos"),
+    ).distinct()
+    tok_rows = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    kept_rows = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+    )
+    kept = (
+        tok_rows.join(covered, ["id", "pos"], "anti")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_tok"),
+            F.concat_ws(
+                " ", F.transform(kept_rows, lambda r: r["tok"])
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        base.select("id", F.size("toks").cast("long").alias("n_tok"))
+        .join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tok",
+            F.coalesce(F.col("kept_tok"), F.lit(0)).cast("long").alias("kept_tok"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )

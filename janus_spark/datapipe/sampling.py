@@ -218,3 +218,156 @@ def shuffle_shard(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("__hk")
     )
+
+
+def largest_remainder(
+    weights,
+    budget: int,
+    caps: dict | None = None,
+) -> dict:
+    """Exact-integer largest-remainder (Hamilton) apportionment of
+    ``budget`` slots over integer ``weights`` [(name, w), ...], with
+    optional per-name capacity ``caps`` — the DoReMi-lite / target-
+    mixture allocation step.  NO float quotas anywhere (the ROUND-
+    boundary lesson): base shares are integer division ``budget·w // W``
+    and the leftover goes to the largest integer remainders
+    ``budget·w % W`` (ties broken by name ascending), so the result is
+    bit-identical across engines and platforms.
+
+    With caps, over-cap names are fixed at capacity and the remaining
+    budget is re-apportioned over the rest (standard capped Hamilton;
+    at most one round per name, driver-side over the model-sized domain
+    table — never row-scale data).  If the budget exceeds total
+    capacity, every name gets its cap and the surplus stays unspent.
+    """
+    weights = [(str(k), int(w)) for k, w in weights]
+    if any(w < 0 for _, w in weights):
+        raise ValueError("weights must be non-negative")
+    if len({k for k, _ in weights}) != len(weights):
+        raise ValueError("duplicate names in weights")
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    caps = {str(k): int(v) for k, v in (caps or {}).items()}
+    if any(v < 0 for v in caps.values()):
+        raise ValueError("caps must be non-negative")
+    alloc = {k: 0 for k, _ in weights}
+    active = {k: w for k, w in weights if w > 0}
+    remaining = budget
+    while remaining > 0 and active:
+        total_w = sum(active.values())
+        base = {k: (remaining * w) // total_w for k, w in active.items()}
+        rem = {k: (remaining * w) % total_w for k, w in active.items()}
+        leftover = remaining - sum(base.values())
+        for i, k in enumerate(sorted(active, key=lambda k: (-rem[k], k))):
+            if i < leftover:
+                base[k] += 1
+        over = {
+            k for k in active if k in caps and base[k] > caps[k] - alloc[k]
+        }
+        if not over:
+            for k in active:
+                alloc[k] += base[k]
+            break
+        for k in sorted(over):
+            take = caps[k] - alloc[k]
+            alloc[k] += take
+            remaining -= take
+            del active[k]
+    return alloc
+
+
+def domain_mixture(
+    df: DataFrame,
+    target,
+    budget: int,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-domain sampling allocations for a target mixture, computed IN
+    the engine: exact-integer largest-remainder apportionment of
+    ``budget`` over literal integer weights ``target`` [(domain, w)...].
+
+    Returns one row per TARGET domain: ``(source, w, n_avail, alloc)``
+    — all exact integers (``n_avail`` = documents present; a target
+    domain absent from the corpus shows ``n_avail = 0`` and still gets
+    its allocation, surfacing the shortfall instead of silently
+    re-weighting).  The allocation itself depends only on (target,
+    budget), so it is scale-invariant by construction; use
+    :func:`largest_remainder` with ``caps`` when allocations must
+    respect availability.
+
+    Plan shape (100 TB): ONE map-side-combined count over the corpus
+    scan; everything after operates on the model-sized domain table
+    (|target| rows) — the global windows below never see row-scale
+    data.  Total weight is a Python-side exact constant (the target is
+    a literal input, like a weight table)."""
+    target = [(str(k), int(w)) for k, w in target]
+    if any(w < 0 for _, w in target):
+        raise ValueError("weights must be non-negative")
+    total_w = sum(w for _, w in target)
+    if total_w == 0:
+        raise ValueError("target weights sum to zero")
+    spark = df.sparkSession
+    tw = spark.createDataFrame(target, f"{source_col} string, w long")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_avail"))
+    # BIGINT `div` / `%` — never float division (the ROUND-boundary rule)
+    j = tw.join(counts, source_col, "left").select(
+        source_col,
+        "w",
+        F.coalesce(F.col("n_avail"), F.lit(0)).cast("long").alias("n_avail"),
+        F.expr(f"(CAST({int(budget)} AS BIGINT) * w) div {total_w}").alias("base"),
+        F.expr(f"(CAST({int(budget)} AS BIGINT) * w) % {total_w}").alias("rem"),
+    )
+    # tiny-frame windows: |target| rows, explicitly bounded
+    wall = Window.partitionBy()
+    worder = Window.partitionBy().orderBy(F.desc("rem"), F.asc(source_col))
+    return (
+        j.withColumn("__left", F.lit(int(budget)) - F.sum("base").over(wall))
+        .withColumn("__rn", F.row_number().over(worder))
+        .select(
+            source_col,
+            "w",
+            "n_avail",
+            (
+                F.col("base")
+                + F.when(F.col("__rn") <= F.col("__left"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    target,
+    budget: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = ":mixsample",
+) -> DataFrame:
+    """Deterministic sample honoring a :func:`domain_mixture` allocation:
+    within each target domain the ``alloc`` lowest key-hashes win (key
+    breaks hash ties — the ``quota_sample`` discipline, so the draw is
+    reproducible across engines, partitionings and re-runs, and a grown
+    corpus keeps its previous winners except where new lower hashes
+    arrive).  Domains with fewer documents than their allocation
+    contribute everything they have (the shortfall is visible in
+    :func:`domain_mixture`'s ``n_avail``); domains outside the target
+    are dropped.
+
+    One shuffle of the corpus on the domain key for the per-domain rank
+    (same skew note as ``quota_sample``: pre-filter a mega-domain with
+    ``hash_sample`` leaving ~10× alloc survivors, then apply the exact
+    rank)."""
+    alloc = F.broadcast(
+        domain_mixture(df, target, budget, source_col).select(
+            source_col, "alloc"
+        )
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        hash_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.join(alloc, source_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.col("alloc"))
+        .drop("__rk", "alloc")
+    )

@@ -939,54 +939,66 @@ def _h60_sql(expr: str, seed: int | None = None) -> str:
     return f"('0x' || substr(md5({e}), 1, 15))::BIGINT"
 
 
-def _minhash_pair_ctes(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_pair_ctes(
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    corpus_sql: str | None = None,
+    p: str = "",
+) -> str:
     """The banded-minhash pipeline as a CTE chain ending in
-    ``pairs(a, b, jaccard)`` — shared by q_dedup_minhash's oracle and
+    ``{p}pairs(a, b, jaccard)`` — shared by q_dedup_minhash's oracle and
     every oracle that builds on the near-dup pair graph
-    (q_split_leakage_safe), so the SQL can never drift between them."""
+    (q_split_leakage_safe, q_curation_pipeline), so the SQL can never
+    drift between them.  ``corpus_sql`` overrides the corpus CTE body
+    (default: the mutated-copy fixture); ``p`` prefixes every CTE name
+    for collision-free composition."""
     rows = num_perm // bands
     mins = ",\n                 ".join(
         f"MIN({_h60_sql('gram', i)}) AS m{i}" for i in range(num_perm)
     )
     band_rows = "\n      UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, {key} AS bh FROM sig".format(
+        "SELECT doc_id, {b} AS band, {key} AS bh FROM {p}sig".format(
             b=b,
+            p=p,
             key=" || ',' || ".join(
                 f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
             ),
         )
         for b in range(bands)
     )
-    return rf"""corpus AS (
+    if corpus_sql is None:
+        corpus_sql = """
            SELECT doc_id, text FROM documents WHERE doc_id < 200
            UNION ALL
            SELECT doc_id + 1000000, text || ' tailmarker'
-           FROM documents WHERE doc_id < 200),
-         t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
-               FROM corpus),
-         s AS (SELECT doc_id,
+           FROM documents WHERE doc_id < 200"""
+    return rf"""{p}corpus AS ({corpus_sql}),
+         {p}t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+               FROM {p}corpus),
+         {p}s AS (SELECT doc_id,
                       CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
                            ELSE list_distinct(list_transform(range(1, len(l) - 1),
                                               i -> array_to_string(l[i:i+2], ' ')))
-                      END AS sh FROM t),
-         g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
-         sig AS (SELECT doc_id,
+                      END AS sh FROM {p}t),
+         {p}g AS (SELECT doc_id, unnest(sh) AS gram FROM {p}s),
+         {p}sig AS (SELECT doc_id,
                  {mins}
-                 FROM g GROUP BY doc_id),
-         bands AS ({band_rows}),
-         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-                  FROM bands l JOIN bands r USING (band, bh)
+                 FROM {p}g GROUP BY doc_id),
+         {p}bands AS ({band_rows}),
+         {p}cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                  FROM {p}bands l JOIN {p}bands r USING (band, bh)
                   WHERE l.doc_id < r.doc_id),
-         j AS (SELECT c.a, c.b,
+         {p}j AS (SELECT c.a, c.b,
                       len(list_intersect(sa.sh, sb.sh)) AS inter,
                       len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
-               FROM cand c
-               JOIN s sa ON sa.doc_id = c.a
-               JOIN s sb ON sb.doc_id = c.b),
-         pairs AS (SELECT a, b,
+               FROM {p}cand c
+               JOIN {p}s sa ON sa.doc_id = c.a
+               JOIN {p}s sb ON sb.doc_id = c.b),
+         {p}pairs AS (SELECT a, b,
                           ROUND(CASE WHEN un > 0 THEN inter / CAST(un AS DOUBLE)
                                      ELSE 0.0 END, 6) AS jaccard
-                   FROM j
+                   FROM {p}j
                    WHERE (CASE WHEN un > 0 THEN inter / CAST(un AS DOUBLE)
                                ELSE 0.0 END) >= {threshold})"""
 
@@ -3750,23 +3762,34 @@ def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_pack_tokens"] = q_pack_tokens
-ORACLES["q_pack_tokens"] = """
-    WITH b AS (SELECT doc_id AS id,
+def _pack_ctes(
+    base: str = "documents", p: str = "", budget: int = 512, n_shards: int = 4
+) -> str:
+    """Token-packing layout as a CTE chain ending in ``{p}packed`` —
+    shared by q_pack_tokens' oracle and composed oracles."""
+    return f"""
+    {p}b AS (SELECT doc_id AS id,
                       len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                                       x -> x <> '')) AS n_tokens,
                       md5(CAST(doc_id AS VARCHAR)) AS hk,
-                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
-               FROM documents),
-         o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hk
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {n_shards} AS shard
+               FROM {base}),
+    {p}o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hk
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                           AS start_offset
-               FROM b)
-    SELECT id, shard, n_tokens, start_offset,
+               FROM {p}b),
+    {p}packed AS (SELECT id, shard, n_tokens, start_offset,
            start_offset + n_tokens AS end_offset,
-           start_offset // 512 AS seq_id,
-           (start_offset + n_tokens > (start_offset // 512 + 1) * 512
+           start_offset // {budget} AS seq_id,
+           (start_offset + n_tokens > (start_offset // {budget} + 1) * {budget}
             AND n_tokens > 0) AS straddles
-    FROM o"""
+    FROM {p}o)"""
+
+
+ORACLES["q_pack_tokens"] = f"""
+    WITH {_pack_ctes()}
+    SELECT id, shard, n_tokens, start_offset, end_offset, seq_id, straddles
+    FROM packed"""
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9989,33 +10012,40 @@ ORACLES["q_entity_block_cap"] = (
 
 
 # ------------------------------------------------------- data selection
-_DSIR_CTES = f"""
-    toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
-    bt AS (SELECT doc_id,
+def _dsir_ctes(base: str = "documents", p: str = "") -> str:
+    """DSIR scoring CTE chain ending in ``{p}scored`` — parameterized on
+    the base relation and a CTE-name prefix so composed oracles (the
+    curation pipeline) reuse the SAME SQL the standalone gates verify."""
+    return f"""
+    {p}toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM {base}),
+    {p}bt AS (SELECT doc_id,
                   ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b
-           FROM toks),
-    tgt AS (SELECT b FROM bt JOIN documents USING (doc_id)
+           FROM {p}toks),
+    {p}tgt AS (SELECT b FROM {p}bt JOIN {base} USING (doc_id)
             WHERE lang = 'en'),
-    tcnt AS (SELECT b, COUNT(*) AS ct FROM tgt GROUP BY b),
-    rcnt AS (SELECT b, COUNT(*) AS cr FROM bt GROUP BY b),
-    nt AS (SELECT COUNT(*) AS nt FROM tgt),
-    nr AS (SELECT COUNT(*) AS nr FROM bt),
-    w AS (SELECT COALESCE(tcnt.b, rcnt.b) AS b,
+    {p}tcnt AS (SELECT b, COUNT(*) AS ct FROM {p}tgt GROUP BY b),
+    {p}rcnt AS (SELECT b, COUNT(*) AS cr FROM {p}bt GROUP BY b),
+    {p}nt AS (SELECT COUNT(*) AS nt FROM {p}tgt),
+    {p}nr AS (SELECT COUNT(*) AS nr FROM {p}bt),
+    {p}w AS (SELECT COALESCE({p}tcnt.b, {p}rcnt.b) AS b,
                  CAST(ROUND((ln((COALESCE(ct, 0) + 1)
-                                / ((SELECT nt FROM nt) + 4096.0))
+                                / ((SELECT nt FROM {p}nt) + 4096.0))
                            - ln((COALESCE(cr, 0) + 1)
-                                / ((SELECT nr FROM nr) + 4096.0)))
+                                / ((SELECT nr FROM {p}nr) + 4096.0)))
                           * 1000000) AS BIGINT) AS w
-          FROM tcnt FULL JOIN rcnt ON tcnt.b = rcnt.b),
-    per AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score_int,
+          FROM {p}tcnt FULL JOIN {p}rcnt ON {p}tcnt.b = {p}rcnt.b),
+    {p}per AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score_int,
                    COUNT(*) AS n_tok
-            FROM bt JOIN w USING (b) GROUP BY doc_id),
-    scored AS (SELECT d.doc_id,
+            FROM {p}bt JOIN {p}w USING (b) GROUP BY doc_id),
+    {p}scored AS (SELECT d.doc_id,
                       COALESCE(score_int, 0) AS score_int,
                       COALESCE(n_tok, 0) AS n_tok,
                       CASE WHEN COALESCE(n_tok, 0) > 0
                            THEN score_int / (1000000.0 * n_tok) END AS s
-               FROM documents d LEFT JOIN per USING (doc_id))"""
+               FROM {base} d LEFT JOIN {p}per USING (doc_id))"""
+
+
+_DSIR_CTES = _dsir_ctes()
 
 
 def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10078,33 +10108,40 @@ ORACLES["q_dsir_topk"] = f"""
 
 
 # --------------------------------------------------- quality classification
-_QUALITY_CTES = f"""
-    toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
-    bt AS (SELECT doc_id,
+def _quality_ctes(base: str = "documents", p: str = "") -> str:
+    """NB quality scoring CTE chain ending in ``{p}scored`` —
+    parameterized on base relation and CTE-name prefix (same template
+    the standalone q_quality_* oracles verify)."""
+    return f"""
+    {p}toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM {base}),
+    {p}bt AS (SELECT doc_id,
                   ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b
-           FROM toks),
-    pos AS (SELECT b FROM bt JOIN documents USING (doc_id)
+           FROM {p}toks),
+    {p}pos AS (SELECT b FROM {p}bt JOIN {base} USING (doc_id)
             WHERE lang = 'en'),
-    neg AS (SELECT b FROM bt JOIN documents USING (doc_id)
+    {p}neg AS (SELECT b FROM {p}bt JOIN {base} USING (doc_id)
             WHERE lang <> 'en'),
-    pcnt AS (SELECT b, COUNT(*) AS cp FROM pos GROUP BY b),
-    ncnt AS (SELECT b, COUNT(*) AS cn FROM neg GROUP BY b),
-    np AS (SELECT COUNT(*) AS np FROM pos),
-    nn AS (SELECT COUNT(*) AS nn FROM neg),
-    w AS (SELECT COALESCE(pcnt.b, ncnt.b) AS b,
+    {p}pcnt AS (SELECT b, COUNT(*) AS cp FROM {p}pos GROUP BY b),
+    {p}ncnt AS (SELECT b, COUNT(*) AS cn FROM {p}neg GROUP BY b),
+    {p}np AS (SELECT COUNT(*) AS np FROM {p}pos),
+    {p}nn AS (SELECT COUNT(*) AS nn FROM {p}neg),
+    {p}w AS (SELECT COALESCE({p}pcnt.b, {p}ncnt.b) AS b,
                  CAST(ROUND((ln((COALESCE(cp, 0) + 1)
-                                / ((SELECT np FROM np) + 4096.0))
+                                / ((SELECT np FROM {p}np) + 4096.0))
                            - ln((COALESCE(cn, 0) + 1)
-                                / ((SELECT nn FROM nn) + 4096.0)))
+                                / ((SELECT nn FROM {p}nn) + 4096.0)))
                           * 1000000) AS BIGINT) AS w
-          FROM pcnt FULL JOIN ncnt ON pcnt.b = ncnt.b),
-    per AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score_int,
+          FROM {p}pcnt FULL JOIN {p}ncnt ON {p}pcnt.b = {p}ncnt.b),
+    {p}per AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score_int,
                    COUNT(*) AS n_tok
-            FROM bt JOIN w USING (b) GROUP BY doc_id),
-    scored AS (SELECT d.doc_id,
+            FROM {p}bt JOIN {p}w USING (b) GROUP BY doc_id),
+    {p}scored AS (SELECT d.doc_id,
                       COALESCE(score_int, 0) AS score_int,
                       COALESCE(n_tok, 0) AS n_tok
-               FROM documents d LEFT JOIN per USING (doc_id))"""
+               FROM {base} d LEFT JOIN {p}per USING (doc_id))"""
+
+
+_QUALITY_CTES = _quality_ctes()
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10286,41 +10323,223 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_gopher_rules"] = q_gopher_rules
-ORACLES["q_gopher_rules"] = f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
-    base AS (SELECT doc_id,
+
+
+def _gopher_ctes(
+    base: str = "documents",
+    p: str = "",
+    min_tok: int = 20,
+    max_tok: int = 100_000,
+    min_mwl: int = 3,
+    max_mwl: int = 10,
+    top2_max: tuple[int, int] = (1, 10),
+    dup5_max: tuple[int, int] = (3, 10),
+    min_stopwords: int = 1,
+) -> str:
+    """Gopher rule evaluation as a CTE chain ending in ``{p}gq`` (one
+    row per doc with the signals and ``pred``) — shared by the
+    standalone q_gopher_rules oracle and composed oracles
+    (q_curation_pipeline) so the SQL can never drift between them."""
+    return f"""
+    {p}t AS (SELECT doc_id, {_TOKS} AS l FROM {base}),
+    {p}base AS (SELECT doc_id,
                     CAST(len(l) AS BIGINT) AS n_tok,
                     CAST(COALESCE(list_sum(list_transform(l, x -> len(x))), 0)
                          AS BIGINT) AS word_chars,
                     CAST(len(list_distinct(list_filter(l, x -> x IN
                          ('the','be','to','of','and','that','have','with'))))
                          AS BIGINT) AS stop_hits
-             FROM t),
-    g2 AS (SELECT doc_id, array_to_string(l[u.pos:u.pos+1], ' ') AS g
-           FROM t, UNNEST(generate_series(1, len(l) - 1)) AS u(pos)
+             FROM {p}t),
+    {p}g2 AS (SELECT doc_id, array_to_string(l[u.pos:u.pos+1], ' ') AS g
+           FROM {p}t, UNNEST(generate_series(1, len(l) - 1)) AS u(pos)
            WHERE len(l) >= 2),
-    m2 AS (SELECT doc_id, MAX(c) AS top2_count
-           FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+    {p}m2 AS (SELECT doc_id, MAX(c) AS top2_count
+           FROM (SELECT doc_id, g, COUNT(*) AS c FROM {p}g2 GROUP BY doc_id, g)
            GROUP BY doc_id),
-    g5 AS (SELECT doc_id, array_to_string(l[u.pos:u.pos+4], ' ') AS g
-           FROM t, UNNEST(generate_series(1, len(l) - 4)) AS u(pos)
+    {p}g5 AS (SELECT doc_id, array_to_string(l[u.pos:u.pos+4], ' ') AS g
+           FROM {p}t, UNNEST(generate_series(1, len(l) - 4)) AS u(pos)
            WHERE len(l) >= 5),
-    m5 AS (SELECT doc_id,
+    {p}m5 AS (SELECT doc_id,
                   SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup5_instances,
                   SUM(c) AS n5
-           FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g)
-           GROUP BY doc_id)
-    SELECT doc_id, n_tok, word_chars,
+           FROM (SELECT doc_id, g, COUNT(*) AS c FROM {p}g5 GROUP BY doc_id, g)
+           GROUP BY doc_id),
+    {p}gq AS (SELECT doc_id, n_tok, word_chars,
            CAST(COALESCE(top2_count, 0) AS BIGINT) AS top2_count,
            CAST(COALESCE(dup5_instances, 0) AS BIGINT) AS dup5_instances,
            CAST(COALESCE(n5, 0) AS BIGINT) AS n5,
            stop_hits,
-           (n_tok >= 20 AND n_tok <= 100000
-            AND word_chars >= 3 * n_tok AND word_chars <= 10 * n_tok
-            AND 2 * COALESCE(top2_count, 0) * 10 < n_tok * 1
+           (n_tok >= {min_tok} AND n_tok <= {max_tok}
+            AND word_chars >= {min_mwl} * n_tok AND word_chars <= {max_mwl} * n_tok
+            AND 2 * COALESCE(top2_count, 0) * {top2_max[1]} < n_tok * {top2_max[0]}
             AND (COALESCE(n5, 0) = 0
-                 OR COALESCE(dup5_instances, 0) * 10 < COALESCE(n5, 0) * 3)
-            AND stop_hits >= 1) AS pred
-    FROM base
-    LEFT JOIN m2 USING (doc_id)
-    LEFT JOIN m5 USING (doc_id)"""
+                 OR COALESCE(dup5_instances, 0) * {dup5_max[1]} < COALESCE(n5, 0) * {dup5_max[0]})
+            AND stop_hits >= {min_stopwords}) AS pred
+    FROM {p}base
+    LEFT JOIN {p}m2 USING (doc_id)
+    LEFT JOIN {p}m5 USING (doc_id))"""
+
+
+ORACLES["q_gopher_rules"] = f"""
+    WITH {_gopher_ctes()}
+    SELECT doc_id, n_tok, word_chars, top2_count, dup5_instances, n5,
+           stop_hits, pred
+    FROM gq"""
+
+
+def q_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring CUTTING (the apply side of q_dup_spans,
+    Lee et al. 2022): remove every duplicated 8-gram occurrence except
+    the globally-first copy (min exact-integer (doc_id, pos)), emit the
+    cleaned token stream per document."""
+    from janus_spark.datapipe.dedup import cut_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cut_duplicate_spans(docs, k=8).select(
+        "doc_id", "n_tok", "kept_tok", "clean_text"
+    )
+
+
+QUERIES["q_dup_cut"] = q_dup_cut
+ORACLES["q_dup_cut"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    g AS (SELECT doc_id, u.pos - 1 AS pos,
+                 ('0x' || substr(md5(array_to_string(l[u.pos:u.pos+7], ' ')),
+                                 1, 15))::BIGINT AS h
+          FROM t, UNNEST(generate_series(1, len(l) - 7)) AS u(pos)
+          WHERE len(l) >= 8),
+    dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+    f AS (SELECT doc_id, pos, h FROM g JOIN dup USING (h)),
+    losers AS (SELECT doc_id, pos
+               FROM (SELECT doc_id, pos,
+                            ROW_NUMBER() OVER (PARTITION BY h
+                                               ORDER BY doc_id, pos) AS rn
+                     FROM f)
+               WHERE rn > 1),
+    cov AS (SELECT DISTINCT doc_id, pos + d.x AS pos
+            FROM losers, UNNEST(generate_series(0, 7)) AS d(x)),
+    tok AS (SELECT doc_id, u.pos - 1 AS pos, l[u.pos] AS tk
+            FROM t, UNNEST(generate_series(1, len(l))) AS u(pos)),
+    kept AS (SELECT doc_id, pos, tk FROM tok ANTI JOIN cov USING (doc_id, pos)),
+    agg AS (SELECT doc_id, COUNT(*) AS kept_tok,
+                   string_agg(tk, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(l) AS BIGINT) AS n_tok,
+           CAST(COALESCE(kept_tok, 0) AS BIGINT) AS kept_tok,
+           COALESCE(clean_text, '') AS clean_text
+    FROM t LEFT JOIN agg USING (doc_id)"""
+
+
+# Target mixture for the domain-mixture gates: literal integer weights
+# over the 20 sources (w = (i mod 5) + 1), budget 200.  The allocation
+# depends only on (target, budget) — scale-invariant by construction.
+_MIX_TARGET = [(f"src{i}", (i % 5) + 1) for i in range(20)]
+_MIX_BUDGET = 200
+_MIX_W = sum(w for _, w in _MIX_TARGET)
+_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in _MIX_TARGET)
+_MIX_ALLOC_SQL = f"""
+    tw(source, w) AS (VALUES {_MIX_VALUES}),
+    avail AS (SELECT source, COUNT(*) AS n_avail FROM documents GROUP BY source),
+    j AS (SELECT tw.source, CAST(tw.w AS BIGINT) AS w,
+                 CAST(COALESCE(n_avail, 0) AS BIGINT) AS n_avail,
+                 ({_MIX_BUDGET} * tw.w) // {_MIX_W} AS base,
+                 ({_MIX_BUDGET} * tw.w) % {_MIX_W} AS rem
+          FROM tw LEFT JOIN avail USING (source)),
+    alloc AS (SELECT source, w, n_avail,
+                     CAST(base + CASE WHEN ROW_NUMBER()
+                                        OVER (ORDER BY rem DESC, source ASC)
+                                      <= {_MIX_BUDGET} - SUM(base) OVER ()
+                                 THEN 1 ELSE 0 END AS BIGINT) AS alloc
+              FROM j)"""
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (DoReMi-lite allocation step): exact-
+    integer largest-remainder apportionment of a 200-doc budget over
+    literal target weights — no float quotas anywhere."""
+    from janus_spark.datapipe.sampling import domain_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_mixture(docs, _MIX_TARGET, _MIX_BUDGET).select(
+        "source", "w", "n_avail", "alloc"
+    )
+
+
+QUERIES["q_domain_mixture"] = q_domain_mixture
+ORACLES["q_domain_mixture"] = f"""
+    WITH {_MIX_ALLOC_SQL}
+    SELECT source, w, n_avail, alloc FROM alloc"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sample honoring the q_domain_mixture
+    allocation: per domain the alloc lowest key-hashes win (key breaks
+    ties) — reproducible across engines and partitionings."""
+    from janus_spark.datapipe.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(docs, _MIX_TARGET, _MIX_BUDGET).select(
+        "doc_id", "source"
+    )
+
+
+QUERIES["q_mixture_sample"] = q_mixture_sample
+ORACLES["q_mixture_sample"] = f"""
+    WITH {_MIX_ALLOC_SQL},
+    ranked AS (SELECT d.doc_id, d.source,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY d.source
+                          ORDER BY substr(md5(CAST(d.doc_id AS VARCHAR)
+                                              || ':mixsample'), 1, 8),
+                                   d.doc_id) AS rk
+               FROM documents d JOIN alloc USING (source))
+    SELECT doc_id, source FROM ranked JOIN alloc USING (source)
+    WHERE rk <= alloc"""
+
+
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: Gopher rules → corpus-relative quality
+    filter → MinHash near-dup removal (pairwise keep-lowest-id) → DSIR
+    top-100 → 512-token/4-shard packing, as one DataFrame composition.
+    Oracle composed from the SAME SQL fragments the standalone stage
+    gates verify (no drift possible)."""
+    from janus_spark.datapipe.curation import curation_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation_pipeline(
+        docs, k_top=100, budget_tokens=512, n_shards=4
+    )
+    return out.select(
+        "id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("end_offset").cast("long").alias("end_offset"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "straddles",
+    )
+
+
+QUERIES["q_curation_full"] = q_curation_full
+ORACLES["q_curation_full"] = f"""
+    WITH {_gopher_ctes(base="documents", p="g_")},
+    s1 AS MATERIALIZED (SELECT d.* FROM documents d
+           JOIN g_gq USING (doc_id) WHERE g_gq.pred),
+    {_quality_ctes(base="s1", p="q_")},
+    q_tot AS (SELECT CAST(SUM(score_int) AS HUGEINT) AS ts,
+                     CAST(SUM(n_tok) AS HUGEINT) AS tn
+              FROM q_scored),
+    s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN q_scored USING (doc_id), q_tot
+           WHERE CAST(q_scored.score_int AS HUGEINT) * q_tot.tn
+                 > q_tot.ts * CAST(q_scored.n_tok AS HUGEINT)),
+    {_minhash_pair_ctes(corpus_sql="SELECT doc_id, text FROM s2", p="m_")},
+    s3 AS MATERIALIZED (SELECT * FROM s2
+           WHERE doc_id NOT IN (SELECT b FROM m_pairs)),
+    {_dsir_ctes(base="s3", p="d_")},
+    s4ids AS (SELECT doc_id FROM d_scored WHERE s IS NOT NULL
+              ORDER BY s DESC, doc_id LIMIT 100),
+    s4 AS MATERIALIZED (SELECT s3.* FROM s3 JOIN s4ids USING (doc_id)),
+    {_pack_ctes(base="s4", p="p_")}
+    SELECT id, shard, n_tokens, start_offset, end_offset, seq_id, straddles
+    FROM p_packed"""

@@ -1,0 +1,104 @@
+"""The composed curation pipeline (gopher → quality → minhash-dedup →
+DSIR top-k → pack): stage-interaction invariants and the shuffle-budget
+plan pin.  Exact values are pinned cross-engine by the q_curation_full
+oracle; these tests pin the composition properties the oracle can't
+see."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from janus_spark.datapipe.curation import curation_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = curation_pipeline(docs, k_top=100, budget_tokens=512, n_shards=4)
+    return docs, out.localCheckpoint(eager=True)
+
+
+def test_pipeline_output_is_survivor_subset(spark, pipeline_out):
+    """Every packed doc passed EVERY stage: gopher pred, the corpus-
+    relative quality predicate evaluated over the gopher survivors, and
+    near-dup removal (never the higher id of a qualifying pair)."""
+    from janus_spark.datapipe.dedup import minhash_lsh_pairs
+    from janus_spark.datapipe.quality import (
+        gopher_quality,
+        nb_quality_weights,
+        quality_filter_relative,
+    )
+
+    docs, out = pipeline_out
+    ids = {r["id"] for r in out.select("id").collect()}
+    assert len(ids) == 100  # k_top met at this SF
+
+    gq = gopher_quality(docs, min_tok=20, top2_max=(1, 10), min_stopwords=1)
+    gopher_keep = {r["doc_id"] for r in gq.where("pred").select("doc_id").collect()}
+    assert ids <= gopher_keep
+
+    s1 = docs.join(
+        gq.where("pred").select("doc_id"), "doc_id", "semi"
+    ).localCheckpoint(eager=True)
+    w = nb_quality_weights(
+        s1.where("lang = 'en'"), s1.where("lang <> 'en'")
+    )
+    q_keep = {
+        r["doc_id"]
+        for r in quality_filter_relative(s1, w).select("doc_id").collect()
+    }
+    assert ids <= q_keep
+
+    s2 = s1.join(
+        spark.createDataFrame([(i,) for i in q_keep], "doc_id long"),
+        "doc_id",
+        "semi",
+    ).localCheckpoint(eager=True)
+    dup_b = {
+        r["b"]
+        for r in minhash_lsh_pairs(
+            s2, jaccard_threshold=0.5, hash_fn="md5"
+        ).select("b").collect()
+    }
+    assert not (ids & dup_b)
+
+
+def test_pipeline_packing_is_contiguous(pipeline_out):
+    """Within each shard the selected docs tile the token stream:
+    offsets sorted by start are gap-free and end-exclusive."""
+    _, out = pipeline_out
+    by_shard = {}
+    for r in out.collect():
+        by_shard.setdefault(r["shard"], []).append(
+            (r["start_offset"], r["end_offset"], r["n_tokens"])
+        )
+    for shard, rows in by_shard.items():
+        rows.sort()
+        pos = 0
+        for start, end, n in rows:
+            assert start == pos and end == start + n
+            pos = end
+
+
+def test_curation_pipeline_shuffle_budget(spark, pipeline_out):
+    """The final plan segment (everything after the dedup-stage cut:
+    DSIR weight training [2 token-bucket groupBys + 2 scalar totals],
+    scoring groupBy + doc join-back, the top-k sort, the selection semi
+    join, and the pack shard window) must stay within its stage budget
+    of 8 shuffle exchanges — a regression (lost broadcast, re-scored
+    subtree) shows up as exchange #9."""
+    docs, _ = pipeline_out
+    out = curation_pipeline(docs, k_top=100, budget_tokens=512, n_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    shuffles = len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            plan,
+        )
+    )
+    assert shuffles <= 8, f"final segment shuffles grew: {shuffles}\n{plan}"
+    # weight tables and scalar totals must ride broadcasts, not shuffles
+    assert "BroadcastExchange" in plan

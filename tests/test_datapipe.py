@@ -1413,3 +1413,177 @@ def test_duplicate_spans_verify_mode(spark, monkeypatch):
         for r in dedup.duplicate_spans(docs, k=4, verify=True).collect()
     }
     assert collided_verified == honest
+
+
+def test_cut_duplicate_spans_keep_first(spark):
+    """The globally-first occurrence (min (doc_id, pos)) survives; every
+    other copy is cut; untouched and empty docs pass through."""
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (2, f"other2 words2 first2 {shared}"),
+            (1, f"{shared} unique1 text1 here1 now1"),
+            (3, "totally different content with no repeats at all"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tok"], r["kept_tok"], r["clean_text"])
+        for r in dedup.cut_duplicate_spans(docs, k=4).collect()
+    }
+    assert out[1] == (14, 14, f"{shared} unique1 text1 here1 now1")
+    assert out[2] == (13, 3, "other2 words2 first2")
+    assert out[3][0] == out[3][1] == 8
+    assert out[4] == (0, 0, "")
+
+
+def test_cut_duplicate_spans_intra_doc(spark):
+    """A doc repeating its own gram keeps only the first copy — the
+    min-(id,pos) rule applies within a document too."""
+    docs = spark.createDataFrame(
+        [(7, "x y z w middle1 middle2 x y z w")],
+        "doc_id long, text string",
+    )
+    [r] = dedup.cut_duplicate_spans(docs, k=4).collect()
+    assert (r["n_tok"], r["kept_tok"]) == (10, 6)
+    assert r["clean_text"] == "x y z w middle1 middle2"
+
+
+def test_cut_duplicate_spans_verify_mode(spark, monkeypatch):
+    """verify=True applies the exact gram-equality pass on the cut path
+    as well: under a forced total hash collision the default would cut
+    unique text, verify mode cuts only true duplicates."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d unique1 only2 here3 now4"),
+            (2, "x y z a b c d w"),
+        ],
+        "doc_id long, text string",
+    )
+    honest = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.cut_duplicate_spans(docs, k=4).collect()
+    }
+    assert honest == {
+        1: "a b c d unique1 only2 here3 now4",
+        2: "x y z w",
+    }
+    monkeypatch.setattr(
+        dedup, "shared_hash64", lambda col, seed=None: F.lit(0).cast("long")
+    )
+    collided = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.cut_duplicate_spans(docs, k=4, verify=True).collect()
+    }
+    assert collided == honest
+
+
+# ---------------------------------------------------- domain mixture
+def test_largest_remainder_exact_invariants():
+    """Allocations are exact integers summing to the budget (or total
+    capacity), respect caps, and are deterministic with documented
+    tie-breaks (larger remainder first, then name ascending)."""
+    from janus_spark.datapipe.sampling import largest_remainder as lr
+
+    assert lr([("a", 1), ("b", 1), ("c", 1)], 10) == {"a": 4, "b": 3, "c": 3}
+    assert lr([("a", 3), ("b", 3)], 7) == {"a": 4, "b": 3}  # tie -> 'a'
+    got = lr([("a", 5), ("b", 1)], 12, caps={"a": 4})
+    assert got == {"a": 4, "b": 8}  # freed budget re-apportioned
+    got = lr([("a", 5), ("b", 1), ("c", 1)], 14, caps={"a": 2, "b": 3})
+    assert got["a"] == 2 and got["b"] == 3 and got["c"] == 9
+    # budget beyond capacity: caps filled, surplus unspent
+    assert lr([("a", 1), ("b", 1)], 100, caps={"a": 3, "b": 4}) == {
+        "a": 3, "b": 4,
+    }
+    assert lr([("a", 0), ("b", 2)], 7) == {"a": 0, "b": 7}
+    assert lr([], 5) == {}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        lr([("a", -1)], 5)
+    with _pt.raises(ValueError):
+        lr([("a", 1), ("a", 2)], 5)
+
+
+def test_largest_remainder_hypothesis_sum():
+    from hypothesis import given, settings, strategies as st
+
+    from janus_spark.datapipe.sampling import largest_remainder as lr
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        ws=st.lists(st.integers(0, 9), min_size=1, max_size=8),
+        budget=st.integers(0, 500),
+        cap=st.integers(0, 30),
+    )
+    def check(ws, budget, cap):
+        names = [f"d{i}" for i in range(len(ws))]
+        target = list(zip(names, ws))
+        if sum(ws) == 0:
+            return
+        uncapped = lr(target, budget)
+        assert sum(uncapped.values()) == budget
+        capped = lr(target, budget, caps={names[0]: cap})
+        assert capped[names[0]] <= cap
+        if any(w > 0 for _, w in target[1:]):
+            # uncapped domains absorb whatever the cap frees
+            assert sum(capped.values()) == budget
+        else:
+            # the capped domain is the only positive weight
+            assert sum(capped.values()) == min(budget, cap)
+
+    check()
+
+
+def test_domain_mixture_matches_python_and_is_scale_free(spark):
+    """The in-engine apportionment equals the pure-python reference;
+    the allocation ignores availability (only n_avail varies with the
+    corpus) and absent target domains surface n_avail=0."""
+    from janus_spark.datapipe.sampling import domain_mixture, largest_remainder
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    target = [("src0", 3), ("src1", 1), ("src2", 1), ("ghost", 2)]
+    rows = {
+        r["source"]: (r["n_avail"], r["alloc"])
+        for r in domain_mixture(docs, target, 50).collect()
+    }
+    py = largest_remainder(target, 50)
+    assert {k: v[1] for k, v in rows.items()} == py
+    assert rows["ghost"] == (0, py["ghost"])
+    assert sum(v[1] for v in rows.values()) == 50
+    # doubling the corpus changes n_avail only
+    rows2 = {
+        r["source"]: r["alloc"]
+        for r in domain_mixture(docs.union(docs), target, 50).collect()
+    }
+    assert rows2 == {k: v[1] for k, v in rows.items()}
+
+
+def test_mixture_sample_honors_allocation_and_order_free(spark):
+    """Per-domain counts equal min(alloc, avail); the winner set is
+    invariant under input row order and partitioning."""
+    from janus_spark.datapipe.sampling import (
+        domain_mixture,
+        largest_remainder,
+        mixture_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(40)], "doc_id long, source string"
+    )
+    target = [("src0", 8), ("src1", 1), ("src2", 1)]  # src3 not targeted
+    py = largest_remainder(target, 20)
+    out = mixture_sample(docs, target, 20)
+    got = {r["source"]: r["cnt"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    avail = 10  # each src has 10 docs
+    assert got == {k: min(v, avail) for k, v in py.items() if min(v, avail) > 0}
+    ids = sorted(r["doc_id"] for r in out.collect())
+    shuffled = docs.orderBy(F.desc("doc_id")).repartition(7)
+    ids2 = sorted(
+        r["doc_id"] for r in mixture_sample(shuffled, target, 20).collect()
+    )
+    assert ids == ids2

@@ -154,3 +154,75 @@ def test_relative_filter_matches_brute_force(spark, docs, weights, tau):
         ).collect()
     }
     assert got == expect
+
+
+def _py_cut_spans(texts, k, min_count=2):
+    """Reference for cut_duplicate_spans: every occurrence of a
+    corpus-duplicated gram except the (doc_id, pos)-smallest is a loser;
+    tokens covered by any loser range are removed."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    toks_by_doc = {}
+    for doc_id, text in texts:
+        toks = _py_tokens(text)
+        toks_by_doc[doc_id] = toks
+        for i in range(len(toks) - k + 1):
+            occ[" ".join(toks[i : i + k])].append((doc_id, i))
+    covered = defaultdict(set)
+    for places in occ.values():
+        if len(places) >= min_count:
+            for doc_id, pos in sorted(places)[1:]:
+                covered[doc_id].update(range(pos, pos + k))
+    out = {}
+    for doc_id, toks in toks_by_doc.items():
+        kept = [t for i, t in enumerate(toks) if i not in covered[doc_id]]
+        out[doc_id] = (len(toks), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=6),
+    k=st.integers(2, 4),
+)
+def test_cut_duplicate_spans_matches_brute_force(spark, docs, k):
+    from janus_spark.datapipe.dedup import cut_duplicate_spans
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["kept_tok"], r["clean_text"])
+        for r in cut_duplicate_spans(df, k=k).collect()
+    }
+    assert got == _py_cut_spans(rows, k)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+def test_cut_covers_every_loser_gram(spark, docs):
+    """Invariant: after the cut, each originally-duplicated gram's ONLY
+    surviving occurrence at its ORIGINAL position is the canonical one —
+    every loser occurrence has at least one token removed (here all k)."""
+    from janus_spark.datapipe.dedup import cut_duplicate_spans, duplicate_spans
+
+    k = 3
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cut = {
+        r["doc_id"]: set(_py_tokens(r["clean_text"]))
+        for r in cut_duplicate_spans(df, k=k).collect()
+    }
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, k=k).collect()
+    }
+    # every doc with a flagged span either kept fewer tokens than it had
+    # or holds the canonical copy (kept everything)
+    ref = _py_cut_spans(rows, k)
+    for doc_id, (n_tok, kept_tok, _) in ref.items():
+        if doc_id in spans:
+            assert kept_tok <= n_tok
+        else:
+            assert kept_tok == n_tok
+        assert len(cut[doc_id]) <= kept_tok or kept_tok == 0
