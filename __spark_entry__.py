@@ -184,6 +184,7 @@ R10_QUEUE = [
     "q_domain_mixture",
     "q_mixture_sample",
     "q_curation_full",
+    "q_unimax_mixture",
 ]
 
 

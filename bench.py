@@ -243,6 +243,13 @@ def main() -> None:
         "q_quality_filter",
         "q_dup_spans",
         "q_gopher_rules",
+        # round-9: duplicate-substring CUTTING (winner election + anti
+        # join + per-doc rebuild on top of the span detector), the
+        # mixture-honoring deterministic sample (count + apportionment +
+        # per-domain rank), and the composed 5-stage curation pipeline
+        "q_dup_cut",
+        "q_mixture_sample",
+        "q_curation_full",
     ):
         runs, n = timed(QUERIES[name])
         datapipe[name] = round(min(runs), 3)

@@ -371,3 +371,105 @@ def mixture_sample(
         .where(F.col("__rk") <= F.col("alloc"))
         .drop("__rk", "alloc")
     )
+
+
+def unimax_allocations(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 1,
+    source_col: str = "source",
+) -> DataFrame:
+    """UniMax domain allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling"): spread ``budget`` documents as
+    UNIFORMLY as possible across domains subject to a per-domain
+    repeat cap ``max_epochs x n_avail`` — the published alternative to
+    temperature mixing that never over-samples a small domain.
+
+    Equal-weight capped apportionment has a closed form — integer
+    water-filling: sort domains by cap ascending, cap out the longest
+    prefix whose caps fit under the budget (``S_i = P_{i-1} +
+    c_i * (m-i+1) <= B`` — S is monotone, so the capped set is a
+    prefix), then split the remaining budget equally among the rest,
+    leftover to the first names ascending.  Every step is BIGINT
+    arithmetic (the ROUND-boundary discipline), and the closed form is
+    provably what :func:`largest_remainder` converges to for equal
+    weights (pinned by a hypothesis net), so the two entry points can
+    never disagree.
+
+    Returns one row per domain: ``(source, n_avail, cap, alloc)``, all
+    exact integers; ``sum(alloc) = min(budget, sum(cap))``.
+
+    Plan shape (100 TB): ONE map-side-combined count over the corpus
+    scan; every window below runs over the model-sized domain table
+    (|domains| rows), never row-scale data."""
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_avail")
+    )
+    j = counts.select(
+        source_col,
+        "n_avail",
+        (F.col("n_avail") * F.lit(int(max_epochs))).cast("long").alias("cap"),
+    )
+    worder = Window.orderBy(F.asc("cap"), F.asc(source_col))
+    wall = Window.partitionBy()
+    wname = Window.orderBy(F.asc(source_col))
+    B = F.lit(int(budget)).cast("long")
+    s = (
+        j.withColumn("__i", F.row_number().over(worder))
+        .withColumn("__m", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "__P",
+            F.sum("cap").over(worder.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        # budget needed for prefix 1..i-1 at cap and everyone else at c_i
+        .withColumn(
+            "__S",
+            F.col("__P") - F.col("cap") + F.col("cap") * (F.col("__m") - F.col("__i") + 1),
+        )
+        .withColumn("__capped", F.col("__S") <= B)
+        .withColumn("__k", F.sum(F.col("__capped").cast("long")).over(wall))
+        .withColumn(
+            "__Pk",
+            F.coalesce(
+                F.max(F.when(F.col("__capped"), F.col("__P"))).over(wall),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("__B2", B - F.col("__Pk"))
+        .withColumn("__u", F.col("__m") - F.col("__k"))
+        .withColumn(
+            "__base",
+            F.when(
+                F.col("__u") > 0, F.expr("__B2 div __u").cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "__L",
+            F.when(F.col("__u") > 0, F.col("__B2") % F.col("__u")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        # leftover +1s go to the first uncapped names ascending
+        .withColumn(
+            "__nr",
+            F.sum(F.when(F.col("__capped"), 0).otherwise(1)).over(
+                wname.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return s.select(
+        source_col,
+        "n_avail",
+        "cap",
+        F.when(F.col("__capped"), F.col("cap"))
+        .otherwise(
+            F.col("__base")
+            + F.when(F.col("__nr") <= F.col("__L"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

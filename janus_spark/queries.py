@@ -10543,3 +10543,51 @@ ORACLES["q_curation_full"] = f"""
     {_pack_ctes(base="s4", p="p_")}
     SELECT id, shard, n_tokens, start_offset, end_offset, seq_id, straddles
     FROM p_packed"""
+
+
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax allocation (Chung et al. 2023): spread a 400-doc budget as
+    uniformly as possible across LANGUAGES, capped at 1 epoch per
+    language — exact-integer water-filling (the closed form of
+    equal-weight capped largest-remainder).  Languages are deliberately
+    the domain (counts vary 64..218 at the driver SFs) so the cap BINDS
+    for four of five domains and the oracle exercises the
+    redistribution path, not just the uniform split."""
+    from janus_spark.datapipe.sampling import unimax_allocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unimax_allocations(
+        docs, budget=400, max_epochs=1, source_col="lang"
+    ).select("lang", "n_avail", "cap", "alloc")
+
+
+QUERIES["q_unimax_mixture"] = q_unimax_mixture
+ORACLES["q_unimax_mixture"] = """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_avail
+               FROM documents GROUP BY lang),
+    j AS (SELECT lang, n_avail, n_avail * 1 AS cap FROM c),
+    s AS (SELECT lang, n_avail, cap,
+                 ROW_NUMBER() OVER (ORDER BY cap, lang) AS i,
+                 COUNT(*) OVER () AS m,
+                 SUM(cap) OVER (ORDER BY cap, lang
+                                ROWS UNBOUNDED PRECEDING) AS pfx
+          FROM j),
+    t AS (SELECT *, pfx - cap + cap * (m - i + 1) AS need FROM s),
+    u AS (SELECT *, (need <= 400) AS capped FROM t),
+    agg AS (SELECT SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS k,
+                   COALESCE(MAX(CASE WHEN capped THEN pfx END), 0) AS pk,
+                   MAX(m) AS mm
+            FROM u),
+    x AS (SELECT u.*, agg.k, 400 - agg.pk AS b2, agg.mm - agg.k AS uu
+          FROM u, agg),
+    y AS (SELECT *,
+                 CASE WHEN uu > 0 THEN b2 // uu ELSE 0 END AS base,
+                 CASE WHEN uu > 0 THEN b2 % uu ELSE 0 END AS lft,
+                 SUM(CASE WHEN capped THEN 0 ELSE 1 END)
+                     OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS nr
+          FROM x)
+    SELECT lang, n_avail, cap,
+           CAST(CASE WHEN capped THEN cap
+                     ELSE base + CASE WHEN nr <= lft THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc
+    FROM y"""

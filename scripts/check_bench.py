@@ -24,6 +24,32 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _recover_from_tail(data: dict) -> dict | None:
+    """The driver records only the LAST bytes of bench stdout; once the
+    JSON line outgrew that window the front is cut and ``parsed`` is
+    null (first seen in BENCH_r08).  The timing dicts are flat, so
+    recover them (and sf) from the tail text with brace-local regexes."""
+    tail = data.get("tail")
+    if not isinstance(tail, str):
+        return None
+    out: dict = {}
+    for key in ("queries", "datapipe", "queries_median", "datapipe_median",
+                "throughput"):
+        m = re.search(r'"%s":\s*(\{[^{}]*\})' % key, tail)
+        if m:
+            try:
+                out[key] = json.loads(m.group(1))
+            except json.JSONDecodeError:
+                pass
+    m = re.search(r'"sf":\s*([0-9.]+)', tail)
+    if m:
+        out["sf"] = float(m.group(1))
+    m = re.search(r'"value":\s*([0-9.]+)', tail)
+    if m:
+        out["value"] = float(m.group(1))
+    return out if out.get("queries") else None
+
+
 def load_baseline(path: str | None) -> dict:
     if path is None:
         cands = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
@@ -33,7 +59,12 @@ def load_baseline(path: str | None) -> dict:
         path = cands[-1]
     with open(path) as f:
         data = json.load(f)
-    parsed = data.get("parsed", data)
+    parsed = data.get("parsed") or _recover_from_tail(data) or (
+        data if data.get("queries") else None
+    )
+    if parsed is None:
+        print(f"baseline {path} has no parsed bench record; nothing to compare")
+        sys.exit(0)
     print(f"baseline: {path} (sf={parsed.get('sf')})")
     return parsed
 

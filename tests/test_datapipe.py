@@ -1587,3 +1587,43 @@ def test_mixture_sample_honors_allocation_and_order_free(spark):
         r["doc_id"] for r in mixture_sample(shuffled, target, 20).collect()
     )
     assert ids == ids2
+
+
+def test_unimax_is_capped_equal_weight_apportionment(spark):
+    """The closed-form integer water-filling in unimax_allocations must
+    equal what the iterative largest_remainder converges to for equal
+    weights + caps, on arbitrary count/budget shapes (including
+    budget > capacity, single domain, and cap-tie knife edges)."""
+    from hypothesis import given, settings, strategies as st
+
+    from janus_spark.datapipe.sampling import (
+        largest_remainder,
+        unimax_allocations,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        ns=st.lists(st.integers(1, 9), min_size=1, max_size=5),
+        budget=st.integers(0, 60),
+        me=st.integers(1, 3),
+    )
+    def check(ns, budget, me):
+        rows, rid = [], 0
+        for d, n in enumerate(ns):
+            for _ in range(n):
+                rows.append((rid, f"d{d}"))
+                rid += 1
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = {
+            r["source"]: r["alloc"]
+            for r in unimax_allocations(df, budget, me).collect()
+        }
+        ref = largest_remainder(
+            [(f"d{d}", 1) for d in range(len(ns))],
+            budget,
+            caps={f"d{d}": n * me for d, n in enumerate(ns)},
+        )
+        assert got == ref
+        assert sum(got.values()) == min(budget, sum(ns) * me)
+
+    check()
