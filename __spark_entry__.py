@@ -185,6 +185,7 @@ R10_QUEUE = [
     "q_mixture_sample",
     "q_curation_full",
     "q_unimax_mixture",
+    "q_mixture_tokens",
 ]
 
 

@@ -473,3 +473,60 @@ def unimax_allocations(
         .cast("long")
         .alias("alloc"),
     )
+
+
+def mixture_sample_tokens(
+    df: DataFrame,
+    target,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = ":mixtok",
+) -> DataFrame:
+    """Token-budgeted mixture sampling — the allocation unit a training
+    run actually budgets in.  The TOKEN budget is apportioned over the
+    target weights with the same exact-integer largest-remainder rule
+    as :func:`domain_mixture`, then each domain is filled greedily in
+    deterministic hash order (lowest key-hashes first, key breaks
+    ties): a document is kept iff the tokens accumulated BEFORE it are
+    still under the domain's allocation, so the selected set is a
+    prefix of the domain's canonical hash order and the last kept doc
+    may straddle the boundary (the packing convention — chop at token
+    granularity downstream; rejecting it instead would leave the
+    budget silently underfilled and make selection depend on one doc's
+    length).  Emits the kept rows with ``n_tok`` and the exact-integer
+    ``tok_before`` (tokens accumulated ahead of the doc within its
+    domain), so downstream chopping needs no recount.
+
+    Reproducible across engines, partitionings and re-runs (exact
+    integers + md5 order throughout).  One shuffle of the corpus on the
+    domain key for the per-domain running sum — same skew note as
+    ``quota_sample`` for mega-domains."""
+    alloc = F.broadcast(
+        domain_mixture(df, target, budget_tokens, source_col).select(
+            source_col, "alloc"
+        )
+    )
+    from janus_spark.datapipe.text import clean_tokens
+
+    w = Window.partitionBy(source_col).orderBy(
+        hash_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.join(alloc, source_col)
+        .withColumn(
+            "n_tok", F.size(clean_tokens(F.col(text_col))).cast("long")
+        )
+        .withColumn(
+            "tok_before",
+            F.coalesce(
+                F.sum("n_tok").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .where(F.col("tok_before") < F.col("alloc"))
+        .drop("alloc")
+    )

@@ -10438,20 +10438,29 @@ _MIX_TARGET = [(f"src{i}", (i % 5) + 1) for i in range(20)]
 _MIX_BUDGET = 200
 _MIX_W = sum(w for _, w in _MIX_TARGET)
 _MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in _MIX_TARGET)
-_MIX_ALLOC_SQL = f"""
+
+
+def _mix_alloc_sql(budget: int) -> str:
+    """Largest-remainder apportionment of ``budget`` over _MIX_TARGET as
+    a CTE chain ending in ``alloc(source, w, n_avail, alloc)`` — shared
+    by every mixture oracle so the SQL can never drift."""
+    return f"""
     tw(source, w) AS (VALUES {_MIX_VALUES}),
     avail AS (SELECT source, COUNT(*) AS n_avail FROM documents GROUP BY source),
     j AS (SELECT tw.source, CAST(tw.w AS BIGINT) AS w,
                  CAST(COALESCE(n_avail, 0) AS BIGINT) AS n_avail,
-                 ({_MIX_BUDGET} * tw.w) // {_MIX_W} AS base,
-                 ({_MIX_BUDGET} * tw.w) % {_MIX_W} AS rem
+                 ({budget} * tw.w) // {_MIX_W} AS base,
+                 ({budget} * tw.w) % {_MIX_W} AS rem
           FROM tw LEFT JOIN avail USING (source)),
     alloc AS (SELECT source, w, n_avail,
                      CAST(base + CASE WHEN ROW_NUMBER()
                                         OVER (ORDER BY rem DESC, source ASC)
-                                      <= {_MIX_BUDGET} - SUM(base) OVER ()
+                                      <= {budget} - SUM(base) OVER ()
                                  THEN 1 ELSE 0 END AS BIGINT) AS alloc
               FROM j)"""
+
+
+_MIX_ALLOC_SQL = _mix_alloc_sql(_MIX_BUDGET)
 
 
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10591,3 +10600,37 @@ ORACLES["q_unimax_mixture"] = """
                      ELSE base + CASE WHEN nr <= lft THEN 1 ELSE 0 END
                 END AS BIGINT) AS alloc
     FROM y"""
+
+
+def q_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture sampling: the 20,000-TOKEN budget is
+    apportioned over the same literal target as q_domain_mixture
+    (exact-integer largest remainder), then each domain fills greedily
+    in deterministic hash order — a doc is kept iff the tokens
+    accumulated before it are under the domain's allocation (the last
+    kept doc may straddle; downstream packing chops at token
+    granularity)."""
+    from janus_spark.datapipe.sampling import mixture_sample_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample_tokens(docs, _MIX_TARGET, 20000).select(
+        "doc_id", "source", "n_tok", "tok_before"
+    )
+
+
+QUERIES["q_mixture_tokens"] = q_mixture_tokens
+ORACLES["q_mixture_tokens"] = f"""
+    WITH {_mix_alloc_sql(20000)},
+    ranked AS (SELECT d.doc_id, d.source,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+                      CAST(COALESCE(SUM(len({_TOKS})) OVER (
+                          PARTITION BY d.source
+                          ORDER BY substr(md5(CAST(d.doc_id AS VARCHAR)
+                                              || ':mixtok'), 1, 8),
+                                   d.doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS tok_before
+               FROM documents d JOIN alloc USING (source))
+    SELECT doc_id, source, n_tok, tok_before
+    FROM ranked JOIN alloc USING (source)
+    WHERE tok_before < alloc"""

@@ -1627,3 +1627,46 @@ def test_unimax_is_capped_equal_weight_apportionment(spark):
         assert sum(got.values()) == min(budget, sum(ns) * me)
 
     check()
+
+
+def test_mixture_sample_tokens_prefix_and_boundary(spark):
+    """Kept docs form a contiguous prefix of each domain's hash order
+    (tok_before chains exactly), the last kept doc STARTS under the
+    domain's token allocation, and the first excluded doc would not."""
+    from janus_spark.datapipe.sampling import (
+        largest_remainder,
+        mixture_sample_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", "w " * (3 + i % 5)) for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    target = [("src0", 2), ("src1", 1), ("src2", 1)]
+    budget = 40
+    py = largest_remainder(target, budget)
+    out = mixture_sample_tokens(docs, target, budget)
+    bysrc = {}
+    for r in out.collect():
+        bysrc.setdefault(r["source"], []).append((r["tok_before"], r["n_tok"]))
+    assert set(bysrc) <= set(py)
+    for s, lst in bysrc.items():
+        lst.sort()
+        total = 0
+        for tb, n in lst:
+            assert tb == total  # contiguous prefix, no gaps
+            total += n
+        last_start = lst[-1][0]
+        assert last_start < py[s]  # last kept doc starts in budget
+        assert total >= py[s] or total == sum(
+            n for _, n in lst
+        )  # either filled (possibly straddling) or domain exhausted
+    # order/partition independence
+    ids = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample_tokens(
+            docs.orderBy(F.desc("doc_id")).repartition(5), target, budget
+        ).collect()
+    )
+    assert ids == ids2
