@@ -186,6 +186,7 @@ R10_QUEUE = [
     "q_curation_full",
     "q_unimax_mixture",
     "q_mixture_tokens",
+    "q_curation_funnel",
 ]
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["curation_pipeline"]
+__all__ = ["curation_pipeline", "curation_funnel"]
 
 
 def curation_pipeline(
@@ -75,6 +75,37 @@ def curation_pipeline(
     one semi/anti join per stage boundary, each on the id key of an
     already-shrinking survivor set.
     """
+    s4 = _curation_stages(
+        docs,
+        k_top,
+        jaccard_threshold,
+        n_buckets,
+        text_col,
+        id_col,
+        lang_col,
+        gopher_kwargs,
+    )[-1]
+
+    from janus_spark.datapipe.text import pack_token_stream
+
+    # 5 — pack
+    return pack_token_stream(s4, budget_tokens, n_shards, text_col, id_col)
+
+
+def _curation_stages(
+    docs: DataFrame,
+    k_top: int,
+    jaccard_threshold: float,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    gopher_kwargs: dict | None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The survivor frames after each filtering stage: (gopher, quality,
+    dedup, selected) — shared by :func:`curation_pipeline` and
+    :func:`curation_funnel` so the two can never disagree on stage
+    semantics."""
     from janus_spark.datapipe.dedup import minhash_lsh_pairs
     from janus_spark.datapipe.quality import (
         gopher_quality,
@@ -82,7 +113,6 @@ def curation_pipeline(
         quality_filter_relative,
     )
     from janus_spark.datapipe.selection import dsir_topk, dsir_weights
-    from janus_spark.datapipe.text import pack_token_stream
 
     gk = dict(min_tok=20, top2_max=(1, 10), min_stopwords=1)
     gk.update(gopher_kwargs or {})
@@ -128,6 +158,53 @@ def curation_pipeline(
         id_col
     )
     s4 = s3.join(keep4, id_col, "semi")
+    return s1, s2, s3, s4
 
-    # 5 — pack
-    return pack_token_stream(s4, budget_tokens, n_shards, text_col, id_col)
+
+def curation_funnel(
+    docs: DataFrame,
+    k_top: int = 100,
+    jaccard_threshold: float = 0.5,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """The curation funnel — per-stage survivor counts, the first thing
+    an operator looks at when a curation run misbehaves (one stage
+    suddenly eating the corpus is THE classic pipeline failure).
+
+    Returns one row per stage, ordered by ``stage_no``:
+    ``(stage_no, stage, n_docs)`` for raw → gopher → quality → dedup →
+    selected, all exact integers.  Built on the SAME stage frames as
+    :func:`curation_pipeline` (shared ``_curation_stages``), so the
+    report can never drift from what the pipeline actually does; the
+    stage frames are already localCheckpoint-cut, so the five counts
+    add five cheap aggregates, not five pipeline re-runs."""
+    s1, s2, s3, s4 = _curation_stages(
+        docs,
+        k_top,
+        jaccard_threshold,
+        n_buckets,
+        text_col,
+        id_col,
+        lang_col,
+        gopher_kwargs,
+    )
+    parts = [
+        (0, "raw", docs),
+        (1, "gopher", s1),
+        (2, "quality", s2),
+        (3, "dedup", s3),
+        (4, "selected", s4),
+    ]
+    out = None
+    for no, name, frame in parts:
+        row = frame.agg(
+            F.lit(no).cast("long").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

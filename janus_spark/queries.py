@@ -10531,8 +10531,13 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_curation_full"] = q_curation_full
-ORACLES["q_curation_full"] = f"""
-    WITH {_gopher_ctes(base="documents", p="g_")},
+
+# The curation stage CTE prelude (through s4) — shared by the
+# q_curation_full and q_curation_funnel oracles so the stage semantics
+# can never drift between the packed output and the funnel report.
+# Stage-boundary CTEs are MATERIALIZED: DuckDB re-evaluates deep CTE
+# chains once per reference otherwise (>7 min -> 0.4 s here).
+_CURATION_STAGE_CTES = f"""{_gopher_ctes(base="documents", p="g_")},
     s1 AS MATERIALIZED (SELECT d.* FROM documents d
            JOIN g_gq USING (doc_id) WHERE g_gq.pred),
     {_quality_ctes(base="s1", p="q_")},
@@ -10548,10 +10553,37 @@ ORACLES["q_curation_full"] = f"""
     {_dsir_ctes(base="s3", p="d_")},
     s4ids AS (SELECT doc_id FROM d_scored WHERE s IS NOT NULL
               ORDER BY s DESC, doc_id LIMIT 100),
-    s4 AS MATERIALIZED (SELECT s3.* FROM s3 JOIN s4ids USING (doc_id)),
+    s4 AS MATERIALIZED (SELECT s3.* FROM s3 JOIN s4ids USING (doc_id))"""
+
+ORACLES["q_curation_full"] = f"""
+    WITH {_CURATION_STAGE_CTES},
     {_pack_ctes(base="s4", p="p_")}
     SELECT id, shard, n_tokens, start_offset, end_offset, seq_id, straddles
     FROM p_packed"""
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: per-stage survivor counts for the
+    q_curation_full pipeline (raw -> gopher -> quality -> dedup ->
+    selected), built on the same stage frames so report and pipeline
+    can never disagree."""
+    from janus_spark.datapipe.curation import curation_funnel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curation_funnel(docs, k_top=100).select(
+        "stage_no", "stage", "n_docs"
+    )
+
+
+QUERIES["q_curation_funnel"] = q_curation_funnel
+ORACLES["q_curation_funnel"] = f"""
+    WITH {_CURATION_STAGE_CTES}
+    SELECT CAST(0 AS BIGINT) AS stage_no, 'raw' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    UNION ALL SELECT 1, 'gopher', COUNT(*) FROM s1
+    UNION ALL SELECT 2, 'quality', COUNT(*) FROM s2
+    UNION ALL SELECT 3, 'dedup', COUNT(*) FROM s3
+    UNION ALL SELECT 4, 'selected', COUNT(*) FROM s4"""
 
 
 def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,3 +102,21 @@ def test_curation_pipeline_shuffle_budget(spark, pipeline_out):
     assert shuffles <= 8, f"final segment shuffles grew: {shuffles}\n{plan}"
     # weight tables and scalar totals must ride broadcasts, not shuffles
     assert "BroadcastExchange" in plan
+
+
+def test_funnel_matches_pipeline_stages(spark, pipeline_out):
+    """The funnel's counts must equal what the pipeline's own output
+    implies: monotone non-increasing, selected == packed row count, and
+    raw == the input corpus."""
+    from janus_spark.datapipe.curation import curation_funnel
+
+    docs, out = pipeline_out
+    funnel = {
+        r["stage"]: r["n_docs"]
+        for r in curation_funnel(docs, k_top=100).collect()
+    }
+    assert funnel["raw"] == docs.count()
+    assert funnel["selected"] == out.count() == 100
+    order = ["raw", "gopher", "quality", "dedup", "selected"]
+    vals = [funnel[s] for s in order]
+    assert vals == sorted(vals, reverse=True)
