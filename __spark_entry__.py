@@ -187,6 +187,7 @@ R10_QUEUE = [
     "q_unimax_mixture",
     "q_mixture_tokens",
     "q_curation_funnel",
+    "q_sample_quota_prefiltered",
 ]
 
 

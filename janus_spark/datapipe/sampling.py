@@ -530,3 +530,92 @@ def mixture_sample_tokens(
         .where(F.col("tok_before") < F.col("alloc"))
         .drop("alloc")
     )
+
+
+def quota_sample_prefiltered(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = ":quota",
+    ratio: int = 10,
+) -> DataFrame:
+    """The mega-stratum scale path for :func:`quota_sample`, REALIZED:
+    identical output, but the corpus-wide shuffle feeding the rank cut
+    sees ~``ratio * n / count`` of each stratum instead of all of it.
+
+    Why it is exact and not approximate: selection keeps the n LOWEST
+    ``(hash, key)`` rows per stratum, and the pre-filter keeps rows with
+    ``hash < t_s`` — the SAME hash, strict threshold, so what survives
+    is a PREFIX of each stratum's selection order (ties at the boundary
+    hash are kept or dropped together).  Winners can therefore only be
+    lost if a stratum retains fewer than n rows; the plan counts
+    survivors per stratum and RESCUES any short stratum by unioning its
+    full rows back in — a declarative fallback (one broadcast semi/anti
+    pair), no driver loop, no silent approximation.  The rank cut at
+    the end is the same expression as ``quota_sample``'s, so the two
+    functions are output-identical by construction (pinned by tests
+    forcing both the fast path and the rescue path, and by the
+    q_sample_quota_prefiltered gate whose DuckDB oracle is the PLAIN
+    ranking SQL).
+
+    Scale: the expected survivor count per stratum is ``ratio * n``
+    (binomial around the rate), so the shuffle into the per-stratum
+    window shrinks by ``count / (ratio * n)`` — for a billion-row
+    stratum with n=100k and ratio=10 that is a 1000x lighter shuffle,
+    and the rescue path stays empty with overwhelming probability
+    (retention is ~Binomial(count, ratio*n/count); at ratio=10 the
+    short-stratum probability is e-digits negligible, and when it DOES
+    happen the answer is still exact, just slower for that stratum)."""
+    if ratio < 1:
+        raise ValueError("ratio must be >= 1")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    rates = counts.select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(ratio * n_per_stratum)) / F.col("__cnt").cast("double"),
+        ).alias("__rate"),
+        "__cnt",
+    )
+    h = hash_bucket(F.col(key_col), salt)
+    # string threshold per stratum, same construction as
+    # rate_to_hex_threshold; conv emits UPPERCASE hex, which would
+    # mis-sort against the lowercase md5 (digits < A-F < a-f) and skew
+    # the retention rate — lower it
+    thr = F.lower(
+        F.lpad(
+            F.conv(
+                F.least(
+                    F.floor(F.col("__rate") * F.lit(float(_HASH_SPACE))),
+                    F.lit(float(_HASH_SPACE - 1)),
+                ).cast("long").cast("string"),
+                10,
+                16,
+            ),
+            8,
+            "0",
+        )
+    )
+    tagged = df.join(F.broadcast(rates), strata_col)
+    pre = tagged.where(h < thr)
+    kpost = pre.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__k"))
+    short = (
+        kpost.join(counts, strata_col)
+        .where(
+            (F.col("__k") < F.lit(int(n_per_stratum)))
+            & (F.col("__k") < F.col("__cnt"))
+        )
+        .select(strata_col)
+    )
+    base = pre.join(F.broadcast(short), strata_col, "anti").unionByName(
+        tagged.join(F.broadcast(short), strata_col, "semi")
+    ).drop("__rate", "__cnt")
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        base.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

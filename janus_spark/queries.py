@@ -10666,3 +10666,31 @@ ORACLES["q_mixture_tokens"] = f"""
     SELECT doc_id, source, n_tok, tok_before
     FROM ranked JOIN alloc USING (source)
     WHERE tok_before < alloc"""
+
+
+def q_sample_quota_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mega-stratum scale path of quota sampling, proven exact: the
+    gate runs the PREFILTERED plan (per-stratum hash pre-cut + survivor
+    count + declarative rescue of short strata + rank), while the
+    oracle is the PLAIN ranking SQL — an EXACT match IS the
+    cross-engine proof that the scale path changes the plan, not the
+    answer.  ratio=1 deliberately starves the pre-cut so the rescue
+    path executes at every SF."""
+    from janus_spark.datapipe.sampling import quota_sample_prefiltered
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quota_sample_prefiltered(
+        docs, 5, strata_col="source", ratio=1
+    ).select("doc_id", "source")
+
+
+QUERIES["q_sample_quota_prefiltered"] = q_sample_quota_prefiltered
+ORACLES["q_sample_quota_prefiltered"] = """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)
+                                                    || ':quota'), 1, 8),
+                                         doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 5"""

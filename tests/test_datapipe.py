@@ -1670,3 +1670,39 @@ def test_mixture_sample_tokens_prefix_and_boundary(spark):
         ).collect()
     )
     assert ids == ids2
+
+
+def test_quota_prefiltered_identical_both_paths(spark):
+    """quota_sample_prefiltered must equal quota_sample exactly on BOTH
+    paths: generous ratio (pre-cut retains everything needed) and
+    ratio=1 with tiny strata (rescue path forced — retention < n)."""
+    from janus_spark.datapipe.sampling import (
+        quota_sample,
+        quota_sample_prefiltered,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 7}") for i in range(200)] + [(1000, "lone")],
+        "doc_id long, source string",
+    )
+    plain = sorted(
+        (r["doc_id"], r["source"])
+        for r in quota_sample(docs, 4).select("doc_id", "source").collect()
+    )
+    for ratio in (1, 3, 50):
+        fast = sorted(
+            (r["doc_id"], r["source"])
+            for r in quota_sample_prefiltered(docs, 4, ratio=ratio)
+            .select("doc_id", "source")
+            .collect()
+        )
+        assert fast == plain, ratio
+    # order/partition independence of the prefiltered plan
+    shuffled = docs.orderBy(F.desc("doc_id")).repartition(9)
+    fast2 = sorted(
+        (r["doc_id"], r["source"])
+        for r in quota_sample_prefiltered(shuffled, 4, ratio=2)
+        .select("doc_id", "source")
+        .collect()
+    )
+    assert fast2 == plain
