@@ -190,6 +190,43 @@ R10_QUEUE = [
     "q_sample_quota_prefiltered",
 ]
 
+# The 42 refresh slots of the r10 window: the gates whose most recent
+# driver-hash row is oldest (q_contamination is the last r4-vintage row;
+# the rest are r5-vintage, ties broken by registry order — recomputed
+# from CORRECTNESS_r01..r09 at the r10 pin).
+R10_REFRESHES = [
+    "q_contamination",
+    "q_live_tumbling_join", "q_skew_auto_join", "q_live_sink_parquet",
+    "q_path_deep_closure", "q_comparator_stream", "q_passage_dedup",
+    "q_scd2_history", "q_dedup_cross_corpus", "q_window_path_closure",
+    "q_temperature_mix", "q_ann_pq", "q_curation_pipeline",
+    "q_ann_ivfadc", "q_multimodal_ann", "q_live_cms", "q_live_funnel",
+    "q_bm25_incremental", "q_temporal_join", "q_bpe_pairs",
+    "q_skyline3d", "q_live_hll", "q_match_pattern",
+    "q_live_match_pattern", "q_tpch_ship_priority", "q_tpch_late_orders",
+    "q_tpch_nation_volume", "q_clustering_coeff", "q_khop_features",
+    "q_negative_edges", "q_target_encoding", "q_target_encoding_smoothed",
+    "q_diff_in_diff", "q_spatial_join", "q_quantile_hist",
+    "q_drift_chi2", "q_expr_datetime", "q_live_drift", "q_line_dedup",
+    "q_link_prediction", "q_tpch_profit", "q_tpch_min_cost_supplier",
+]
+
+# The r10 driver window (slots 1-50): the 8 R10_QUEUE gates (judge
+# pre-verified 8/8 EXACT at sf0.01 AND sf0.1 in the r9 adjudication) —
+# after which every gate registered at the r9 pin has a driver-hash row
+# — then 42 refreshes of the oldest rows (VERDICT r9 "Next round" #1).
+R10_WINDOW = R10_QUEUE + R10_REFRESHES
+
+PRIORITY_GATES = list(
+    dict.fromkeys(R10_WINDOW + R9_WINDOW + R8_WINDOW + R7_WINDOW + R6_CHECKED)
+)
+
+# Gates added AFTER the r10 window was pinned: they go to the BACK of
+# the registry this round and form the head of the r11 window (the
+# coverage test exempts exactly these).  Entries are appended in the
+# same commit that registers the gate.
+R11_QUEUE: list[str] = []
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from janus_spark.queries import QUERIES
