@@ -207,4 +207,6 @@ def curation_funnel(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
         )
         out = row if out is None else out.unionByName(row)
-    return out
+    # a bare union's row order is plan/partition-dependent; the promised
+    # stage_no ordering costs one sort of 5 rows
+    return out.orderBy("stage_no")

@@ -303,6 +303,10 @@ def domain_mixture(
     target = [(str(k), int(w)) for k, w in target]
     if any(w < 0 for _, w in target):
         raise ValueError("weights must be non-negative")
+    if len({k for k, _ in target}) != len(target):
+        # mirror largest_remainder: a duplicated domain would survive the
+        # join as duplicate rows and silently over-allocate the budget
+        raise ValueError("duplicate names in weights")
     total_w = sum(w for _, w in target)
     if total_w == 0:
         raise ValueError("target weights sum to zero")
@@ -600,8 +604,19 @@ def quota_sample_prefiltered(
     tagged = df.join(F.broadcast(rates), strata_col)
     pre = tagged.where(h < thr)
     kpost = pre.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__k"))
+    # counts LEFT JOIN kpost, not inner: a stratum whose pre-filter kept
+    # ZERO rows is absent from kpost entirely, and an inner join would
+    # drop it from `short` — never rescued, the whole stratum silently
+    # vanishing (at ratio=1 that is ~e^-n per large stratum, a real
+    # event).  coalesce(__k, 0) makes it satisfy __k < n and take the
+    # rescue path like any other short stratum.
     short = (
-        kpost.join(counts, strata_col)
+        counts.join(kpost, strata_col, "left")
+        .select(
+            strata_col,
+            F.coalesce(F.col("__k"), F.lit(0)).alias("__k"),
+            "__cnt",
+        )
         .where(
             (F.col("__k") < F.lit(int(n_per_stratum)))
             & (F.col("__k") < F.col("__cnt"))

@@ -111,10 +111,11 @@ def test_funnel_matches_pipeline_stages(spark, pipeline_out):
     from janus_spark.datapipe.curation import curation_funnel
 
     docs, out = pipeline_out
-    funnel = {
-        r["stage"]: r["n_docs"]
-        for r in curation_funnel(docs, k_top=100).collect()
-    }
+    rows = curation_funnel(docs, k_top=100).collect()
+    # collected order IS stage_no order — the docstring promises it
+    # (ADVICE r9: a bare union's order is partition-dependent)
+    assert [r["stage_no"] for r in rows] == [0, 1, 2, 3, 4]
+    funnel = {r["stage"]: r["n_docs"] for r in rows}
     assert funnel["raw"] == docs.count()
     assert funnel["selected"] == out.count() == 100
     order = ["raw", "gopher", "quality", "dedup", "selected"]

@@ -1706,3 +1706,63 @@ def test_quota_prefiltered_identical_both_paths(spark):
         .collect()
     )
     assert fast2 == plain
+
+
+def test_quota_prefiltered_rescues_zero_survivor_stratum(spark):
+    """A stratum whose EVERY row hashes above the pre-filter threshold
+    leaves zero survivors — it is then absent from the survivor counts,
+    and an inner join there would silently drop the whole stratum
+    instead of rescuing it (ADVICE r9, medium).  Construct exactly that
+    stratum by sieving keys against the same md5 prefix the engine
+    compares, and pin prefiltered == plain."""
+    import hashlib
+
+    from janus_spark.datapipe.sampling import (
+        _HASH_SPACE,
+        quota_sample,
+        quota_sample_prefiltered,
+    )
+
+    n, ratio, cnt = 2, 1, 40
+    # the engine's threshold: floor(least(1, ratio*n/cnt) * 16^8) in hex
+    thr = format(int(min(1.0, float(ratio * n) / cnt) * _HASH_SPACE), "08x")
+
+    def h(k):
+        return hashlib.md5((str(k) + ":quota").encode()).hexdigest()[:8]
+
+    unlucky, k = [], 0
+    while len(unlucky) < cnt:
+        if h(k) >= thr:
+            unlucky.append(k)
+        k += 1
+    rows = [(i, "unlucky") for i in unlucky] + [
+        (10_000 + i, "normal") for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = sorted(
+        (r["doc_id"], r["source"])
+        for r in quota_sample(docs, n).select("doc_id", "source").collect()
+    )
+    fast = sorted(
+        (r["doc_id"], r["source"])
+        for r in quota_sample_prefiltered(docs, n, ratio=ratio)
+        .select("doc_id", "source")
+        .collect()
+    )
+    assert fast == plain
+    assert sum(1 for _, s in fast if s == "unlucky") == n
+
+
+def test_domain_mixture_rejects_duplicate_domains(spark):
+    """A duplicated target domain would join into duplicate rows and
+    silently over-allocate the budget — reject it like
+    largest_remainder does (ADVICE r9, low)."""
+    import pytest
+
+    from janus_spark.datapipe.sampling import domain_mixture
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        domain_mixture(docs, [("a", 1), ("a", 2)], 10)
