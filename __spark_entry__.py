@@ -225,7 +225,10 @@ PRIORITY_GATES = list(
 # the registry this round and form the head of the r11 window (the
 # coverage test exempts exactly these).  Entries are appended in the
 # same commit that registers the gate.
-R11_QUEUE: list[str] = []
+R11_QUEUE: list[str] = [
+    "q_mixture_sample_prefiltered",
+    "q_mixture_tokens_prefiltered",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -31,6 +31,27 @@ def rate_to_hex_threshold(rate: float) -> str:
     return format(min(int(rate * _HASH_SPACE), _HASH_SPACE - 1), "08x")
 
 
+def _rate_col_to_hex_threshold(rate: Column) -> Column:
+    """Column form of :func:`rate_to_hex_threshold` — per-row rate to an
+    8-hex-char string threshold.  ``conv`` emits UPPERCASE hex, which
+    would mis-sort against the lowercase md5 (digits < A-F < a-f) and
+    skew the retention rate — lower it."""
+    return F.lower(
+        F.lpad(
+            F.conv(
+                F.least(
+                    F.floor(rate * F.lit(float(_HASH_SPACE))),
+                    F.lit(float(_HASH_SPACE - 1)),
+                ).cast("long").cast("string"),
+                10,
+                16,
+            ),
+            8,
+            "0",
+        )
+    )
+
+
 def hash_bucket(key: Column, salt: str = "") -> Column:
     """The 8-hex-char md5 prefix of a key's string form — the uniform
     'coin flip' every sampler below compares against a threshold.
@@ -583,24 +604,7 @@ def quota_sample_prefiltered(
         "__cnt",
     )
     h = hash_bucket(F.col(key_col), salt)
-    # string threshold per stratum, same construction as
-    # rate_to_hex_threshold; conv emits UPPERCASE hex, which would
-    # mis-sort against the lowercase md5 (digits < A-F < a-f) and skew
-    # the retention rate — lower it
-    thr = F.lower(
-        F.lpad(
-            F.conv(
-                F.least(
-                    F.floor(F.col("__rate") * F.lit(float(_HASH_SPACE))),
-                    F.lit(float(_HASH_SPACE - 1)),
-                ).cast("long").cast("string"),
-                10,
-                16,
-            ),
-            8,
-            "0",
-        )
-    )
+    thr = _rate_col_to_hex_threshold(F.col("__rate"))
     tagged = df.join(F.broadcast(rates), strata_col)
     pre = tagged.where(h < thr)
     kpost = pre.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__k"))
@@ -633,4 +637,191 @@ def quota_sample_prefiltered(
         base.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
+    )
+
+
+def mixture_sample_prefiltered(
+    df: DataFrame,
+    target,
+    budget: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = ":mixsample",
+    ratio: int = 10,
+) -> DataFrame:
+    """The mega-domain scale path for :func:`mixture_sample`, realized
+    with the :func:`quota_sample_prefiltered` recipe: identical output,
+    but the corpus shuffle feeding the per-domain rank sees
+    ~``ratio * alloc`` rows of each domain instead of all of it.
+
+    Exactness argument (same as the quota path): selection keeps the
+    ``alloc`` lowest ``(hash, key)`` rows per domain and the pre-filter
+    keeps ``hash < t_d`` — the SAME hash with a strict threshold, so
+    survivors are a PREFIX of the domain's selection order.  A domain
+    can only lose winners if it retains fewer than ``alloc`` survivors;
+    the plan counts survivors per domain and RESCUES any short domain
+    declaratively (one broadcast anti/semi pair), including the
+    zero-survivor case (counts LEFT JOIN survivor counts).  The final
+    rank cut is :func:`mixture_sample`'s own expression, so the two
+    functions are output-identical by construction (pinned by tests on
+    both paths and by the q_mixture_sample_prefiltered gate, whose
+    DuckDB oracle is the PLAIN ranking SQL).
+
+    Scale: a 1e9-row domain with alloc=100k and ratio=10 shuffles ~1e6
+    rows into its rank window instead of 1e9 — ~1000x lighter — and the
+    allocation itself rides a broadcast of the |target|-row table."""
+    if ratio < 1:
+        raise ValueError("ratio must be >= 1")
+    mix = domain_mixture(df, target, budget, source_col)
+    rates = mix.select(
+        source_col,
+        "alloc",
+        "n_avail",
+        F.when(
+            F.col("n_avail") > 0,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(ratio))
+                * F.col("alloc").cast("double")
+                / F.col("n_avail").cast("double"),
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("__rate"),
+    )
+    h = hash_bucket(F.col(key_col), salt)
+    thr = _rate_col_to_hex_threshold(F.col("__rate"))
+    tagged = df.join(F.broadcast(rates), source_col)
+    pre = tagged.where(h < thr)
+    kpost = pre.groupBy(source_col).agg(F.count(F.lit(1)).alias("__k"))
+    short = (
+        rates.join(kpost, source_col, "left")
+        .select(
+            source_col,
+            F.coalesce(F.col("__k"), F.lit(0)).alias("__k"),
+            "alloc",
+            "n_avail",
+        )
+        .where(
+            (F.col("__k") < F.col("alloc")) & (F.col("__k") < F.col("n_avail"))
+        )
+        .select(source_col)
+    )
+    base = pre.join(F.broadcast(short), source_col, "anti").unionByName(
+        tagged.join(F.broadcast(short), source_col, "semi")
+    ).drop("__rate", "n_avail")
+    w = Window.partitionBy(source_col).orderBy(
+        hash_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        base.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.col("alloc"))
+        .drop("__rk", "alloc")
+    )
+
+
+def mixture_sample_tokens_prefiltered(
+    df: DataFrame,
+    target,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = ":mixtok",
+    ratio: int = 10,
+) -> DataFrame:
+    """The mega-domain scale path for :func:`mixture_sample_tokens`:
+    identical output, but each domain's running-sum window sees rows
+    carrying ~``ratio * alloc`` TOKENS instead of the whole domain.
+
+    The pre-filter keeps ``hash < t_d`` with ``t_d`` sized so the
+    retained token mass is ~``ratio * alloc`` (rate =
+    ``ratio * alloc / domain_total_tokens``; one map-side-combined
+    count+token aggregate over the corpus scan — the same tokenization
+    work the plain operator already pays on its window input).
+    Survivors are a PREFIX of the domain's ``(hash, key)`` order, so
+    ``tok_before`` computed over survivors equals the true value for
+    every survivor; the kept set (``tok_before < alloc``) can only be
+    cut short if the survivors' total token mass is below the
+    allocation WITH rows left behind — exactly the per-domain rescue
+    condition (``sum(n_tok) < alloc AND n_docs_kept < n_docs``),
+    checked with a LEFT join so a zero-survivor domain is rescued too.
+    The final cut is :func:`mixture_sample_tokens`'s own expression, so
+    the two are output-identical by construction (pinned by tests on
+    both paths and by the q_mixture_tokens_prefiltered gate, whose
+    DuckDB oracle is the PLAIN running-sum SQL)."""
+    if ratio < 1:
+        raise ValueError("ratio must be >= 1")
+    from janus_spark.datapipe.text import clean_tokens
+
+    alloc = domain_mixture(df, target, budget_tokens, source_col).select(
+        source_col, "alloc"
+    )
+    stats = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        F.sum(F.size(clean_tokens(F.col(text_col))).cast("long"))
+        .cast("long")
+        .alias("__tok"),
+    )
+    rates = (
+        alloc.join(stats, source_col, "left")
+        .select(
+            source_col,
+            "alloc",
+            F.coalesce(F.col("__cnt"), F.lit(0)).cast("long").alias("__cnt"),
+            F.when(
+                F.coalesce(F.col("__tok"), F.lit(0)) > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(ratio))
+                    * F.col("alloc").cast("double")
+                    / F.col("__tok").cast("double"),
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("__rate"),
+        )
+    )
+    h = hash_bucket(F.col(key_col), salt)
+    thr = _rate_col_to_hex_threshold(F.col("__rate"))
+    tagged = df.join(F.broadcast(rates), source_col).withColumn(
+        "n_tok", F.size(clean_tokens(F.col(text_col))).cast("long")
+    )
+    pre = tagged.where(h < thr)
+    kpost = pre.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("n_tok").cast("long").alias("__s"),
+    )
+    short = (
+        rates.join(kpost, source_col, "left")
+        .select(
+            source_col,
+            F.coalesce(F.col("__k"), F.lit(0)).alias("__k"),
+            F.coalesce(F.col("__s"), F.lit(0)).alias("__s"),
+            "alloc",
+            "__cnt",
+        )
+        .where(
+            (F.col("__s") < F.col("alloc")) & (F.col("__k") < F.col("__cnt"))
+        )
+        .select(source_col)
+    )
+    base = pre.join(F.broadcast(short), source_col, "anti").unionByName(
+        tagged.join(F.broadcast(short), source_col, "semi")
+    ).drop("__rate", "__cnt")
+    w = Window.partitionBy(source_col).orderBy(
+        hash_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        base.withColumn(
+            "tok_before",
+            F.coalesce(
+                F.sum("n_tok").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .where(F.col("tok_before") < F.col("alloc"))
+        .drop("alloc")
     )

@@ -10694,3 +10694,45 @@ ORACLES["q_sample_quota_prefiltered"] = """
                                          doc_id) AS rk
       FROM documents)
     WHERE rk <= 5"""
+
+
+def q_mixture_sample_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mega-domain scale path of mixture sampling, proven exact: the
+    gate runs the PREFILTERED plan (per-domain hash pre-cut sized from
+    the allocation + survivor count + declarative rescue + rank), while
+    the oracle is the PLAIN ranking SQL — an EXACT match IS the
+    cross-engine proof that the scale path changes the plan, not the
+    answer.  ratio=1 deliberately starves the pre-cut so the rescue
+    path executes at every SF."""
+    from janus_spark.datapipe.sampling import mixture_sample_prefiltered
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample_prefiltered(
+        docs, _MIX_TARGET, _MIX_BUDGET, ratio=1
+    ).select("doc_id", "source")
+
+
+QUERIES["q_mixture_sample_prefiltered"] = q_mixture_sample_prefiltered
+# deliberately the SAME SQL as q_mixture_sample: the scale path must not
+# change the answer
+ORACLES["q_mixture_sample_prefiltered"] = ORACLES["q_mixture_sample"]
+
+
+def q_mixture_tokens_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mega-domain scale path of TOKEN-budgeted mixture sampling:
+    the pre-cut is sized so ~ratio*alloc tokens survive per domain
+    (rate = ratio*alloc / domain_total_tokens), with a token-shortfall
+    rescue (a domain whose survivors carry fewer tokens than its
+    allocation gets its full rows back).  Oracle is the PLAIN
+    running-sum SQL; ratio=1 starves the pre-cut so the rescue executes
+    at every SF."""
+    from janus_spark.datapipe.sampling import mixture_sample_tokens_prefiltered
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample_tokens_prefiltered(
+        docs, _MIX_TARGET, 20000, ratio=1
+    ).select("doc_id", "source", "n_tok", "tok_before")
+
+
+QUERIES["q_mixture_tokens_prefiltered"] = q_mixture_tokens_prefiltered
+ORACLES["q_mixture_tokens_prefiltered"] = ORACLES["q_mixture_tokens"]

@@ -1753,6 +1753,116 @@ def test_quota_prefiltered_rescues_zero_survivor_stratum(spark):
     assert sum(1 for _, s in fast if s == "unlucky") == n
 
 
+def _sieve_keys(n, salt, thr_hex, below=0, start=0):
+    """First ``n`` integer keys whose md5 prefix is >= ``thr_hex`` under
+    ``salt`` (plus ``below`` keys strictly under it) — deterministic
+    construction of a domain whose pre-filter survivor count is exactly
+    ``below``."""
+    import hashlib
+
+    def h(k):
+        return hashlib.md5((str(k) + salt).encode()).hexdigest()[:8]
+
+    above, under, k = [], [], start
+    while len(above) < n or len(under) < below:
+        (under if h(k) < thr_hex else above).append(k)
+        k += 1
+    return above[:n] + under[:below]
+
+
+def test_mixture_prefiltered_identical_both_paths(spark):
+    """mixture_sample_prefiltered must equal mixture_sample exactly on
+    every path: generous ratio, ratio=1 (rescue likely), and a sieved
+    domain whose pre-filter keeps ZERO rows (rescue forced through the
+    zero-survivor branch)."""
+    from janus_spark.datapipe.sampling import (
+        _HASH_SPACE,
+        largest_remainder,
+        mixture_sample,
+        mixture_sample_prefiltered,
+    )
+
+    target = [("unlucky", 1), ("normal", 1)]
+    budget = 4
+    alloc = largest_remainder(target, budget)  # 2 each
+    # engine rate for the unlucky domain at ratio=1: alloc / n_avail
+    thr = format(int(min(1.0, float(alloc["unlucky"]) / 40) * _HASH_SPACE), "08x")
+    unlucky = _sieve_keys(40, ":mixsample", thr)
+    rows = [(k, "unlucky") for k in unlucky] + [
+        (10_000 + i, "normal") for i in range(40)
+    ] + [(20_000 + i, "ignored") for i in range(10)]  # untargeted domain
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = sorted(
+        (r["doc_id"], r["source"])
+        for r in mixture_sample(docs, target, budget).collect()
+    )
+    assert sum(1 for _, s in plain if s == "unlucky") == alloc["unlucky"]
+    for ratio in (1, 3, 50):
+        fast = sorted(
+            (r["doc_id"], r["source"])
+            for r in mixture_sample_prefiltered(
+                docs, target, budget, ratio=ratio
+            ).collect()
+        )
+        assert fast == plain, ratio
+    # order/partition independence
+    shuffled = docs.orderBy(F.desc("doc_id")).repartition(9)
+    fast2 = sorted(
+        (r["doc_id"], r["source"])
+        for r in mixture_sample_prefiltered(
+            shuffled, target, budget, ratio=2
+        ).collect()
+    )
+    assert fast2 == plain
+
+
+def test_mixture_tokens_prefiltered_identical_both_paths(spark):
+    """mixture_sample_tokens_prefiltered must equal mixture_sample_tokens
+    exactly, including tok_before, on: generous ratio, a sieved domain
+    with ZERO survivors, and a sieved domain whose survivors exist but
+    carry fewer tokens than the allocation (the token-shortfall rescue,
+    which the doc-count condition alone would miss)."""
+    from janus_spark.datapipe.sampling import (
+        _HASH_SPACE,
+        mixture_sample_tokens,
+        mixture_sample_tokens_prefiltered,
+    )
+
+    target = [("zero", 1), ("partial", 1), ("normal", 1)]
+    budget = 18  # 6 tokens per domain; docs are 3 tokens each
+    # engine rate at ratio=1: alloc_tokens / domain_total_tokens = 6/120
+    thr = format(int(min(1.0, 6.0 / 120.0) * _HASH_SPACE), "08x")
+    zero = _sieve_keys(40, ":mixtok", thr)
+    partial = _sieve_keys(39, ":mixtok", thr, below=1, start=100_000)
+    rows = (
+        [(k, "zero", "w w w") for k in zero]
+        + [(k, "partial", "w w w") for k in partial]
+        + [(200_000 + i, "normal", "w w w") for i in range(40)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    key = lambda r: (r["doc_id"], r["source"], r["n_tok"], r["tok_before"])
+    plain = sorted(key(r) for r in mixture_sample_tokens(docs, target, budget).collect())
+    # each domain fills its 6-token allocation with 2 docs
+    assert len(plain) == 6
+    for ratio in (1, 4, 50):
+        fast = sorted(
+            key(r)
+            for r in mixture_sample_tokens_prefiltered(
+                docs, target, budget, ratio=ratio
+            ).collect()
+        )
+        assert fast == plain, ratio
+    # order/partition independence
+    shuffled = docs.orderBy(F.desc("doc_id")).repartition(9)
+    fast2 = sorted(
+        key(r)
+        for r in mixture_sample_tokens_prefiltered(
+            shuffled, target, budget, ratio=1
+        ).collect()
+    )
+    assert fast2 == plain
+
+
 def test_domain_mixture_rejects_duplicate_domains(spark):
     """A duplicated target domain would join into duplicate rows and
     silently over-allocate the budget — reject it like
