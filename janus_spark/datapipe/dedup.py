@@ -1624,8 +1624,15 @@ def cut_duplicate_spans(
     :func:`duplicate_spans`, winner election is ONE map-side-combined
     min-aggregate on the gram hash; losers come from one equi-join on
     the same key; covered positions explode k rows per LOSER occurrence
-    only (bounded by duplicate volume, not corpus size); the final cut
-    is one anti join on ``(id, pos)`` plus one per-document groupBy.
+    only (bounded by duplicate volume, not corpus size) and are
+    immediately aggregated into ONE sorted position array per document
+    (bounded by doc length).  The cut itself is DOC-scale: one join of
+    that array back to the corpus by doc id, then in-array Column
+    surgery (``array_except`` of the position range — hash-set
+    semantics, O(doc_len + cut_len) per doc).  The corpus is never
+    exploded to token rows and nothing shuffles on ``(id, pos)`` — at
+    100 TB that is the difference between shuffling ~1e14 token rows
+    and ~1e11 doc rows (the r9 plan anti-joined every corpus token).
     No window over anything wider than a document, no driver-side
     state, no skew hotspot beyond the duplicate data itself.
     """
@@ -1641,31 +1648,38 @@ def cut_duplicate_spans(
         .where((F.col("id") != F.col("w.id")) | (F.col("pos") != F.col("w.pos")))
         .select("id", "pos")
     )
-    covered = losers.select(
-        "id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("pos"),
-    ).distinct()
-    tok_rows = base.select("id", F.posexplode("toks").alias("pos", "tok"))
-    kept_rows = F.array_sort(
-        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
-    )
-    kept = (
-        tok_rows.join(covered, ["id", "pos"], "anti")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("kept_tok"),
-            F.concat_ws(
-                " ", F.transform(kept_rows, lambda r: r["tok"])
-            ).alias("clean_text"),
+    # per-doc sorted array of covered positions: collect_set dedupes
+    # overlapping loser ranges, the groupBy is loser-scale on the doc id
+    cov = (
+        losers.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
         )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("cut_pos"))
     )
+    n = F.size("toks")
+    # sequence(0, -1) would DESCEND for an empty doc — gate on n > 0
+    pos_seq = F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1))).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )
+    kept_pos = F.when(
+        F.col("cut_pos").isNotNull(), F.array_except(pos_seq, F.col("cut_pos"))
+    ).otherwise(pos_seq)  # array_except preserves first-array order
     return (
-        base.select("id", F.size("toks").cast("long").alias("n_tok"))
-        .join(kept, "id", "left")
+        base.join(cov, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            "n_tok",
-            F.coalesce(F.col("kept_tok"), F.lit(0)).cast("long").alias("kept_tok"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            n.cast("long").alias("n_tok"),
+            F.size(kept_pos).cast("long").alias("kept_tok"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    kept_pos,
+                    lambda p: F.element_at(F.col("toks"), p + F.lit(1)),
+                ),
+            ).alias("clean_text"),
         )
     )

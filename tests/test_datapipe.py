@@ -1479,6 +1479,28 @@ def test_cut_duplicate_spans_verify_mode(spark, monkeypatch):
     assert collided == honest
 
 
+def test_cut_duplicate_spans_is_doc_scale(spark):
+    """The apply step must never shuffle token rows: no exchange may
+    partition on (id, pos) — covered positions aggregate to one array
+    per doc and the cut is in-array surgery (VERDICT r9 'Next round'
+    #3; the old plan anti-joined every corpus token)."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l a b c d e f m n")],
+        "doc_id long, text string",
+    )
+    plan = (
+        dedup.cut_duplicate_spans(docs, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        cols = {c.strip().split("#")[0] for c in m.group(1).split(",")[:-1]}
+        assert cols != {"id", "pos"}, f"token-scale exchange: {m.group(0)}"
+
+
 # ---------------------------------------------------- domain mixture
 def test_largest_remainder_exact_invariants():
     """Allocations are exact integers summing to the budget (or total
