@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -250,6 +251,11 @@ def main() -> None:
         "q_dup_cut",
         "q_mixture_sample",
         "q_curation_full",
+        # round-10: the prefiltered mixture scale paths, benched at
+        # ratio=1 (rescue deliberately starved — worst case for the
+        # prefilter, so the recorded number is an upper bound)
+        "q_mixture_sample_prefiltered",
+        "q_mixture_tokens_prefiltered",
     ):
         runs, n = timed(QUERIES[name])
         datapipe[name] = round(min(runs), 3)
@@ -272,12 +278,37 @@ def main() -> None:
         "datapipe": datapipe,
         "datapipe_median": datapipe_median,
         "bench_reps": reps,
+        # box-load context: the r9 adjudication had to forensically
+        # resolve storage-shape flags against uptime — record it instead
+        "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
         # noise floor on this box (NOTES_r3): single runs vary ±40% on
         # storage microbenches under load; compare BASELINE/round deltas
         # against the min, use min-vs-median spread as the error bar
         "noise_note": "min=steady-state, median bounds noise; deltas < min/median spread are noise",
     }
     print(json.dumps(out))
+    # The driver keeps only the LAST bytes of stdout; BENCH_r08/r09 lost
+    # their heads to that window (VERDICT r9 "What's wrong" #3).  Persist
+    # the full record to a repo file so the ratchet never depends on the
+    # tail capture: BENCH_LOCAL_r{N} where N = newest driver BENCH + 1
+    # (the driver writes BENCH_r{N-1} before round N runs bench).
+    import glob as _glob
+
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    n = (max(rounds) + 1) if rounds else 0
+    local = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_r{n:02d}.json"
+    )
+    try:
+        with open(local, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"# full record: {local}", file=sys.stderr)
+    except OSError as exc:  # read-only checkout: stdout still has the line
+        print(f"# could not write {local}: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -50,23 +50,53 @@ def _recover_from_tail(data: dict) -> dict | None:
     return out if out.get("queries") else None
 
 
+def _parse_baseline_file(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    return data.get("parsed") or _recover_from_tail(data) or (
+        data if data.get("queries") else None
+    )
+
+
 def load_baseline(path: str | None) -> dict:
-    if path is None:
-        cands = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    """Newest parseable baseline wins.  BENCH_LOCAL_r* (bench.py's own
+    full record) is preferred over the driver's BENCH_r* for the same
+    round — the driver copy is tail-truncated since r08.  A truncated or
+    unparseable newest file falls back to the next-newest instead of
+    silently disabling the ratchet (ADVICE r9): exit 0 is reserved for
+    'no baseline exists at all'."""
+    if path is not None:
+        cands = [path]
+    else:
+        def round_no(p: str) -> int:
+            m = re.search(r"_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        cands = sorted(
+            glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            + glob.glob(os.path.join(REPO, "BENCH_LOCAL_r*.json")),
+            # same round: LOCAL sorts after (preferred) — it is the
+            # untruncated record
+            key=lambda p: (round_no(p), "LOCAL" in os.path.basename(p)),
+            reverse=True,
+        )
         if not cands:
             print("no BENCH_r*.json baseline found; nothing to compare")
             sys.exit(0)
-        path = cands[-1]
-    with open(path) as f:
-        data = json.load(f)
-    parsed = data.get("parsed") or _recover_from_tail(data) or (
-        data if data.get("queries") else None
-    )
-    if parsed is None:
-        print(f"baseline {path} has no parsed bench record; nothing to compare")
-        sys.exit(0)
-    print(f"baseline: {path} (sf={parsed.get('sf')})")
-    return parsed
+    for cand in cands:
+        parsed = _parse_baseline_file(cand)
+        if parsed is not None:
+            if cand != cands[0]:
+                print(f"WARNING: newest baseline {cands[0]} unparseable; "
+                      f"falling back to {cand}")
+            print(f"baseline: {cand} (sf={parsed.get('sf')})")
+            return parsed
+    print(f"FAIL: no parseable bench baseline among {len(cands)} candidates "
+          "(newest: " + cands[0] + ") — ratchet cannot run")
+    sys.exit(3)
 
 
 def run_bench_once() -> dict:
