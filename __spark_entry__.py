@@ -228,6 +228,7 @@ PRIORITY_GATES = list(
 R11_QUEUE: list[str] = [
     "q_mixture_sample_prefiltered",
     "q_mixture_tokens_prefiltered",
+    "q_curation_increment",
 ]
 
 

@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["curation_pipeline", "curation_funnel"]
+__all__ = [
+    "curation_pipeline",
+    "curation_funnel",
+    "curation_bootstrap",
+    "curation_increment",
+    "curation_frozen_batch",
+]
 
 
 def curation_pipeline(
@@ -210,3 +216,222 @@ def curation_funnel(
     # a bare union's row order is plan/partition-dependent; the promised
     # stage_no ordering costs one sort of 5 rows
     return out.orderBy("stage_no")
+
+
+# ------------------------------------------------- incremental curation
+def _default_gopher_kwargs(gopher_kwargs: dict | None) -> dict:
+    gk = dict(min_tok=20, top2_max=(1, 10), min_stopwords=1)
+    gk.update(gopher_kwargs or {})
+    return gk
+
+
+def train_curation_model(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    gopher_kwargs: dict | None = None,
+    tau_micro: int = 0,
+    hash_fn: str = "md5",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> dict:
+    """FREEZE a curation model from a founding corpus: NB quality
+    weights trained on the corpus's own gopher survivors, plus the
+    exact-integer corpus totals ``(ts, tn)`` that realize the
+    corpus-relative quality threshold as an absolute per-document
+    decision (``score_int·tn > ts·n_tok`` — the same cross-multiplied
+    comparison ``quality_filter_relative`` evaluates in-plan, with the
+    totals materialized so later batches reuse them unchanged).
+
+    The returned dict is the unit a production pipeline persists
+    between daily runs: the weights frame is model-sized (≤ n_buckets
+    rows, checkpointed; write it to parquet across sessions) and the
+    totals are two BIGINTs — the one deliberate driver-side collect."""
+    from janus_spark.datapipe.quality import (
+        gopher_quality,
+        nb_quality_weights,
+        quality_scores,
+    )
+
+    gk = _default_gopher_kwargs(gopher_kwargs)
+    keep1 = (
+        gopher_quality(docs, text_col, id_col, **gk)
+        .where("pred")
+        .select(id_col)
+    )
+    s1 = docs.join(keep1, id_col, "semi").localCheckpoint(eager=True)
+    w = nb_quality_weights(
+        s1.where(F.col(lang_col) == "en"),
+        s1.where(F.col(lang_col) != "en"),
+        text_col,
+        id_col,
+        n_buckets,
+    ).localCheckpoint(eager=True)
+    [tot] = (
+        quality_scores(s1, w, text_col, id_col, n_buckets)
+        .agg(F.sum("score_int").alias("ts"), F.sum("n_tok").alias("tn"))
+        .collect()
+    )
+    return {
+        "weights": w,
+        "ts": int(tot["ts"] or 0),
+        "tn": int(tot["tn"] or 0),
+        "n_buckets": n_buckets,
+        "jaccard_threshold": jaccard_threshold,
+        "text_col": text_col,
+        "id_col": id_col,
+        "lang_col": lang_col,
+        "gopher_kwargs": gk,
+        "tau_micro": tau_micro,
+        "hash_fn": hash_fn,
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+    }
+
+
+def _frozen_stage2(docs: DataFrame, model: dict) -> DataFrame:
+    """Gopher rules + FROZEN quality filter — the stateless per-document
+    prefix shared by :func:`curation_increment` and
+    :func:`curation_frozen_batch` (one definition, so the incremental
+    path and the batch reference cannot drift).  The quality decision is
+    the exact-integer comparison ``score_int·tn > ts·n + τ·n·tn`` in
+    decimal(38,0) — identical to ``quality_filter_relative`` with the
+    corpus totals pinned at training time."""
+    from janus_spark.datapipe.quality import gopher_quality, quality_scores
+
+    text_col, id_col = model["text_col"], model["id_col"]
+    keep1 = (
+        gopher_quality(docs, text_col, id_col, **model["gopher_kwargs"])
+        .where("pred")
+        .select(id_col)
+    )
+    s1 = docs.join(keep1, id_col, "semi").localCheckpoint(eager=True)
+    scores = quality_scores(
+        s1, model["weights"], text_col, id_col, model["n_buckets"]
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    keep2 = scores.where(
+        dec(F.col("score_int")) * dec(F.lit(int(model["tn"])))
+        > dec(F.lit(int(model["ts"]))) * dec(F.col("n_tok"))
+        + F.lit(int(model["tau_micro"])).cast("decimal(38,0)")
+        * dec(F.col("n_tok"))
+        * dec(F.lit(int(model["tn"])))
+    ).select(id_col)
+    return s1.join(keep2, id_col, "semi")
+
+
+def curation_increment(
+    new_docs: DataFrame, store_path: str, model: dict
+) -> DataFrame:
+    """One DAY of a production curation pipeline: filter the arriving
+    batch with the FROZEN model (gopher rules + pinned quality
+    threshold — no retraining, so yesterday's corpus is never
+    re-scored), near-dup it against every document ever seen via the
+    persistent MinHash store, and append the arrivals' signatures.
+    Returns the surviving rows of ``new_docs``.
+
+    Replay-safe: arrivals whose id already has signatures in the store
+    were processed by an earlier (possibly crashed-after-append) run —
+    they are dropped up front, so a retried batch returns nothing new
+    and the store does not grow (the ``incremental_entity_resolution``
+    discipline).  Gopher/quality REJECTS are not in the store and are
+    re-evaluated on replay — deterministic, they reject again.
+
+    Incrementality theorem (pinned by the q_curation_increment gate,
+    whose DuckDB oracle is the one-shot BATCH SQL over the full
+    corpus): when batch id ranges are non-decreasing,
+
+        curation_frozen_batch(C0 ∪ C1, M)
+        == curation_bootstrap(C0)[0] ∪ curation_increment(C1, M)
+
+    because every pre-dedup stage is per-document under a frozen model,
+    and the store keeps signatures of DROPPED documents too, so the
+    keep-lowest-id pair rule sees the same graph either way (see
+    ``incremental_minhash_dedup`` — near-dup similarity is not
+    transitive).
+
+    Scale shape (100 TB corpus, TB-scale daily increment): gopher +
+    frozen scoring touch ONLY the increment (map-side vs a broadcast
+    weights table); the store join is banded-signature equi-join —
+    increment bands against history bands — never a rescan of corpus
+    text; the append is one partitioned parquet write."""
+    from janus_spark.datapipe.dedup import incremental_minhash_dedup
+
+    id_col = model["id_col"]
+    spark = new_docs.sparkSession
+    try:
+        seen = (
+            spark.read.parquet(store_path)
+            .select(F.col("id").alias("__seen_id"))
+            .distinct()
+        )
+        fresh = new_docs.join(
+            seen, new_docs[id_col] == F.col("__seen_id"), "left_anti"
+        )
+    except Exception:  # first batch: no store yet
+        fresh = new_docs
+    s2 = _frozen_stage2(fresh, model)
+    return incremental_minhash_dedup(
+        s2,
+        store_path,
+        model["text_col"],
+        id_col,
+        model["num_perm"],
+        model["bands"],
+        model["shingle_k"],
+        model["jaccard_threshold"],
+        model["hash_fn"],
+    )
+
+
+def curation_bootstrap(
+    docs: DataFrame, store_path: str, **train_kwargs
+) -> tuple[DataFrame, dict]:
+    """Found an incremental curation corpus: train the frozen model on
+    ``docs`` (see :func:`train_curation_model`), then run ``docs``
+    through :func:`curation_increment` itself against the fresh store —
+    the bootstrap IS the first increment, so there is no separate batch
+    code path to drift.  Returns ``(survivors, model)``.
+
+    Because the frozen totals are the founding corpus's own, the
+    bootstrap survivors equal the batch pipeline's dedup-stage output
+    on the same corpus (``_curation_stages(docs)[2]`` — the
+    corpus-relative filter and the frozen comparison are the same
+    cross-multiplied integers; pinned by
+    ``test_bootstrap_equals_batch_stages``)."""
+    model = train_curation_model(docs, **train_kwargs)
+    return curation_increment(docs, store_path, model), model
+
+
+def curation_frozen_batch(docs: DataFrame, model: dict) -> DataFrame:
+    """One-shot BATCH application of a frozen curation model — the
+    reference semantics the incremental path must reproduce: gopher +
+    frozen quality filter, then single-shot pairwise keep-lowest-id
+    near-dup removal (``minhash_lsh_pairs`` b-side).  Shares
+    :func:`_frozen_stage2` with the increment, so the two can only
+    differ in the dedup plumbing the equivalence theorem covers."""
+    from janus_spark.datapipe.dedup import minhash_lsh_pairs
+
+    id_col = model["id_col"]
+    s2 = _frozen_stage2(docs, model).localCheckpoint(eager=True)
+    pairs = minhash_lsh_pairs(
+        s2,
+        model["text_col"],
+        id_col,
+        num_perm=model["num_perm"],
+        bands=model["bands"],
+        shingle_k=model["shingle_k"],
+        jaccard_threshold=model["jaccard_threshold"],
+        hash_fn=model["hash_fn"],
+    )
+    return s2.join(
+        pairs.select(F.col("b").alias(id_col)).distinct(), id_col, "anti"
+    )

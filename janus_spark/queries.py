@@ -10108,12 +10108,19 @@ ORACLES["q_dsir_topk"] = f"""
 
 
 # --------------------------------------------------- quality classification
-def _quality_ctes(base: str = "documents", p: str = "") -> str:
+def _quality_ctes(
+    base: str = "documents", p: str = "", score_base: str | None = None
+) -> str:
     """NB quality scoring CTE chain ending in ``{p}scored`` —
     parameterized on base relation and CTE-name prefix (same template
-    the standalone q_quality_* oracles verify)."""
+    the standalone q_quality_* oracles verify).  ``score_base`` (default
+    ``base``) scores a DIFFERENT relation with weights trained on
+    ``base`` — the frozen-model semantics of q_curation_increment;
+    ``base`` must be a subset of ``score_base`` so the training token
+    counts come from the same bucketing pass."""
+    sb = base if score_base is None else score_base
     return f"""
-    {p}toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM {base}),
+    {p}toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM {sb}),
     {p}bt AS (SELECT doc_id,
                   ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b
            FROM {p}toks),
@@ -10138,7 +10145,7 @@ def _quality_ctes(base: str = "documents", p: str = "") -> str:
     {p}scored AS (SELECT d.doc_id,
                       COALESCE(score_int, 0) AS score_int,
                       COALESCE(n_tok, 0) AS n_tok
-               FROM {base} d LEFT JOIN {p}per USING (doc_id))"""
+               FROM {sb} d LEFT JOIN {p}per USING (doc_id))"""
 
 
 _QUALITY_CTES = _quality_ctes()
@@ -10736,3 +10743,46 @@ def q_mixture_tokens_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_mixture_tokens_prefiltered"] = q_mixture_tokens_prefiltered
 ORACLES["q_mixture_tokens_prefiltered"] = ORACLES["q_mixture_tokens"]
+
+
+def q_curation_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation, proven against the batch semantics: found
+    the corpus on doc_id < 250 (train + freeze the quality model, seed
+    the persistent MinHash store), run the rest of the corpus through
+    curation_increment against that store, and return the union of
+    survivors.  The oracle is the ONE-SHOT batch SQL over the full
+    corpus with the quality model frozen to the founding slice — an
+    EXACT match is the cross-engine proof of the incrementality
+    theorem (per-document frozen stages + a store that keeps dropped
+    signatures reproduce the single-shot keep-lowest-id pair graph)."""
+    import tempfile
+
+    from janus_spark.datapipe.curation import (
+        curation_bootstrap,
+        curation_increment,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = tempfile.mkdtemp(prefix="cur_inc_")
+    surv0, model = curation_bootstrap(docs.where("doc_id < 250"), store)
+    surv1 = curation_increment(docs.where("doc_id >= 250"), store, model)
+    return surv0.unionByName(surv1).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+QUERIES["q_curation_increment"] = q_curation_increment
+ORACLES["q_curation_increment"] = f"""
+    WITH {_gopher_ctes(base="documents", p="g_")},
+    s1 AS MATERIALIZED (SELECT d.* FROM documents d
+           JOIN g_gq USING (doc_id) WHERE g_gq.pred),
+    s1b AS MATERIALIZED (SELECT * FROM s1 WHERE doc_id < 250),
+    {_quality_ctes(base="s1b", p="q_", score_base="s1")},
+    q_tot AS (SELECT CAST(SUM(score_int) AS HUGEINT) AS ts,
+                     CAST(SUM(n_tok) AS HUGEINT) AS tn
+              FROM q_scored JOIN s1b USING (doc_id)),
+    s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN q_scored USING (doc_id), q_tot
+           WHERE CAST(q_scored.score_int AS HUGEINT) * q_tot.tn
+                 > q_tot.ts * CAST(q_scored.n_tok AS HUGEINT)),
+    {_minhash_pair_ctes(corpus_sql="SELECT doc_id, text FROM s2", p="m_")}
+    SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT b FROM m_pairs)"""

@@ -121,3 +121,71 @@ def test_funnel_matches_pipeline_stages(spark, pipeline_out):
     order = ["raw", "gopher", "quality", "dedup", "selected"]
     vals = [funnel[s] for s in order]
     assert vals == sorted(vals, reverse=True)
+
+
+# ------------------------------------------------- incremental curation
+@pytest.fixture(scope="module")
+def inc_setup(spark, tmp_path_factory):
+    """Bootstrap on doc_id < 250, one increment for the rest — shared by
+    the equivalence, batch-parity and replay tests."""
+    from janus_spark.datapipe.curation import (
+        curation_bootstrap,
+        curation_increment,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").localCheckpoint(
+        eager=True
+    )
+    boot = docs.where("doc_id < 250")
+    arr = docs.where("doc_id >= 250")
+    store = str(tmp_path_factory.mktemp("cur_inc") / "store")
+    surv0, model = curation_bootstrap(boot, store)
+    surv0 = surv0.localCheckpoint(eager=True)
+    surv1 = curation_increment(arr, store, model).localCheckpoint(eager=True)
+    return docs, boot, arr, store, model, surv0, surv1
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_bootstrap_plus_increment_equals_frozen_batch(spark, inc_setup):
+    """The incrementality theorem: bootstrap survivors ∪ increment
+    survivors == one-shot frozen-batch application over the full corpus
+    (id-monotone split, frozen model, store keeps dropped signatures).
+    The q_curation_increment gate pins the same identity cross-engine
+    against the batch SQL oracle."""
+    from janus_spark.datapipe.curation import curation_frozen_batch
+
+    docs, _, _, _, model, surv0, surv1 = inc_setup
+    i0, i1 = _ids(surv0), _ids(surv1)
+    assert i0 and i1, "split must exercise both paths"
+    assert not (i0 & i1)
+    assert i0 | i1 == _ids(curation_frozen_batch(docs, model))
+
+
+def test_bootstrap_equals_batch_stages(spark, inc_setup):
+    """Bootstrap == the batch pipeline's dedup-stage survivors on the
+    founding corpus: the frozen totals are the corpus's own, so the
+    frozen comparison IS quality_filter_relative's cross-multiplied
+    decision."""
+    from janus_spark.datapipe.curation import _curation_stages
+
+    _, boot, _, _, _, surv0, _ = inc_setup
+    s3 = _curation_stages(
+        boot, 100, 0.5, 4096, "text", "doc_id", "lang", None
+    )[2]
+    assert _ids(surv0) == _ids(s3)
+
+
+def test_increment_replay_detection(spark, inc_setup):
+    """Retrying an already-applied batch must return nothing and leave
+    the store untouched (the incremental_entity_resolution discipline:
+    a crashed-after-append run can always be retried)."""
+    from janus_spark.datapipe.curation import curation_increment
+
+    _, _, arr, store, model, _, _ = inc_setup
+    n_store = spark.read.parquet(store).count()
+    replay = curation_increment(arr, store, model)
+    assert replay.count() == 0
+    assert spark.read.parquet(store).count() == n_store
