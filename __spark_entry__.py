@@ -229,6 +229,7 @@ R11_QUEUE: list[str] = [
     "q_mixture_sample_prefiltered",
     "q_mixture_tokens_prefiltered",
     "q_curation_increment",
+    "q_live_curation",
 ]
 
 

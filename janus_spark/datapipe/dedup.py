@@ -1288,11 +1288,23 @@ def incremental_minhash_dedup(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Continuous-ingestion NEAR-dup dedup against a PERSISTENT MinHash
     signature store — the fuzzy counterpart of ``incremental_dedup``:
     each arriving batch is near-dup-checked within itself and against
     every document ever seen, without rescanning any corpus text.
+
+    ``batch_id`` (optional) enables the ``incremental_entity_resolution``
+    batch-marker scheme for at-least-once callers (foreachBatch): the
+    history is the strict marker prefix ``batch_id < this`` and the
+    append is skipped when this marker is already in the store, so a
+    RETRIED batch recomputes byte-identical survivors (the store prefix
+    it first saw is unchanged — append-only, monotone markers) without
+    growing the store.  Without it, behavior and store schema are
+    unchanged (no marker column).  A marked call against an unmarked
+    legacy store warns RuntimeWarning: replay detection is impossible
+    there.
 
     Drop rule (deterministic): a new document ``b`` is dropped iff some
     document ``a`` with ``a < b`` — already in the store or in this
@@ -1329,8 +1341,34 @@ def incremental_minhash_dedup(
     ).localCheckpoint(eager=True)  # feeds collision join, verify join, store append
     new_bands = banded.select("id", "band", "bh")
     new_sh = banded.where(F.col("band") == 0).select("id", "sh")
+    replayed = False
     try:
         hist = spark.read.parquet(store_path)
+        if batch_id is not None:
+            if "batch_id" not in hist.columns:
+                import warnings
+
+                warnings.warn(
+                    f"minhash store {store_path} predates the batch-marker "
+                    "scheme — replay detection is impossible for it; this "
+                    "append is NOT idempotent",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            else:
+                # replay = this marker already committed; history is the
+                # strict marker PREFIX, so a retried batch recomputes its
+                # survivors against exactly the store it first saw
+                # (append-only + monotone markers).  Legacy null markers
+                # sort earliest.
+                replayed = (
+                    hist.where(
+                        F.col("batch_id") == int(batch_id)
+                    ).head() is not None
+                )
+                hist = hist.where(
+                    F.coalesce(F.col("batch_id"), F.lit(-1)) < int(batch_id)
+                )
         all_bands = new_bands.unionByName(hist.select("id", "band", "bh"))
         all_sh = new_sh.unionByName(
             hist.where(F.col("band") == 0).select("id", "sh")
@@ -1359,9 +1397,16 @@ def incremental_minhash_dedup(
     survivors = new_docs.join(
         dropped, new_docs[id_col] == F.col("__dup_id"), "left_anti"
     ).localCheckpoint(eager=True)
-    banded.select(
+    sig = banded.select(
         "id", "band", "bh", F.when(F.col("band") == 0, F.col("sh")).alias("sh")
-    ).write.mode("append").parquet(store_path)
+    )
+    if batch_id is not None:
+        if not replayed:
+            sig.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+                "append"
+            ).parquet(store_path)
+    else:
+        sig.write.mode("append").parquet(store_path)
     return survivors
 
 

@@ -10786,3 +10786,60 @@ ORACLES["q_curation_increment"] = f"""
                  > q_tot.ts * CAST(q_scored.n_tok AS HUGEINT)),
     {_minhash_pair_ctes(corpus_sql="SELECT doc_id, text FROM s2", p="m_")}
     SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT b FROM m_pairs)"""
+
+
+def q_live_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous curation under the EXACT gate: the documents table
+    arrives as FOUR id-monotone file-source micro-batches through a
+    REAL Structured Streaming run; each batch runs the frozen-model
+    filter prefix + persistent-store near-dup via the idempotent
+    foreachBatch sink (batch-marker scheme) and publishes survivors.
+    The quality model is frozen to doc_id < 250 — the same founding
+    slice as q_curation_increment — so the union of the published
+    batches must equal the ONE-SHOT batch SQL over the full corpus:
+    the oracle IS q_curation_increment's."""
+    import shutil
+    import tempfile
+
+    from janus_spark.datapipe.curation import (
+        curation_stream,
+        train_curation_model,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+        eager=True
+    )
+    model = train_curation_model(docs.where("doc_id < 250"))
+    root = tempfile.mkdtemp(prefix="live_curation_")
+    try:
+        hi = docs.select(F.max("doc_id").alias("m")).head()["m"]
+        third = max(1, (hi - 250) // 3)
+        cuts = [250, 250 + third, 250 + 2 * third, hi + 1]
+        docs.where(F.col("doc_id") < 250).coalesce(1).write.parquet(
+            f"{root}/f0.parquet"
+        )
+        for i in range(3):
+            docs.where(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            ).coalesce(1).write.parquet(f"{root}/f{i + 1}.parquet")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/f*.parquet")
+        )
+        q = curation_stream(
+            stream, f"{root}/store", model, f"{root}/out", f"{root}/ckpt"
+        )
+        _await_stream(q, 600)
+        res = (
+            spark.read.parquet(f"{root}/out")
+            .select(F.col("doc_id").cast("long").alias("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+QUERIES["q_live_curation"] = q_live_curation
+ORACLES["q_live_curation"] = ORACLES["q_curation_increment"]

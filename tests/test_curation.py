@@ -189,3 +189,83 @@ def test_increment_replay_detection(spark, inc_setup):
     replay = curation_increment(arr, store, model)
     assert replay.count() == 0
     assert spark.read.parquet(store).count() == n_store
+
+
+def test_curation_sink_step_retry_idempotent(spark, tmp_path):
+    """The at-least-once contract of the streaming sink: retrying a
+    committed batch id recomputes byte-identical survivors against the
+    unchanged store prefix, overwrites its own partition, and does not
+    grow the store; a later batch still sees the full history."""
+    from janus_spark.datapipe.curation import (
+        _curation_sink_step,
+        train_curation_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").localCheckpoint(
+        eager=True
+    )
+    model = train_curation_model(docs.where("doc_id < 250"))
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    b0 = docs.where("doc_id < 250")
+    b1 = docs.where("doc_id >= 250")
+
+    _curation_sink_step(b0, 0, store, model, out)
+    n_store = spark.read.parquet(store).count()
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    # retry the SAME batch id — store must not grow, publish unchanged
+    _curation_sink_step(b0, 0, store, model, out)
+    assert spark.read.parquet(store).count() == n_store
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    ) == first
+    # a genuinely new batch appends and dedups against batch 0's history
+    _curation_sink_step(b1, 1, store, model, out)
+    assert spark.read.parquet(store).count() > n_store
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert set(first) < set(got)
+
+
+def test_curation_sink_equals_increments(spark, tmp_path, inc_setup):
+    """Two sink steps over the id-split corpus == bootstrap + increment
+    (the streaming sink is curation_increment per batch, so the
+    incrementality theorem carries over); survivors re-read from the
+    partitioned publish."""
+    from janus_spark.datapipe.curation import _curation_sink_step
+
+    docs, boot, arr, _, model, surv0, surv1 = inc_setup
+    store = str(tmp_path / "store2")
+    out = str(tmp_path / "out2")
+    _curation_sink_step(boot, 0, store, model, out)
+    _curation_sink_step(arr, 1, store, model, out)
+    got = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert got == _ids(surv0) | _ids(surv1)
+
+
+def test_incremental_minhash_legacy_store_warns(spark, tmp_path):
+    """A batch-marked call against a store written without markers must
+    say loudly that replay detection is impossible (RuntimeWarning),
+    not silently take the non-idempotent path."""
+    import warnings
+
+    from janus_spark.datapipe.dedup import incremental_minhash_dedup
+
+    store = str(tmp_path / "legacy_store")
+    d1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    incremental_minhash_dedup(d1, store, hash_fn="md5").count()  # unmarked
+    d2 = spark.createDataFrame(
+        [(2, "zeta eta theta iota kappa")], "doc_id long, text string"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        incremental_minhash_dedup(d2, store, hash_fn="md5", batch_id=7).count()
+    msgs = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert any("batch-marker" in str(w.message) for w in msgs)
