@@ -575,14 +575,14 @@ def quota_sample_prefiltered(
     is a PREFIX of each stratum's selection order (ties at the boundary
     hash are kept or dropped together).  Winners can therefore only be
     lost if a stratum retains fewer than n rows; the plan counts
-    survivors per stratum and RESCUES any short stratum by unioning its
-    full rows back in — a declarative fallback (one broadcast semi/anti
-    pair), no driver loop, no silent approximation.  The rank cut at
-    the end is the same expression as ``quota_sample``'s, so the two
-    functions are output-identical by construction (pinned by tests
-    forcing both the fast path and the rescue path, and by the
-    q_sample_quota_prefiltered gate whose DuckDB oracle is the PLAIN
-    ranking SQL).
+    survivors per stratum and RESCUES any short stratum by taking its
+    full rows — the rescue set rides a broadcast flag fused into the
+    SAME filter pass (``rescued OR hash < t_s``), no driver loop, no
+    silent approximation.  The rank cut at the end is the same
+    expression as ``quota_sample``'s, so the two functions are
+    output-identical by construction (pinned by tests forcing both the
+    fast path and the rescue path, and by the q_sample_quota_prefiltered
+    gate whose DuckDB oracle is the PLAIN ranking SQL).
 
     Scale: the expected survivor count per stratum is ``ratio * n``
     (binomial around the rate), so the shuffle into the per-stratum
@@ -591,10 +591,19 @@ def quota_sample_prefiltered(
     and the rescue path stays empty with overwhelming probability
     (retention is ~Binomial(count, ratio*n/count); at ratio=10 the
     short-stratum probability is e-digits negligible, and when it DOES
-    happen the answer is still exact, just slower for that stratum)."""
+    happen the answer is still exact, just slower for that stratum).
+    Scan budget: the corpus is read exactly THREE times — once for the
+    checkpointed stratum counts (model-sized result, so it can't
+    re-trigger corpus scans per consumer), then survivor count +
+    filtered pass in the final plan (which shows exactly two scans,
+    plan-pinned)."""
     if ratio < 1:
         raise ValueError("ratio must be >= 1")
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # model-sized (|strata| rows): checkpoint so each downstream
+    # consumer reuses the ONE corpus count scan instead of re-running it
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    ).localCheckpoint(eager=True)
     rates = counts.select(
         strata_col,
         F.least(
@@ -606,8 +615,9 @@ def quota_sample_prefiltered(
     h = hash_bucket(F.col(key_col), salt)
     thr = _rate_col_to_hex_threshold(F.col("__rate"))
     tagged = df.join(F.broadcast(rates), strata_col)
-    pre = tagged.where(h < thr)
-    kpost = pre.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__k"))
+    kpost = tagged.where(h < thr).groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("__k")
+    )
     # counts LEFT JOIN kpost, not inner: a stratum whose pre-filter kept
     # ZERO rows is absent from kpost entirely, and an inner join would
     # drop it from `short` — never rescued, the whole stratum silently
@@ -625,11 +635,16 @@ def quota_sample_prefiltered(
             (F.col("__k") < F.lit(int(n_per_stratum)))
             & (F.col("__k") < F.col("__cnt"))
         )
-        .select(strata_col)
+        .select(strata_col, F.lit(True).alias("__rescue"))
     )
-    base = pre.join(F.broadcast(short), strata_col, "anti").unionByName(
-        tagged.join(F.broadcast(short), strata_col, "semi")
-    ).drop("__rate", "__cnt")
+    # rescue fused into the pre-filter: keep a row iff its stratum is
+    # short (take everything) or its hash clears the pre-cut — the same
+    # multiset as anti(short) ∪ semi(short) in ONE corpus pass
+    base = (
+        tagged.join(F.broadcast(short), strata_col, "left")
+        .where(F.col("__rescue").isNotNull() | (h < thr))
+        .drop("__rate", "__cnt", "__rescue")
+    )
     w = Window.partitionBy(strata_col).orderBy(
         hash_bucket(F.col(key_col), salt), F.col(key_col)
     )
@@ -660,8 +675,12 @@ def mixture_sample_prefiltered(
     survivors are a PREFIX of the domain's selection order.  A domain
     can only lose winners if it retains fewer than ``alloc`` survivors;
     the plan counts survivors per domain and RESCUES any short domain
-    declaratively (one broadcast anti/semi pair), including the
-    zero-survivor case (counts LEFT JOIN survivor counts).  The final
+    declaratively (a broadcast flag fused into the same filter pass),
+    including the zero-survivor case (counts LEFT JOIN survivor
+    counts).  Scan budget: the corpus is read exactly THREE times —
+    once for the checkpointed allocation (the apportionment's count
+    can't re-run per consumer), then survivor count + filtered pass in
+    the final plan (exactly two scans, plan-pinned).  The final
     rank cut is :func:`mixture_sample`'s own expression, so the two
     functions are output-identical by construction (pinned by tests on
     both paths and by the q_mixture_sample_prefiltered gate, whose
@@ -672,7 +691,11 @@ def mixture_sample_prefiltered(
     allocation itself rides a broadcast of the |target|-row table."""
     if ratio < 1:
         raise ValueError("ratio must be >= 1")
-    mix = domain_mixture(df, target, budget, source_col)
+    # model-sized (|target| rows): checkpoint so the apportionment's
+    # corpus count runs once, not once per downstream consumer
+    mix = domain_mixture(df, target, budget, source_col).localCheckpoint(
+        eager=True
+    )
     rates = mix.select(
         source_col,
         "alloc",
@@ -692,8 +715,9 @@ def mixture_sample_prefiltered(
     h = hash_bucket(F.col(key_col), salt)
     thr = _rate_col_to_hex_threshold(F.col("__rate"))
     tagged = df.join(F.broadcast(rates), source_col)
-    pre = tagged.where(h < thr)
-    kpost = pre.groupBy(source_col).agg(F.count(F.lit(1)).alias("__k"))
+    kpost = tagged.where(h < thr).groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__k")
+    )
     short = (
         rates.join(kpost, source_col, "left")
         .select(
@@ -705,11 +729,15 @@ def mixture_sample_prefiltered(
         .where(
             (F.col("__k") < F.col("alloc")) & (F.col("__k") < F.col("n_avail"))
         )
-        .select(source_col)
+        .select(source_col, F.lit(True).alias("__rescue"))
     )
-    base = pre.join(F.broadcast(short), source_col, "anti").unionByName(
-        tagged.join(F.broadcast(short), source_col, "semi")
-    ).drop("__rate", "n_avail")
+    # rescue fused into the pre-filter: one corpus pass (see
+    # quota_sample_prefiltered)
+    base = (
+        tagged.join(F.broadcast(short), source_col, "left")
+        .where(F.col("__rescue").isNotNull() | (h < thr))
+        .drop("__rate", "n_avail", "__rescue")
+    )
     w = Window.partitionBy(source_col).orderBy(
         hash_bucket(F.col(key_col), salt), F.col(key_col)
     )
@@ -749,7 +777,11 @@ def mixture_sample_tokens_prefiltered(
     The final cut is :func:`mixture_sample_tokens`'s own expression, so
     the two are output-identical by construction (pinned by tests on
     both paths and by the q_mixture_tokens_prefiltered gate, whose
-    DuckDB oracle is the PLAIN running-sum SQL)."""
+    DuckDB oracle is the PLAIN running-sum SQL).  Scan budget: the
+    corpus is read exactly FOUR times — twice for the checkpointed rate
+    table (apportionment count + token stats, materialized once), then
+    survivor count + filtered pass in the final plan (exactly two
+    scans, plan-pinned)."""
     if ratio < 1:
         raise ValueError("ratio must be >= 1")
     from janus_spark.datapipe.text import clean_tokens
@@ -763,6 +795,8 @@ def mixture_sample_tokens_prefiltered(
         .cast("long")
         .alias("__tok"),
     )
+    # model-sized (|target| rows): checkpoint materializes BOTH corpus
+    # aggregates (apportionment count + token stats) exactly once
     rates = (
         alloc.join(stats, source_col, "left")
         .select(
@@ -781,14 +815,14 @@ def mixture_sample_tokens_prefiltered(
             .otherwise(F.lit(1.0))
             .alias("__rate"),
         )
+        .localCheckpoint(eager=True)
     )
     h = hash_bucket(F.col(key_col), salt)
     thr = _rate_col_to_hex_threshold(F.col("__rate"))
     tagged = df.join(F.broadcast(rates), source_col).withColumn(
         "n_tok", F.size(clean_tokens(F.col(text_col))).cast("long")
     )
-    pre = tagged.where(h < thr)
-    kpost = pre.groupBy(source_col).agg(
+    kpost = tagged.where(h < thr).groupBy(source_col).agg(
         F.count(F.lit(1)).alias("__k"),
         F.sum("n_tok").cast("long").alias("__s"),
     )
@@ -804,11 +838,15 @@ def mixture_sample_tokens_prefiltered(
         .where(
             (F.col("__s") < F.col("alloc")) & (F.col("__k") < F.col("__cnt"))
         )
-        .select(source_col)
+        .select(source_col, F.lit(True).alias("__rescue"))
     )
-    base = pre.join(F.broadcast(short), source_col, "anti").unionByName(
-        tagged.join(F.broadcast(short), source_col, "semi")
-    ).drop("__rate", "__cnt")
+    # rescue fused into the pre-filter: one corpus pass (see
+    # quota_sample_prefiltered)
+    base = (
+        tagged.join(F.broadcast(short), source_col, "left")
+        .where(F.col("__rescue").isNotNull() | (h < thr))
+        .drop("__rate", "__cnt", "__rescue")
+    )
     w = Window.partitionBy(source_col).orderBy(
         hash_bucket(F.col(key_col), salt), F.col(key_col)
     )

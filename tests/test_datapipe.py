@@ -1885,6 +1885,34 @@ def test_mixture_tokens_prefiltered_identical_both_paths(spark):
     assert fast2 == plain
 
 
+def test_prefiltered_samplers_scan_budget(spark):
+    """The prefiltered scale paths must not multiply corpus scans: the
+    final plan reads the corpus exactly TWICE (survivor count +
+    rescue-fused filter pass) — the model frames are checkpointed and
+    the anti/semi rescue pair is fused into one where() (r10; the first
+    cut showed 9-10 parquet scans from per-consumer re-evaluation)."""
+    from janus_spark.datapipe.sampling import (
+        mixture_sample_prefiltered,
+        mixture_sample_tokens_prefiltered,
+        quota_sample_prefiltered,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = [("web", 2), ("wiki", 1), ("books", 1)]
+    for name, out in (
+        ("quota", quota_sample_prefiltered(docs, 5, ratio=3)),
+        ("mixture", mixture_sample_prefiltered(docs, target, 50, ratio=3)),
+        (
+            "mixture_tokens",
+            mixture_sample_tokens_prefiltered(docs, target, 500, ratio=3),
+        ),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scans = plan.count("Scan parquet")
+        assert scans <= 2, f"{name}: {scans} corpus scans\n{plan[:2000]}"
+        assert "BroadcastExchange" in plan  # rates/rescue ride broadcasts
+
+
 def test_domain_mixture_rejects_duplicate_domains(spark):
     """A duplicated target domain would join into duplicate rows and
     silently over-allocate the budget — reject it like
