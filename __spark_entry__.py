@@ -230,6 +230,7 @@ R11_QUEUE: list[str] = [
     "q_mixture_tokens_prefiltered",
     "q_curation_increment",
     "q_live_curation",
+    "q_curation_increment_select",
 ]
 
 

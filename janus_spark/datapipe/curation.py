@@ -35,6 +35,7 @@ __all__ = [
     "curation_bootstrap",
     "curation_increment",
     "curation_frozen_batch",
+    "curation_select",
     "curation_stream",
 ]
 
@@ -239,6 +240,7 @@ def train_curation_model(
     num_perm: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    select: bool = False,
 ) -> dict:
     """FREEZE a curation model from a founding corpus: NB quality
     weights trained on the corpus's own gopher survivors, plus the
@@ -251,7 +253,15 @@ def train_curation_model(
     The returned dict is the unit a production pipeline persists
     between daily runs: the weights frame is model-sized (≤ n_buckets
     rows, checkpointed; write it to parquet across sessions) and the
-    totals are two BIGINTs — the one deliberate driver-side collect."""
+    totals are two BIGINTs — the one deliberate driver-side collect.
+
+    ``select=True`` additionally freezes a DSIR SELECTION model: hashed-
+    unigram importance weights of the founding quality survivors'
+    English slice vs those survivors (Xie et al. 2023), plus the
+    founding totals that realize "above the founding corpus's mean
+    importance" as an absolute per-document decision — the stateless
+    stand-in for the batch pipeline's global top-k, which a daily
+    increment cannot evaluate (see :func:`curation_select`)."""
     from janus_spark.datapipe.quality import (
         gopher_quality,
         nb_quality_weights,
@@ -277,7 +287,7 @@ def train_curation_model(
         .agg(F.sum("score_int").alias("ts"), F.sum("n_tok").alias("tn"))
         .collect()
     )
-    return {
+    model = {
         "weights": w,
         "ts": int(tot["ts"] or 0),
         "tn": int(tot["tn"] or 0),
@@ -293,6 +303,24 @@ def train_curation_model(
         "bands": bands,
         "shingle_k": shingle_k,
     }
+    if select:
+        from janus_spark.datapipe.selection import dsir_scores, dsir_weights
+
+        # founding quality survivors: three consumers (target slice, raw
+        # model, scoring pass) — cut once
+        s2 = _frozen_stage2(docs, model).localCheckpoint(eager=True)
+        dw = dsir_weights(
+            s2.where(F.col(lang_col) == "en"), s2, text_col, id_col, n_buckets
+        ).localCheckpoint(eager=True)
+        [dtot] = (
+            dsir_scores(s2, dw, text_col, id_col, n_buckets)
+            .agg(F.sum("score_int").alias("ts"), F.sum("n_tok").alias("tn"))
+            .collect()
+        )
+        model["dsir_weights"] = dw
+        model["dsir_ts"] = int(dtot["ts"] or 0)
+        model["dsir_tn"] = int(dtot["tn"] or 0)
+    return model
 
 
 def _frozen_stage2(docs: DataFrame, model: dict) -> DataFrame:
@@ -327,6 +355,37 @@ def _frozen_stage2(docs: DataFrame, model: dict) -> DataFrame:
         * dec(F.lit(int(model["tn"])))
     ).select(id_col)
     return s1.join(keep2, id_col, "semi")
+
+
+def curation_select(df: DataFrame, model: dict) -> DataFrame:
+    """Frozen DSIR selection: keep rows whose mean per-token importance
+    clears the FOUNDING corpus mean — ``score_int·tn_d > ts_d·n_tok``
+    cross-multiplied in decimal(38,0), the same exact-integer discipline
+    as the frozen quality threshold (no float in the decision; tokenless
+    documents fail the strict ``>``).  Per-document and stateless, so it
+    COMMUTES with near-dup removal (selection never feeds the store or
+    the pair graph) — applying it after each increment equals applying
+    it once after a batch run, which is what keeps the
+    q_curation_increment_select oracle a plain batch SQL."""
+    from janus_spark.datapipe.selection import dsir_scores
+
+    id_col = model["id_col"]
+    scores = dsir_scores(
+        df,
+        model["dsir_weights"],
+        model["text_col"],
+        id_col,
+        model["n_buckets"],
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    keep = scores.where(
+        dec(F.col("score_int")) * dec(F.lit(int(model["dsir_tn"])))
+        > dec(F.lit(int(model["dsir_ts"]))) * dec(F.col("n_tok"))
+    ).select(id_col)
+    return df.join(keep, id_col, "semi")
 
 
 def curation_increment(
@@ -380,7 +439,7 @@ def curation_increment(
     except Exception:  # first batch: no store yet
         fresh = new_docs
     s2 = _frozen_stage2(fresh, model)
-    return incremental_minhash_dedup(
+    survivors = incremental_minhash_dedup(
         s2,
         store_path,
         model["text_col"],
@@ -391,6 +450,12 @@ def curation_increment(
         model["jaccard_threshold"],
         model["hash_fn"],
     )
+    if "dsir_weights" in model:
+        # AFTER the dedup: the store has already received the full s2
+        # signatures, so selection can't change the pair graph — the
+        # commutation that keeps increments ≡ batch
+        survivors = curation_select(survivors, model)
+    return survivors
 
 
 def curation_bootstrap(
@@ -433,9 +498,12 @@ def curation_frozen_batch(docs: DataFrame, model: dict) -> DataFrame:
         jaccard_threshold=model["jaccard_threshold"],
         hash_fn=model["hash_fn"],
     )
-    return s2.join(
+    out = s2.join(
         pairs.select(F.col("b").alias(id_col)).distinct(), id_col, "anti"
     )
+    if "dsir_weights" in model:
+        out = curation_select(out, model)
+    return out
 
 
 def _curation_sink_step(
@@ -465,6 +533,8 @@ def _curation_sink_step(
         model["hash_fn"],
         batch_id=int(batch_id),
     )
+    if "dsir_weights" in model:
+        surv = curation_select(surv, model)  # per-doc: retry-stable too
     surv.write.mode("overwrite").parquet(
         f"{out_path}/batch_id={int(batch_id)}"
     )

@@ -10012,21 +10012,34 @@ ORACLES["q_entity_block_cap"] = (
 
 
 # ------------------------------------------------------- data selection
-def _dsir_ctes(base: str = "documents", p: str = "") -> str:
+def _dsir_ctes(
+    base: str = "documents", p: str = "", score_base: str | None = None
+) -> str:
     """DSIR scoring CTE chain ending in ``{p}scored`` — parameterized on
     the base relation and a CTE-name prefix so composed oracles (the
-    curation pipeline) reuse the SAME SQL the standalone gates verify."""
+    curation pipeline) reuse the SAME SQL the standalone gates verify.
+    ``score_base`` (default ``base``) scores a DIFFERENT relation with
+    the target/raw models trained on ``base`` — the frozen-selection
+    semantics of q_curation_increment_select; ``base`` must be a subset
+    of ``score_base`` so training counts come from the same bucketing
+    pass."""
+    sb = base if score_base is None else score_base
+    raw_src = (
+        f"{p}bt"
+        if score_base is None
+        else f"(SELECT {p}bt.* FROM {p}bt JOIN {base} USING (doc_id))"
+    )
     return f"""
-    {p}toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM {base}),
+    {p}toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM {sb}),
     {p}bt AS (SELECT doc_id,
                   ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b
            FROM {p}toks),
     {p}tgt AS (SELECT b FROM {p}bt JOIN {base} USING (doc_id)
             WHERE lang = 'en'),
     {p}tcnt AS (SELECT b, COUNT(*) AS ct FROM {p}tgt GROUP BY b),
-    {p}rcnt AS (SELECT b, COUNT(*) AS cr FROM {p}bt GROUP BY b),
+    {p}rcnt AS (SELECT b, COUNT(*) AS cr FROM {raw_src} GROUP BY b),
     {p}nt AS (SELECT COUNT(*) AS nt FROM {p}tgt),
-    {p}nr AS (SELECT COUNT(*) AS nr FROM {p}bt),
+    {p}nr AS (SELECT COUNT(*) AS nr FROM {raw_src}),
     {p}w AS (SELECT COALESCE({p}tcnt.b, {p}rcnt.b) AS b,
                  CAST(ROUND((ln((COALESCE(ct, 0) + 1)
                                 / ((SELECT nt FROM {p}nt) + 4096.0))
@@ -10042,7 +10055,7 @@ def _dsir_ctes(base: str = "documents", p: str = "") -> str:
                       COALESCE(n_tok, 0) AS n_tok,
                       CASE WHEN COALESCE(n_tok, 0) > 0
                            THEN score_int / (1000000.0 * n_tok) END AS s
-               FROM {base} d LEFT JOIN {p}per USING (doc_id))"""
+               FROM {sb} d LEFT JOIN {p}per USING (doc_id))"""
 
 
 _DSIR_CTES = _dsir_ctes()
@@ -10843,3 +10856,56 @@ def q_live_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_live_curation"] = q_live_curation
 ORACLES["q_live_curation"] = ORACLES["q_curation_increment"]
+
+
+def q_curation_increment_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation WITH frozen DSIR selection: the founding
+    slice (doc_id < 250) additionally freezes an importance model
+    (target = its quality survivors' English slice) and the absolute
+    above-founding-mean selection threshold; each increment filters,
+    near-dups against the store, then SELECTS — the full daily shape.
+    Selection is per-document and applied after the store append, so it
+    commutes with dedup and the oracle stays the ONE-SHOT batch SQL
+    (batch dedup, then the same frozen selection)."""
+    import tempfile
+
+    from janus_spark.datapipe.curation import (
+        curation_bootstrap,
+        curation_increment,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = tempfile.mkdtemp(prefix="cur_incsel_")
+    surv0, model = curation_bootstrap(
+        docs.where("doc_id < 250"), store, select=True
+    )
+    surv1 = curation_increment(docs.where("doc_id >= 250"), store, model)
+    return surv0.unionByName(surv1).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+QUERIES["q_curation_increment_select"] = q_curation_increment_select
+ORACLES["q_curation_increment_select"] = f"""
+    WITH {_gopher_ctes(base="documents", p="g_")},
+    s1 AS MATERIALIZED (SELECT d.* FROM documents d
+           JOIN g_gq USING (doc_id) WHERE g_gq.pred),
+    s1b AS MATERIALIZED (SELECT * FROM s1 WHERE doc_id < 250),
+    {_quality_ctes(base="s1b", p="q_", score_base="s1")},
+    q_tot AS (SELECT CAST(SUM(score_int) AS HUGEINT) AS ts,
+                     CAST(SUM(n_tok) AS HUGEINT) AS tn
+              FROM q_scored JOIN s1b USING (doc_id)),
+    s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN q_scored USING (doc_id), q_tot
+           WHERE CAST(q_scored.score_int AS HUGEINT) * q_tot.tn
+                 > q_tot.ts * CAST(q_scored.n_tok AS HUGEINT)),
+    s2b AS MATERIALIZED (SELECT * FROM s2 WHERE doc_id < 250),
+    {_minhash_pair_ctes(corpus_sql="SELECT doc_id, text FROM s2", p="m_")},
+    s3 AS MATERIALIZED (SELECT * FROM s2
+           WHERE doc_id NOT IN (SELECT b FROM m_pairs)),
+    {_dsir_ctes(base="s2b", p="d_", score_base="s2")},
+    d_tot AS (SELECT CAST(SUM(score_int) AS HUGEINT) AS ts,
+                     CAST(SUM(n_tok) AS HUGEINT) AS tn
+              FROM d_scored JOIN s2b USING (doc_id))
+    SELECT doc_id FROM s3 JOIN d_scored USING (doc_id), d_tot
+    WHERE CAST(d_scored.score_int AS HUGEINT) * d_tot.tn
+          > d_tot.ts * CAST(d_scored.n_tok AS HUGEINT)"""

@@ -269,3 +269,43 @@ def test_incremental_minhash_legacy_store_warns(spark, tmp_path):
         incremental_minhash_dedup(d2, store, hash_fn="md5", batch_id=7).count()
     msgs = [w for w in caught if issubclass(w.category, RuntimeWarning)]
     assert any("batch-marker" in str(w.message) for w in msgs)
+
+
+def test_select_model_increment_equals_frozen_batch(spark, tmp_path):
+    """The frozen-DSIR selection stage preserves the incrementality
+    theorem: selection is per-document and applied AFTER the store
+    append, so bootstrap ∪ increment == frozen batch still holds, and
+    the selected set is a subset of the no-selection survivors."""
+    from janus_spark.datapipe.curation import (
+        _curation_sink_step,
+        curation_bootstrap,
+        curation_frozen_batch,
+        curation_increment,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").localCheckpoint(
+        eager=True
+    )
+    boot = docs.where("doc_id < 250")
+    arr = docs.where("doc_id >= 250")
+    store = str(tmp_path / "store_sel")
+    surv0, model = curation_bootstrap(boot, store, select=True)
+    assert "dsir_weights" in model
+    surv1 = curation_increment(arr, store, model)
+    got = _ids(surv0) | _ids(surv1)
+    assert got == _ids(curation_frozen_batch(docs, model))
+    # selection only ever removes: the plain (no-select) run is a superset
+    store2 = str(tmp_path / "store_plain")
+    p_surv0, p_model = curation_bootstrap(boot, store2)
+    unselected = _ids(p_surv0) | _ids(curation_increment(arr, store2, p_model))
+    assert got < unselected
+    # the streaming sink applies the same selection
+    store3 = str(tmp_path / "store_sink")
+    out3 = str(tmp_path / "out_sink")
+    _curation_sink_step(boot, 0, store3, model, out3)
+    _curation_sink_step(arr, 1, store3, model, out3)
+    sink_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(out3).select("doc_id").collect()
+    }
+    assert sink_ids == got
