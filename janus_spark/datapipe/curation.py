@@ -126,12 +126,15 @@ def _curation_stages(
     gk.update(gopher_kwargs or {})
 
     # 1 — Gopher rules
-    keep1 = (
-        gopher_quality(docs, text_col, id_col, **gk)
+    # gopher_quality is a narrow per-doc projection (r10 optimization):
+    # filter on pred directly instead of a semi join back onto docs
+    # (ids are unique by the doc-key contract, so the two are identical)
+    s1 = (
+        gopher_quality(docs, text_col, id_col, keep_cols=docs.columns, **gk)
         .where("pred")
-        .select(id_col)
+        .select(*docs.columns)
+        .localCheckpoint(eager=True)
     )
-    s1 = docs.join(keep1, id_col, "semi").localCheckpoint(eager=True)
 
     # 2 — corpus-relative quality filter (weights trained on s1 itself)
     w = nb_quality_weights(
@@ -269,12 +272,15 @@ def train_curation_model(
     )
 
     gk = _default_gopher_kwargs(gopher_kwargs)
-    keep1 = (
-        gopher_quality(docs, text_col, id_col, **gk)
+    # gopher_quality is a narrow per-doc projection (r10 optimization):
+    # filter on pred directly instead of a semi join back onto docs
+    # (ids are unique by the doc-key contract, so the two are identical)
+    s1 = (
+        gopher_quality(docs, text_col, id_col, keep_cols=docs.columns, **gk)
         .where("pred")
-        .select(id_col)
+        .select(*docs.columns)
+        .localCheckpoint(eager=True)
     )
-    s1 = docs.join(keep1, id_col, "semi").localCheckpoint(eager=True)
     w = nb_quality_weights(
         s1.where(F.col(lang_col) == "en"),
         s1.where(F.col(lang_col) != "en"),
@@ -334,12 +340,15 @@ def _frozen_stage2(docs: DataFrame, model: dict) -> DataFrame:
     from janus_spark.datapipe.quality import gopher_quality, quality_scores
 
     text_col, id_col = model["text_col"], model["id_col"]
-    keep1 = (
-        gopher_quality(docs, text_col, id_col, **model["gopher_kwargs"])
+    s1 = (
+        gopher_quality(
+            docs, text_col, id_col, keep_cols=docs.columns,
+            **model["gopher_kwargs"],
+        )
         .where("pred")
-        .select(id_col)
+        .select(*docs.columns)
+        .localCheckpoint(eager=True)
     )
-    s1 = docs.join(keep1, id_col, "semi").localCheckpoint(eager=True)
     scores = quality_scores(
         s1, model["weights"], text_col, id_col, model["n_buckets"]
     )

@@ -212,6 +212,17 @@ def block_candidates(
                 sizes.where(F.col("__bs") <= max_block_size).drop("__bs"),
                 list(pass_cols),
             )
+        # Pin the self-join's width to the core budget: the block frame is
+        # bytes-tiny but the join OUTPUT is pair-quadratic per block and
+        # each pair pays an array-intersect score downstream, so AQE's
+        # bytes-based coalescing would pack the whole CPU-dense stage
+        # onto 1-4 tasks (the documented ngram_jaccard_pairs class;
+        # measured 4 tasks × 15 s → 32 tasks here).  An explicit keyed
+        # repartition is NOT AQE-coalescible, and both self-join sides
+        # reuse the one exchange.
+        side = side.repartition(
+            recs.sparkSession.sparkContext.defaultParallelism, *pass_cols
+        )
         left = side.alias("l")
         right = side.alias("r")
         # Plain equality, NOT null-safe: a record with a null blocking key
@@ -308,9 +319,24 @@ def resolve_entities(
         )
     )
     df = df.select(*keep).localCheckpoint(eager=True)
-    cands = block_candidates(df, id_col, blocking, payload, max_block_size)
-    scored = score_pairs(cands, token_col, numeric_col, numeric_scale, w_tokens, w_numeric)
-    edges = scored.where(F.col("score") >= threshold).select("a", "b")
+    # Score each blocking pass MAP-SIDE (inside its self-join's output
+    # stage) and apply the match threshold BEFORE the cross-pass pair
+    # dedup, so the dedup exchange carries only qualifying bare (a, b)
+    # ids — never the token-array payloads (guide §2.3: shuffle keys and
+    # metadata, not payloads; measured 140 MB → <1 MB on the gate
+    # fixture).  Identical edge set: a pair's score is a deterministic
+    # function of its payloads, so score-then-dedup ≡ dedup-then-score,
+    # and thresholding commutes with the union/dedup.
+    edges = None
+    for pass_cols in blocking:
+        c = block_candidates(df, id_col, [pass_cols], payload, max_block_size)
+        s = score_pairs(
+            c, token_col, numeric_col, numeric_scale, w_tokens, w_numeric
+        )
+        e = s.where(F.col("score") >= threshold).select("a", "b")
+        edges = e if edges is None else edges.unionByName(e)
+    if len(blocking) > 1:
+        edges = edges.dropDuplicates(["a", "b"])
     clusters = dedup_clusters(edges)  # (id, keep_id) for matched ids only
 
     return _assign_entities(

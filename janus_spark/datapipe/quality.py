@@ -322,6 +322,54 @@ def quality_stream_scores(
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gram_run_stats(grams: Column) -> Column:
+    """Multiset statistics of a string array, computed IN-ARRAY (no
+    explode, no shuffle): ``struct(maxrun, dup, n)`` where ``maxrun`` is
+    the modal element's multiplicity, ``dup`` the sum of multiplicities
+    of elements occurring ≥ 2 times, and ``n`` the array length.  One
+    ``array_sort`` + one linear run-length scan per row — equal runs of
+    the sorted array are exactly the per-element occurrence counts, so
+    this reproduces the explode → groupBy counts bit-for-bit while
+    staying a narrow expression (O(n log n) per doc, bounded by doc
+    length, never a corpus-scale shuffle)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("maxrun"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1).cast("long"))
+            .otherwise(acc["run"] + F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            (
+                acc["dup"]
+                + F.when(run == 2, F.lit(2).cast("long"))
+                .when(run > 2, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("dup"),
+            (acc["n"] + F.lit(1).cast("long")).alias("n"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        zero,
+        step,
+        lambda acc: F.struct(
+            acc["maxrun"].alias("maxrun"),
+            acc["dup"].alias("dup"),
+            acc["n"].alias("n"),
+        ),
+    )
+
+
 def gopher_quality(
     df: DataFrame,
     text_col: str = "text",
@@ -334,6 +382,7 @@ def gopher_quality(
     dup5_max: tuple[int, int] = (3, 10),
     min_stopwords: int = 2,
     stopwords: Sequence[str] = GOPHER_STOPWORDS,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Heuristic quality rules — the published Gopher recipe (Rae et al.
     2021 "Scaling Language Models", appendix A1), the rule-based
@@ -353,11 +402,22 @@ def gopher_quality(
     number of 5-gram instances whose gram repeats within the doc, and
     ``stop_hits`` the number of DISTINCT list stopwords present.
 
-    Plan shape (100 TB): token stats and stopword hits are map-only
-    Column algebra; the two n-gram modes are (id, gram)-keyed groupBys
-    (map-side combined, keys scoped per document so no corpus-wide hot
-    key) joined back on the id — three shuffles total, all
-    document-bounded."""
+    Plan shape (100 TB): the whole operator is map-only Column algebra —
+    ZERO shuffles.  The two n-gram repetition modes are per-DOCUMENT
+    multiset statistics, so they never needed a corpus-wide shuffle: each
+    doc's gram array is sorted in place and scanned once for run lengths
+    (``_gram_run_stats``), replacing the r8 explode → groupBy(id, gram)
+    → groupBy(id) → join-back plan (4 exchanges of corpus-token-scale
+    rows plus an eager tokenization checkpoint) with a narrow projection
+    (optimization guide §2.4: remove shuffles outright).  Identical
+    output by construction: a sorted multiset's run lengths ARE its
+    per-gram occurrence counts.
+
+    ``keep_cols``: additional ``df`` columns carried through unchanged —
+    lets a caller filter the corpus on ``pred`` directly
+    (``gopher_quality(docs, keep_cols=docs.columns).where("pred")``)
+    instead of paying a semi join back onto ``df``, since the operator
+    is now a narrow projection of its input rows."""
     from janus_spark.datapipe.text import clean_tokens
 
     def grams(toks, k: int):
@@ -368,13 +428,28 @@ def gopher_quality(
             acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
         return F.filter(acc, lambda x: x.isNotNull())
 
-    toks = clean_tokens(F.col(text_col))
+    # Three narrow projections, each reusing the previous one's columns:
+    # CollapseProject keeps a produced column that the consumer references
+    # more than once (or that is non-cheap) as a real projection boundary,
+    # so the token array is built ONCE per row and each run-stats
+    # aggregate is evaluated ONCE (measured: inlining the token expression
+    # re-evaluated it per consumer, ~1.6× slower end-to-end).
+    extra = [c for c in keep_cols if c != id_col]
     base = df.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col), *extra, clean_tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    t2n, t2d = (int(x) for x in top2_max)
+    d5n, d5d = (int(x) for x in dup5_max)
+    mid = base.select(
+        F.col(id_col),
+        *extra,
         F.size(toks).cast("long").alias("n_tok"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
         ).alias("word_chars"),
+        _gram_run_stats(grams(toks, 2)).alias("__s2"),
+        _gram_run_stats(grams(toks, 5)).alias("__s5"),
         F.size(
             F.array_intersect(
                 F.array_distinct(toks), F.array(*[F.lit(s) for s in stopwords])
@@ -382,46 +457,16 @@ def gopher_quality(
         )
         .cast("long")
         .alias("stop_hits"),
-        grams(toks, 2).alias("__g2"),
-        grams(toks, 5).alias("__g5"),
-    ).localCheckpoint(eager=True)  # tokenization feeds base + both modes: cut once
-
-    m2 = (
-        base.select("id", F.explode("__g2").alias("g"))
-        .groupBy("id", "g")
-        .count()
-        .groupBy("id")
-        .agg(F.max("count").cast("long").alias("top2_count"))
     )
-    m5 = (
-        base.select("id", F.explode("__g5").alias("g"))
-        .groupBy("id", "g")
-        .count()
-        .groupBy("id")
-        .agg(
-            F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0))
-            .cast("long")
-            .alias("dup5_instances"),
-            F.sum("count").cast("long").alias("n5"),
-        )
-    )
-    t2n, t2d = (int(x) for x in top2_max)
-    d5n, d5d = (int(x) for x in dup5_max)
-    out = (
-        base.drop("__g2", "__g5")
-        .join(m2, "id", "left")
-        .join(m5, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_tok",
-            "word_chars",
-            F.coalesce(F.col("top2_count"), F.lit(0)).cast("long").alias("top2_count"),
-            F.coalesce(F.col("dup5_instances"), F.lit(0))
-            .cast("long")
-            .alias("dup5_instances"),
-            F.coalesce(F.col("n5"), F.lit(0)).cast("long").alias("n5"),
-            "stop_hits",
-        )
+    out = mid.select(
+        F.col(id_col),
+        *extra,
+        "n_tok",
+        "word_chars",
+        F.col("__s2")["maxrun"].alias("top2_count"),
+        F.col("__s5")["dup"].alias("dup5_instances"),
+        F.col("__s5")["n"].alias("n5"),
+        "stop_hits",
     )
     pred = (
         (F.col("n_tok") >= min_tok)
