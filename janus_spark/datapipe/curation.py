@@ -117,10 +117,9 @@ def _curation_stages(
     from janus_spark.datapipe.dedup import minhash_lsh_pairs
     from janus_spark.datapipe.quality import (
         gopher_quality,
-        nb_quality_weights,
-        quality_filter_relative,
+        quality_filter_relative_split,
     )
-    from janus_spark.datapipe.selection import dsir_topk, dsir_weights
+    from janus_spark.datapipe.selection import dsir_flagged_scores
 
     gk = dict(min_tok=20, top2_max=(1, 10), min_stopwords=1)
     gk.update(gopher_kwargs or {})
@@ -136,16 +135,10 @@ def _curation_stages(
         .localCheckpoint(eager=True)
     )
 
-    # 2 — corpus-relative quality filter (weights trained on s1 itself)
-    w = nb_quality_weights(
-        s1.where(F.col(lang_col) == "en"),
-        s1.where(F.col(lang_col) != "en"),
-        text_col,
-        id_col,
-        n_buckets,
-    )
-    keep2 = quality_filter_relative(
-        s1, w, text_col, id_col, n_buckets
+    # 2 — corpus-relative quality filter (weights trained on s1 itself;
+    # fused: ONE tokenize+hash pass trains AND scores — r10 optimization)
+    keep2 = quality_filter_relative_split(
+        s1, F.col(lang_col) == "en", text_col, id_col, n_buckets
     ).select(id_col)
     s2 = s1.join(keep2, id_col, "semi").localCheckpoint(eager=True)
 
@@ -161,12 +154,18 @@ def _curation_stages(
         pairs.select(F.col("b").alias(id_col)).distinct(), id_col, "anti"
     ).localCheckpoint(eager=True)
 
-    # 4 — DSIR top-k toward the survivors' English slice
-    dw = dsir_weights(
-        s3.where(F.col(lang_col) == "en"), s3, text_col, id_col, n_buckets
+    # 4 — DSIR top-k toward the survivors' English slice (fused: one
+    # pass trains the importance weights AND scores every survivor; the
+    # top-k tail is verbatim dsir_topk's — same score float, same
+    # id-ascending tie-break)
+    _, dscores = dsir_flagged_scores(
+        s3, F.col(lang_col) == "en", "target", text_col, id_col, n_buckets
     )
-    keep4 = dsir_topk(s3, dw, k_top, text_col, id_col, n_buckets).select(
-        id_col
+    keep4 = (
+        dscores.where(F.col("score").isNotNull())
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k_top)
+        .select(id_col)
     )
     s4 = s3.join(keep4, id_col, "semi")
     return s1, s2, s3, s4
@@ -265,11 +264,8 @@ def train_curation_model(
     importance" as an absolute per-document decision — the stateless
     stand-in for the batch pipeline's global top-k, which a daily
     increment cannot evaluate (see :func:`curation_select`)."""
-    from janus_spark.datapipe.quality import (
-        gopher_quality,
-        nb_quality_weights,
-        quality_scores,
-    )
+    from janus_spark.datapipe.quality import gopher_quality
+    from janus_spark.datapipe.selection import dsir_flagged_scores
 
     gk = _default_gopher_kwargs(gopher_kwargs)
     # gopher_quality is a narrow per-doc projection (r10 optimization):
@@ -281,15 +277,15 @@ def train_curation_model(
         .select(*docs.columns)
         .localCheckpoint(eager=True)
     )
-    w = nb_quality_weights(
-        s1.where(F.col(lang_col) == "en"),
-        s1.where(F.col(lang_col) != "en"),
-        text_col,
-        id_col,
-        n_buckets,
-    ).localCheckpoint(eager=True)
+    # fused: one tokenize+hash pass trains the NB weights AND scores s1
+    # for the frozen totals (r10 optimization; bit-identical to
+    # nb_quality_weights + quality_scores by construction)
+    w, scores = dsir_flagged_scores(
+        s1, F.col(lang_col) == "en", "split", text_col, id_col, n_buckets
+    )
+    w = w.localCheckpoint(eager=True)
     [tot] = (
-        quality_scores(s1, w, text_col, id_col, n_buckets)
+        scores
         .agg(F.sum("score_int").alias("ts"), F.sum("n_tok").alias("tn"))
         .collect()
     )
@@ -310,16 +306,17 @@ def train_curation_model(
         "shingle_k": shingle_k,
     }
     if select:
-        from janus_spark.datapipe.selection import dsir_scores, dsir_weights
-
         # founding quality survivors: three consumers (target slice, raw
-        # model, scoring pass) — cut once
+        # model, scoring pass) — cut once; the fused pass then trains
+        # the importance weights AND computes the founding totals
         s2 = _frozen_stage2(docs, model).localCheckpoint(eager=True)
-        dw = dsir_weights(
-            s2.where(F.col(lang_col) == "en"), s2, text_col, id_col, n_buckets
-        ).localCheckpoint(eager=True)
+        dw, dscores = dsir_flagged_scores(
+            s2, F.col(lang_col) == "en", "target", text_col, id_col,
+            n_buckets,
+        )
+        dw = dw.localCheckpoint(eager=True)
         [dtot] = (
-            dsir_scores(s2, dw, text_col, id_col, n_buckets)
+            dscores
             .agg(F.sum("score_int").alias("ts"), F.sum("n_tok").alias("tn"))
             .collect()
         )

@@ -51,6 +51,7 @@ __all__ = [
     "quality_scores",
     "quality_filter",
     "quality_filter_relative",
+    "quality_filter_relative_split",
     "quality_score_columns",
     "quality_stream_scores",
     "gopher_quality",
@@ -205,6 +206,14 @@ def quality_filter_relative(
     scores = quality_scores(
         df, weights, text_col, id_col, n_buckets, scale
     ).localCheckpoint(eager=True)  # scored once: feeds the total AND the split
+    return _relative_cut(scores, id_col, tau_micro)
+
+
+def _relative_cut(scores: DataFrame, id_col: str, tau_micro: int) -> DataFrame:
+    """The corpus-relative threshold tail of
+    :func:`quality_filter_relative` over an already-materialized scores
+    frame: one (Σscore, Σn) aggregate broadcast back over the frame,
+    then the exact decimal(38,0) cross-multiplied comparison."""
     tot = scores.agg(
         F.sum("score_int").alias("__ts"), F.sum("n_tok").alias("__tn")
     )
@@ -222,6 +231,38 @@ def quality_filter_relative(
             * dec(F.col("__tn"))
         )
         .select(id_col, "score_int", "n_tok")
+    )
+
+
+def quality_filter_relative_split(
+    df: DataFrame,
+    flag,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+    tau_micro: int = 0,
+) -> DataFrame:
+    """:func:`quality_filter_relative` for the self-trained case —
+    weights from ``df``'s own ``flag`` / NOT-``flag`` split — fused into
+    ONE corpus tokenize+hash pass via
+    :func:`~janus_spark.datapipe.selection.dsir_flagged_scores`
+    (mode="split").  Output is bit-identical to
+    ``quality_filter_relative(df, nb_quality_weights(df.where(flag),
+    df.where(~flag)))``: same exact-integer counts, verbatim float
+    weight expression, same decimal(38,0) decision (optimization guide
+    §2.4/§4: one pass, nothing corpus-token-scale shuffles)."""
+    from janus_spark.datapipe.selection import dsir_flagged_scores
+
+    _, scores = dsir_flagged_scores(
+        df, flag, "split", text_col, id_col, n_buckets, scale
+    )
+    # scores stays LAZY (unlike quality_filter_relative's internal cut):
+    # it derives from the fused pass's already-checkpointed pairs frame,
+    # so the total and the split share that cut and ReuseExchange
+    # dedupes the per-doc aggregate — no corpus re-scan, one less job
+    return _relative_cut(
+        scores.select(id_col, "score_int", "n_tok"), id_col, tau_micro
     )
 
 

@@ -57,22 +57,23 @@ def bm25_topk(
 
     Returns (query_id, doc_id, rank, score).
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"), clean_tokens(F.col(text_col)).alias("__toks")
-    )
-    # dl feeds the corpus-stats scalar AND the score join; tf feeds the
-    # document-frequency aggregate AND the postings join — lazily
-    # checkpoint both so the tokenize+count pass over the corpus runs
-    # ONCE instead of once per consumer (this is "materialize the
-    # inverted index", the obvious thing to persist at 100 TB — see
-    # IncrementalBM25Index for the maintained-state form)
-    dl = toks.select("id", F.size("__toks").alias("dl")).localCheckpoint(eager=False)
-    tf = (
-        toks.select("id", F.explode("__toks").alias("t"))
-        .groupBy("id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    from janus_spark.datapipe.text import sorted_run_length
+
+    # ONE materialized tokenize pass (lazily checkpointed — the
+    # "materialize the inverted index" move, persisted at 100 TB; see
+    # IncrementalBM25Index for the maintained-state form): dl is the
+    # array size and tf the run lengths of the SORTED token array, both
+    # narrow projections of the cut — the r8 explode → groupBy(id, t)
+    # corpus-token shuffle is gone (sorted-run-length ≡ per-doc counts
+    # bit-for-bit; optimization guide §2.4)
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(clean_tokens(F.col(text_col))).alias("__st"),
+    ).localCheckpoint(eager=False)
+    dl = staged.select("id", F.size("__st").alias("dl"))
+    tf = staged.select(
+        "id", F.explode(sorted_run_length(F.col("__st"), "string")).alias("__p")
+    ).select("id", F.col("__p.v").alias("t"), F.col("__p.cnt").alias("tf"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     ).collect()[0]

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from janus_spark.datapipe.dedup import shared_hash64
 from janus_spark.datapipe.text import clean_tokens
 
-__all__ = ["dsir_weights", "dsir_scores", "dsir_topk"]
+__all__ = ["dsir_weights", "dsir_scores", "dsir_topk", "dsir_flagged_scores"]
 
 
 def _bucketed_tokens(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
@@ -50,6 +50,55 @@ def _bucketed_tokens(df: DataFrame, text_col: str, id_col: str, n_buckets: int) 
     )
     return tok.select(
         F.col(id_col), (shared_hash64(F.col("__t")) % n_buckets).alias("b")
+    )
+
+
+def _doc_bucket_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    extra: dict | None = None,
+) -> DataFrame:
+    """Per-document ``(b, cnt)`` bucket-count pairs computed IN-ARRAY —
+    one narrow pass (tokenize → hash → sort → run-length scan), no
+    corpus-token shuffle: each doc's bucket ids are sorted in place and
+    equal runs of the sorted array ARE the per-bucket occurrence counts
+    (the ``_gram_run_stats`` discipline from gopher_quality).  Exploding
+    the run-length pairs emits one row per DISTINCT bucket per doc —
+    strictly fewer rows than the per-token explode, with identical
+    multiset semantics: ``sum(cnt) group by b`` equals the token-level
+    ``count(*) group by b`` bit-for-bit.
+
+    ``extra``: ``{name: Column}`` of additional per-row values carried
+    through (e.g. a language flag).  Output: ``(id_col, *extra, b,
+    cnt)``; tokenless documents emit no rows (same as an explode of no
+    tokens)."""
+    from janus_spark.datapipe.text import sorted_run_length
+
+    extra = dict(extra or {})
+    staged = df.select(
+        F.col(id_col),
+        *[c.alias(nm) for nm, c in extra.items()],
+        F.array_sort(
+            F.transform(
+                clean_tokens(F.col(text_col)),
+                lambda t: shared_hash64(t) % n_buckets,
+            )
+        ).alias("__bs"),
+    )
+    # __bs is a materialized projection column, so the run-length scan's
+    # element accesses are O(1) attribute reads, not re-evaluations of
+    # the tokenize+hash subtree (the word_shingles lesson).
+    return staged.select(
+        F.col(id_col),
+        *extra.keys(),
+        F.explode(sorted_run_length(F.col("__bs"), "bigint")).alias("__p"),
+    ).select(
+        F.col(id_col),
+        *extra.keys(),
+        F.col("__p.v").alias("b"),
+        F.col("__p.cnt").alias("cnt"),
     )
 
 
@@ -85,15 +134,26 @@ def dsir_weights(
         "b",
         F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
         F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
-    )
-    # scalar totals via window-free cross join of two 1-row aggregates
-    tot = (
-        tcnt.agg(F.sum("ct").alias("nt"))
-        .crossJoin(rcnt.agg(F.sum("cr").alias("nr")))
-        .select(
-            F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
-            F.coalesce(F.col("nr"), F.lit(0)).alias("nr"),
-        )
+    ).localCheckpoint(eager=True)  # ≤ n_buckets rows: cut so the scalar
+    # totals below read THIS tiny frame instead of re-running both
+    # corpus explodes (the r8 form recomputed tcnt AND rcnt a second
+    # time for the totals — two extra corpus-scale passes)
+    return _weights_from_counts(joined, n_buckets, scale)
+
+
+def _weights_from_counts(
+    joined: DataFrame, n_buckets: int, scale: int
+) -> DataFrame:
+    """The weight arithmetic of :func:`dsir_weights` over a prebuilt
+    per-bucket count frame ``(b, ct, cr)``: scalar totals are ONE tiny
+    aggregate of the ≤ n_buckets-row frame (Σct over the full join ==
+    Σct over the target counts — the join preserves every bucket row and
+    coalesces absences to 0), broadcast back over the same frame.  The
+    float expression is verbatim the original so rounding is
+    bit-identical."""
+    tot = joined.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"),
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"),
     )
     b = float(n_buckets)
     return joined.crossJoin(F.broadcast(tot)).select(
@@ -147,6 +207,93 @@ def dsir_scores(
             ).alias("score"),
         )
     )
+
+
+def dsir_flagged_scores(
+    df: DataFrame,
+    flag,
+    mode: str = "target",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the bucket weights AND score every document from ONE
+    tokenize+hash pass, for the ubiquitous case where both model corpora
+    are slices of ``df`` itself selected by the boolean Column ``flag``:
+
+    - ``mode="target"``: weights ≡ ``dsir_weights(df.where(flag), df)``
+      (DSIR: target slice vs the whole raw corpus).
+    - ``mode="split"``: weights ≡ ``nb_quality_weights(df.where(flag),
+      df.where(~flag))`` (quality: positive vs negative label rows; rows
+      where ``flag`` is NULL belong to neither, exactly as the
+      ``where`` slices exclude them).
+
+    Returns ``(weights, scores)`` with ``scores`` ≡
+    ``dsir_scores(df, weights)`` ≡ the integer core of
+    ``quality_scores`` — bit-identical by construction: per-bucket
+    counts are exact integer sums of the per-doc run-length pairs, the
+    scalar totals are derived from those same counts, the float weight
+    expression is verbatim :func:`dsir_weights`'s, and per-doc
+    ``Σ w(bucket(token))`` equals ``Σ cnt·w`` over distinct buckets.
+
+    Plan shape (vs the separate-operator composition, which pays 3–4
+    corpus-scale explode passes: target counts, raw counts, re-counts
+    for the scalar totals, scoring): ONE narrow pass builds the compact
+    per-doc ``(b, cnt)`` pairs frame (localCheckpoint — at cluster
+    scale, persist or a staged signature parquet); weights, totals and
+    per-doc scores are all cheap aggregates of that frame.  Nothing
+    corpus-token-scale ever shuffles."""
+    if mode not in ("target", "split"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    pairs = _doc_bucket_pairs(
+        df, text_col, id_col, n_buckets, extra={"__f": flag}
+    ).localCheckpoint(eager=True)
+    ct = F.coalesce(F.sum(F.when(F.col("__f"), F.col("cnt"))), F.lit(0))
+    if mode == "split":
+        counted = (
+            pairs.where(F.col("__f").isNotNull())
+            .groupBy("b")
+            .agg(
+                ct.alias("ct"),
+                F.coalesce(
+                    F.sum(F.when(~F.col("__f"), F.col("cnt"))), F.lit(0)
+                ).alias("cr"),
+            )
+        )
+    else:
+        counted = pairs.groupBy("b").agg(
+            ct.alias("ct"), F.sum("cnt").alias("cr")
+        )
+    # counted stays LAZY: its two consumers (the scalar totals and the
+    # weight select) are identical subtrees over the checkpointed pairs
+    # frame, so Spark's ReuseExchange dedupes the groupBy — a
+    # checkpoint here would only add a 32-task job for a ≤ n_buckets-row
+    # frame (measured: job-count, not CPU, dominates the curation build)
+    w = _weights_from_counts(counted, n_buckets, scale)
+    per_doc = (
+        pairs.join(F.broadcast(w), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.col("w")).alias("score_int"),
+            F.sum("cnt").alias("n_tok"),
+        )
+    )
+    scores = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("score_int"), F.lit(0)).cast("long").alias("score_int"),
+            F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
+            F.when(
+                F.col("n_tok") > 0,
+                F.col("score_int").cast("double")
+                / (F.lit(float(scale)) * F.col("n_tok").cast("double")),
+            ).alias("score"),
+        )
+    )
+    return w, scores
 
 
 def dsir_topk(

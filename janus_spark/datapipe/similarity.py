@@ -700,10 +700,19 @@ def tfidf_topk_pairs(
       k-boundary cut is reproducible across engines whose float-sum
       order differs (used by the oracle gate).
     """
-    from janus_spark.datapipe.text import clean_tokens
+    from janus_spark.datapipe.text import clean_tokens, sorted_run_length
 
-    words = docs.select(F.col(id_col).alias("id"), F.explode(clean_tokens(F.col(text_col))).alias("t"))
-    tf = words.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    # tf = run lengths of the per-doc SORTED token array — a narrow
+    # projection of one materialized tokenize pass, replacing the r5
+    # explode → groupBy(id, t) corpus-token shuffle (bit-identical
+    # counts; optimization guide §2.4)
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(clean_tokens(F.col(text_col))).alias("__st"),
+    ).localCheckpoint(eager=False)
+    tf = staged.select(
+        "id", F.explode(sorted_run_length(F.col("__st"), "string")).alias("__p")
+    ).select("id", F.col("__p.v").alias("t"), F.col("__p.cnt").alias("tf"))
     n_docs = docs.select(F.countDistinct(id_col).alias("nd"))
     dft = tf.groupBy("t").agg(F.count("*").alias("dft")).where(F.col("dft") <= max_df)
     w = (

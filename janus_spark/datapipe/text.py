@@ -115,6 +115,40 @@ def clean_tokens(col: Column) -> Column:
     return F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: t != "")
 
 
+def sorted_run_length(arr: Column, value_type: str = "string") -> Column:
+    """Run-length pairs ``array<struct<v, cnt>>`` of a SORTED array —
+    equal runs of a sorted array are exactly the per-element multiset
+    counts, so ``explode → groupBy(id, v) → count`` collapses to this
+    narrow per-row expression (no corpus-scale shuffle; the
+    ``_gram_run_stats`` discipline).  O(n) per row on top of the
+    caller's sort.
+
+    ``arr`` MUST be a materialized column reference (a projection
+    boundary), not an inline expression: subtrees referenced inside the
+    higher-order lambdas below are re-evaluated per element (the
+    word_shingles lesson).  ``value_type``: element type of the array,
+    for the empty-array cast."""
+    n = F.size(arr)
+    # 1-based positions where a run of equal values ends
+    ends = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == n) | (F.element_at(arr, i) != F.element_at(arr, i + 1)),
+    )
+    starts = F.concat(
+        F.array(F.lit(0)),
+        F.slice(ends, 1, F.greatest(F.size(ends) - 1, F.lit(0))),
+    )
+    pairs = F.zip_with(
+        F.transform(ends, lambda i: F.element_at(arr, i)),
+        F.zip_with(ends, starts, lambda e, s: (e - s).cast("long")),
+        lambda v, c: F.struct(v.alias("v"), c.alias("cnt")),
+    )
+    # sequence(1, 0) would generate a DESCENDING [1, 0]: guard empties
+    return F.when(
+        n == 0, F.array().cast(f"array<struct<v:{value_type},cnt:bigint>>")
+    ).otherwise(pairs)
+
+
 def doc_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Unigram language-model score per document: mean log p(token) under
     the corpus's own unigram distribution — the cheap LM-quality signal

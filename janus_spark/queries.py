@@ -37,6 +37,24 @@ def _cached(key: tuple, build):
     return _FRAME_CACHE[key]
 
 
+def _read_wide(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet input, widening the scan to the session's core
+    budget when it arrives narrower: a small single-file input is one
+    row group → ONE partition, so every narrow per-document operator
+    (tokenize, gram sorts, signature hashing, vector distances) would
+    run single-task while 31 cores idle (measured: 3.4 s single-task
+    gopher stage at sf0.1 vs ~0.2 s wide).  A no-op at scale — a real
+    corpus scan already exceeds the core count, and the explicit
+    partition number is respected (not re-coalesced) by AQE.  Safe by
+    construction: every declared query's result is partition-
+    independent (the sf10 AQE+32 vs no-AQE+7 A/B discipline)."""
+    df = spark.read.parquet(path)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
 def _await_stream(q, timeout_s: int) -> None:
     """awaitTermination returning False means the availableNow query is
     STILL RUNNING — reading the sink then would return a plausible but
@@ -648,7 +666,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: whitespace token counting over documents."""
     from janus_spark.datapipe.text import token_count
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
 
 
@@ -656,7 +674,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: quality features + composite score."""
     from janus_spark.datapipe.text import quality_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     out = quality_features(docs)
     return out.select(
         "doc_id",
@@ -671,7 +689,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: marker-based language identification."""
     from janus_spark.datapipe.text import lang_id
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     out = lang_id(docs)
     return out.select(
         "doc_id",
@@ -685,13 +703,13 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: md5-of-normalized-text document fingerprint."""
     from janus_spark.datapipe.text import fingerprint
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return fingerprint(docs).select("doc_id", "fp_md5")
 
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ shifted copy — deterministic corpus with known dups."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     copy = docs.select((F.col("doc_id") + 100000000).alias("doc_id"), "text", "lang", "source", "n_chars")
     return docs.unionByName(copy)
 
@@ -709,7 +727,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB SQL (the xxhash64 default is plan-identical)."""
     from janus_spark.datapipe.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200")
     mutated = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
@@ -724,7 +742,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, oracle-EXACT via ``shared_hash64``."""
     from janus_spark.datapipe.dedup import simhash_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200")
     mutated = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
@@ -739,7 +757,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search (exact baseline)."""
     from janus_spark.datapipe.similarity import cosine_topk
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = _read_wide(spark, f"{sf_dir}/embeddings.parquet")
     queries = embs.where("vec_id < 5")
     out = cosine_topk(embs, queries, k=10)
     return out.select(
@@ -753,7 +771,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact candidate buckets and ranking."""
     from janus_spark.datapipe.similarity import lsh_topk
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = _read_wide(spark, f"{sf_dir}/embeddings.parquet")
     queries = embs.where("vec_id < 5")
     out = lsh_topk(embs, queries, k=10, bands=8, bits_per_band=4, dim=64)
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 6).alias("sim"))
@@ -767,7 +785,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor in tests)."""
     from janus_spark.datapipe.similarity import ivf_topk
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = _read_wide(spark, f"{sf_dir}/embeddings.parquet")
     queries = embs.where("vec_id < 5")
     out = ivf_topk(embs, queries, k=10, n_cells=16, nprobe=4, iters=0)
     return out.select(
@@ -780,7 +798,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic hyperplane literals as in q_ann_lsh)."""
     from janus_spark.datapipe.similarity import embedding_near_dup_pairs
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = _read_wide(spark, f"{sf_dir}/embeddings.parquet")
     dup = embs.where("vec_id < 10").select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
     return embedding_near_dup_pairs(embs.unionByName(dup), sim_threshold=0.99).select(
         "a", "b", F.round("sim", 6).alias("sim")
@@ -794,7 +812,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``md5(text)`` matches byte-for-byte)."""
     from janus_spark.datapipe.multimodal import decode_media, documents_as_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return decode_media(documents_as_media(docs), fake=True)
 
 
@@ -1445,7 +1463,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold — stable across runs, partitionings and engines."""
     from janus_spark.datapipe.sampling import hash_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return hash_sample(docs, 0.25).select("doc_id", "lang", "source")
 
 
@@ -1454,7 +1472,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     German, 50% of everything else."""
     from janus_spark.datapipe.sampling import stratified_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return stratified_sample(
         docs, {"en": 0.25, "de": 0.75}, strata_col="lang", default_rate=0.5
     ).select("doc_id", "lang")
@@ -1465,7 +1483,7 @@ def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     win (deterministic)."""
     from janus_spark.datapipe.sampling import quota_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return quota_sample(docs, 5, strata_col="source").select("doc_id", "source")
 
 
@@ -1474,7 +1492,7 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows across the split."""
     from janus_spark.datapipe.sampling import split_train_eval
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return split_train_eval(docs, eval_rate=0.2).select("doc_id", "split")
 
 
@@ -1483,7 +1501,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boilerplate / degenerate-text filter)."""
     from janus_spark.datapipe.text import repetition_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     out = repetition_features(docs)
     return out.select(
         "doc_id",
@@ -1498,7 +1516,7 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word — deterministic)."""
     from janus_spark.datapipe.text import word_freq
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return word_freq(docs, k=50).select("word", F.col("n").cast("long").alias("n"))
 
 
@@ -1507,7 +1525,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 'benchmark' set (every 97th doc plays the benchmark role)."""
     from janus_spark.datapipe.dedup import contamination_flags
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     return contamination_flags(docs, bench)
 
@@ -1517,7 +1535,7 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram with the benchmark subset (every 97th doc)."""
     from janus_spark.datapipe.dedup import ngram_contamination
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     out = ngram_contamination(docs, bench, n=5)
     return out.select("id", F.col("n_hits").cast("long").alias("n_hits"))
@@ -1527,7 +1545,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-chunk preparation: 32-token chunks with 4-token overlap."""
     from janus_spark.datapipe.text import chunk_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     out = chunk_documents(docs, chunk_tokens=32, overlap=4)
     return out.select("id", F.col("chunk_id").cast("long").alias("chunk_id"),
                       "chunk_text", "n_tokens")
@@ -1538,7 +1556,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     IP / phone (both engines build the same input, then scrub)."""
     from janus_spark.datapipe.scrub import scrub_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     planted = docs.select(
         "doc_id",
         F.concat(
@@ -1683,7 +1701,7 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus shape profile: document-length histogram (100-char buckets)
     per language — the curation dashboard's first plot."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return docs.groupBy(
         "lang", F.floor(F.col("n_chars") / 100).cast("long").alias("bucket")
     ).agg(
@@ -1967,7 +1985,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sort within each partition (WindowGroupLimit)."""
     from pyspark.sql.window import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     w = Window.partitionBy("lang").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
@@ -2045,7 +2063,7 @@ def q_tpch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped star join: top revenue orders for one market
     segment.  customer is broadcast (small dim), lineitem⋈orders is the
     one real shuffle; the date filters reach the parquet scans."""
-    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cu = _read_wide(spark, f"{sf_dir}/customer.parquet")
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     cut = "1998-01-01"
@@ -2072,7 +2090,7 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with skew-proof partitioning."""
     from janus_spark.operators.skew import salted_join
 
-    cu = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment")
+    cu = _read_wide(spark, f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment")
     od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").alias("c_custkey"), "o_totalprice"
     )
@@ -2094,7 +2112,7 @@ def q_skew_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     results under the mitigated partitioning."""
     from janus_spark.operators.skew import auto_join
 
-    cu = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cu = _read_wide(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
     od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
@@ -2130,7 +2148,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability ∝ n_chars.  TakeOrderedAndProject — no global sort."""
     from janus_spark.datapipe.sampling import weighted_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return weighted_sample(docs, 500, "n_chars").select("doc_id", "lang", "n_chars")
 
 
@@ -2234,7 +2252,7 @@ def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_logprob): mean log p(token) under the corpus distribution."""
     from janus_spark.datapipe.text import doc_logprob
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     out = doc_logprob(docs)
     return out.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
 
@@ -2245,7 +2263,7 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scores rounded before ranking so the k-cut is engine-reproducible."""
     from janus_spark.datapipe.similarity import tfidf_topk_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     # max_df scales with the corpus so the hot-term guard stays a guard
     # instead of filtering out the whole (replicated) vocabulary at 10x
     max_df = max(1000, docs.count() // 5)
@@ -2417,7 +2435,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — together they pin the prefix lemma's output equivalence."""
     from janus_spark.datapipe.dedup import jaccard_similarity_join
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return jaccard_similarity_join(docs, shingle_k=3, threshold=0.5, prefix_filter=False)
 
 
@@ -2606,7 +2624,7 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal: low entropy at high length = degenerate text)."""
     from janus_spark.datapipe.text import token_entropy
 
-    return token_entropy(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return token_entropy(_read_wide(spark, f"{sf_dir}/documents.parquet"))
 
 
 _LOCF_SLOT_MS = 6 * 3_600_000
@@ -2675,7 +2693,7 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.datapipe.dedup import jaccard_similarity_join
     from janus_spark.datapipe.text import normalize
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     norm = docs.select("doc_id", normalize(F.col("text")).alias("nt"))
     cand = jaccard_similarity_join(docs, shingle_k=3, threshold=0.5).select("a", "b")
     return (
@@ -2699,7 +2717,7 @@ def q_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation step."""
     from janus_spark.datapipe.text import quality_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     scored = quality_features(docs).select("doc_id", "q_score", "n_chars")
     from pyspark.sql import Window as W
 
@@ -3037,7 +3055,7 @@ def q_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (depth grows with the table — hop bound set explicitly with headroom); every (descendant,
     ancestor) pair from the bounded semi-naive iteration must match a
     DuckDB recursive CTE."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     edges = docs.where("doc_id >= 1").select(
         F.lit(0).alias("ts"),
         F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias("subject"),
@@ -3069,7 +3087,7 @@ def q_path_deep_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop bound, and the longest path (39 hops) far exceeds the old
     implicit cap of 10, so a silently-truncated closure fails the EXACT
     gate (compiler/compile.py::_path_relation, path_max_hops=None)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     edges = docs.where("doc_id >= 1 AND doc_id < 40").select(
         F.lit(0).alias("ts"),
         F.concat(F.lit("urn:n:"), F.col("doc_id").cast("string")).alias("subject"),
@@ -3287,7 +3305,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     decoded = decode_media(documents_as_media(docs), fake=True)
     out = frame_sample(decoded, every_n=30)
     return out.select("media_id", F.col("frame_index").cast("long").alias("frame_index"))
@@ -3308,7 +3326,7 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join over only each doc's rarest ~(1−t)·|A| shingles."""
     from janus_spark.datapipe.dedup import jaccard_prefix_join
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return jaccard_prefix_join(docs, shingle_k=3, threshold=0.5)
 
 
@@ -3364,7 +3382,7 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact substring dedup; see duplicate_passages)."""
     from janus_spark.datapipe.dedup import duplicate_passages
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     out = duplicate_passages(docs, k=5)
     return out.select(
         "id",
@@ -3445,7 +3463,7 @@ def q_tpch_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     no extra shuffle appears."""
     rg = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "ASIA")
     na = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cu = _read_wide(spark, f"{sf_dir}/customer.parquet")
     su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     od = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -3496,7 +3514,7 @@ def q_tpch_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed form; Catalyst cannot decorrelate a per-row rescan).
     The per-part averages are computed once over the brand-filtered part
     set, so the agg input is pre-pruned by the broadcast semi join."""
-    pa = spark.read.parquet(f"{sf_dir}/part.parquet").where(F.col("p_brand") == "Brand#23")
+    pa = _read_wide(spark, f"{sf_dir}/part.parquet").where(F.col("p_brand") == "Brand#23")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     brand_lines = li.join(F.broadcast(pa.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
     avgq = brand_lines.groupBy("p_partkey").agg((F.avg("l_quantity") * 0.2).alias("qcut"))
@@ -3641,7 +3659,7 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference set without any crawl x crawl or ref x ref candidates."""
     from janus_spark.datapipe.dedup import minhash_lsh_join
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     reference = docs.where("doc_id < 150")
     crawl = docs.where("doc_id < 200 AND doc_id % 2 = 0").select(
         (F.col("doc_id") + 5000000).alias("doc_id"),
@@ -3709,7 +3727,7 @@ def q_window_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges exist (edge ts = doc id), then `parent+` closes over only
     those.  Exercises the engine path window-slice → compiler → bounded
     semi-naive iteration end-to-end."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     edges = docs.where("doc_id >= 1").select(
         F.col("doc_id").alias("ts"),
         F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias("subject"),
@@ -3748,7 +3766,7 @@ def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     datapipe/text.py::pack_token_stream."""
     from janus_spark.datapipe.text import pack_token_stream
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     out = pack_token_stream(docs, budget_tokens=512, n_shards=4)
     return out.select(
         "id",
@@ -3798,7 +3816,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     see datapipe/dedup.py::containment_join."""
     from janus_spark.datapipe.dedup import containment_join
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return containment_join(docs, shingle_k=3, threshold=0.8)
 
 
@@ -3849,7 +3867,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(n_s); see datapipe/sampling.py::temperature_mix."""
     from janus_spark.datapipe.sampling import temperature_mix
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     out = temperature_mix(docs, budget=_MIX_BUDGET, alpha=0.5)
     return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
 
@@ -3872,7 +3890,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filtering); see datapipe/text.py::bigram_logprob."""
     from janus_spark.datapipe.text import bigram_logprob
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return bigram_logprob(docs, lam=0.75)
 
 
@@ -3947,7 +3965,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     datapipe/similarity.py::pq_topk."""
     from janus_spark.datapipe.similarity import pq_topk
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = _read_wide(spark, f"{sf_dir}/embeddings.parquet")
     queries = embs.where("vec_id < 5")
     out = pq_topk(embs, queries, k=10, m=4, k_codes=16)
     return out.select(
@@ -4171,7 +4189,7 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     see datapipe/text.py::novelty_scores."""
     from janus_spark.datapipe.text import novelty_scores
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return novelty_scores(docs, shingle_k=3)
 
 
@@ -4200,7 +4218,7 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline reads before balancing by cluster."""
     from janus_spark.datapipe.similarity import _cell_sims, ivf_train
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = _read_wide(spark, f"{sf_dir}/embeddings.parquet")
     centroids = ivf_train(embs, n_cells=16, iters=0)
     best = F.array_max(_cell_sims(F.col("embedding"), centroids))
     return (
@@ -4333,7 +4351,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.datapipe.sampling import split_train_eval, temperature_mix
     from janus_spark.datapipe.text import repetition_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     # stage boundaries are materialized, exactly as a production curation
     # run stages to parquet between steps — without this the dedup
@@ -4448,7 +4466,7 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     reductions compose; see datapipe/similarity.py::ivfadc_topk."""
     from janus_spark.datapipe.similarity import ivfadc_topk
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = _read_wide(spark, f"{sf_dir}/embeddings.parquet")
     queries = embs.where("vec_id < 5")
     out = ivfadc_topk(embs, queries, k=10, n_cells=16, nprobe=4, m=4, k_codes=16)
     return out.select(
@@ -4590,7 +4608,7 @@ def q_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over the doc→doc//2 ancestor tree PLUS the zero-length
     identity over the predicate's nodes (documented divergence from the
     spec's all-graph-terms identity: the practical, bounded reading)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     edges = docs.where("doc_id >= 1").select(
         F.lit(0).alias("ts"),
         F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias("subject"),
@@ -4754,7 +4772,7 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant language + share); see datapipe/text.py::corpus_report."""
     from janus_spark.datapipe.text import corpus_report
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return corpus_report(docs)
 
 
@@ -4786,7 +4804,7 @@ def q_multimodal_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.datapipe.multimodal import documents_as_media, extract_features
     from janus_spark.datapipe.similarity import cosine_topk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     feats = extract_features(documents_as_media(docs), dim=8)
     embs = feats.select(F.col("media_id").alias("vec_id"), "embedding")
     out = cosine_topk(embs, embs.where("vec_id < 3"), k=5)
@@ -4941,7 +4959,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE MIN oracle."""
     from janus_spark.operators.graph import bfs_hops
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     e2 = docs.where("doc_id >= 1").select(
         (F.col("doc_id") / 2).cast("long").alias("src"), F.col("doc_id").alias("dst")
     )
@@ -4976,7 +4994,7 @@ def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation broadcast; deterministic tiebreak on custkey for the top-20."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_returnflag") == "R")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = _read_wide(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal"
     )
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
@@ -5014,7 +5032,7 @@ def q_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_name")
+    cust = _read_wide(spark, f"{sf_dir}/customer.parquet").select("c_custkey", "c_name")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
@@ -5051,7 +5069,7 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE MIN oracle.  operators/graph.py::shortest_paths."""
     from janus_spark.operators.graph import shortest_paths
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     e2 = docs.where("doc_id >= 1").select(
         (F.col("doc_id") / 2).cast("long").alias("src"),
         F.col("doc_id").alias("dst"),
@@ -5173,7 +5191,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (datapipe/text.py::vocab_coverage)."""
     from janus_spark.datapipe.text import vocab_coverage
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     out = vocab_coverage(docs, vocab_size=100)
     return out.select(
         "doc_id",
@@ -5301,7 +5319,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (datapipe/multimodal.py::audio_window_features)."""
     from janus_spark.datapipe.multimodal import audio_window_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     audio = docs.where(F.col("doc_id") % 3 == 1).select(F.col("doc_id").alias("media_id"))
     return audio_window_features(audio, frame=100)
 
@@ -5407,7 +5425,7 @@ def q_tpch_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     one conditional-aggregate pass over the fact; decimal(18,2) cents
     keep the ratio engine-exact."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    part = _read_wide(spark, f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
     # decimal(18,4): the 4th decimal of the price product sits ~5 orders
     # of magnitude above double ulp, so both engines round identically
     # (a ,2 cast lands ON half-cent boundaries and diverges)
@@ -5514,7 +5532,7 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross the shuffle) — datapipe/dedup.py::corpus_diff."""
     from janus_spark.datapipe.dedup import corpus_diff
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     old = docs.where(F.col("doc_id") % 11 != 0)  # new crawl drops these
     new = docs.where(F.col("doc_id") % 13 != 0).withColumn(
         "text",
@@ -5546,7 +5564,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE reachability oracle."""
     from janus_spark.datapipe.dedup import dedup_clusters
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     # chains of length 5 (doc -> doc+1 within each 5-block) over a
     # sparse subset, plus long-range edges stitching blocks that share
     # doc_id % 97
@@ -5770,7 +5788,7 @@ def q_path_alt_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus operators — the union relation is closed, not each branch
     separately (doc//2 edges are p1, doc//3 edges are p2, so mixed-label
     paths exist); recursive-CTE oracle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id >= 1 AND doc_id < 200")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").where("doc_id >= 1 AND doc_id < 200")
     e1 = docs.select(
         F.lit(0).alias("ts"),
         F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias("subject"),
@@ -5812,7 +5830,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (datapipe/text.py::zipf_fit)."""
     from janus_spark.datapipe.text import zipf_fit
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return zipf_fit(docs)
 
 
@@ -5837,7 +5855,7 @@ def q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's right side (pre-filtered before the join ≡ ON-clause
     predicate), then a double aggregation.  One shuffle join on custkey
     + two small aggs."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    cust = _read_wide(spark, f"{sf_dir}/customer.parquet").select("c_custkey")
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .where(F.col("o_orderpriority") != "1-URGENT")
@@ -5868,7 +5886,7 @@ def q_tpch_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     common l_quantity bound to the lineitem scan; the disjunction is
     evaluated post-join.  Money in exact decimals."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _read_wide(spark, f"{sf_dir}/part.parquet")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     qty = F.col("l_quantity")
     c1 = (F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & qty.between(1, 11)
@@ -5952,7 +5970,7 @@ def q_tpch_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar AVG threshold is compared by integer cross-multiplication
     (acctbal_cents · n_pos > total_pos_cents) so the boundary is exact in
     both engines; the no-recent-orders test is a left-anti join."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _read_wide(spark, f"{sf_dir}/customer.parquet")
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .where(F.col("o_orderdate") >= F.lit("2001-01-01"))
@@ -6064,7 +6082,7 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune + exact frontier pass (operators/analytics.py::skyline2d)."""
     from janus_spark.operators.analytics import skyline2d
 
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _read_wide(spark, f"{sf_dir}/part.parquet")
     out = skyline2d(part, "p_retailprice", "p_size")
     return out.select(F.col("x").alias("price"), F.col("y").cast("long").alias("size"))
 
@@ -6095,7 +6113,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index (datapipe/retrieval.py::bm25_topk)."""
     from janus_spark.datapipe.retrieval import bm25_topk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return bm25_topk(docs, _bm25_query_df(spark), k=10)
 
 
@@ -6146,8 +6164,8 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.datapipe.retrieval import bm25_topk, rrf_fuse
     from janus_spark.datapipe.similarity import cosine_topk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
+    embs = _read_wide(spark, f"{sf_dir}/embeddings.parquet")
     qdocs = docs.where("doc_id < 3").select(
         F.concat(F.lit("d"), F.col("doc_id")).alias("query_id"),
         F.col("doc_id").alias("__self"),
@@ -6181,7 +6199,7 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from janus_spark.datapipe.retrieval import IncrementalBM25Index
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     idx = IncrementalBM25Index(spark, tempfile.mkdtemp(prefix="bm25_inc_"))
     idx.update(docs.where("doc_id % 2 = 0"))
     idx.update(docs.where("doc_id % 2 = 1"))
@@ -6405,7 +6423,7 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py::harmonic_centrality)."""
     from janus_spark.operators.graph import harmonic_centrality
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").where(
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").select("doc_id").where(
         "doc_id < 400"
     )
     e2 = docs.where("doc_id >= 1").select(
@@ -6558,7 +6576,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN gates."""
     from janus_spark.datapipe.similarity import cosine_topk
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = _read_wide(spark, f"{sf_dir}/embeddings.parquet")
     anchors = embs.where("vec_id < 5")
     sims = cosine_topk(embs, anchors, k=None)  # all ranked candidates
     labels = embs.select("vec_id", "label")
@@ -6706,7 +6724,7 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-candidate table; one map+aggregate pass, no UDFs."""
     from janus_spark.datapipe.text import char_pair_counts
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return char_pair_counts(docs, k=30)
 
 
@@ -6729,7 +6747,7 @@ def q_skyline3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.operators.analytics import skyline
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _read_wide(spark, f"{sf_dir}/part.parquet")
     stats = li.groupBy("l_partkey").agg(
         F.min("l_extendedprice").alias("min_price"),
         F.min("l_discount").alias("min_disc"),
@@ -6767,7 +6785,7 @@ def q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Feature model is the shared md5 hash family, so the gate is EXACT."""
     from janus_spark.datapipe.multimodal import decode_media, documents_as_media, scene_changes
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 30")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").where("doc_id < 30")
     decoded = decode_media(documents_as_media(docs)).where(
         F.col("media_type") == "video"
     )
@@ -7123,7 +7141,7 @@ def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, corpus scanned once map-side."""
     from janus_spark.datapipe.similarity import semantic_contamination
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = _read_wide(spark, f"{sf_dir}/embeddings.parquet")
     mx = embs.agg(F.max("vec_id")).collect()[0][0]
     bench = embs.where(F.col("vec_id") > mx - 5)
     corpus = embs.where(F.col("vec_id") <= mx - 5)
@@ -7426,7 +7444,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     root = tempfile.mkdtemp(prefix="jsonl_")
     try:
         docs.select("doc_id", "text", "lang", "source").coalesce(4).write.mode(
@@ -7577,7 +7595,7 @@ def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level summary view of the corpus inverted index."""
     from janus_spark.datapipe.text import clean_tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     words = docs.select(
         F.col("doc_id").alias("id"), F.explode(clean_tokens(F.col("text"))).alias("t")
     )
@@ -7976,7 +7994,7 @@ def q_tpch_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cents × (100−disc_pct)) so the ranking and the emitted doubles are
     engine-exact — ties impossible under the unique orderkey tiebreak."""
     cu = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        _read_wide(spark, f"{sf_dir}/customer.parquet")
         .where(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
@@ -8074,7 +8092,7 @@ def q_tpch_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_1", "NATION_2")
     )
     cu = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        _read_wide(spark, f"{sf_dir}/customer.parquet")
         .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
@@ -8190,7 +8208,7 @@ def q_khop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.operators.graph import khop_neighbor_agg
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    pa = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pa = _read_wide(spark, f"{sf_dir}/part.parquet")
     lp = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     edges = (
         lp.alias("x")
@@ -8234,7 +8252,7 @@ def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.operators.graph import negative_edges
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    pa = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pa = _read_wide(spark, f"{sf_dir}/part.parquet")
     edges = li.select(
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     ).distinct()
@@ -8454,7 +8472,7 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     index and sign hashes make the vectors engine-reproducible."""
     from janus_spark.datapipe.features import feature_hash
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     out = feature_hash(docs, "text", "doc_id", n_features=4096)
     return out.select("doc_id", F.col("idx").cast("long").alias("idx"), "val")
 
@@ -8685,7 +8703,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned, not just the counts."""
     from janus_spark.datapipe.dedup import line_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     nchunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
     lines = F.when(
@@ -8782,7 +8800,7 @@ def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one real shuffle is lineitem⋈orders; profit in exact 1e-4
     units (revenue cents×(100−disc) minus cost cents×qty×100) summed
     as DECIMAL(38,0) — sign-safe and order-free."""
-    pa = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+    pa = _read_wide(spark, f"{sf_dir}/part.parquet").where(
         F.col("p_name").like("%red%")
     ).select("p_partkey", F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("retail_c"))
     su = (
@@ -8861,7 +8879,7 @@ def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
     )
-    pa = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+    pa = _read_wide(spark, f"{sf_dir}/part.parquet").where(
         (F.col("p_size") < 10) & (F.col("p_type") == "LARGE")
     ).select("p_partkey", "p_name")
     eligible = supply.join(F.broadcast(su), supply.l_suppkey == su.s_suppkey).withColumn(
@@ -8968,7 +8986,7 @@ def q_tpch_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = spark.read.parquet(f"{sf_dir}/supplier.parquet").where(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
-    pa = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+    pa = _read_wide(spark, f"{sf_dir}/part.parquet").where(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "ECONOMY")
         & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
@@ -9002,7 +9020,7 @@ def q_tpch_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate → per-part threshold join → supplier semi-join, Q20's
     shape; quantities are exact bigints so the ×2 comparison never
     touches a float."""
-    pa = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+    pa = _read_wide(spark, f"{sf_dir}/part.parquet").where(
         F.col("p_name").like("red%")
     ).select("p_partkey")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
@@ -9068,7 +9086,7 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the split itself is map-side arithmetic on the rep id."""
     from janus_spark.datapipe.dedup import dedup_clusters, minhash_lsh_pairs, shared_hash64
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200")
     mutated = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
@@ -9281,7 +9299,7 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from janus_spark.datapipe.dedup import incremental_minhash_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").where("doc_id < 200")
     mutated = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
@@ -9314,7 +9332,7 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard so no single-partition global sort exists in the plan."""
     from janus_spark.datapipe.sampling import shuffle_shard
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     return shuffle_shard(docs, n_shards=8, seed=1).select(
         F.col("doc_id").cast("long").alias("doc_id"), "shard", "pos"
     )
@@ -9342,7 +9360,7 @@ def _entity_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _entity_recs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p = _read_wide(spark, f"{sf_dir}/part.parquet")
     toks = F.split(F.lower(F.col("p_name")), " ")
     base = p.select(
         F.col("p_partkey").alias("rec_id"),
@@ -9840,7 +9858,7 @@ def q_entity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from janus_spark.datapipe.entity import evaluate_resolution
 
     out = _entity_resolved(spark, sf_dir)
-    base_ids = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    base_ids = _read_wide(spark, f"{sf_dir}/part.parquet").select(
         F.col("p_partkey").alias("a")
     ).where(F.col("a") % 5 == 0)
     truth = base_ids.select("a", (F.col("a") + 100_000_000).alias("b"))
@@ -10067,23 +10085,23 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; per-doc score = mean per-token log-likelihood ratio.
     Integer-scaled per-bucket weights -> exact BIGINT per-doc sums
     (order-free); the float re-enters at the final per-doc division."""
-    from janus_spark.datapipe.selection import dsir_scores, dsir_weights
+    from janus_spark.datapipe.selection import dsir_flagged_scores
 
-    # docs feeds the target slice, both model passes, the scoring
-    # explode, and the join-back — cut once
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+    # docs feeds the one fused tokenize+hash pass and the join-back —
+    # cut once (r10: dsir_flagged_scores trains AND scores in one pass;
+    # bit-identical to dsir_weights + dsir_scores by construction)
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").localCheckpoint(
         eager=True
     )
-    target = docs.where(F.col("lang") == "en")
-    w = dsir_weights(target, docs, n_buckets=4096).localCheckpoint(eager=True)
+    _, scores = dsir_flagged_scores(
+        docs, F.col("lang") == "en", "target", n_buckets=4096
+    )
     # output is the EXACT integer pair (score_int, n_tok) — the rounded
     # float ratio is boundary-prone under cross-engine ROUND (score_int /
     # (1e6 n_tok) is a terminating rational: at sf10 doc 1000 hit
     # 0.0039526875, an exact .5 at digit 10, and Spark HALF_UP vs DuckDB
     # numeric rounding disagreed); consumers derive the float locally
-    return dsir_scores(docs, w, n_buckets=4096).select(
-        "doc_id", "score_int", "n_tok"
-    )
+    return scores.select("doc_id", "score_int", "n_tok")
 
 
 QUERIES["q_dsir_scores"] = q_dsir_scores
@@ -10097,18 +10115,24 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice — top-k by mean log-likelihood ratio, ties by doc_id, the
     derandomized stand-in for DSIR's Gumbel resampling (identical
     scores; only the final draw differs)."""
-    from janus_spark.datapipe.selection import dsir_topk, dsir_weights
+    from janus_spark.datapipe.selection import dsir_flagged_scores
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").localCheckpoint(
         eager=True
     )
-    target = docs.where(F.col("lang") == "en")
-    w = dsir_weights(target, docs, n_buckets=4096).localCheckpoint(eager=True)
+    # r10: fused one-pass train+score; the top-k tail is verbatim
+    # dsir_topk's (same float ratio, same id-ascending tie-break)
+    _, scores = dsir_flagged_scores(
+        docs, F.col("lang") == "en", "target", n_buckets=4096
+    )
     # selection ORDER uses the double ratio (bit-identical across
     # engines: same IEEE division); the OUTPUT stays exact-integer like
     # q_dsir_scores to dodge the ROUND boundary class
-    return dsir_topk(docs, w, 100, n_buckets=4096).select(
-        "doc_id", "score_int", "n_tok"
+    return (
+        scores.where(F.col("score").isNotNull())
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", "score_int", "n_tok")
     )
 
 
@@ -10172,16 +10196,22 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision is the EXACT INTEGER comparison score_int > 0·n_tok — the
     r7 score_int discipline: floats never enter the emitted columns or
     the decision, so the split is bit-identical across engines."""
-    from janus_spark.datapipe.quality import nb_quality_weights, quality_scores
+    from janus_spark.datapipe.selection import dsir_flagged_scores
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").localCheckpoint(
         eager=True
     )
-    pos = docs.where(F.col("lang") == "en")
-    neg = docs.where(F.col("lang") != "en")
-    w = nb_quality_weights(pos, neg, n_buckets=4096).localCheckpoint(eager=True)
-    return quality_scores(docs, w, n_buckets=4096).select(
-        "doc_id", "score_int", "n_tok", "pred"
+    # r10: fused one-pass train+score (bit-identical to
+    # nb_quality_weights + quality_scores); pred is quality_scores'
+    # exact-integer decision at the default bias/τ = 0
+    _, scores = dsir_flagged_scores(
+        docs, F.col("lang") == "en", "split", n_buckets=4096
+    )
+    return scores.select(
+        "doc_id",
+        "score_int",
+        "n_tok",
+        ((F.col("n_tok") > 0) & (F.col("score_int") > 0)).alias("pred"),
     )
 
 
@@ -10201,18 +10231,16 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision is the cross-multiplied ALL-INTEGER comparison
     score_int·Σn > Σscore·n_tok in decimal(38,0)/HUGEINT — exact at any
     corpus size, no float, no ROUND boundary."""
-    from janus_spark.datapipe.quality import (
-        nb_quality_weights,
-        quality_filter_relative,
-    )
+    from janus_spark.datapipe.quality import quality_filter_relative_split
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").localCheckpoint(
         eager=True
     )
-    pos = docs.where(F.col("lang") == "en")
-    neg = docs.where(F.col("lang") != "en")
-    w = nb_quality_weights(pos, neg, n_buckets=4096).localCheckpoint(eager=True)
-    return quality_filter_relative(docs, w, n_buckets=4096)
+    # r10: fused one-pass train+score+cut (bit-identical to
+    # nb_quality_weights + quality_filter_relative by construction)
+    return quality_filter_relative_split(
+        docs, F.col("lang") == "en", n_buckets=4096
+    )
 
 
 QUERIES["q_quality_filter"] = q_quality_filter
@@ -10241,7 +10269,7 @@ def q_live_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from janus_spark.datapipe.quality import nb_quality_weights, quality_stream_scores
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").localCheckpoint(
         eager=True
     )
     pos = docs.where(F.col("lang") == "en")
@@ -10295,7 +10323,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     0-based inclusive token offsets; all columns exact integers."""
     from janus_spark.datapipe.dedup import duplicate_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return duplicate_spans(docs, k=8).select(
         "doc_id", "span_start", "span_end", "span_tokens"
     )
@@ -10336,7 +10364,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison."""
     from janus_spark.datapipe.quality import gopher_quality
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return gopher_quality(
         docs, min_tok=20, top2_max=(1, 10), min_stopwords=1
     )
@@ -10414,7 +10442,7 @@ def q_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned token stream per document."""
     from janus_spark.datapipe.dedup import cut_duplicate_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return cut_duplicate_spans(docs, k=8).select(
         "doc_id", "n_tok", "kept_tok", "clean_text"
     )
@@ -10489,7 +10517,7 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal target weights — no float quotas anywhere."""
     from janus_spark.datapipe.sampling import domain_mixture
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return domain_mixture(docs, _MIX_TARGET, _MIX_BUDGET).select(
         "source", "w", "n_avail", "alloc"
     )
@@ -10507,7 +10535,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties) — reproducible across engines and partitionings."""
     from janus_spark.datapipe.sampling import mixture_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return mixture_sample(docs, _MIX_TARGET, _MIX_BUDGET).select(
         "doc_id", "source"
     )
@@ -10535,7 +10563,7 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates verify (no drift possible)."""
     from janus_spark.datapipe.curation import curation_pipeline
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     out = curation_pipeline(
         docs, k_top=100, budget_tokens=512, n_shards=4
     )
@@ -10589,7 +10617,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     can never disagree."""
     from janus_spark.datapipe.curation import curation_funnel
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return curation_funnel(docs, k_top=100).select(
         "stage_no", "stage", "n_docs"
     )
@@ -10616,7 +10644,7 @@ def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistribution path, not just the uniform split."""
     from janus_spark.datapipe.sampling import unimax_allocations
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return unimax_allocations(
         docs, budget=400, max_epochs=1, source_col="lang"
     ).select("lang", "n_avail", "cap", "alloc")
@@ -10664,7 +10692,7 @@ def q_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity)."""
     from janus_spark.datapipe.sampling import mixture_sample_tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return mixture_sample_tokens(docs, _MIX_TARGET, 20000).select(
         "doc_id", "source", "n_tok", "tok_before"
     )
@@ -10698,7 +10726,7 @@ def q_sample_quota_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     path executes at every SF."""
     from janus_spark.datapipe.sampling import quota_sample_prefiltered
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return quota_sample_prefiltered(
         docs, 5, strata_col="source", ratio=1
     ).select("doc_id", "source")
@@ -10726,7 +10754,7 @@ def q_mixture_sample_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     path executes at every SF."""
     from janus_spark.datapipe.sampling import mixture_sample_prefiltered
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return mixture_sample_prefiltered(
         docs, _MIX_TARGET, _MIX_BUDGET, ratio=1
     ).select("doc_id", "source")
@@ -10748,7 +10776,7 @@ def q_mixture_tokens_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every SF."""
     from janus_spark.datapipe.sampling import mixture_sample_tokens_prefiltered
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     return mixture_sample_tokens_prefiltered(
         docs, _MIX_TARGET, 20000, ratio=1
     ).select("doc_id", "source", "n_tok", "tok_before")
@@ -10775,7 +10803,7 @@ def q_curation_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         curation_increment,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     store = tempfile.mkdtemp(prefix="cur_inc_")
     surv0, model = curation_bootstrap(docs.where("doc_id < 250"), store)
     surv1 = curation_increment(docs.where("doc_id >= 250"), store, model)
@@ -10819,7 +10847,7 @@ def q_live_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_curation_model,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet").localCheckpoint(
         eager=True
     )
     model = train_curation_model(docs.where("doc_id < 250"))
@@ -10874,7 +10902,7 @@ def q_curation_increment_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         curation_increment,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     store = tempfile.mkdtemp(prefix="cur_incsel_")
     surv0, model = curation_bootstrap(
         docs.where("doc_id < 250"), store, select=True
