@@ -555,7 +555,19 @@ def jaccard_prefix_candidates(
         F.row_number().over(W.partitionBy("id").orderBy(F.asc("gdf"), F.asc("gram"))),
     )
     plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    prefix = ranked.where(F.col("rk") <= plen)
+    # Materialize the prefix postings ONCE before the self-join: both join
+    # sides reference `prefix`, and Catalyst re-derives the whole subtree
+    # (explode → gram-frequency aggregate → frequency join → per-doc
+    # window) per side — two copies of three shuffles for one logical
+    # pass.  The prefix is the small end of the pipeline (~(1−t) of the
+    # representative postings, ids + grams only), so the cut is cheap;
+    # at cluster scale the same frame is a DISK_ONLY persist alongside
+    # the staged shingle table.
+    prefix = (
+        ranked.where(F.col("rk") <= plen)
+        .select("gram", "id", "n")
+        .localCheckpoint(eager=True)
+    )
     # AllPairs length filter: J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ⇒ min(n) ≥ t·max(n),
     # so any candidate with nb outside [t·na, na/t] provably cannot reach
     # the threshold — applied inside the candidate join it cuts the
