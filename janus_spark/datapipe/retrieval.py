@@ -57,7 +57,7 @@ def bm25_topk(
 
     Returns (query_id, doc_id, rank, score).
     """
-    from janus_spark.datapipe.text import sorted_run_length
+    from janus_spark.datapipe.text import exploded_run_lengths
 
     # ONE materialized tokenize pass (lazily checkpointed — the
     # "materialize the inverted index" move, persisted at 100 TB; see
@@ -71,9 +71,9 @@ def bm25_topk(
         F.array_sort(clean_tokens(F.col(text_col))).alias("__st"),
     ).localCheckpoint(eager=False)
     dl = staged.select("id", F.size("__st").alias("dl"))
-    tf = staged.select(
-        "id", F.explode(sorted_run_length(F.col("__st"), "string")).alias("__p")
-    ).select("id", F.col("__p.v").alias("t"), F.col("__p.cnt").alias("tf"))
+    tf = exploded_run_lengths(staged, "__st", keep=["id"]).select(
+        "id", F.col("v").alias("t"), F.col("cnt").alias("tf")
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     ).collect()[0]

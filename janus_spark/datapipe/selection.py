@@ -74,7 +74,7 @@ def _doc_bucket_pairs(
     through (e.g. a language flag).  Output: ``(id_col, *extra, b,
     cnt)``; tokenless documents emit no rows (same as an explode of no
     tokens)."""
-    from janus_spark.datapipe.text import sorted_run_length
+    from janus_spark.datapipe.text import exploded_run_lengths
 
     extra = dict(extra or {})
     staged = df.select(
@@ -90,15 +90,11 @@ def _doc_bucket_pairs(
     # __bs is a materialized projection column, so the run-length scan's
     # element accesses are O(1) attribute reads, not re-evaluations of
     # the tokenize+hash subtree (the word_shingles lesson).
-    return staged.select(
+    return exploded_run_lengths(staged, "__bs", keep=[id_col, *extra.keys()]).select(
         F.col(id_col),
         *extra.keys(),
-        F.explode(sorted_run_length(F.col("__bs"), "bigint")).alias("__p"),
-    ).select(
-        F.col(id_col),
-        *extra.keys(),
-        F.col("__p.v").alias("b"),
-        F.col("__p.cnt").alias("cnt"),
+        F.col("v").alias("b"),
+        F.col("cnt").alias("cnt"),
     )
 
 

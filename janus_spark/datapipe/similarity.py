@@ -700,7 +700,7 @@ def tfidf_topk_pairs(
       k-boundary cut is reproducible across engines whose float-sum
       order differs (used by the oracle gate).
     """
-    from janus_spark.datapipe.text import clean_tokens, sorted_run_length
+    from janus_spark.datapipe.text import clean_tokens, exploded_run_lengths
 
     # tf = run lengths of the per-doc SORTED token array — a narrow
     # projection of one materialized tokenize pass, replacing the r5
@@ -710,9 +710,9 @@ def tfidf_topk_pairs(
         F.col(id_col).alias("id"),
         F.array_sort(clean_tokens(F.col(text_col))).alias("__st"),
     ).localCheckpoint(eager=False)
-    tf = staged.select(
-        "id", F.explode(sorted_run_length(F.col("__st"), "string")).alias("__p")
-    ).select("id", F.col("__p.v").alias("t"), F.col("__p.cnt").alias("tf"))
+    tf = exploded_run_lengths(staged, "__st", keep=["id"]).select(
+        "id", F.col("v").alias("t"), F.col("cnt").alias("tf")
+    )
     n_docs = docs.select(F.countDistinct(id_col).alias("nd"))
     dft = tf.groupBy("t").agg(F.count("*").alias("dft")).where(F.col("dft") <= max_df)
     w = (

@@ -7,6 +7,8 @@ the scan (map-only, no shuffle).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,38 +117,49 @@ def clean_tokens(col: Column) -> Column:
     return F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: t != "")
 
 
-def sorted_run_length(arr: Column, value_type: str = "string") -> Column:
-    """Run-length pairs ``array<struct<v, cnt>>`` of a SORTED array —
-    equal runs of a sorted array are exactly the per-element multiset
-    counts, so ``explode → groupBy(id, v) → count`` collapses to this
-    narrow per-row expression (no corpus-scale shuffle; the
-    ``_gram_run_stats`` discipline).  O(n) per row on top of the
-    caller's sort.
+def exploded_run_lengths(
+    df: DataFrame, arr_col: str, keep: Sequence[str] = ("id",)
+) -> DataFrame:
+    """One row per run of equal values in the SORTED array column
+    ``arr_col``: ``(*keep, v, cnt)`` — equal runs of a sorted array are
+    exactly the per-element multiset counts, so ``explode →
+    groupBy(id, v) → count`` collapses to a narrow per-row scan (no
+    corpus-scale shuffle; the ``_gram_run_stats`` discipline).  Rows
+    with an empty array emit no output rows, same as an explode of no
+    tokens.
 
-    ``arr`` MUST be a materialized column reference (a projection
-    boundary), not an inline expression: subtrees referenced inside the
-    higher-order lambdas below are re-evaluated per element (the
-    word_shingles lesson).  ``value_type``: element type of the array,
-    for the empty-array cast."""
+    TWO staged projections, not one Column expression: the run-end
+    position scan (a filter over ``sequence(1, n)``) is referenced
+    three times downstream (values, counts, shifted starts), and
+    higher-order functions are interpreted per reference — no codegen
+    subexpression elimination — so inlining it costs 3 linear scans per
+    row.  Staging ``__ends`` as its own projection column makes the
+    downstream references O(1) attribute reads, and CollapseProject
+    will not re-inline a non-cheap expression used more than once."""
+    arr = F.col(arr_col)
     n = F.size(arr)
-    # 1-based positions where a run of equal values ends
-    ends = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (i == n) | (F.element_at(arr, i) != F.element_at(arr, i + 1)),
+    # 1-based positions where a run of equal values ends; sequence(1, 0)
+    # would generate a DESCENDING [1, 0]: guard empties
+    ends = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == n) | (F.element_at(arr, i) != F.element_at(arr, i + 1)),
+        )
     )
+    staged = df.select(*keep, arr_col, ends.alias("__ends"))
+    e = F.col("__ends")
     starts = F.concat(
         F.array(F.lit(0)),
-        F.slice(ends, 1, F.greatest(F.size(ends) - 1, F.lit(0))),
+        F.slice(e, 1, F.greatest(F.size(e) - 1, F.lit(0))),
     )
     pairs = F.zip_with(
-        F.transform(ends, lambda i: F.element_at(arr, i)),
-        F.zip_with(ends, starts, lambda e, s: (e - s).cast("long")),
+        F.transform(e, lambda i: F.element_at(arr, i)),
+        F.zip_with(e, starts, lambda end, s: (end - s).cast("long")),
         lambda v, c: F.struct(v.alias("v"), c.alias("cnt")),
     )
-    # sequence(1, 0) would generate a DESCENDING [1, 0]: guard empties
-    return F.when(
-        n == 0, F.array().cast(f"array<struct<v:{value_type},cnt:bigint>>")
-    ).otherwise(pairs)
+    return staged.select(*keep, F.explode(pairs).alias("__p")).select(
+        *keep, F.col("__p.v").alias("v"), F.col("__p.cnt").alias("cnt")
+    )
 
 
 def doc_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
