@@ -86,16 +86,19 @@ def ngram_contamination(
         # differ in case/punctuation ("France?") — grams must not.
         # zip-against-shifts, NOT slice-per-index: an expression inside a
         # higher-order lambda re-evaluates per element (the slice form
-        # re-tokenized the doc O(n_tokens) times per row)
-        toks = clean_tokens(normalize(col))
-        size = F.size(toks)
-        acc = toks
-        for j in range(1, n):
-            shifted = F.slice(toks, j + 1, F.greatest(size - j, F.lit(1)))
-            acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-        return F.when(
-            size >= n, F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
-        ).otherwise(F.array().cast("array<string>"))
+        # re-tokenized the doc O(n_tokens) times per row); the token array
+        # is _let-bound so its n+1 top-level references cost ONE tokenize
+        def build(toks: Column) -> Column:
+            size = F.size(toks)
+            acc = toks
+            for j in range(1, n):
+                shifted = F.slice(toks, j + 1, F.greatest(size - j, F.lit(1)))
+                acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+            return F.when(
+                size >= n, F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+            ).otherwise(F.array().cast("array<string>"))
+
+        return _let(clean_tokens(normalize(col)), build)
 
     bench_grams = (
         benchmark.select(F.explode(grams(F.col(bench_text_col))).alias("gram")).distinct()
@@ -131,6 +134,16 @@ def shared_hash64_sql(expr: str, seed: int | None = None) -> str:
 
 
 # --------------------------------------------------------------- shingles
+def _let(col: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``col`` ONCE per row
+    and hand it to ``body`` as a higher-order lambda variable, so every
+    reference inside the body is an O(1) variable read instead of a
+    re-evaluation of the subtree (HOF lambdas are interpreted with no
+    codegen subexpression elimination — the single-element transform is
+    the expression-level analogue of the staged-projection discipline)."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def word_shingles(text_col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (arrays stay JVM-side).
 
@@ -138,18 +151,23 @@ def word_shingles(text_col: Column, k: int = 3) -> Column:
     slicing per index: an expression subtree referenced INSIDE a
     higher-order lambda is re-evaluated per element (the index-lambda
     form re-tokenized the text O(n) times per row — measured 4.5×
-    slower); the zip form evaluates the split k times at top level.
-    The zip pads the tail with NULL and ``concat`` propagates it, so
-    one isNotNull filter leaves exactly n−k+1 shingles."""
-    toks = tokens(F.lower(text_col))
-    n = F.size(toks)
-    acc = toks
-    for j in range(1, k):
-        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(1)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
-    )
+    slower).  The token array is additionally ``_let``-bound, so its
+    k+2 top-level references (size, zip base, shifts, short-doc branch)
+    cost ONE tokenize, not k+2.  The zip pads the tail with NULL and
+    ``concat`` propagates it, so one isNotNull filter leaves exactly
+    n−k+1 shingles."""
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        acc = toks
+        for j in range(1, k):
+            shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(1)))
+            acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+        return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+        )
+
+    return _let(tokens(F.lower(text_col)), build)
 
 
 # ---------------------------------------------------------------- minhash
