@@ -38,21 +38,27 @@ def _cached(key: tuple, build):
 
 
 def _read_wide(spark: SparkSession, path: str) -> DataFrame:
-    """Read a parquet input, widening the scan to the session's core
-    budget when it arrives narrower: a small single-file input is one
-    row group → ONE partition, so every narrow per-document operator
-    (tokenize, gram sorts, signature hashing, vector distances) would
-    run single-task while 31 cores idle (measured: 3.4 s single-task
-    gopher stage at sf0.1 vs ~0.2 s wide).  A no-op at scale — a real
-    corpus scan already exceeds the core count, and the explicit
-    partition number is respected (not re-coalesced) by AQE.  Safe by
-    construction: every declared query's result is partition-
-    independent (the sf10 AQE+32 vs no-AQE+7 A/B discipline)."""
-    df = spark.read.parquet(path)
-    p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        df = df.repartition(p)
-    return df
+    """Read a parquet input (plain scan — the widening repartition this
+    helper briefly carried is REVERTED, re-measured per guide §1.2).
+
+    History: mid-r10 this repartitioned small single-row-group scans to
+    the core budget so CPU-dense per-document stages would not run
+    single-task.  That measurement predated the operator rewrites that
+    made those stages cheap (gopher/quality/tf became narrow run-length
+    projections; the minhash family already widens internally at
+    ``_minhash_banded``).  Re-measured against the bench methodology on
+    a quiet box, interleaved process A/B, min of later reps: the probe
+    (``df.rdd.getNumPartitions`` ≈ 0.03 s) plus the round-robin shuffle
+    (≈ 0.1 s + payload) now LOSES or washes on every consumer —
+    q_embedding_near_dup 2.32→1.50 s, q_line_dedup 1.49→0.92 s,
+    q_novelty 1.86→1.47 s, q_entity_resolution 7.66→4.85 s,
+    q_tfidf_pairs 2.23→1.63 s, q_curation_full 12.9→11.8 s; no gate
+    favored widening.  At 100 TB a corpus scan exceeds the core count
+    by construction, so the helper was a no-op there anyway — operators
+    that need width mid-plan (self-join fan-out) still repartition
+    themselves.  The helper name stays so the decision has one home if
+    data shapes change again."""
+    return spark.read.parquet(path)
 
 
 def _await_stream(q, timeout_s: int) -> None:
