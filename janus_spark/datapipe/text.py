@@ -295,31 +295,49 @@ def novelty_scores(
     a dedup threshold; ids double as ingest order).
 
     Plan: shingle explode → min-owner per shingle (ONE shuffle on the
-    shingle, map-side combined) → join back to the doc's postings → per
-    -doc ratio.  No pairwise comparison anywhere: cost is O(postings),
-    not O(docs²), which is what makes a corpus-wide novelty sweep
-    feasible where the Jaccard self-join is reserved for candidates.
+    shingle, map-side combined) → owner counts per doc (a second, gram-
+    DISTINCT-scale aggregate) → one doc-scale join onto per-doc shingle
+    counts.  The former join-back of the owner table onto the full
+    posting list (corpus-token-scale shuffle + a corpus-token groupBy)
+    is gone: every shingle has exactly ONE owning doc, so the per-doc
+    novelty numerator is just ``count(*) GROUP BY first_id`` over the
+    owner table, and the denominator is ``size(sh)`` map-side (shingle
+    arrays are distinct by construction, so the old ``count(*)`` over
+    postings equals it row-for-row).  No pairwise comparison anywhere:
+    cost is O(postings), not O(docs²), which is what makes a
+    corpus-wide novelty sweep feasible where the Jaccard self-join is
+    reserved for candidates.
+
+    Float identity with the former avg() form: avg summed exact 0.0/1.0
+    doubles — i.e. the owned count, integer-exact in double — and
+    divided by the posting count, so ``owned/size`` over the same
+    operands is the same IEEE division bit-for-bit.
     """
     from janus_spark.datapipe.dedup import word_shingles
 
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
     # deferred localCheckpoint: the shingle evaluation (interpreted
     # higher-order exprs) is the dominant cost and feeds BOTH the owner
-    # aggregate and the ratio join — materialize it once, not twice
-    posts = sh.select("id", F.explode("sh").alias("gram")).localCheckpoint(eager=False)
+    # aggregate and the per-doc size — materialize it once, not twice
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    ).localCheckpoint(eager=False)
+    posts = sh.select("id", F.explode("sh").alias("gram"))
     owner = posts.groupBy("gram").agg(F.min("id").alias("first_id"))
+    owned = owner.groupBy("first_id").agg(F.count("*").alias("__owned"))
+    # size(sh) > 0 keeps exactly the docs the old explode kept (null or
+    # empty shingle arrays produced no posting rows)
+    per_doc = sh.select("id", F.size("sh").alias("__n")).where(F.col("__n") > 0)
     return (
-        posts.join(owner, "gram")
-        .groupBy("id")
-        .agg(
-            F.count("*").cast("long").alias("n_shingles"),
+        per_doc.join(owned, per_doc["id"] == owned["first_id"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__n").cast("long").alias("n_shingles"),
             F.round(
-                F.avg(F.when(F.col("first_id") == F.col("id"), 1.0).otherwise(0.0)), 6
+                F.coalesce(F.col("__owned"), F.lit(0)).cast("double")
+                / F.col("__n").cast("double"),
+                6,
             ).alias("novelty"),
         )
-        .withColumnRenamed("id", id_col)
     )
 
 
