@@ -159,12 +159,31 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = (
+    return _triangle_count_from(canon, _edge_degrees(canon))
+
+
+def _edge_degrees(canon: DataFrame) -> DataFrame:
+    """(id, deg) over a canonical (a < b, deduped) edge list — lazily
+    checkpointed because every consumer references it at least twice
+    (both orientation-join sides; clustering also the output join), and
+    each reference would otherwise re-run the full edge aggregate."""
+    return (
         canon.select(F.col("a").alias("id"))
         .unionByName(canon.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)
     )
+
+
+def _triangle_count_from(canon: DataFrame, deg: DataFrame) -> DataFrame:
+    """Oriented-wedge triangle counts over a PRE-canonicalized,
+    materialized edge list and its degree table — the shared core of
+    :func:`triangle_count` and :func:`clustering_coefficient`, split out
+    so the latter does not pay the canonicalization distinct + edge
+    materialization + degree aggregate twice (it did, through r10-build:
+    one copy in each function — a duplicate full-edge shuffle, distinct,
+    and checkpoint per call)."""
     ed = canon.join(
         deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a"
     ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
@@ -412,14 +431,14 @@ def clustering_coefficient(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = (
-        canon.select(F.col("a").alias("id"))
-        .unionByName(canon.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count("*").alias("deg"))
-        .where(F.col("deg") >= 2)
-    )
-    tri = triangle_count(canon, "a", "b")
+    # ONE degree table serves the output (deg >= 2 filter applied here)
+    # and the orientation inside the shared triangle core — and the
+    # already-canonical edge list is passed straight to that core, so
+    # the former second canonicalization (distinct + checkpoint + degree
+    # aggregate inside triangle_count) is gone
+    deg_all = _edge_degrees(canon)
+    deg = deg_all.where(F.col("deg") >= 2)
+    tri = _triangle_count_from(canon, deg_all)
     out = deg.join(tri, "id", "left").select(
         "id",
         F.col("deg").cast("long").alias("deg"),
