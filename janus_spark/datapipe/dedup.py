@@ -144,18 +144,44 @@ def _let(col: Column, body) -> Column:
     return F.element_at(F.transform(F.array(col), body), 1)
 
 
-def word_shingles(text_col: Column, k: int = 3) -> Column:
+def word_shingles_sql(text: str, k: int = 3) -> str:
+    """SQL text for :func:`word_shingles` over a text expression —
+    identical spelling to the Column form (same zip-against-shifts
+    build, same let-binding via a single-element transform), emitted as
+    a string so one cached ``F.expr`` replaces ~200 Py4J calls per
+    construction (see exprcache)."""
+    toks = f"split(trim(lower({text})), '\\\\s+')"
+    acc = "t"
+    for j in range(1, k):
+        shifted = f"slice(t, {j + 1}, greatest(size(t) - {j}, 1))"
+        acc = f"zip_with({acc}, {shifted}, (a, b) -> concat(a, ' ', b))"
+    body = (
+        f"CASE WHEN size(t) < {k} THEN array(concat_ws(' ', t)) "
+        f"ELSE array_distinct(filter({acc}, x -> x IS NOT NULL)) END"
+    )
+    return f"element_at(transform(array({toks}), t -> {body}), 1)"
+
+
+def word_shingles(text_col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles (arrays stay JVM-side).
 
     Built by zipping the token array against its k−1 shifts instead of
     slicing per index: an expression subtree referenced INSIDE a
     higher-order lambda is re-evaluated per element (the index-lambda
     form re-tokenized the text O(n) times per row — measured 4.5×
-    slower).  The token array is additionally ``_let``-bound, so its
-    k+2 top-level references (size, zip base, shifts, short-doc branch)
-    cost ONE tokenize, not k+2.  The zip pads the tail with NULL and
-    ``concat`` propagates it, so one isNotNull filter leaves exactly
-    n−k+1 shingles."""
+    slower).  The token array is additionally let-bound (single-element
+    transform), so its k+2 top-level references (size, zip base, shifts,
+    short-doc branch) cost ONE tokenize, not k+2.  The zip pads the tail
+    with NULL and ``concat`` propagates it, so one isNotNull filter
+    leaves exactly n−k+1 shingles.
+
+    Pass the column NAME (str) to get the cached-SQL construction path
+    (one Py4J call after first use); a Column argument takes the
+    equivalent Column-API build."""
+    from janus_spark.datapipe.exprcache import cached_expr, qident
+
+    if isinstance(text_col, str):
+        return cached_expr(word_shingles_sql(qident(text_col), k))
 
     def build(toks: Column) -> Column:
         n = F.size(toks)
@@ -171,11 +197,39 @@ def word_shingles(text_col: Column, k: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------- minhash
-def minhash_signature(shingles: Column, num_perm: int = 16, hash_fn: str = "xxhash64") -> Column:
+def minhash_signature_sql(shingles: str, num_perm: int = 16, hash_fn: str = "xxhash64") -> str:
+    """SQL text for :func:`minhash_signature` over a shingle-array
+    expression — same per-permutation hashes (``shared_hash64_sql`` for
+    the md5 family, two-arg xxhash64 with an int seed literal for the
+    default), emitted as a string for cached construction."""
+
+    def perm_min(i: int) -> str:
+        if hash_fn == "md5":
+            # the Spark spelling of shared_hash64 (conv/substring/md5);
+            # shared_hash64_sql is the DuckDB spelling for oracles
+            h = (
+                f"CAST(conv(substring(md5(concat('{i}:', s)), 1, 15), "
+                "16, 10) AS BIGINT)"
+            )
+        else:
+            h = f"xxhash64(s, {i})"
+        return f"array_min(transform({shingles}, s -> {h}))"
+
+    return "array(" + ", ".join(perm_min(i) for i in range(num_perm)) + ")"
+
+
+def minhash_signature(
+    shingles: Column | str, num_perm: int = 16, hash_fn: str = "xxhash64"
+) -> Column:
     """MinHash signature: per permutation i, min over shingles of
     hash(shingle, i).  ``hash_fn``: "xxhash64" (default, fastest) or
     "md5" (the cross-engine family ``shared_hash64`` — used by the
-    oracle-exact gate)."""
+    oracle-exact gate).  Pass the column NAME (str) for the cached-SQL
+    construction path."""
+    from janus_spark.datapipe.exprcache import cached_expr, qident
+
+    if isinstance(shingles, str):
+        return cached_expr(minhash_signature_sql(qident(shingles), num_perm, hash_fn))
 
     def perm_min(i: int) -> Column:
         # single-param lambda only: a second param would be bound to the
@@ -205,7 +259,7 @@ def _minhash_banded(
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        word_shingles(text_col, shingle_k).alias("sh"),
     )
     return _banded_from_shingles(sh, num_perm, bands, hash_fn)
 
@@ -217,7 +271,7 @@ def _banded_from_shingles(
     out so callers can collapse exact duplicates BEFORE paying for
     signature construction (the CPU-dense stage)."""
     rows = num_perm // bands
-    base = sh.withColumn("sig", minhash_signature(F.col("sh"), num_perm, hash_fn))
+    base = sh.withColumn("sig", minhash_signature("sh", num_perm, hash_fn))
 
     def band_key(b: int) -> Column:
         concat = F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])
@@ -281,7 +335,7 @@ def minhash_lsh_pairs(
         sh = (
             df.repartition(df.sparkSession.sparkContext.defaultParallelism)
             .select(
-                F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+                F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
             )
             .localCheckpoint(eager=True)
         )
@@ -461,7 +515,7 @@ def ngram_jaccard_pairs(
     else:
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         sh = df.select(
-            F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+            F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
         )
     j = (
         candidate_pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), on="a")
@@ -512,7 +566,7 @@ def jaccard_similarity_join(
         return jaccard_prefix_join(
             df, text_col, id_col, shingle_k, threshold, materialize_shingles, collapse_exact
         )
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh"))
     if materialize_shingles or collapse_exact:
         sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism).localCheckpoint(
             eager=True
@@ -564,7 +618,7 @@ def jaccard_prefix_candidates(
         # the tokenize+zip work onto a few cores)
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         sh = df.select(
-            F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+            F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
         )
     posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("gram"))
     dfreq = posts.groupBy("gram").agg(F.count("*").alias("gdf"))
@@ -736,7 +790,7 @@ def jaccard_prefix_join(
         sh = (
             df.repartition(df.sparkSession.sparkContext.defaultParallelism)
             .select(
-                F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+                F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
             )
             .localCheckpoint(eager=True)
         )
@@ -789,7 +843,7 @@ def containment_join(
     """
     sh = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh"))
         .localCheckpoint(eager=True)
     )
     membership = reps = None
@@ -1130,14 +1184,14 @@ def minhash_lsh_join(
         lsh_all = (
             corpus.repartition(par)
             .select(
-                F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+                F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
             )
             .localCheckpoint(eager=True)
         )
         rsh_all = (
             reference.repartition(par)
             .select(
-                F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+                F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
             )
             .localCheckpoint(eager=True)
         )

@@ -363,51 +363,52 @@ def quality_stream_scores(
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def _gram_run_stats(grams: Column) -> Column:
-    """Multiset statistics of a string array, computed IN-ARRAY (no
-    explode, no shuffle): ``struct(maxrun, dup, n)`` where ``maxrun`` is
-    the modal element's multiplicity, ``dup`` the sum of multiplicities
-    of elements occurring ≥ 2 times, and ``n`` the array length.  One
-    ``array_sort`` + one linear run-length scan per row — equal runs of
-    the sorted array are exactly the per-element occurrence counts, so
-    this reproduces the explode → groupBy counts bit-for-bit while
-    staying a narrow expression (O(n log n) per doc, bounded by doc
-    length, never a corpus-scale shuffle)."""
-    zero = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("maxrun"),
-        F.lit(0).cast("long").alias("dup"),
-        F.lit(0).cast("long").alias("n"),
+def _grams_sql(toks: str, k: int) -> str:
+    """SQL text for the k-gram array over a token-array expression —
+    the zip-against-shifts form (see :func:`word_shingles` for why the
+    index-lambda form is O(n) re-evaluations per row), WITHOUT the
+    distinct (gopher's repetition stats need the multiset)."""
+    n = f"size({toks})"
+    acc = toks
+    for j in range(1, k):
+        shifted = f"slice({toks}, {j + 1}, greatest({n} - {j}, 1))"
+        acc = f"zip_with({acc}, {shifted}, (a, b) -> concat(a, ' ', b))"
+    return f"filter({acc}, x -> x IS NOT NULL)"
+
+
+def _gram_run_stats_sql(grams: str) -> str:
+    """SQL text for the multiset statistics of a string-array expression,
+    computed IN-ARRAY (no explode, no shuffle): ``struct(maxrun, dup,
+    n)`` where ``maxrun`` is the modal element's multiplicity, ``dup``
+    the sum of multiplicities of elements occurring ≥ 2 times, and ``n``
+    the array length.  One ``array_sort`` + one linear run-length scan
+    per row — equal runs of the sorted array are exactly the per-element
+    occurrence counts, so this reproduces the explode → groupBy counts
+    bit-for-bit while staying a narrow expression (O(n log n) per doc,
+    bounded by doc length, never a corpus-scale shuffle).
+
+    SQL text rather than Column API: the tree is ~100 nodes and was
+    rebuilt through Py4J on every call (see exprcache)."""
+    zero = (
+        "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), "
+        "'maxrun', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT), "
+        "'n', CAST(0 AS BIGINT))"
     )
-
-    def step(acc, x):
-        run = (
-            F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1).cast("long"))
-            .otherwise(acc["run"] + F.lit(1).cast("long"))
-        )
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["maxrun"], run).alias("maxrun"),
-            (
-                acc["dup"]
-                + F.when(run == 2, F.lit(2).cast("long"))
-                .when(run > 2, F.lit(1).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("dup"),
-            (acc["n"] + F.lit(1).cast("long")).alias("n"),
-        )
-
-    return F.aggregate(
-        F.array_sort(grams),
-        zero,
-        step,
-        lambda acc: F.struct(
-            acc["maxrun"].alias("maxrun"),
-            acc["dup"].alias("dup"),
-            acc["n"].alias("n"),
-        ),
+    run = (
+        "CASE WHEN acc.prev IS NULL OR acc.prev != x THEN CAST(1 AS BIGINT) "
+        "ELSE acc.run + CAST(1 AS BIGINT) END"
+    )
+    step = (
+        f"named_struct('prev', x, 'run', {run}, "
+        f"'maxrun', greatest(acc.maxrun, {run}), "
+        f"'dup', acc.dup + CASE WHEN {run} = 2 THEN CAST(2 AS BIGINT) "
+        f"WHEN {run} > 2 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, "
+        f"'n', acc.n + CAST(1 AS BIGINT))"
+    )
+    fin = "named_struct('maxrun', acc.maxrun, 'dup', acc.dup, 'n', acc.n)"
+    return (
+        f"aggregate(array_sort({grams}), {zero}, (acc, x) -> {step}, "
+        f"acc -> {fin})"
     )
 
 
@@ -447,7 +448,7 @@ def gopher_quality(
     ZERO shuffles.  The two n-gram repetition modes are per-DOCUMENT
     multiset statistics, so they never needed a corpus-wide shuffle: each
     doc's gram array is sorted in place and scanned once for run lengths
-    (``_gram_run_stats``), replacing the r8 explode → groupBy(id, gram)
+    (``_gram_run_stats_sql``), replacing the r8 explode → groupBy(id, gram)
     → groupBy(id) → join-back plan (4 exchanges of corpus-token-scale
     rows plus an eager tokenization checkpoint) with a narrow projection
     (optimization guide §2.4: remove shuffles outright).  Identical
@@ -459,15 +460,8 @@ def gopher_quality(
     (``gopher_quality(docs, keep_cols=docs.columns).where("pred")``)
     instead of paying a semi join back onto ``df``, since the operator
     is now a narrow projection of its input rows."""
+    from janus_spark.datapipe.exprcache import cached_expr, sql_str
     from janus_spark.datapipe.text import clean_tokens
-
-    def grams(toks, k: int):
-        n = F.size(toks)
-        acc = toks
-        for j in range(1, k):
-            shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(1)))
-            acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-        return F.filter(acc, lambda x: x.isNotNull())
 
     # Three narrow projections, each reusing the previous one's columns:
     # CollapseProject keeps a produced column that the consumer references
@@ -475,29 +469,31 @@ def gopher_quality(
     # so the token array is built ONCE per row and each run-stats
     # aggregate is evaluated ONCE (measured: inlining the token expression
     # re-evaluated it per consumer, ~1.6× slower end-to-end).
+    #
+    # The statistics columns are built as cached SQL text (exprcache):
+    # the run-length trees cost ~1 s of Py4J-bound driver time per
+    # construction in Column-API form, paid on every call — the gate
+    # oracles pin the SQL spelling equal to the former Column form.
     extra = [c for c in keep_cols if c != id_col]
     base = df.select(
         F.col(id_col), *extra, clean_tokens(F.col(text_col)).alias("__toks")
     )
-    toks = F.col("__toks")
     t2n, t2d = (int(x) for x in top2_max)
     d5n, d5d = (int(x) for x in dup5_max)
+    sw = ", ".join(sql_str(s) for s in stopwords)
     mid = base.select(
         F.col(id_col),
         *extra,
-        F.size(toks).cast("long").alias("n_tok"),
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        cached_expr("CAST(size(__toks) AS BIGINT)").alias("n_tok"),
+        cached_expr(
+            "aggregate(__toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))"
         ).alias("word_chars"),
-        _gram_run_stats(grams(toks, 2)).alias("__s2"),
-        _gram_run_stats(grams(toks, 5)).alias("__s5"),
-        F.size(
-            F.array_intersect(
-                F.array_distinct(toks), F.array(*[F.lit(s) for s in stopwords])
-            )
-        )
-        .cast("long")
-        .alias("stop_hits"),
+        cached_expr(_gram_run_stats_sql(_grams_sql("__toks", 2))).alias("__s2"),
+        cached_expr(_gram_run_stats_sql(_grams_sql("__toks", 5))).alias("__s5"),
+        cached_expr(
+            "CAST(size(array_intersect(array_distinct(__toks), "
+            f"array({sw}))) AS BIGINT)"
+        ).alias("stop_hits"),
     )
     out = mid.select(
         F.col(id_col),

@@ -135,29 +135,30 @@ def exploded_run_lengths(
     subexpression elimination — so inlining it costs 3 linear scans per
     row.  Staging ``__ends`` as its own projection column makes the
     downstream references O(1) attribute reads, and CollapseProject
-    will not re-inline a non-cheap expression used more than once."""
-    arr = F.col(arr_col)
-    n = F.size(arr)
+    will not re-inline a non-cheap expression used more than once.
+
+    Both stage expressions are cached SQL text (exprcache): the Column
+    form cost ~0.4 s of Py4J-bound driver time per construction."""
+    from janus_spark.datapipe.exprcache import cached_expr, qident
+
+    arr = qident(arr_col)
     # 1-based positions where a run of equal values ends; sequence(1, 0)
     # would generate a DESCENDING [1, 0]: guard empties
-    ends = F.when(n == 0, F.array().cast("array<int>")).otherwise(
-        F.filter(
-            F.sequence(F.lit(1), n),
-            lambda i: (i == n) | (F.element_at(arr, i) != F.element_at(arr, i + 1)),
-        )
+    ends = (
+        f"CASE WHEN size({arr}) = 0 THEN CAST(array() AS ARRAY<INT>) "
+        f"ELSE filter(sequence(1, size({arr})), "
+        f"i -> i = size({arr}) OR element_at({arr}, i) != element_at({arr}, i + 1)) END"
     )
-    staged = df.select(*keep, arr_col, ends.alias("__ends"))
-    e = F.col("__ends")
-    starts = F.concat(
-        F.array(F.lit(0)),
-        F.slice(e, 1, F.greatest(F.size(e) - 1, F.lit(0))),
+    staged = df.select(*keep, arr_col, cached_expr(ends).alias("__ends"))
+    starts = (
+        "concat(array(0), slice(__ends, 1, greatest(size(__ends) - 1, 0)))"
     )
-    pairs = F.zip_with(
-        F.transform(e, lambda i: F.element_at(arr, i)),
-        F.zip_with(e, starts, lambda end, s: (end - s).cast("long")),
-        lambda v, c: F.struct(v.alias("v"), c.alias("cnt")),
+    pairs = (
+        f"zip_with(transform(__ends, i -> element_at({arr}, i)), "
+        f"zip_with(__ends, {starts}, (end, s) -> CAST(end - s AS BIGINT)), "
+        "(v, c) -> named_struct('v', v, 'cnt', c))"
     )
-    return staged.select(*keep, F.explode(pairs).alias("__p")).select(
+    return staged.select(*keep, F.explode(cached_expr(pairs)).alias("__p")).select(
         *keep, F.col("__p.v").alias("v"), F.col("__p.cnt").alias("cnt")
     )
 
@@ -319,7 +320,7 @@ def novelty_scores(
     # higher-order exprs) is the dominant cost and feeds BOTH the owner
     # aggregate and the per-doc size — materialize it once, not twice
     sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
     ).localCheckpoint(eager=False)
     posts = sh.select("id", F.explode("sh").alias("gram"))
     owner = posts.groupBy("gram").agg(F.min("id").alias("first_id"))
