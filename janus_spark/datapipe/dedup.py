@@ -79,32 +79,32 @@ def ngram_contamination(
     id, count pre-combined map-side).  NB ``F.sequence(1, stop)`` would
     DESCEND for stop<1, so short docs are guarded to an empty gram list.
     """
-    from janus_spark.datapipe.text import clean_tokens
+    from janus_spark.datapipe.exprcache import cached_expr, qident
+    from janus_spark.datapipe.text import clean_tokens_sql, normalize_sql
 
-    def grams(col: Column) -> Column:
+    def grams(name: str) -> Column:
         # tokenize the NORMALIZED text: benchmark phrases embedded in pages
         # differ in case/punctuation ("France?") — grams must not.
         # zip-against-shifts, NOT slice-per-index: an expression inside a
         # higher-order lambda re-evaluates per element (the slice form
         # re-tokenized the doc O(n_tokens) times per row); the token array
-        # is _let-bound so its n+1 top-level references cost ONE tokenize
-        def build(toks: Column) -> Column:
-            size = F.size(toks)
-            acc = toks
-            for j in range(1, n):
-                shifted = F.slice(toks, j + 1, F.greatest(size - j, F.lit(1)))
-                acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-            return F.when(
-                size >= n, F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
-            ).otherwise(F.array().cast("array<string>"))
-
-        return _let(clean_tokens(normalize(col)), build)
+        # is let-bound (single-element transform) so its n+1 top-level
+        # references cost ONE tokenize.  Cached SQL text: the n=8 Column
+        # tree cost ~0.6 s of Py4J-bound driver time per construction.
+        body = f"{_shifted_grams_sql('t', n)}"
+        body = (
+            f"CASE WHEN size(t) >= {n} "
+            f"THEN array_distinct(filter({body}, x -> x IS NOT NULL)) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+        toks = clean_tokens_sql(normalize_sql(qident(name)))
+        return cached_expr(f"element_at(transform(array({toks}), t -> {body}), 1)")
 
     bench_grams = (
-        benchmark.select(F.explode(grams(F.col(bench_text_col))).alias("gram")).distinct()
+        benchmark.select(F.explode(grams(bench_text_col)).alias("gram")).distinct()
     )
     doc_grams = df.select(
-        F.col(id_col).alias("id"), F.explode(grams(F.col(text_col))).alias("gram")
+        F.col(id_col).alias("id"), F.explode(grams(text_col)).alias("gram")
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), "gram", "semi")
@@ -131,6 +131,14 @@ def shared_hash64_sql(expr: str, seed: int | None = None) -> str:
     """The DuckDB spelling of ``shared_hash64`` (oracle generation)."""
     e = expr if seed is None else f"'{seed}:' || {expr}"
     return f"('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+
+def shared_hash64_spark_sql(expr: str, seed: int | None = None) -> str:
+    """The Spark SQL spelling of ``shared_hash64`` — for the cached
+    SQL-text construction paths (exprcache); mirrors the Column form
+    token for token."""
+    e = expr if seed is None else f"concat('{seed}:', {expr})"
+    return f"CAST(conv(substring(md5({e}), 1, 15), 16, 10) AS BIGINT)"
 
 
 # --------------------------------------------------------------- shingles
@@ -205,12 +213,7 @@ def minhash_signature_sql(shingles: str, num_perm: int = 16, hash_fn: str = "xxh
 
     def perm_min(i: int) -> str:
         if hash_fn == "md5":
-            # the Spark spelling of shared_hash64 (conv/substring/md5);
-            # shared_hash64_sql is the DuckDB spelling for oracles
-            h = (
-                f"CAST(conv(substring(md5(concat('{i}:', s)), 1, 15), "
-                "16, 10) AS BIGINT)"
-            )
+            h = shared_hash64_spark_sql("s", i)
         else:
             h = f"xxhash64(s, {i})"
         return f"array_min(transform({shingles}, s -> {h}))"
@@ -1109,7 +1112,7 @@ def duplicate_passages(
 
     from janus_spark.datapipe.text import clean_tokens
 
-    toks = df.select(F.col(id_col).alias("id"), clean_tokens(F.col(text_col)).alias("l"))
+    toks = df.select(F.col(id_col).alias("id"), clean_tokens(text_col).alias("l"))
     n = F.size("l")
     starts = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
         F.array().cast("array<int>")
@@ -1573,11 +1576,22 @@ def line_dedup(
 
 
 # -------------------------------------------------------- duplicate spans
+def _shifted_grams_sql(toks: str, k: int) -> str:
+    """SQL text of the positional k-gram array: element i is the
+    space-joined gram starting at token i (null past len-k — zip_with
+    pads the tail).  Shifted-zip form, one pass, no per-index
+    re-evaluation (see :func:`word_shingles`); SQL text for cached
+    construction (the k=8 Column tree cost ~0.5 s per build)."""
+    acc = toks
+    for j in range(1, k):
+        shifted = f"slice({toks}, {j + 1}, greatest(size({toks}) - {j}, 1))"
+        acc = f"zip_with({acc}, {shifted}, (a, b) -> concat(a, ' ', b))"
+    return acc
+
+
 def _shifted_grams(toks: Column, k: int) -> Column:
-    """k-token grams as a POSITIONAL array: element i is the space-joined
-    gram starting at token i (null past len-k — zip_with pads the tail).
-    The shifted-zip Column form builds all grams in one pass with no
-    per-index re-evaluation (see :func:`word_shingles`)."""
+    """Column form of :func:`_shifted_grams_sql` (kept for Column-typed
+    callers)."""
     n = F.size(toks)
     acc = toks
     for j in range(1, k):
@@ -1597,15 +1611,25 @@ def _flagged_gram_starts(
     least ``min_count`` times corpus-wide (by 60-bit hash; exact on the
     gram string when ``verify``).  Input is a pre-tokenized frame with
     columns ``(id, toks)``."""
+    from janus_spark.datapipe.exprcache import cached_expr
+
     # posexplode BEFORE the null filter: zip_with padded the tail with
     # nulls and dropping them first would renumber the start offsets
-    gram_cols = ["id", "pos", shared_hash64(F.col("gram")).alias("h")]
+    # (the hash stays the Column-API helper: it is a ~5-node expression,
+    # and tests monkeypatch shared_hash64 to force collisions)
+    gram_cols = [
+        "id",
+        "pos",
+        shared_hash64(F.col("gram")).alias("h"),
+    ]
     if verify:
         gram_cols.append("gram")
     grams = (
         tokenized.select(
             "id",
-            F.posexplode(_shifted_grams(F.col("toks"), k)).alias("pos", "gram"),
+            F.posexplode(cached_expr(_shifted_grams_sql("toks", k))).alias(
+                "pos", "gram"
+            ),
         )
         .where(F.col("gram").isNotNull())
         .select(*gram_cols)
@@ -1681,7 +1705,7 @@ def duplicate_spans(
     from janus_spark.datapipe.text import clean_tokens
 
     tokenized = df.select(
-        F.col(id_col).alias("id"), clean_tokens(F.col(text_col)).alias("toks")
+        F.col(id_col).alias("id"), clean_tokens(text_col).alias("toks")
     )
     flagged = _flagged_gram_starts(tokenized, k, min_count, verify).select(
         "id", "pos"
@@ -1768,7 +1792,7 @@ def cut_duplicate_spans(
     from janus_spark.datapipe.text import clean_tokens
 
     base = df.select(
-        F.col(id_col).alias("id"), clean_tokens(F.col(text_col)).alias("toks")
+        F.col(id_col).alias("id"), clean_tokens(text_col).alias("toks")
     ).localCheckpoint(eager=True)  # tokenize once: feeds grams AND the cut
     flagged = _flagged_gram_starts(base, k, min_count, verify)
     win = flagged.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("w"))

@@ -476,7 +476,7 @@ def gopher_quality(
     # oracles pin the SQL spelling equal to the former Column form.
     extra = [c for c in keep_cols if c != id_col]
     base = df.select(
-        F.col(id_col), *extra, clean_tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col), *extra, clean_tokens(text_col).alias("__toks")
     )
     t2n, t2d = (int(x) for x in top2_max)
     d5n, d5d = (int(x) for x in dup5_max)

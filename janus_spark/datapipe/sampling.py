@@ -541,7 +541,7 @@ def mixture_sample_tokens(
     return (
         df.join(alloc, source_col)
         .withColumn(
-            "n_tok", F.size(clean_tokens(F.col(text_col))).cast("long")
+            "n_tok", F.size(clean_tokens(text_col)).cast("long")
         )
         .withColumn(
             "tok_before",
@@ -791,7 +791,7 @@ def mixture_sample_tokens_prefiltered(
     )
     stats = df.groupBy(source_col).agg(
         F.count(F.lit(1)).cast("long").alias("__cnt"),
-        F.sum(F.size(clean_tokens(F.col(text_col))).cast("long"))
+        F.sum(F.size(clean_tokens(text_col)).cast("long"))
         .cast("long")
         .alias("__tok"),
     )
@@ -820,7 +820,7 @@ def mixture_sample_tokens_prefiltered(
     h = hash_bucket(F.col(key_col), salt)
     thr = _rate_col_to_hex_threshold(F.col("__rate"))
     tagged = df.join(F.broadcast(rates), source_col).withColumn(
-        "n_tok", F.size(clean_tokens(F.col(text_col))).cast("long")
+        "n_tok", F.size(clean_tokens(text_col)).cast("long")
     )
     kpost = tagged.where(h < thr).groupBy(source_col).agg(
         F.count(F.lit(1)).alias("__k"),

@@ -38,18 +38,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from janus_spark.datapipe.dedup import shared_hash64
-from janus_spark.datapipe.text import clean_tokens
+from janus_spark.datapipe.dedup import shared_hash64_spark_sql
+from janus_spark.datapipe.text import clean_tokens_sql as _clean_tokens_sql
 
 __all__ = ["dsir_weights", "dsir_scores", "dsir_topk", "dsir_flagged_scores"]
 
 
 def _bucketed_tokens(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
+    from janus_spark.datapipe.exprcache import cached_expr, qident
+
     tok = df.select(
-        F.col(id_col), F.explode(clean_tokens(F.col(text_col))).alias("__t")
+        F.col(id_col),
+        F.explode(cached_expr(_clean_tokens_sql(qident(text_col)))).alias("__t"),
     )
     return tok.select(
-        F.col(id_col), (shared_hash64(F.col("__t")) % n_buckets).alias("b")
+        F.col(id_col),
+        cached_expr(
+            f"{shared_hash64_spark_sql('__t')} % {int(n_buckets)}"
+        ).alias("b"),
     )
 
 
@@ -76,15 +82,15 @@ def _doc_bucket_pairs(
     tokens)."""
     from janus_spark.datapipe.text import exploded_run_lengths
 
+    from janus_spark.datapipe.exprcache import cached_expr, qident
+
     extra = dict(extra or {})
     staged = df.select(
         F.col(id_col),
         *[c.alias(nm) for nm, c in extra.items()],
-        F.array_sort(
-            F.transform(
-                clean_tokens(F.col(text_col)),
-                lambda t: shared_hash64(t) % n_buckets,
-            )
+        cached_expr(
+            f"array_sort(transform({_clean_tokens_sql(qident(text_col))}, "
+            f"t -> {shared_hash64_spark_sql('t')} % {int(n_buckets)}))"
         ).alias("__bs"),
     )
     # __bs is a materialized projection column, so the run-length scan's

@@ -111,9 +111,31 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", best)
 
 
-def clean_tokens(col: Column) -> Column:
+def clean_tokens_sql(text: str) -> str:
+    """SQL text of :func:`clean_tokens` over a text expression (cached-
+    construction path; mirrors the Column form token for token)."""
+    return f"filter(split(trim(lower({text})), '\\\\s+'), t -> t != '')"
+
+
+def normalize_sql(text: str) -> str:
+    """SQL text of :func:`normalize` (lowercase, punctuation stripped,
+    whitespace collapsed) — mirrors the Column form token for token."""
+    from janus_spark.datapipe.exprcache import sql_str
+
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({text}), "
+        f"{sql_str(PUNCT_CLASS)}, ''), {sql_str(chr(92) + 's+')}, ' '))"
+    )
+
+
+def clean_tokens(col: Column | str) -> Column:
     """Whitespace tokens with empties dropped (blank text → empty list,
-    not [''])."""
+    not ['']).  Pass the column NAME (str) for the cached-SQL
+    construction path."""
+    if isinstance(col, str):
+        from janus_spark.datapipe.exprcache import cached_expr, qident
+
+        return cached_expr(clean_tokens_sql(qident(col)))
     return F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: t != "")
 
 
@@ -172,7 +194,7 @@ def doc_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     → token⋈vocab equi-join on the word → per-doc mean (second shuffle
     on doc id).  The corpus total is a 1-row aggregate broadcast into
     the join, not a driver collect of the vocabulary."""
-    words = df.select(F.col(id_col), F.explode(clean_tokens(F.col(text_col))).alias("word"))
+    words = df.select(F.col(id_col), F.explode(clean_tokens(text_col)).alias("word"))
     vocab = words.groupBy("word").agg(F.count("*").alias("wn"))
     total = vocab.agg(F.sum("wn").alias("tn"))
     scored = words.join(vocab, "word").crossJoin(F.broadcast(total))
@@ -201,7 +223,7 @@ def bigram_logprob(
     count + one unigram count (both map-side combined), equi-joined back
     onto the occurrences, per-doc rollup.  The corpus total is a 1-row
     broadcast, not a collect."""
-    toks = clean_tokens(F.col(text_col))
+    toks = clean_tokens(text_col)
     n = F.size(toks)
     bgs = F.filter(
         F.zip_with(
@@ -250,7 +272,7 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
     one; zip pads the tail with NULL and ``concat`` propagates it, so one
     IS NOT NULL filter yields exactly n-1 bigrams.
     """
-    toks = clean_tokens(F.col(text_col))
+    toks = clean_tokens(text_col)
     n = F.size(toks)
     bigrams = F.filter(
         F.zip_with(toks, F.slice(toks, 2, F.greatest(n, F.lit(1))), lambda a, b: F.concat(a, F.lit(" "), b)),
@@ -274,7 +296,7 @@ def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     Using H = ln N − (Σ c·ln c)/N over per-doc token counts c, both
     aggregations are map-side combinable: explode → (doc, token) count →
     per-doc rollup, the same two-shuffle shape as doc_logprob."""
-    words = df.select(F.col(id_col), F.explode(clean_tokens(F.col(text_col))).alias("word"))
+    words = df.select(F.col(id_col), F.explode(clean_tokens(text_col)).alias("word"))
     counts = words.groupBy(id_col, "word").agg(F.count("*").alias("c"))
     n = F.sum("c")
     return counts.groupBy(id_col).agg(
@@ -360,7 +382,7 @@ def corpus_report(
     per_doc = df.select(
         F.col(group_col).alias("src"),
         F.col(lang_col).alias("lg"),
-        F.size(clean_tokens(F.col(text_col))).alias("ntok"),
+        F.size(clean_tokens(text_col)).alias("ntok"),
         F.length(F.col(text_col)).alias("nchr"),
     )
     by_lang = per_doc.groupBy("src", "lg").agg(
@@ -391,7 +413,7 @@ def word_freq(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     on the word so the result is deterministic.  The explode inflates rows
     ~n_tokens× but never materializes: it feeds straight into a hash
     aggregate."""
-    words = df.select(F.explode(clean_tokens(F.col(text_col))).alias("word"))
+    words = df.select(F.explode(clean_tokens(text_col)).alias("word"))
     return (
         words.groupBy("word")
         .agg(F.count("*").alias("n"))
@@ -421,7 +443,7 @@ def chunk_documents(
     step = chunk_tokens - overlap
     # tokens materialized as a column first: a lambda over an embedded
     # expression would re-tokenize the doc once per chunk
-    base = df.select(F.col(id_col).alias("id"), clean_tokens(F.col(text_col)).alias("__toks"))
+    base = df.select(F.col(id_col).alias("id"), clean_tokens(text_col).alias("__toks"))
     toks = F.col("__toks")
     n = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
@@ -479,7 +501,7 @@ def pack_token_stream(
     h = F.md5(F.col(id_col).cast("string"))
     base = df.select(
         F.col(id_col).alias("id"),
-        F.size(clean_tokens(F.col(text_col))).alias("n_tokens"),
+        F.size(clean_tokens(text_col)).alias("n_tokens"),
         h.alias("hk"),
         (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias("shard"),
     )
@@ -526,7 +548,7 @@ def vocab_coverage(
     """
     if vocab is None:
         vocab = word_freq(df, text_col=text_col, k=vocab_size).select("word")
-    words = df.select(F.col(id_col).alias("id"), F.explode(clean_tokens(F.col(text_col))).alias("word"))
+    words = df.select(F.col(id_col).alias("id"), F.explode(clean_tokens(text_col)).alias("word"))
     flagged = words.join(
         F.broadcast(vocab.withColumn("__in_v", F.lit(1))), "word", "left"
     )
@@ -566,7 +588,7 @@ def zipf_fit(
     from pyspark.sql.window import Window as W
 
     counts = (
-        df.select(F.explode(clean_tokens(F.col(text_col))).alias("word"))
+        df.select(F.explode(clean_tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -596,7 +618,7 @@ def char_pair_counts(
 
     Returns (pair, n) — the top ``k`` by (n desc, pair) when given.
     """
-    words = df.select(F.explode(clean_tokens(F.col(text_col))).alias("w")).where(
+    words = df.select(F.explode(clean_tokens(text_col)).alias("w")).where(
         F.length("w") >= 2
     )
     pairs = words.select(
@@ -635,7 +657,7 @@ def bpe_learn_merges(
     import re as _re
 
     sep_re = _re.escape(sep)
-    work = df.select(F.explode(clean_tokens(F.col(text_col))).alias("w")).select(
+    work = df.select(F.explode(clean_tokens(text_col)).alias("w")).select(
         # (?<=.) splits after every char — including the last, so drop
         # the trailing empty element before joining
         F.concat_ws(sep, F.array_remove(F.split(F.col("w"), r"(?<=.)"), "")).alias("s")

@@ -7603,7 +7603,7 @@ def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read_wide(spark, f"{sf_dir}/documents.parquet")
     words = docs.select(
-        F.col("doc_id").alias("id"), F.explode(clean_tokens(F.col("text"))).alias("t")
+        F.col("doc_id").alias("id"), F.explode(clean_tokens("text")).alias("t")
     )
     tf = words.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = docs.count()
