@@ -48,3 +48,18 @@ def sql_str(s: str) -> str:
     """Single-quoted SQL string literal with backslash/quote escaping
     (default Spark parser semantics: backslash is an escape character)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def float_array_sql(arr) -> str:
+    """SQL text of a 1-D double-array literal.  ``repr`` is Python's
+    shortest round-trip decimal and Spark's parser is correctly rounded,
+    so every element is BIT-IDENTICAL to ``F.lit(float(x))`` (pinned by
+    test; finite values only)."""
+    return "array(" + ", ".join(repr(float(x)) + "D" for x in arr) + ")"
+
+
+def nested_float_array_sql(arr) -> str:
+    """SQL text of a 2-D double-array literal (array of float_array_sql
+    rows) — replaces the F.array(*[F.array(*[F.lit(x)…])…]) codebook /
+    centroid trees that cost one Py4J round-trip PER ELEMENT."""
+    return "array(" + ", ".join(float_array_sql(c) for c in arr) + ")"

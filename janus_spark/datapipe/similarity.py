@@ -78,11 +78,40 @@ def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature as an int per plane-group caller composes."""
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`_dot` (mirrors the Column form token for
+    token)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def lsh_signature(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit signature as an int per plane-group caller composes.
+    Pass the vector column NAME (str) for the cached-SQL construction
+    path — the per-plane dot trees cost ~0.1 s of Py4J round-trips per
+    plane group in Column form (see exprcache)."""
+    from janus_spark.datapipe.exprcache import (
+        cached_expr,
+        float_array_sql,
+        qident,
+    )
+
+    if isinstance(vec, str):
+        terms = ["CAST(0 AS BIGINT)"]
+        for i, p in enumerate(planes):
+            bit = (
+                f"CASE WHEN {_dot_sql(qident(vec), float_array_sql(p))} >= 0 "
+                "THEN 1 ELSE 0 END"
+            )
+            terms.append(f"CAST({bit} AS BIGINT) * CAST({1 << i} AS BIGINT)")
+        return cached_expr(" + ".join(terms))
+
     bits = []
     for p in planes:
-        arr = F.array(*[F.lit(x) for x in p])
+        arr = cached_expr(float_array_sql(p))
         bits.append(F.when(_dot(vec, arr) >= 0, F.lit(1)).otherwise(F.lit(0)))
     sig = F.lit(0).cast("long")
     for i, b in enumerate(bits):
@@ -111,7 +140,7 @@ def lsh_topk(
         sig_cols = []
         for b in range(bands):
             ps = planes[b * bits_per_band : (b + 1) * bits_per_band]
-            sig_cols.append(F.struct(F.lit(b).alias("band"), lsh_signature(F.col(vc), ps).alias("bh")))
+            sig_cols.append(F.struct(F.lit(b).alias("band"), lsh_signature(vc, ps).alias("bh")))
         return df.select(
             F.col(idc).alias(out_id),
             F.col(vc).alias(out_vec),
@@ -138,7 +167,9 @@ def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of (sim, cell) structs — cosine of ``vec`` against every
     centroid, as pure Column expressions (centroids are literals, so the
     assignment is map-only: NO shuffle, no Python)."""
-    cb = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    from janus_spark.datapipe.exprcache import cached_expr, nested_float_array_sql
+
+    cb = cached_expr(nested_float_array_sql(centroids))
     # one indexed transform over a nested-array literal instead of
     # n_cells unrolled struct branches — identical (sim, cell) structs in
     # identical order, ~n_cells× smaller codegen tree (same fix as
@@ -320,11 +351,13 @@ def pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     per subspace, ties → lowest code).  Pure Column arithmetic against
     codebook literals: encoding is map-only, NO shuffle, no Python — the
     same centroids-as-literals trick as IVF cell assignment."""
+    from janus_spark.datapipe.exprcache import cached_expr, nested_float_array_sql
+
     d = len(codebooks[0][0])
     codes = []
     for j, cb in enumerate(codebooks):
         sub = F.slice(vec, j * d + 1, d)
-        cb_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb])
+        cb_lit = cached_expr(nested_float_array_sql(cb))
         # ONE transform lambda over a nested-array literal instead of
         # k_codes unrolled struct branches: identical argmin (ties →
         # first position = lowest code, same as the (dist, code) struct
@@ -340,11 +373,13 @@ def _adc_dot(codes: Column, qv: Column, codebooks: list[list[list[float]]]) -> C
     """Asymmetric inner product: Σ_j dot(q_j, codebook_j[code_j]) — the
     per-subspace contributions add in a fixed left-to-right order so a
     SQL oracle reproduces the float result exactly."""
+    from janus_spark.datapipe.exprcache import cached_expr, nested_float_array_sql
+
     d = len(codebooks[0][0])
     adc = None
     for j, cb in enumerate(codebooks):
         subq = F.slice(qv, j * d + 1, d)
-        cb_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb])
+        cb_lit = cached_expr(nested_float_array_sql(cb))
         contrib = _dot(subq, F.element_at(cb_lit, F.element_at(codes, j + 1) + 1))
         adc = contrib if adc is None else adc + contrib
     return adc
@@ -453,7 +488,9 @@ def ivfadc_topk(
     """
     if centroids is None:
         centroids = ivf_train(corpus, n_cells, id_col, vec_col, iters=0)
-    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    from janus_spark.datapipe.exprcache import cached_expr, nested_float_array_sql
+
+    cent_lit = cached_expr(nested_float_array_sql(centroids))
     assigned = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
@@ -650,7 +687,7 @@ def embedding_near_dup_pairs(
         sig_cols = []
         for b in range(bands):
             ps = planes[b * bits_per_band : (b + 1) * bits_per_band]
-            sig_cols.append(F.struct(F.lit(b).alias("band"), lsh_signature(F.col(vec_col), ps).alias("bh")))
+            sig_cols.append(F.struct(F.lit(b).alias("band"), lsh_signature(vec_col, ps).alias("bh")))
         banded = (
             df.select(
                 F.col(id_col).alias("id"),
