@@ -194,21 +194,51 @@ def _triangle_count_from(canon: DataFrame, deg: DataFrame) -> DataFrame:
         F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(ka < kb, kb).otherwise(ka).alias("kv"),
     ).localCheckpoint(eager=True)
+    # The oriented edge list is both the wedge join's build side and the
+    # closing semi-join's probe set.  It is RDD-backed (checkpoint), so
+    # Catalyst has no size statistics and defaults both joins to
+    # sort-merge — for the semi join that is a full shuffle+sort of the
+    # wedge stream (the largest exchange in the plan: wedges are
+    # O(m^{3/2}), 1 GB at the 1.2M-edge gate fixture) to meet a
+    # 1.2M-row edge set.  When the edge list is modest, broadcasting it
+    # (guide §3.1: broadcast the side that fits) makes BOTH joins
+    # map-side: wedge generation, k1<k2 cut and the edge-closure probe
+    # all run in one stage, and the only exchange left is the final
+    # per-node aggregate.  Size-gated like the dedup_clusters local
+    # endgame: above the cap (env JANUS_TRIANGLE_BROADCAST_EDGES,
+    # default 4M edges ≈ 64 MB raw) the sort-merge plan is unchanged —
+    # at 100 TB the cap keeps executors safe and AQE still handles the
+    # skew of the shuffled path.  canon is checkpoint-materialized by
+    # every caller, so the count() here is a block-count job, not a
+    # recompute.
+    import os as _os
+
+    cap = int(_os.environ.get("JANUS_TRIANGLE_BROADCAST_EDGES", "4000000"))
+    small = canon.count() <= cap
+    wedge_build = oriented.select(
+        "u", F.col("v").alias("v2"), F.col("kv").alias("k2")
+    )
+    closure_probe = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    if small:
+        wedge_build = F.broadcast(wedge_build)
+        closure_probe = F.broadcast(closure_probe)
     wedges = (
         oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
-        .join(oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2")), "u")
+        .join(wedge_build, "u")
         .where(F.col("k1") < F.col("k2"))
         .select("u", "v1", "v2")
     )
-    tri = wedges.join(
-        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
-        ["v1", "v2"],
-        "semi",
-    )
-    members = (
-        tri.select(F.col("u").alias("id"))
-        .unionByName(tri.select(F.col("v1").alias("id")))
-        .unionByName(tri.select(F.col("v2").alias("id")))
+    tri = wedges.join(closure_probe, ["v1", "v2"], "semi")
+    # ONE evaluation of the triangle stream: the former 3-way union of
+    # (u), (v1), (v2) projections re-ran everything after the reused
+    # exchanges once per branch — with the broadcast plan there are no
+    # exchanges to reuse, so the union would recompute the whole wedge
+    # pipeline 3×.  explode(array(...)) emits the same (id) multiset —
+    # one row per triangle corner — in a single pass.
+    members = tri.select(
+        F.explode(F.array("u", "v1", "v2")).alias("id")
     )
     return members.groupBy("id").agg(F.count("*").alias("n_triangles"))
 

@@ -35,7 +35,15 @@ def main() -> None:
 
     # same settings as the engine session, but with the UI on so stage
     # metrics are readable; built BEFORE get_spark so getOrCreate adopts it
-    SparkSession.builder.config("spark.ui.enabled", "true").getOrCreate()
+    # this builder launches the JVM, so driver memory must be set HERE —
+    # get_spark's config would be ignored ("only runtime SQL configurations
+    # take effect" on an existing session) and the heap would stay at the
+    # 1g default, OOMing the memory-heavy gates
+    (
+        SparkSession.builder.config("spark.ui.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("JANUS_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
     spark = get_spark("janus_profile")
     spark.sparkContext.setLogLevel("ERROR")
     ui = spark.sparkContext.uiWebUrl
