@@ -253,6 +253,7 @@ def score_pairs(
     numeric_scale: float = 1.0,
     w_tokens: float = 1.0,
     w_numeric: float = 0.0,
+    tokens_distinct: bool = False,
 ) -> DataFrame:
     """Match score per candidate pair: ``w_tokens`` × token-set Jaccard
     (+ ``w_numeric`` × linear numeric proximity, 1 at equal values and 0
@@ -261,9 +262,25 @@ def score_pairs(
 
     Pairs where both token sets are empty score null on the Jaccard term
     and are dropped (no evidence is not a match).
+
+    ``tokens_distinct=True``: the caller guarantees the token arrays are
+    already duplicate-free, so the per-PAIR ``array_distinct`` (a hash-
+    set build over each array for every candidate pair a record appears
+    in) is skipped.  Jaccard is a set measure — distincting once per
+    RECORD upstream and skipping it here is identical by construction
+    (``array_distinct`` is idempotent; pinned by
+    ``test_score_pairs_tokens_distinct_identical``).
     """
-    ta = F.array_distinct(F.col(f"{token_col}_a"))
-    tb = F.array_distinct(F.col(f"{token_col}_b"))
+    ta = (
+        F.col(f"{token_col}_a")
+        if tokens_distinct
+        else F.array_distinct(F.col(f"{token_col}_a"))
+    )
+    tb = (
+        F.col(f"{token_col}_b")
+        if tokens_distinct
+        else F.array_distinct(F.col(f"{token_col}_b"))
+    )
     inter = F.size(F.array_intersect(ta, tb)).cast("double")
     union = (F.size(ta) + F.size(tb)).cast("double") - inter
     jacc = F.when(union > 0, inter / union)
@@ -318,7 +335,19 @@ def resolve_entities(
             [id_col, *payload, *(c for pass_cols in blocking for c in pass_cols)]
         )
     )
-    df = df.select(*keep).localCheckpoint(eager=True)
+    # Distinct the token sets ONCE PER RECORD inside this one
+    # materialization: score_pairs ran array_distinct per candidate PAIR
+    # — a hash-set build over both arrays for every pair a record blocks
+    # into (records in a b-block appear in O(|block|) pairs), the
+    # dominant CPU of the scoring stages (profiled 109 s + 48 s executor
+    # CPU on the sf0.1 gate).  Jaccard is a set measure, so
+    # distinct-per-record + tokens_distinct=True below is identical by
+    # construction.
+    df = (
+        df.select(*keep)
+        .withColumn(token_col, F.array_distinct(F.col(token_col)))
+        .localCheckpoint(eager=True)
+    )
     # Score each blocking pass MAP-SIDE (inside its self-join's output
     # stage) and apply the match threshold BEFORE the cross-pass pair
     # dedup, so the dedup exchange carries only qualifying bare (a, b)
@@ -331,7 +360,8 @@ def resolve_entities(
     for pass_cols in blocking:
         c = block_candidates(df, id_col, [pass_cols], payload, max_block_size)
         s = score_pairs(
-            c, token_col, numeric_col, numeric_scale, w_tokens, w_numeric
+            c, token_col, numeric_col, numeric_scale, w_tokens, w_numeric,
+            tokens_distinct=True,
         )
         e = s.where(F.col("score") >= threshold).select("a", "b")
         edges = e if edges is None else edges.unionByName(e)

@@ -412,3 +412,34 @@ def test_sink_step_legacy_store_warns(spark, tmp_path):
         for w in caught2
     )
     assert spark.read.parquet(legacy_dir).count() == n_store
+
+
+def test_score_pairs_tokens_distinct_identical(spark):
+    """The tokens_distinct fast path (r10 optimization: distinct once per
+    RECORD, skip the per-PAIR array_distinct) must score identically to
+    the default path on inputs WITH duplicate tokens — including a pair
+    whose Jaccard only comes out right because duplicates collapse, an
+    empty-set pair (null score, dropped), and a null-array side."""
+    rows = [
+        (1, 2, ["a", "a", "b"], ["b", "b", "a", "c"]),   # dup-heavy
+        (3, 4, ["x"], ["x", "x"]),                        # J must be 1.0
+        (5, 6, [], []),                                   # both empty -> drop
+        (7, 8, None, ["a"]),                              # null side
+    ]
+    cands = spark.createDataFrame(
+        rows, "a long, b long, toks_a array<string>, toks_b array<string>"
+    )
+    base = {
+        (r["a"], r["b"]): r["score"]
+        for r in score_pairs(cands, "toks").collect()
+    }
+    pre = cands.withColumn("toks_a", F.array_distinct("toks_a")).withColumn(
+        "toks_b", F.array_distinct("toks_b")
+    )
+    fast = {
+        (r["a"], r["b"]): r["score"]
+        for r in score_pairs(pre, "toks", tokens_distinct=True).collect()
+    }
+    assert base == fast
+    assert (3, 4) in base and base[(3, 4)] == 1.0
+    assert (5, 6) not in base  # both-empty pair dropped on BOTH paths
