@@ -480,11 +480,25 @@ def incremental_entity_resolution(
             [id_col, *payload, *(c for pass_cols in blocking for c in pass_cols)]
         )
     )
-    new = new_recs.select(*keep).localCheckpoint(eager=True)
+    # Distinct token sets once per record (the resolve_entities
+    # discipline — scoring below passes tokens_distinct=True).  Applied
+    # on BOTH the arriving batch and the store read, so a store written
+    # by an older version (raw duplicate tokens) still satisfies the
+    # already-distinct guarantee; scores are identical either way
+    # (Jaccard is a set measure, array_distinct is idempotent).
+    new = (
+        new_recs.select(*keep)
+        .withColumn(token_col, F.array_distinct(F.col(token_col)))
+        .localCheckpoint(eager=True)
+    )
     id_type = new.schema[id_col].dataType
     hist = _read_store(spark, store_path)
     if hist is not None:
-        old_recs = hist.where(F.col("kind") == "rec").select(*keep)
+        old_recs = (
+            hist.where(F.col("kind") == "rec")
+            .select(*keep)
+            .withColumn(token_col, F.array_distinct(F.col(token_col)))
+        )
         old_edges = hist.where(F.col("kind") == "edge").select("a", "b")
     else:
         old_recs = old_edges = None
@@ -514,7 +528,10 @@ def incremental_entity_resolution(
         cands = pairs if cands is None else cands.unionByName(pairs)
     # dedupe BOTH multi-pass hits and new-new pairs seen from each side
     cands = cands.dropDuplicates(["a", "b"])
-    scored = score_pairs(cands, token_col, numeric_col, numeric_scale, w_tokens, w_numeric)
+    scored = score_pairs(
+        cands, token_col, numeric_col, numeric_scale, w_tokens, w_numeric,
+        tokens_distinct=True,
+    )
     new_edges = scored.where(F.col("score") >= threshold).select("a", "b")
     edges = (
         old_edges.unionByName(new_edges) if old_edges is not None else new_edges
