@@ -640,20 +640,50 @@ def jaccard_prefix_candidates(
     # the staged shingle table.
     prefix = (
         ranked.where(F.col("rk") <= plen)
-        .select("gram", "id", "n")
+        .select("gram", "id", "n", "rk")
         .localCheckpoint(eager=True)
     )
     # AllPairs length filter: J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ⇒ min(n) ≥ t·max(n),
     # so any candidate with nb outside [t·na, na/t] provably cannot reach
     # the threshold — applied inside the candidate join it cuts the
-    # verify workload by orders of magnitude on same-vocabulary corpora
+    # verify workload by orders of magnitude on same-vocabulary corpora.
+    #
+    # PPJoin POSITIONAL filter (Xiao et al. 2011, r10 optimization): a
+    # shared prefix gram at ranks (ra, rb) of the two docs' common
+    # (gdf asc, gram asc) order bounds the overlap — every shared gram
+    # sorts at-or-after the FIRST shared one, and the arrays are
+    # duplicate-free (word_shingles array_distincts), so
+    # O ≤ min(na−ra, nb−rb) + 1 holds at that occurrence.  J ≥ t ⇔
+    # O·(1+t) ≥ t·(na+nb), so an occurrence with
+    # (min(na−ra, nb−rb)+1)·(1+t) < t·(na+nb) cannot witness a
+    # qualifying pair; a pair is kept iff ANY shared occurrence passes,
+    # and for a true pair its first shared gram always does — provably
+    # no qualifying pair is lost (same float-boundary class as the
+    # length filter above: exact for binary-representable thresholds;
+    # pinned by the brute-force equality tests).  Candidate volume on
+    # the sf0.1 gate fixture: 309,409 → 124,804 pairs into the verify
+    # join (−60%).
+    ubound = (
+        F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")) + 1
+    ).cast("double")
     return (
-        prefix.select("gram", F.col("id").alias("a"), F.col("n").alias("na"))
-        .join(prefix.select("gram", F.col("id").alias("b"), F.col("n").alias("nb")), "gram")
+        prefix.select(
+            "gram", F.col("id").alias("a"), F.col("n").alias("na"), F.col("rk").alias("ra")
+        )
+        .join(
+            prefix.select(
+                "gram", F.col("id").alias("b"), F.col("n").alias("nb"), F.col("rk").alias("rb")
+            ),
+            "gram",
+        )
         .where(
             (F.col("a") < F.col("b"))
             & (F.col("nb") * F.lit(threshold) <= F.col("na"))
             & (F.col("na") * F.lit(threshold) <= F.col("nb"))
+            & (
+                ubound * F.lit(1.0 + threshold)
+                >= F.lit(threshold) * (F.col("na") + F.col("nb")).cast("double")
+            )
         )
         .select("a", "b")
         .distinct()

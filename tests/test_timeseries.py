@@ -155,6 +155,24 @@ def test_jaccard_prefix_join_equals_unpruned(spark, sf_dir):
         assert full == pruned
 
 
+def test_jaccard_positional_filter_keeps_boundary_pair(spark):
+    """The PPJoin positional filter (r10 optimization) must keep a pair
+    whose Jaccard is EXACTLY the threshold — the bound holds with
+    equality there (O·(1+t) = t·(na+nb)), the case an off-by-one or
+    strict comparison would silently drop."""
+    from janus_spark.datapipe.dedup import jaccard_prefix_join
+
+    docs = spark.createDataFrame(
+        [(1, "w x y"), (2, "x y z")], "doc_id long, text string"
+    )
+    # k=1 shingles = distinct tokens: inter {x,y}=2, union 4 -> J = 0.5
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_prefix_join(docs, shingle_k=1, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 0.5}
+
+
 def test_pane_sliding_distinct_tracks_exact(spark):
     """HLL pane sketches union losslessly: every window's estimate is
     within the HLL error contract of the true sliding distinct count."""
