@@ -186,6 +186,23 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return runs, n
 
+    # noop-sink timing (guide §1.4): count() lets Catalyst prune computed
+    # columns and even whole join subtrees (measured 4.4 s count vs 73 s
+    # noop on q_clustering_coeff before the r10 broadcast fix — the
+    # left-joined triangle subtree was dropped entirely), so the
+    # count-based numbers UNDER-measure gates whose final columns carry
+    # the real work.  The count-based keys above stay untouched for
+    # round-over-round ratchet comparability (OPTIMIZATION_r10.md
+    # "Measurement fix"); these run AFTER the count reps (plan already
+    # compiled), min over 2 runs, reported as *_noop dicts.
+    def timed_noop(fn) -> list[float]:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return runs
+
     def med(runs: list[float]) -> float:
         s = sorted(runs)
         m = len(s) // 2
@@ -193,13 +210,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    noop: dict[str, float] = {}
     for name in BENCH_QUERIES:
         runs, n = timed(QUERIES[name])
         timings[name] = round(min(runs), 3)
         medians[name] = round(med(runs), 3)
+        noop[name] = round(min(timed_noop(QUERIES[name])), 3)
         print(
             f"# {name}: min {timings[name]:.3f}s median {medians[name]:.3f}s"
-            f" ({n} rows)",
+            f" noop {noop[name]:.3f}s ({n} rows)",
             file=sys.stderr,
         )
 
@@ -214,6 +233,7 @@ def main() -> None:
     # prefix-filtered Jaccard, novelty sweep
     datapipe: dict[str, float] = {}
     datapipe_median: dict[str, float] = {}
+    datapipe_noop: dict[str, float] = {}
     for name in (
         "q_dedup_minhash",
         "q_ann_pq",
@@ -260,9 +280,11 @@ def main() -> None:
         runs, n = timed(QUERIES[name])
         datapipe[name] = round(min(runs), 3)
         datapipe_median[name] = round(med(runs), 3)
+        datapipe_noop[name] = round(min(timed_noop(QUERIES[name])), 3)
         print(
             f"# datapipe {name}: min {datapipe[name]:.3f}s median"
-            f" {datapipe_median[name]:.3f}s ({n} rows)",
+            f" {datapipe_median[name]:.3f}s noop {datapipe_noop[name]:.3f}s"
+            f" ({n} rows)",
             file=sys.stderr,
         )
 
@@ -277,6 +299,11 @@ def main() -> None:
         "throughput": extra,
         "datapipe": datapipe,
         "datapipe_median": datapipe_median,
+        # guide §1.4 noop-sink timings (min of 2 warm runs) alongside the
+        # historical count-based keys — see OPTIMIZATION_r10.md
+        # "Measurement fix": count() can prune computed columns/subtrees
+        "queries_noop": noop,
+        "datapipe_noop": datapipe_noop,
         "bench_reps": reps,
         # box-load context: the r9 adjudication had to forensically
         # resolve storage-shape flags against uptime — record it instead
