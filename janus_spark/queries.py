@@ -9542,9 +9542,12 @@ def q_entity_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = sorted_neighborhood_candidates(
         recs, "rec_id", "snkey", window=8, payload_cols=["toks", "price"]
     )
+    # the fixture's toks are array_distinct-built, so the per-pair
+    # distinct pass is skippable (identical scores by set semantics —
+    # the r10 tokens_distinct optimization)
     scored = score_pairs(
         cands, "toks", numeric_col="price", numeric_scale=100.0,
-        w_tokens=0.8, w_numeric=0.2,
+        w_tokens=0.8, w_numeric=0.2, tokens_distinct=True,
     )
     return scored.select(
         F.col("a").cast("long").alias("a"),
@@ -9994,9 +9997,10 @@ def q_entity_block_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = block_candidates(
         recs, "rec_id", [["brand", "noun"]], ["toks", "price"], max_block_size=cap
     )
+    # fixture toks are array_distinct-built — skip the per-pair distinct
     scored = score_pairs(
         cands, "toks", numeric_col="price", numeric_scale=100.0,
-        w_tokens=0.8, w_numeric=0.2,
+        w_tokens=0.8, w_numeric=0.2, tokens_distinct=True,
     )
     return scored.select(
         F.col("a").cast("long").alias("a"),
