@@ -196,12 +196,29 @@ def probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Colum
     return F.transform(top, lambda s: s["cell"])
 
 
+def _md5_seed_rows(
+    corpus: DataFrame, n: int, id_col: str, vec_col: str
+) -> list:
+    """The shared md5-hash-ordered coreset sample that seeds both
+    ``ivf_train`` and ``pq_train`` — ONE TakeOrdered job; callers that
+    need both models over the same corpus (``ivfadc_topk``) collect
+    ``max(n_cells, k_codes)`` rows once and slice, instead of running
+    the seed job twice (identical rows by the total (md5, id) order)."""
+    return (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n)
+        .collect()
+    )
+
+
 def ivf_train(
     corpus: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 3,
+    seed_rows: list | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd k-means over the corpus -> centroid list.
 
@@ -214,13 +231,9 @@ def ivf_train(
     quality needs thousands of points per cell, not the full corpus —
     and the result is still just literals broadcast inside the plan.
     """
-    seed_rows = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = [list(r.v) for r in seed_rows]
+    if seed_rows is None:
+        seed_rows = _md5_seed_rows(corpus, n_cells, id_col, vec_col)
+    centroids = [list(r.v) for r in seed_rows[:n_cells]]
     for _ in range(iters):
         assigned = corpus.select(
             nearest_cell(F.col(vec_col), centroids).alias("cell"),
@@ -303,6 +316,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 0,
+    seed_rows: list | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: the vector is split into ``m``
     contiguous subspaces and each subspace gets ``k_codes`` centroids.
@@ -320,10 +334,9 @@ def pq_train(
 
     Returns ``codebooks[j][c]`` = centroid ``c`` of subspace ``j``."""
     rows = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-        .limit(k_codes)
-        .collect()
+        seed_rows[:k_codes]
+        if seed_rows is not None
+        else _md5_seed_rows(corpus, k_codes, id_col, vec_col)
     )
     dim = len(rows[0].v)
     if dim % m:
@@ -372,7 +385,14 @@ def pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
 def _adc_dot(codes: Column, qv: Column, codebooks: list[list[list[float]]]) -> Column:
     """Asymmetric inner product: Σ_j dot(q_j, codebook_j[code_j]) — the
     per-subspace contributions add in a fixed left-to-right order so a
-    SQL oracle reproduces the float result exactly."""
+    SQL oracle reproduces the float result exactly.
+
+    Per-PAIR form (one zip_with fold per subspace per candidate).  The
+    search operators use the table form instead (``_adc_table`` on the
+    broadcast query side + ``_adc_dot_from_table`` per pair — the
+    lookup-table formulation of Jégou et al. 2011, bit-identical by
+    construction); this form remains for residual scoring paths where
+    the table would be rebuilt per (query, cell)."""
     from janus_spark.datapipe.exprcache import cached_expr, nested_float_array_sql
 
     d = len(codebooks[0][0])
@@ -381,6 +401,38 @@ def _adc_dot(codes: Column, qv: Column, codebooks: list[list[list[float]]]) -> C
         subq = F.slice(qv, j * d + 1, d)
         cb_lit = cached_expr(nested_float_array_sql(cb))
         contrib = _dot(subq, F.element_at(cb_lit, F.element_at(codes, j + 1) + 1))
+        adc = contrib if adc is None else adc + contrib
+    return adc
+
+
+def _adc_table(qv: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-QUERY ADC lookup table (the distance-table half of Jégou et
+    al. 2011): ``tab[j][c] = dot(q_j, codebook_j[c])`` — m × k_codes
+    doubles, computed ONCE per query row on the tiny broadcast side, so
+    each of the O(|corpus| · |queries|) candidate pairs pays m array
+    lookups + (m−1) adds instead of m zip_with-allocating dot folds.
+    Every entry is the exact ``_dot`` expression the per-pair form
+    evaluated, so the looked-up double is bit-identical."""
+    d = len(codebooks[0][0])
+    from janus_spark.datapipe.exprcache import cached_expr, nested_float_array_sql
+
+    tabs = []
+    for j, cb in enumerate(codebooks):
+        subq = F.slice(qv, j * d + 1, d)
+        cb_lit = cached_expr(nested_float_array_sql(cb))
+        tabs.append(F.transform(cb_lit, lambda c: _dot(subq, c)))
+    return F.array(*tabs)
+
+
+def _adc_dot_from_table(codes: Column, qtab: Column, m: int) -> Column:
+    """Σ_j tab[j][code_j] over a precomputed ``_adc_table`` column —
+    same left-to-right addition order as ``_adc_dot``, so the float
+    result is identical."""
+    adc = None
+    for j in range(m):
+        contrib = F.element_at(
+            F.element_at(qtab, j + 1), F.element_at(codes, j + 1) + 1
+        )
         adc = contrib if adc is None else adc + contrib
     return adc
 
@@ -423,9 +475,13 @@ def pq_topk(
         F.col(vec_col).alias("cv"),
         pq_codes(F.col(vec_col), codebooks).alias("codes"),
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _adc_table(F.col(vec_col), codebooks).alias("qtab"),
+    )
     joined = enc.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
-    adc = _adc_dot(F.col("codes"), F.col("qv"), codebooks)
+    adc = _adc_dot_from_table(F.col("codes"), F.col("qtab"), m)
     sims = joined.select("query_id", "vec_id", "qv", "cv", adc.alias("sim_adc"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim_adc").desc(), F.col("vec_id"))
     if rerank:
@@ -486,8 +542,15 @@ def ivfadc_topk(
     RNG-free end to end (md5-coreset centroids and codebooks), so the
     whole composition is SQL-reproducible — the gates are oracle-EXACT.
     """
+    seed = None
     if centroids is None:
-        centroids = ivf_train(corpus, n_cells, id_col, vec_col, iters=0)
+        # one TakeOrdered seed job serves BOTH models when the raw-vector
+        # codebooks also need training (residual=False): the (md5, id)
+        # order is total, so the top-max(n_cells, k_codes) prefix slices
+        # into exactly the rows each train call would have collected
+        if codebooks is None and not residual:
+            seed = _md5_seed_rows(corpus, max(n_cells, k_codes), id_col, vec_col)
+        centroids = ivf_train(corpus, n_cells, id_col, vec_col, iters=0, seed_rows=seed)
     from janus_spark.datapipe.exprcache import cached_expr, nested_float_array_sql
 
     cent_lit = cached_expr(nested_float_array_sql(centroids))
@@ -511,14 +574,15 @@ def ivfadc_topk(
         enc = assigned.withColumn("codes", pq_codes(F.col("rv"), codebooks)).drop("rv")
     else:
         if codebooks is None:
-            codebooks = pq_train(corpus, m, k_codes, id_col, vec_col)
+            codebooks = pq_train(corpus, m, k_codes, id_col, vec_col, seed_rows=seed)
         enc = assigned.withColumn("codes", pq_codes(F.col("cv"), codebooks))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _adc_table(F.col(vec_col), codebooks).alias("qtab"),
         F.explode(probe_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
     )
-    score = _adc_dot(F.col("codes"), F.col("qv"), codebooks)
+    score = _adc_dot_from_table(F.col("codes"), F.col("qtab"), m)
     if residual:
         score = _dot(F.col("qv"), F.element_at(cent_lit, F.col("cell") + 1)) + score
     cand = (

@@ -176,54 +176,102 @@ def _edge_degrees(canon: DataFrame) -> DataFrame:
     )
 
 
-def _triangle_count_from(canon: DataFrame, deg: DataFrame) -> DataFrame:
+def _triangle_count_from(
+    canon: DataFrame, deg: DataFrame, n_edges: int | None = None
+) -> DataFrame:
     """Oriented-wedge triangle counts over a PRE-canonicalized,
     materialized edge list and its degree table — the shared core of
     :func:`triangle_count` and :func:`clustering_coefficient`, split out
     so the latter does not pay the canonicalization distinct + edge
     materialization + degree aggregate twice (it did, through r10-build:
     one copy in each function — a duplicate full-edge shuffle, distinct,
-    and checkpoint per call)."""
-    ed = canon.join(
-        deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a"
-    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
-    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("i"))
-    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("i"))
-    oriented = ed.select(
-        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(ka < kb, kb).otherwise(ka).alias("kv"),
-    ).localCheckpoint(eager=True)
-    # The oriented edge list is both the wedge join's build side and the
-    # closing semi-join's probe set.  It is RDD-backed (checkpoint), so
-    # Catalyst has no size statistics and defaults both joins to
-    # sort-merge — for the semi join that is a full shuffle+sort of the
-    # wedge stream (the largest exchange in the plan: wedges are
-    # O(m^{3/2}), 1 GB at the 1.2M-edge gate fixture) to meet a
-    # 1.2M-row edge set.  When the edge list is modest, broadcasting it
-    # (guide §3.1: broadcast the side that fits) makes BOTH joins
-    # map-side: wedge generation, k1<k2 cut and the edge-closure probe
-    # all run in one stage, and the only exchange left is the final
-    # per-node aggregate.  Size-gated like the dedup_clusters local
-    # endgame: above the cap (env JANUS_TRIANGLE_BROADCAST_EDGES,
-    # default 4M edges ≈ 64 MB raw) the sort-merge plan is unchanged —
-    # at 100 TB the cap keeps executors safe and AQE still handles the
-    # skew of the shuffled path.  canon is checkpoint-materialized by
-    # every caller, so the count() here is a block-count job, not a
-    # recompute.
+    and checkpoint per call).
+
+    ``n_edges``: the caller's ``canon.count()`` if it already ran one
+    (clustering_coefficient needs the flag for its own output join);
+    None counts here — cheap, canon is checkpoint-materialized."""
     import os as _os
 
     cap = int(_os.environ.get("JANUS_TRIANGLE_BROADCAST_EDGES", "4000000"))
-    small = canon.count() <= cap
+    if n_edges is None:
+        n_edges = canon.count()
+    small = n_edges <= cap
+    # The degree table is node-scale (≤ 2·|E| rows of two longs) while
+    # canon is edge-scale, and deg is RDD-backed (stats-less) so both
+    # orientation joins default to sort-merge — three edge-scale
+    # exchanges + sorts inside the `oriented` materialization job just
+    # to attach two ints per edge.  Under the same size gate as the
+    # wedge joins below, broadcast deg instead: orientation becomes a
+    # map-side double hash probe over the already-materialized canon.
+    # Above the cap the SMJ plan is byte-identical to before.
+    dega = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    degb = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    if small:
+        dega = F.broadcast(dega)
+        degb = F.broadcast(degb)
+    ed = canon.join(dega, "a").join(degb, "b")
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("i"))
+    proj = [
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ]
+    if not small:
+        # the orientation key is only consulted by the wedge path's
+        # k1 < k2 cut; the forward path orders by set membership alone
+        proj.append(F.when(ka < kb, kb).otherwise(ka).alias("kv"))
+    oriented = ed.select(*proj).localCheckpoint(eager=True)
+    if small:
+        # Below the cap: the FORWARD / edge-iterator formulation (Schank
+        # & Wagner 2005) instead of materializing the wedge stream as
+        # rows.  Attach each oriented edge (a≺b)'s two out-neighbor
+        # lists and intersect: w ∈ N⁺(a) ∩ N⁺(b) closes triangle
+        # {a≺b≺w}, counted exactly once at its two smallest vertices —
+        # the same triangle set as the oriented-wedge join (a and b get
+        # +|common| map-side; each w gets +1), so the per-node counts
+        # are identical integers (pinned by an exceptAll A/B and the
+        # gate oracles).  Same O(Σ min(deg)) work bound, but the
+        # O(m^{3/2}) wedge stream (41M rows / ~1 GB at the 1.2M-edge
+        # gate fixture) never exists as rows — measured 5.9 → 2.1 s on
+        # the triangle segment.  The adjacency-array table is one
+        # groupBy over the oriented list (total payload = m longs,
+        # ≤ 32 MB at the cap) and is broadcast, so both attach joins
+        # are map-side.
+        adj = F.broadcast(oriented.groupBy("u").agg(F.collect_list("v").alias("nb")))
+        e2 = (
+            oriented.select("u", "v")
+            .join(adj.select("u", F.col("nb").alias("na")), "u")
+            # inner join: a v with no out-edges has empty N⁺(v) and
+            # closes nothing — dropping its edges is the same result
+            .join(adj.select(F.col("u").alias("v"), F.col("nb").alias("nvb")), "v")
+            .select(
+                "u",
+                "v",
+                F.array_intersect("na", "nvb").alias("common"),
+            )
+            .select("u", "v", "common", F.size("common").alias("t"))
+        )
+        uv = e2.where(F.col("t") > 0).select(
+            F.explode(F.array("u", "v")).alias("id"), F.col("t").alias("w")
+        )
+        ww = e2.select(F.explode("common").alias("id"), F.lit(1).alias("w"))
+        return (
+            uv.unionByName(ww)
+            .groupBy("id")
+            .agg(F.sum("w").cast("long").alias("n_triangles"))
+        )
+    # Above the cap (env JANUS_TRIANGLE_BROADCAST_EDGES, default 4M
+    # edges): the oriented-WEDGE join plan, unchanged — at 100 TB the
+    # wedge-row stream shuffles and AQE handles its skew, and unlike the
+    # adjacency-array form no single row can blow up with a hub node's
+    # degree (the reason this stays the scale default).  The oriented
+    # list is RDD-backed (stats-less), so both joins are sort-merge.
     wedge_build = oriented.select(
         "u", F.col("v").alias("v2"), F.col("kv").alias("k2")
     )
     closure_probe = oriented.select(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
-    if small:
-        wedge_build = F.broadcast(wedge_build)
-        closure_probe = F.broadcast(closure_probe)
     wedges = (
         oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
         .join(wedge_build, "u")
@@ -233,10 +281,8 @@ def _triangle_count_from(canon: DataFrame, deg: DataFrame) -> DataFrame:
     tri = wedges.join(closure_probe, ["v1", "v2"], "semi")
     # ONE evaluation of the triangle stream: the former 3-way union of
     # (u), (v1), (v2) projections re-ran everything after the reused
-    # exchanges once per branch — with the broadcast plan there are no
-    # exchanges to reuse, so the union would recompute the whole wedge
-    # pipeline 3×.  explode(array(...)) emits the same (id) multiset —
-    # one row per triangle corner — in a single pass.
+    # exchanges once per branch.  explode(array(...)) emits the same
+    # (id) multiset — one row per triangle corner — in a single pass.
     members = tri.select(
         F.explode(F.array("u", "v1", "v2")).alias("id")
     )
@@ -468,7 +514,16 @@ def clustering_coefficient(
     # aggregate inside triangle_count) is gone
     deg_all = _edge_degrees(canon)
     deg = deg_all.where(F.col("deg") >= 2)
-    tri = _triangle_count_from(canon, deg_all)
+    import os as _os
+
+    cap = int(_os.environ.get("JANUS_TRIANGLE_BROADCAST_EDGES", "4000000"))
+    n_edges = canon.count()
+    tri = _triangle_count_from(canon, deg_all, n_edges=n_edges)
+    # tri is node-scale output of an aggregate over an RDD-backed
+    # lineage (no stats → SMJ by default): under the same size gate,
+    # broadcast it so the deg side is never shuffled for the output join
+    if n_edges <= cap:
+        tri = F.broadcast(tri)
     out = deg.join(tri, "id", "left").select(
         "id",
         F.col("deg").cast("long").alias("deg"),

@@ -73,6 +73,27 @@ def test_triangle_count_collapses_duplicates_and_loops(spark):
     assert out == {"a": 1, "b": 1, "c": 1}
 
 
+def test_triangle_paths_identical_forward_vs_wedge(spark, monkeypatch):
+    """The size gate picks between two DIFFERENT algorithms since r10:
+    forward edge-iterator (below cap) vs oriented-wedge join (above cap).
+    Pin them row-identical on a graph with cliques, a bridge, pendants,
+    and an isolated edge — for both triangle_count and
+    clustering_coefficient."""
+    from janus_spark.operators.graph import clustering_coefficient, triangle_count
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    extra = [("d", "e"), ("e", "f"), ("f", "d"), ("f", "g"), ("x", "y")]
+    edges = spark.createDataFrame(k4 + extra, ["src", "dst"])
+
+    def rows(fn):
+        return sorted(tuple(r) for r in fn(edges).collect())
+
+    fwd_tri, fwd_cc = rows(triangle_count), rows(clustering_coefficient)
+    monkeypatch.setenv("JANUS_TRIANGLE_BROADCAST_EDGES", "0")  # force wedge path
+    assert rows(triangle_count) == fwd_tri
+    assert rows(clustering_coefficient) == fwd_cc
+
+
 def test_personalized_pagerank_localizes_mass(spark):
     from janus_spark.operators.graph import pagerank
 
