@@ -114,12 +114,17 @@ def _curation_stages(
     dedup, selected) — shared by :func:`curation_pipeline` and
     :func:`curation_funnel` so the two can never disagree on stage
     semantics."""
+    from janus_spark.datapipe.exprcache import cached_expr
     from janus_spark.datapipe.dedup import minhash_lsh_pairs
     from janus_spark.datapipe.quality import (
         gopher_quality,
         quality_filter_relative_split,
     )
-    from janus_spark.datapipe.selection import dsir_flagged_scores
+    from janus_spark.datapipe.selection import (
+        _bucket_array_sql,
+        dsir_flagged_scores,
+    )
+    from janus_spark.datapipe.text import exploded_run_lengths
 
     gk = dict(min_tok=20, top2_max=(1, 10), min_stopwords=1)
     gk.update(gopher_kwargs or {})
@@ -127,20 +132,44 @@ def _curation_stages(
     # 1 — Gopher rules
     # gopher_quality is a narrow per-doc projection (r10 optimization):
     # filter on pred directly instead of a semi join back onto docs
-    # (ids are unique by the doc-key contract, so the two are identical)
+    # (ids are unique by the doc-key contract, so the two are identical).
+    # The SAME materialization also carries each survivor's sorted
+    # token-bucket array (r11 fuse): stages 2 and 4 both consume the
+    # per-doc (b, cnt) bucket pairs, and deriving them here means the
+    # corpus text is tokenized+hashed for buckets ONCE — stage 2 used to
+    # re-tokenize all of s1 and stage 4 all of s3 (one full corpus pass
+    # each), traded for one array column of checkpoint width.
     s1 = (
         gopher_quality(docs, text_col, id_col, keep_cols=docs.columns, **gk)
         .where("pred")
-        .select(*docs.columns)
+        .select(
+            *docs.columns,
+            cached_expr(_bucket_array_sql(text_col, n_buckets)).alias("__bs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s1_docs = s1.select(*docs.columns)
+    flag = F.col(lang_col) == "en"
+    # the rows _doc_bucket_pairs(s1, extra={"__f": flag}) would emit —
+    # identical staged expression, read from the checkpointed arrays
+    bpairs = (
+        exploded_run_lengths(
+            s1.select(F.col(id_col), flag.alias("__f"), "__bs"),
+            "__bs",
+            keep=[id_col, "__f"],
+        )
+        .select(
+            F.col(id_col), "__f", F.col("v").alias("b"), F.col("cnt").alias("cnt")
+        )
         .localCheckpoint(eager=True)
     )
 
     # 2 — corpus-relative quality filter (weights trained on s1 itself;
-    # fused: ONE tokenize+hash pass trains AND scores — r10 optimization)
+    # fused: the ONE bucket-pairs frame above trains AND scores)
     keep2 = quality_filter_relative_split(
-        s1, F.col(lang_col) == "en", text_col, id_col, n_buckets
+        s1_docs, flag, text_col, id_col, n_buckets, pairs=bpairs
     ).select(id_col)
-    s2 = s1.join(keep2, id_col, "semi").localCheckpoint(eager=True)
+    s2 = s1_docs.join(keep2, id_col, "semi").localCheckpoint(eager=True)
 
     # 3 — near-dup removal, pairwise keep-lowest-id
     pairs = minhash_lsh_pairs(
@@ -157,9 +186,17 @@ def _curation_stages(
     # 4 — DSIR top-k toward the survivors' English slice (fused: one
     # pass trains the importance weights AND scores every survivor; the
     # top-k tail is verbatim dsir_topk's — same score float, same
-    # id-ascending tie-break)
+    # id-ascending tie-break).  The bucket pairs are per-document rows,
+    # so s1's frame semi-joined to s3's ids IS _doc_bucket_pairs(s3)
+    # row for row — no third tokenize pass.
     _, dscores = dsir_flagged_scores(
-        s3, F.col(lang_col) == "en", "target", text_col, id_col, n_buckets
+        s3,
+        flag,
+        "target",
+        text_col,
+        id_col,
+        n_buckets,
+        pairs=bpairs.join(s3.select(id_col), id_col, "semi"),
     )
     keep4 = (
         dscores.where(F.col("score").isNotNull())
@@ -168,7 +205,9 @@ def _curation_stages(
         .select(id_col)
     )
     s4 = s3.join(keep4, id_col, "semi")
-    return s1, s2, s3, s4
+    # the returned stage-1 frame keeps the caller-visible docs schema;
+    # __bs is an internal carrier column of the checkpoint only
+    return s1_docs, s2, s3, s4
 
 
 def curation_funnel(

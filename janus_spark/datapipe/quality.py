@@ -242,6 +242,7 @@ def quality_filter_relative_split(
     n_buckets: int = 4096,
     scale: int = 1_000_000,
     tau_micro: int = 0,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`quality_filter_relative` for the self-trained case —
     weights from ``df``'s own ``flag`` / NOT-``flag`` split — fused into
@@ -251,11 +252,15 @@ def quality_filter_relative_split(
     ``quality_filter_relative(df, nb_quality_weights(df.where(flag),
     df.where(~flag)))``: same exact-integer counts, verbatim float
     weight expression, same decimal(38,0) decision (optimization guide
-    §2.4/§4: one pass, nothing corpus-token-scale shuffles)."""
+    §2.4/§4: one pass, nothing corpus-token-scale shuffles).
+
+    ``pairs``: prebuilt materialized ``(id_col, __f, b, cnt)`` frame for
+    exactly ``df``'s documents — see
+    :func:`~janus_spark.datapipe.selection.dsir_flagged_scores`."""
     from janus_spark.datapipe.selection import dsir_flagged_scores
 
     _, scores = dsir_flagged_scores(
-        df, flag, "split", text_col, id_col, n_buckets, scale
+        df, flag, "split", text_col, id_col, n_buckets, scale, pairs=pairs
     )
     # scores stays LAZY (unlike quality_filter_relative's internal cut):
     # it derives from the fused pass's already-checkpointed pairs frame,

@@ -59,6 +59,22 @@ def _bucketed_tokens(df: DataFrame, text_col: str, id_col: str, n_buckets: int) 
     )
 
 
+def _bucket_array_sql(text_col: str, n_buckets: int) -> str:
+    """SQL text of the per-document SORTED token-bucket array — the
+    tokenize → hash → sort expression :func:`_doc_bucket_pairs` stages.
+    Exposed so a caller that already materializes the corpus (e.g. the
+    curation pipeline's gopher checkpoint) can carry this array through
+    its own pass and derive the (b, cnt) pairs without a second corpus
+    tokenize; the spelling is shared, so the hashes are the identical
+    expression."""
+    from janus_spark.datapipe.exprcache import qident
+
+    return (
+        f"array_sort(transform({_clean_tokens_sql(qident(text_col))}, "
+        f"t -> {shared_hash64_spark_sql('t')} % {int(n_buckets)}))"
+    )
+
+
 def _doc_bucket_pairs(
     df: DataFrame,
     text_col: str,
@@ -82,16 +98,13 @@ def _doc_bucket_pairs(
     tokens)."""
     from janus_spark.datapipe.text import exploded_run_lengths
 
-    from janus_spark.datapipe.exprcache import cached_expr, qident
+    from janus_spark.datapipe.exprcache import cached_expr
 
     extra = dict(extra or {})
     staged = df.select(
         F.col(id_col),
         *[c.alias(nm) for nm, c in extra.items()],
-        cached_expr(
-            f"array_sort(transform({_clean_tokens_sql(qident(text_col))}, "
-            f"t -> {shared_hash64_spark_sql('t')} % {int(n_buckets)}))"
-        ).alias("__bs"),
+        cached_expr(_bucket_array_sql(text_col, n_buckets)).alias("__bs"),
     )
     # __bs is a materialized projection column, so the run-length scan's
     # element accesses are O(1) attribute reads, not re-evaluations of
@@ -219,6 +232,7 @@ def dsir_flagged_scores(
     id_col: str = "doc_id",
     n_buckets: int = 4096,
     scale: int = 1_000_000,
+    pairs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the bucket weights AND score every document from ONE
     tokenize+hash pass, for the ubiquitous case where both model corpora
@@ -245,12 +259,21 @@ def dsir_flagged_scores(
     per-doc ``(b, cnt)`` pairs frame (localCheckpoint — at cluster
     scale, persist or a staged signature parquet); weights, totals and
     per-doc scores are all cheap aggregates of that frame.  Nothing
-    corpus-token-scale ever shuffles."""
+    corpus-token-scale ever shuffles.
+
+    ``pairs``: a prebuilt per-doc bucket-pairs frame ``(id_col, __f, b,
+    cnt)`` covering exactly ``df``'s documents (the rows
+    ``_doc_bucket_pairs(df, …, extra={"__f": flag})`` would emit —
+    per-document rows, so a frame built over a superset corpus and
+    restricted to ``df``'s ids is identical), already materialized by
+    the caller.  Skips this function's own tokenize+hash pass — the
+    curation pipeline's one-corpus-pass fuse."""
     if mode not in ("target", "split"):
         raise ValueError(f"unknown mode: {mode!r}")
-    pairs = _doc_bucket_pairs(
-        df, text_col, id_col, n_buckets, extra={"__f": flag}
-    ).localCheckpoint(eager=True)
+    if pairs is None:
+        pairs = _doc_bucket_pairs(
+            df, text_col, id_col, n_buckets, extra={"__f": flag}
+        ).localCheckpoint(eager=True)
     ct = F.coalesce(F.sum(F.when(F.col("__f"), F.col("cnt"))), F.lit(0))
     if mode == "split":
         counted = (

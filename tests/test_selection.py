@@ -126,3 +126,35 @@ def test_weight_round_boundary_margin():
                 f"q_dsir_scores docstring)"
             )
         con.close()
+
+
+def test_flagged_scores_prebuilt_pairs_identical(spark):
+    """The r11 curation fuse: dsir_flagged_scores fed a prebuilt
+    (id, __f, b, cnt) frame — including one built over a SUPERSET corpus
+    and semi-join-restricted to df's ids — must return bit-identical
+    weights and scores to the self-built pass, in both modes."""
+    from janus_spark.datapipe.selection import (
+        _doc_bucket_pairs,
+        dsir_flagged_scores,
+    )
+
+    rows = [(i, f"aa bb cc{i % 3} dd{i % 5} aa", "en" if i % 2 else "xx")
+            for i in range(40)]
+    rows += [(100, "", "en"), (101, None, "xx"), (102, "aa", None)]
+    docs = _docs(spark, rows).localCheckpoint(eager=True)
+    sub = docs.where("doc_id % 3 != 1").localCheckpoint(eager=True)
+    flag = F.col("lang") == "en"
+    super_pairs = _doc_bucket_pairs(
+        docs, "text", "doc_id", 64, extra={"__f": flag}
+    ).localCheckpoint(eager=True)
+    for frame in (docs, sub):
+        pre = super_pairs.join(frame.select("doc_id"), "doc_id", "semi")
+        for mode in ("target", "split"):
+            w0, s0 = dsir_flagged_scores(frame, flag, mode, n_buckets=64)
+            w1, s1 = dsir_flagged_scores(
+                frame, flag, mode, n_buckets=64, pairs=pre
+            )
+            assert w0.exceptAll(w1).count() == 0
+            assert w1.exceptAll(w0).count() == 0
+            assert s0.exceptAll(s1).count() == 0
+            assert s1.exceptAll(s0).count() == 0
