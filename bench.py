@@ -184,6 +184,17 @@ def main() -> None:
             t0 = time.perf_counter()
             n = fn(spark, SF_DIR).count()
             runs.append(time.perf_counter() - t0)
+        # Noise lane (r11, VERDICT r10 item 2a): sub-second gates are the
+        # ones box load flips — 8 of r10's 33 ratchet entries "regressed"
+        # on load alone and un-regressed on the quiet rerun.  Two extra
+        # reps for any gate whose min is already sub-second sharpen the
+        # min estimator at ~2 s total added bench time; the estimator
+        # itself (min of count-timed reps) and every key name are
+        # unchanged.
+        while min(runs) < 1.0 and len(runs) < reps + 2:
+            t0 = time.perf_counter()
+            n = fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
         return runs, n
 
     # noop-sink timing (guide §1.4): count() lets Catalyst prune computed
@@ -338,5 +349,84 @@ def main() -> None:
         print(f"# could not write {local}: {exc}", file=sys.stderr)
 
 
+# Gates the sf1 stress lane runs: the operators whose 100 TB claims the
+# sf0.1 bench cannot exercise (sub-second gates are scheduler-bound, so
+# the driver's 8-vs-32-core scaling block reads ≈ 1 everywhere — VERDICT
+# r10 item 2b).  At 10x density these run 10–60 s and produce a real
+# core-count signal.
+STRESS_QUERIES = [
+    "q_curation_full",
+    "q_jaccard_prefix",
+    "q_clustering_coeff",
+    "q_entity_resolution",
+]
+
+
+def stress_main() -> None:
+    """`python bench.py --stress [sf_dir]`: the committed sf1 stress
+    methodology (formerly the ad-hoc `.stress/sf1` runs).  Builds the
+    10x corpus from the driver's sf0.1 parquet on first use
+    (scripts/make_stress_sf.py — deterministic shifted copies), then
+    times the STRESS_QUERIES subset with count + noop sinks, min of 2
+    reps each, and prints ONE JSON line
+    {"metric": "stress_sf1_query_total", ...}.  Separate invocation and
+    metric name — the driver's default `python bench.py` record is
+    untouched.  Core-scaling evidence: run once with
+    SPARK_GRAFT_CPUS=32 and once with 8 and compare."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    args = [a for a in sys.argv[1:] if a != "--stress"]
+    sf_dir = args[0] if args else os.path.join(repo, ".stress", "sf1")
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        print(f"# building stress corpus at {sf_dir}", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "make_stress_sf.py"), sf_dir],
+            check=True,
+        )
+
+    from janus_spark.queries import QUERIES
+    from janus_spark.session import get_spark
+
+    spark = get_spark("janus_bench_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()
+
+    counts: dict[str, float] = {}
+    noops: dict[str, float] = {}
+    for name in STRESS_QUERIES:
+        spark.sparkContext.setJobDescription(f"stress: {name}")
+        c = n = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            c = dt if c is None else min(c, dt)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            n = dt if n is None else min(n, dt)
+        counts[name] = round(c, 3)
+        noops[name] = round(n, 3)
+        print(f"# stress {name}: count {c:.3f}s noop {n:.3f}s", file=sys.stderr)
+    out = {
+        "metric": "stress_sf1_query_total",
+        "value": round(sum(counts.values()), 3),
+        "unit": "sec",
+        "queries": counts,
+        "queries_noop": noops,
+        "sf": 1.0,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+    }
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--stress" in sys.argv[1:]:
+        stress_main()
+    else:
+        main()

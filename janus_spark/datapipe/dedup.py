@@ -648,24 +648,27 @@ def jaccard_prefix_candidates(
     # the threshold — applied inside the candidate join it cuts the
     # verify workload by orders of magnitude on same-vocabulary corpora.
     #
-    # PPJoin POSITIONAL filter (Xiao et al. 2011, r10 optimization): a
-    # shared prefix gram at ranks (ra, rb) of the two docs' common
-    # (gdf asc, gram asc) order bounds the overlap — every shared gram
-    # sorts at-or-after the FIRST shared one, and the arrays are
-    # duplicate-free (word_shingles array_distincts), so
-    # O ≤ min(na−ra, nb−rb) + 1 holds at that occurrence.  J ≥ t ⇔
-    # O·(1+t) ≥ t·(na+nb), so an occurrence with
-    # (min(na−ra, nb−rb)+1)·(1+t) < t·(na+nb) cannot witness a
-    # qualifying pair; a pair is kept iff ANY shared occurrence passes,
-    # and for a true pair its first shared gram always does — provably
-    # no qualifying pair is lost (same float-boundary class as the
+    # PPJoin POSITIONAL filter (Xiao et al. 2011), PAIR-LEVEL form (r11;
+    # tightens the r10 per-occurrence form): for a candidate pair, let
+    # cp = number of shared PREFIX grams and (ral, rbl) the ranks of the
+    # LAST one in the docs' common (gdf asc, gram asc) order.  The
+    # arrays are duplicate-free (word_shingles array_distincts) and both
+    # are sorted by the same global order, so every shared gram at-or-
+    # before the last prefix-shared one is itself prefix-shared (= cp of
+    # them), and shared grams after it number ≤ min(na−ral, nb−rbl) —
+    # hence O ≤ cp + min(na−ral, nb−rbl).  J ≥ t ⇔ O·(1+t) ≥ t·(na+nb),
+    # so a pair whose bound fails cannot qualify.  The r10 filter kept a
+    # pair if ANY occurrence passed (min(na−ra, nb−rb)+1)·(1+t) ≥
+    # t·(na+nb), i.e. the FIRST-occurrence bound; since ranks co-advance
+    # by ≥ 1 per shared gram, first-bound ≥ pair-bound always — the
+    # pair-level form prunes strictly more at the same shuffle count
+    # (the groupBy replaces the old distinct on the same (a, b) key).
+    # No qualifying pair is lost (same float-boundary class as the
     # length filter above: exact for binary-representable thresholds;
-    # pinned by the brute-force equality tests).  Candidate volume on
-    # the sf0.1 gate fixture: 309,409 → 124,804 pairs into the verify
-    # join (−60%).
-    ubound = (
-        F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")) + 1
-    ).cast("double")
+    # pinned by the brute-force equality tests and the J-exactly-t
+    # boundary test).  Candidate volume on the sf0.1 gate fixture:
+    # 309,409 unfiltered → 124,804 (r10 occurrence form) → re-measured
+    # in plans/r11.
     return (
         prefix.select(
             "gram", F.col("id").alias("a"), F.col("n").alias("na"), F.col("rk").alias("ra")
@@ -680,13 +683,22 @@ def jaccard_prefix_candidates(
             (F.col("a") < F.col("b"))
             & (F.col("nb") * F.lit(threshold) <= F.col("na"))
             & (F.col("na") * F.lit(threshold) <= F.col("nb"))
-            & (
-                ubound * F.lit(1.0 + threshold)
-                >= F.lit(threshold) * (F.col("na") + F.col("nb")).cast("double")
-            )
+        )
+        .groupBy("a", "b", "na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("cp"),
+            F.max("ra").alias("ral"),
+            F.max("rb").alias("rbl"),
+        )
+        .where(
+            (
+                F.col("cp")
+                + F.least(F.col("na") - F.col("ral"), F.col("nb") - F.col("rbl"))
+            ).cast("double")
+            * F.lit(1.0 + threshold)
+            >= F.lit(threshold) * (F.col("na") + F.col("nb")).cast("double")
         )
         .select("a", "b")
-        .distinct()
     )
 
 
@@ -1517,12 +1529,26 @@ def incremental_minhash_dedup(
     sig = banded.select(
         "id", "band", "bh", F.when(F.col("band") == 0, F.col("sh")).alias("sh")
     )
-    if batch_id is not None:
-        if not replayed:
-            sig.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-                "append"
-            ).parquet(store_path)
-    else:
+    # Right-size the append (guide §6, r11): sig inherits banded's
+    # compute layout (defaultParallelism partitions), so a small batch
+    # appended one near-empty parquet file PER CORE per call — at the
+    # bench shape 32 files × 3 batches, with footer/committer overhead
+    # dominating the store I/O (profiled 10.4 s task-CPU for ~800 rows).
+    # Scale-adaptive: one file per JANUS_STORE_APPEND_ROWS (default
+    # 250k) signature rows, never more than the current partition count
+    # — a TB-scale daily increment still writes hundreds of files.  The
+    # count is one cheap job over the already-materialized checkpoint.
+    if batch_id is None or not replayed:
+        import os as _os
+
+        rows_per_file = int(_os.environ.get("JANUS_STORE_APPEND_ROWS", "250000"))
+        n_files = max(
+            1,
+            min(banded.rdd.getNumPartitions(), -(-banded.count() // rows_per_file)),
+        )
+        sig = sig.coalesce(n_files)
+        if batch_id is not None:
+            sig = sig.withColumn("batch_id", F.lit(int(batch_id)))
         sig.write.mode("append").parquet(store_path)
     return survivors
 

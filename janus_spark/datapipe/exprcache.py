@@ -25,18 +25,37 @@ cost change, not a semantic one.
 
 from __future__ import annotations
 
-from functools import lru_cache
+import hashlib
+from collections import OrderedDict
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["cached_expr", "qident", "sql_str"]
 
+# LRU keyed by the sha256 DIGEST of the SQL text, not the text itself:
+# codebook/centroid literals embed multi-KB array strings, and an
+# lru_cache would retain every key string alongside its Column for the
+# life of the driver (VERDICT r10 hygiene item).  32-byte keys bound the
+# Python-side footprint; a digest collision would require breaking
+# sha256.  The JVM-side parsed trees are the cache's purpose and are
+# bounded by the entry cap.
+_CACHE: OrderedDict[bytes, Column] = OrderedDict()
+_CACHE_MAX = 1024
 
-@lru_cache(maxsize=4096)
+
 def cached_expr(sql: str) -> Column:
     """Parse ``sql`` into a Column once per process and reuse it."""
-    return F.expr(sql)
+    key = hashlib.sha256(sql.encode("utf-8")).digest()
+    col = _CACHE.get(key)
+    if col is None:
+        col = F.expr(sql)
+        _CACHE[key] = col
+        if len(_CACHE) > _CACHE_MAX:
+            _CACHE.popitem(last=False)
+    else:
+        _CACHE.move_to_end(key)
+    return col
 
 
 def qident(name: str) -> str:

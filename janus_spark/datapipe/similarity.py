@@ -382,29 +382,6 @@ def pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     return F.array(*codes)
 
 
-def _adc_dot(codes: Column, qv: Column, codebooks: list[list[list[float]]]) -> Column:
-    """Asymmetric inner product: Σ_j dot(q_j, codebook_j[code_j]) — the
-    per-subspace contributions add in a fixed left-to-right order so a
-    SQL oracle reproduces the float result exactly.
-
-    Per-PAIR form (one zip_with fold per subspace per candidate).  The
-    search operators use the table form instead (``_adc_table`` on the
-    broadcast query side + ``_adc_dot_from_table`` per pair — the
-    lookup-table formulation of Jégou et al. 2011, bit-identical by
-    construction); this form remains for residual scoring paths where
-    the table would be rebuilt per (query, cell)."""
-    from janus_spark.datapipe.exprcache import cached_expr, nested_float_array_sql
-
-    d = len(codebooks[0][0])
-    adc = None
-    for j, cb in enumerate(codebooks):
-        subq = F.slice(qv, j * d + 1, d)
-        cb_lit = cached_expr(nested_float_array_sql(cb))
-        contrib = _dot(subq, F.element_at(cb_lit, F.element_at(codes, j + 1) + 1))
-        adc = contrib if adc is None else adc + contrib
-    return adc
-
-
 def _adc_table(qv: Column, codebooks: list[list[list[float]]]) -> Column:
     """Per-QUERY ADC lookup table (the distance-table half of Jégou et
     al. 2011): ``tab[j][c] = dot(q_j, codebook_j[c])`` — m × k_codes
@@ -426,8 +403,9 @@ def _adc_table(qv: Column, codebooks: list[list[list[float]]]) -> Column:
 
 def _adc_dot_from_table(codes: Column, qtab: Column, m: int) -> Column:
     """Σ_j tab[j][code_j] over a precomputed ``_adc_table`` column —
-    same left-to-right addition order as ``_adc_dot``, so the float
-    result is identical."""
+    same left-to-right addition order as the per-pair Σ_j dot(q_j,
+    codebook_j[code_j]) form the oracles spell out, so the float result
+    is identical."""
     adc = None
     for j in range(m):
         contrib = F.element_at(

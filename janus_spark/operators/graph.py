@@ -159,7 +159,18 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .distinct()
         .localCheckpoint(eager=True)
     )
-    return _triangle_count_from(canon, _edge_degrees(canon))
+    return _triangle_count_from(canon, _edge_degrees(canon), n_edges=canon.count())
+
+
+def _triangle_broadcast_cap() -> int:
+    """The one source of truth for the triangle broadcast size gate
+    (edges): below it the forward/broadcast plans run, above it the
+    shuffling sort-merge plans (the 100 TB default).  Read per call so a
+    test can flip the env var, but from exactly one place — the core and
+    clustering_coefficient's output join must agree within a call."""
+    import os
+
+    return int(os.environ.get("JANUS_TRIANGLE_BROADCAST_EDGES", "4000000"))
 
 
 def _edge_degrees(canon: DataFrame) -> DataFrame:
@@ -190,9 +201,7 @@ def _triangle_count_from(
     ``n_edges``: the caller's ``canon.count()`` if it already ran one
     (clustering_coefficient needs the flag for its own output join);
     None counts here — cheap, canon is checkpoint-materialized."""
-    import os as _os
-
-    cap = int(_os.environ.get("JANUS_TRIANGLE_BROADCAST_EDGES", "4000000"))
+    cap = _triangle_broadcast_cap()
     if n_edges is None:
         n_edges = canon.count()
     small = n_edges <= cap
@@ -251,14 +260,27 @@ def _triangle_count_from(
             )
             .select("u", "v", "common", F.size("common").alias("t"))
         )
-        uv = e2.where(F.col("t") > 0).select(
-            F.explode(F.array("u", "v")).alias("id"), F.col("t").alias("w")
+        # ONE pass over e2 (ADVICE r10: the former uv/ww union branches
+        # each re-ran the broadcast joins + array_intersect): an edge
+        # with t closing vertices contributes (u, t), (v, t) and (w, 1)
+        # per w ∈ common — emitted together from a single projection.
+        # Edges with t = 0 emit nothing on either branch (common is
+        # empty and the uv rows were t > 0-filtered), so filtering them
+        # first is the same multiset.
+        closing = e2.where(F.col("t") > 0)
+        uvarr = F.array(
+            F.struct(F.col("u").alias("id"), F.col("t").alias("w")),
+            F.struct(F.col("v").alias("id"), F.col("t").alias("w")),
         )
-        ww = e2.select(F.explode("common").alias("id"), F.lit(1).alias("w"))
-        return (
-            uv.unionByName(ww)
-            .groupBy("id")
-            .agg(F.sum("w").cast("long").alias("n_triangles"))
+        warr = F.transform(
+            "common",
+            lambda c: F.struct(c.alias("id"), F.lit(1).alias("w")),
+        )
+        contrib = closing.select(
+            F.explode(F.concat(uvarr, warr)).alias("c")
+        ).select(F.col("c.id").alias("id"), F.col("c.w").alias("w"))
+        return contrib.groupBy("id").agg(
+            F.sum("w").cast("long").alias("n_triangles")
         )
     # Above the cap (env JANUS_TRIANGLE_BROADCAST_EDGES, default 4M
     # edges): the oriented-WEDGE join plan, unchanged — at 100 TB the
@@ -514,9 +536,7 @@ def clustering_coefficient(
     # aggregate inside triangle_count) is gone
     deg_all = _edge_degrees(canon)
     deg = deg_all.where(F.col("deg") >= 2)
-    import os as _os
-
-    cap = int(_os.environ.get("JANUS_TRIANGLE_BROADCAST_EDGES", "4000000"))
+    cap = _triangle_broadcast_cap()
     n_edges = canon.count()
     tri = _triangle_count_from(canon, deg_all, n_edges=n_edges)
     # tri is node-scale output of an aggregate over an RDD-backed

@@ -119,13 +119,31 @@ def run_bench(reps: int = 2) -> dict:
     as bench.py's internal best-of-3 for storage)."""
     runs = [run_bench_once() for _ in range(reps)]
     best = dict(runs[0])
-    for dct in ("queries", "datapipe"):
+    for dct in ("queries", "datapipe", "queries_noop", "datapipe_noop"):
         best[dct] = {
             k: min(r[dct][k] for r in runs if k in r.get(dct, {}))
             for k in runs[0].get(dct, {})
         }
     best["value"] = round(sum(best["queries"].values()), 3)
     return best
+
+
+# Gates where the count() sink prunes real work from the timed plan
+# (computed columns / whole join subtrees — OPTIMIZATION_r10.md item 6),
+# so count-to-count ratios can move on plan-pruning accidents rather
+# than real cost.  For these the ratchet decision rides the *_noop keys
+# when BOTH records carry them (r10 forward); the count keys are still
+# printed for the historical record (VERDICT r10 item 7,
+# additions-only).
+NOOP_RATCHET = {
+    "q_clustering_coeff",
+    "q_gopher_rules",
+    "q_comparator_stats",
+    "q_dup_cut",
+    "q_line_dedup",
+    "q_dsir_scores",
+    "q_tpch_pricing",
+}
 
 
 def main() -> None:
@@ -149,6 +167,20 @@ def main() -> None:
             if now is None:
                 print(f"  {name:30s} {was:8.3f}s -> MISSING")
                 failures.append((name, was, None))
+                continue
+            was_noop = base.get(f"{dct}_noop", {}).get(name)
+            now_noop = cur.get(f"{dct}_noop", {}).get(name)
+            if name in NOOP_RATCHET and was_noop and now_noop:
+                # decision on the honest full-computation numbers;
+                # count keys printed alongside for the record
+                ratio = now_noop / was_noop
+                flag = "REGRESSED(noop)" if ratio > max_ratio else ""
+                print(
+                    f"  {name:30s} noop {was_noop:8.3f}s -> {now_noop:8.3f}s"
+                    f"  ({ratio:4.2f}x) [count {was:.3f}s -> {now:.3f}s] {flag}"
+                )
+                if ratio > max_ratio:
+                    failures.append((name, was_noop, now_noop))
                 continue
             ratio = now / was if was > 0 else 1.0
             flag = "REGRESSED" if ratio > max_ratio else ""
